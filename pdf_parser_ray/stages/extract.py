@@ -1,0 +1,203 @@
+"""Ray Data stages for the extraction pipeline.
+
+Three stages (SURVEY.md §3.4), all over ``batch_format="pyarrow"``:
+
+1. ``route_and_explode`` — stateless task stage. Small documents pass
+   through whole; documents whose payload exceeds the explode threshold are
+   split into per-page rows (the skew path for giant documents). The raw
+   ``html`` payload does not survive this stage for exploded docs — only
+   per-page slices — so the later shuffle never moves crawl bytes.
+2. ``ParseDocuments`` — actor-pool stage (callable class: warm state built
+   once per actor, the analog of the reference's per-document analyzer
+   reuse, document.py:55 / detector.py:77). Parses whole docs or single
+   pages into formatted chunks.
+3. ``assemble_group`` — ``groupby("url").map_groups`` consolidation of
+   per-page chunks, ordered by ``page_number`` inside the group (never by
+   arrival order). Single-row groups (the common case) pass through.
+
+Chunk-join invariant: every per-page plain/markdown chunk is exactly the
+slice of the whole-document line list for that page, so document text ==
+"\\n".join(non-empty chunks in page order). Verified byte-identical against
+the sequential renderer in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from pdf_parser_ray.functions import layout, render
+from pdf_parser_ray.functions.document import extract_document
+
+# Result columns. large_string: extracted text for a giant document can
+# approach block-size limits.
+RESULT_FIELDS = [
+    ("url", pa.string()),
+    ("page_number", pa.int32()),
+    ("n_pages", pa.int32()),
+    ("text", pa.large_string()),
+    ("markdown", pa.large_string()),
+    ("json", pa.large_string()),
+    ("n_blocks", pa.int64()),
+    ("n_tables", pa.int64()),
+    ("error", pa.string()),
+    ("final", pa.bool_()),
+]
+RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
+
+OUTPUT_COLUMNS = ["url", "text", "markdown", "json",
+                  "n_pages", "n_blocks", "n_tables", "error"]
+
+ROUTED_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("kind", pa.string()),        # "doc" (whole) | "page" (exploded)
+    ("page_number", pa.int32()),  # 0 for whole docs
+    ("n_pages", pa.int32()),
+    ("payload", pa.large_binary()),
+    ("meta", pa.string()),        # bundle metadata JSON, page-1 rows only
+])
+
+
+def make_router(explode_threshold: int | None):
+    """Stateless routing stage. ``explode_threshold=None`` disables the
+    explode path entirely (pure-map pipeline, no shuffle downstream)."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        out = {name: [] for name in ROUTED_SCHEMA.names}
+
+        def emit(url, kind, page_number, n_pages, payload, meta):
+            out["url"].append(url)
+            out["kind"].append(kind)
+            out["page_number"].append(page_number)
+            out["n_pages"].append(n_pages)
+            out["payload"].append(payload)
+            out["meta"].append(meta)
+
+        for url, payload in zip(urls, payloads):
+            big = (
+                explode_threshold is not None
+                and payload is not None
+                and len(payload) > explode_threshold
+                and not url.endswith(".html")
+            )
+            if big:
+                try:
+                    bundle = layout.load_bundle(payload)
+                except Exception:
+                    # undecodable: fall through as a whole doc so the parse
+                    # stage produces the standard error row
+                    emit(url, "doc", 0, 0, payload, "")
+                    continue
+                pages = bundle["pages"]
+                meta_json = json.dumps(bundle.get("metadata") or {})
+                if not pages:
+                    emit(url, "doc", 0, 0, payload, "")
+                    continue
+                for i, pdict in enumerate(pages):
+                    emit(
+                        url, "page", i + 1, len(pages),
+                        json.dumps(pdict).encode("utf-8"),
+                        meta_json if i == 0 else "",
+                    )
+            else:
+                emit(url, "doc", 0, 0, payload, "")
+        return pa.table(out, schema=ROUTED_SCHEMA)
+
+    return route
+
+
+class ParseDocuments:
+    """Actor-pool parse stage: whole documents and exploded pages.
+
+    Built once per actor (``__init__``), applied per batch (``__call__``) —
+    pass to ``ds.map_batches(ParseDocuments, concurrency=..., ...)``.
+    """
+
+    def __init__(self, want_markdown: bool = True, want_json: bool = False):
+        self.want_markdown = want_markdown
+        self.want_json = want_json
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {name: [] for name, _ in RESULT_FIELDS}
+
+        def emit(url, page_number, n_pages, text, markdown, json_s,
+                 n_blocks, n_tables, error, final):
+            out["url"].append(url)
+            out["page_number"].append(page_number)
+            out["n_pages"].append(n_pages)
+            out["text"].append(text)
+            out["markdown"].append(markdown)
+            out["json"].append(json_s)
+            out["n_blocks"].append(n_blocks)
+            out["n_tables"].append(n_tables)
+            out["error"].append(error)
+            out["final"].append(final)
+
+        kinds = batch.column("kind").to_pylist()
+        urls = batch.column("url").to_pylist()
+        numbers = batch.column("page_number").to_pylist()
+        totals = batch.column("n_pages").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+
+        for url, kind, number, total, payload, meta in zip(
+            urls, kinds, numbers, totals, payloads, metas
+        ):
+            if kind == "doc":
+                row = extract_document(
+                    url, payload,
+                    want_markdown=self.want_markdown,
+                    want_json=self.want_json,
+                )
+                emit(url, 0, row["n_pages"], row["text"], row["markdown"],
+                     row["json"], row["n_blocks"], row["n_tables"],
+                     row["error"], True)
+            else:
+                emit(url, number, total,
+                     *self._parse_page(number, payload, meta), "", False)
+        return pa.table(out, schema=RESULT_SCHEMA)
+
+    def _parse_page(self, number: int, payload: bytes, meta_json: str):
+        """One exploded page -> (text_chunk, md_chunk, json_chunk,
+        n_blocks, n_tables). Page-level failures degrade to the fallback
+        page exactly like the in-doc path (quirk Q12)."""
+        pdict = json.loads(payload.decode("utf-8"))
+        try:
+            page = layout.analyze_page(number, pdict)
+        except Exception:
+            page = layout.fallback_page(number, pdict)
+        text = "\n".join(render.plain_page_lines(page))
+        md = ""
+        if self.want_markdown:
+            lines = []
+            if number == 1 and meta_json:
+                meta = {k: v for k, v in json.loads(meta_json).items() if v}
+                lines.extend(render.markdown_meta_lines(meta))
+            lines.extend(render.markdown_page_lines(page))
+            md = "\n".join(lines)
+        return text, md, "", len(page["blocks"]), len(page["tables"])
+
+
+def assemble_group(group: pa.Table) -> pa.Table:
+    """``map_groups`` consolidation for one url: order chunks by
+    page_number and join. Deterministic regardless of arrival order."""
+    if group.num_rows == 1 and group.column("final")[0].as_py():
+        return group.select(OUTPUT_COLUMNS)
+    order = pa.compute.sort_indices(group.column("page_number"))
+    rows = group.take(order)
+    texts = rows.column("text").to_pylist()
+    mds = rows.column("markdown").to_pylist()
+    return pa.table({
+        "url": [rows.column("url")[0].as_py()],
+        "text": pa.array(["\n".join(texts)], pa.large_string()),
+        "markdown": pa.array(["\n".join(m for m in mds if m != "")],
+                             pa.large_string()),
+        "json": pa.array([""], pa.large_string()),
+        "n_pages": pa.array([rows.column("n_pages")[0].as_py()], pa.int32()),
+        "n_blocks": [sum(rows.column("n_blocks").to_pylist())],
+        "n_tables": [sum(rows.column("n_tables").to_pylist())],
+        "error": [""],
+    })

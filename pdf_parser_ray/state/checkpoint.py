@@ -1,0 +1,143 @@
+"""Partition-granularity checkpointed extraction runs.
+
+North-rule requirement: "streaming execution with per-partition checkpoint
+manifests records lineage + counters so a killed job resumes at partition
+granularity" (BASELINE.json; SURVEY.md §7.4).
+
+Layout under ``out_dir``:
+    part-0000/ ... part-NNNN/      parquet output per partition
+    _manifest/part-0000.json ...   manifest, written atomically AFTER the
+                                   partition's parquet is complete
+
+A partition is a fixed slice of the input file list (the resume unit; size
+it so one partition saturates the cluster).  A manifest records lineage
+(input files), counters (rows, pages, blocks, tables, errors, output
+bytes), wall time, and a config fingerprint — a changed pipeline config
+invalidates old checkpoints instead of silently mixing outputs.  On resume,
+partitions with a valid manifest are skipped; half-written partition
+directories (no manifest) are cleared and redone.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+
+def _config_fingerprint(config: dict) -> str:
+    blob = json.dumps(config, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def plan_partitions(input_files: list[str], files_per_part: int) -> list[list[str]]:
+    ordered = sorted(input_files)
+    return [ordered[i:i + files_per_part]
+            for i in range(0, len(ordered), files_per_part)]
+
+
+def _manifest_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, "_manifest", f"part-{part_id:04d}.json")
+
+
+def _part_dir(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, f"part-{part_id:04d}")
+
+
+def _load_manifest(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            m = json.load(f)
+        return m if m.get("status") == "complete" else None
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _write_manifest_atomic(path: str, manifest: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _partition_counters(part_dir: str) -> dict:
+    """Counters from the written partition: row counts from parquet footers
+    (metadata-only), error/page counts from a column scan of the small
+    counter columns."""
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(part_dir, format="parquet")
+    rows = dataset.count_rows()
+    counters = {"rows": rows, "pages": 0, "blocks": 0, "tables": 0, "errors": 0}
+    scanned = dataset.to_table(columns=["n_pages", "n_blocks", "n_tables", "error"])
+    counters["pages"] = sum(scanned.column("n_pages").to_pylist())
+    counters["blocks"] = sum(scanned.column("n_blocks").to_pylist())
+    counters["tables"] = sum(scanned.column("n_tables").to_pylist())
+    counters["errors"] = sum(1 for e in scanned.column("error").to_pylist() if e)
+    counters["bytes_out"] = sum(
+        os.path.getsize(os.path.join(root, name))
+        for root, _, names in os.walk(part_dir)
+        for name in names
+    )
+    return counters
+
+
+def run_checkpointed(
+    input_files: list[str],
+    out_dir: str,
+    *,
+    files_per_part: int = 1,
+    pipeline_kwargs: dict | None = None,
+) -> dict:
+    """Run (or resume) a checkpointed extraction over ``input_files``.
+
+    Returns a summary dict {parts_total, parts_skipped, parts_run, rows}.
+    """
+    from pdf_parser_ray.pipelines.extraction import extract_paths
+
+    pipeline_kwargs = dict(pipeline_kwargs or {})
+    fingerprint = _config_fingerprint(
+        {k: v for k, v in pipeline_kwargs.items()} | {"v": 1}
+    )
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+
+    parts = plan_partitions(input_files, files_per_part)
+    skipped = run = total_rows = 0
+
+    for part_id, files in enumerate(parts):
+        mpath = _manifest_path(out_dir, part_id)
+        manifest = _load_manifest(mpath)
+        if manifest and manifest.get("config") == fingerprint \
+                and manifest.get("input_lineage") == files:
+            skipped += 1
+            total_rows += manifest["counters"]["rows"]
+            continue
+
+        pdir = _part_dir(out_dir, part_id)
+        if os.path.exists(pdir):  # half-written: clear and redo
+            shutil.rmtree(pdir)
+
+        started = time.time()
+        ds = extract_paths(files, **pipeline_kwargs)
+        ds.write_parquet(pdir)
+        counters = _partition_counters(pdir)
+        _write_manifest_atomic(mpath, {
+            "partition_id": part_id,
+            "input_lineage": files,
+            "config": fingerprint,
+            "counters": counters,
+            "started_at": started,
+            "finished_at": time.time(),
+            "status": "complete",
+        })
+        run += 1
+        total_rows += counters["rows"]
+
+    return {
+        "parts_total": len(parts),
+        "parts_skipped": skipped,
+        "parts_run": run,
+        "rows": total_rows,
+    }

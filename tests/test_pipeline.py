@@ -1,0 +1,83 @@
+"""E2E Ray pipeline tests: both pipeline modes produce byte-identical
+per-url output vs the sequential kernel (itself oracle-verified in
+test_parity_kernels.py), deterministically."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_parser_ray.functions.document import extract_document
+from pdf_parser_ray.sources import synth
+
+N_DOCS = 120
+SEED = 2024
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    path = tmp_path_factory.mktemp("corpus") / "pages.parquet"
+    pq.write_table(synth.corpus_table(N_DOCS, seed=SEED), path)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def golden(corpus_path):
+    """Sequential per-row extraction = expected bytes."""
+    rows = {}
+    for i in range(N_DOCS):
+        r = synth.gen_document(i, seed=SEED)
+        rows[r["url"]] = extract_document(r["url"], r["html"])
+    return rows
+
+
+def _run(corpus_path, **kwargs):
+    from pdf_parser_ray.pipelines.extraction import extract_paths
+
+    out = extract_paths(corpus_path, **kwargs).take_all()
+    return {r["url"]: r for r in out}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pure_map_mode_matches_sequential(corpus_path, golden):
+    got = _run(corpus_path, explode_threshold=None)
+    assert set(got) == set(golden)
+    for url, want in golden.items():
+        row = got[url]
+        assert row["text"] == want["text"], url
+        assert row["markdown"] == want["markdown"], url
+        assert row["n_pages"] == want["n_pages"], url
+        assert row["n_blocks"] == want["n_blocks"], url
+        assert row["n_tables"] == want["n_tables"], url
+        assert row["error"] == want["error"], url
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_explode_mode_matches_sequential(corpus_path, golden):
+    # threshold=0: EVERY pdf row goes through explode + groupby reassembly
+    got = _run(corpus_path, explode_threshold=0)
+    assert set(got) == set(golden)
+    for url, want in golden.items():
+        row = got[url]
+        assert row["text"] == want["text"], url
+        assert row["markdown"] == want["markdown"], url
+        assert row["n_blocks"] == want["n_blocks"], url
+        assert row["n_tables"] == want["n_tables"], url
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_two_runs_identical(corpus_path):
+    a = _run(corpus_path, explode_threshold=64 * 1024)
+    b = _run(corpus_path, explode_threshold=64 * 1024)
+    assert {u: r["text"] for u, r in a.items()} == {u: r["text"] for u, r in b.items()}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_error_rows_survive(corpus_path, golden):
+    got = _run(corpus_path, explode_threshold=None)
+    broken = [u for u, w in golden.items() if w["error"]]
+    assert broken, "corpus should contain intentionally-broken payloads"
+    for u in broken:
+        assert got[u]["error"] != ""
+        assert got[u]["text"] == ""
