@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md §2 +
+the training-data operators); ``oracle_sql()`` carries the DuckDB twin for
+each SQL-expressible one (column names/rounding kept in lockstep with
+pdf_parser_ray/pipelines/queries.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +17,228 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: extraction over the synthetic pages corpus at
+    sf0.001 scale (the driver smoke-checks rows >= 0 and a stable schema)."""
+    from pdf_parser_ray.pipelines import queries as q
+
+    return q.extract_corpus("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_parser_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational (TPC-H-flavoured)
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "q3_top_revenue_orders": q.q3_top_revenue_orders,
+        "q5_nation_revenue": q.q5_nation_revenue,
+        "q6_forecast_revenue": q.q6_forecast_revenue,
+        "top_parts": q.top_parts,
+        "priority_counts": q.priority_counts,
+        "nation_balance": q.nation_balance,
+        "segment_order_stats": q.segment_order_stats,
+        # events
+        "events_hourly": q.events_hourly,
+        "events_sessions": q.events_sessions,
+        "events_top_users": q.events_top_users,
+        # documents: text analysis + dedup
+        "docs_stats": q.docs_stats,
+        "docs_langid": q.docs_langid,
+        "docs_fingerprints": q.docs_fingerprints,
+        "docs_exact_dedup": q.docs_exact_dedup,
+        "docs_lang_summary": q.docs_lang_summary,
+        "docs_minhash_pairs": q.docs_minhash_pairs,
+        "docs_simhash": q.docs_simhash,
+        # embeddings: similarity search
+        "emb_topk": q.emb_topk,
+        "emb_centroids": q.emb_centroids,
+        "emb_near_pairs": q.emb_near_pairs,
+        # extraction flagship (byte-stable fingerprints of extracted text)
+        "extract_corpus": q.extract_corpus,
+    }
+
+
+_STOP = r"\b(the|and|of|to|in)\b"
+_TOK = r"\S+"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+            FROM (
+                SELECT * FROM part WHERE p_size >= 40
+                ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+            )
+        """,
+        "priority_counts": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "nation_balance": """
+            SELECT n_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal,
+                   round(min(c_acctbal), 2) AS min_acctbal,
+                   round(max(c_acctbal), 2) AS max_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "segment_order_stats": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN prev_ts IS NULL
+                              OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM (
+                    SELECT user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events
+                )
+            )
+            GROUP BY user_id
+        """,
+        "events_top_users": """
+            SELECT user_id, round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id LIMIT 10
+        """,
+        "docs_stats": f"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '{_TOK}')) AS n_tokens,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                              / length(text) END, 4) AS alpha_ratio,
+                   round(CASE WHEN length(regexp_extract_all(text, '{_TOK}')) = 0 THEN 0.0
+                         ELSE CAST(length(regexp_extract_all(text, '{_STOP}')) AS DOUBLE)
+                              / length(regexp_extract_all(text, '{_TOK}')) END, 4) AS stop_ratio
+            FROM documents
+        """,
+        "docs_langid": r"""
+            SELECT doc_id,
+                   CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+                        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                        WHEN de >= fr AND de >= es THEN 'de'
+                        WHEN fr >= es THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM (
+                SELECT doc_id,
+                       length(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS en,
+                       length(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS de,
+                       length(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS fr,
+                       length(regexp_extract_all(text, '\b(el|los|las|es|y)\b')) AS es
+                FROM documents
+            )
+        """,
+        "docs_fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(text) AS fp, min(doc_id) AS doc_id
+            FROM documents GROUP BY 1
+        """,
+        "docs_lang_summary": f"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(regexp_extract_all(text, '{_TOK}'))) AS BIGINT) AS sum_tokens
+            FROM documents GROUP BY lang
+        """,
+        "emb_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), scored AS (
+                SELECT q.qid, e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qe AS DOUBLE[])), 4) AS cos_sim
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+                FROM scored
+            )
+            SELECT qid, vec_id, cos_sim FROM ranked WHERE rn <= 5
+        """,
+        "emb_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   round(avg(val), 4) AS centroid
+            FROM (
+                SELECT label,
+                       unnest(CAST(embedding AS DOUBLE[])) AS val,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM embeddings
+            )
+            GROUP BY 1, 2
+        """,
+        "emb_near_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) > 0.95
+        """,
+        # docs_minhash_pairs, docs_simhash, extract_corpus: not
+        # SQL-expressible (hashing sketches / full layout engine) ->
+        # rows-only checks by design.
+    }

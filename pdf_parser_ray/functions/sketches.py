@@ -1,0 +1,85 @@
+"""Similarity sketches for near-duplicate detection: MinHash + LSH banding,
+SimHash, n-gram Jaccard.  All hashing is crc32-based (process-stable — no
+reliance on Python's randomized str hash), vectorised with numpy.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+# fixed affine permutation parameters (seeded once, process-independent)
+_rng = np.random.RandomState(0xC0FFEE)
+_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def word_shingles(text: str, k: int = 3) -> set[str]:
+    words = text.split()
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def _crc_array(items) -> np.ndarray:
+    return np.array(
+        [zlib.crc32(s.encode("utf-8")) for s in items], dtype=np.uint64
+    )
+
+
+def minhash(text: str, k: int = 3) -> np.ndarray:
+    """64-permutation MinHash signature (uint64)."""
+    shingles = word_shingles(text, k)
+    if not shingles:
+        return np.full(N_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
+    base = _crc_array(sorted(shingles))  # (S,)
+    # (S, P) affine permutations mod the Mersenne prime
+    vals = (base[:, None] * _A[None, :] + _B[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0)
+
+
+def lsh_band_keys(signature: np.ndarray, doc_salt: str = "") -> list[str]:
+    """One key per band: docs sharing any band key are near-dup candidates."""
+    keys = []
+    for b in range(N_BANDS):
+        chunk = signature[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+        keys.append(f"{b}:{zlib.crc32(chunk.tobytes()):08x}")
+    return keys
+
+
+def simhash(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (crc32-seeded bit votes)."""
+    tokens = text.split()
+    if not tokens:
+        return 0
+    hashes = _crc_array(tokens)
+    # expand the 32-bit crc to 64 deterministic bits per token
+    h64 = (hashes << np.uint64(32)) | (
+        (hashes * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFF)
+    )
+    bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0

@@ -1,0 +1,403 @@
+"""The engine's query suite over the driver testdata tables plus the
+synthetic extraction corpus.
+
+Every function takes ``sf_dir`` and returns a Dataset / pandas DataFrame;
+``__ray_entry__.oracle_sql()`` carries the matching DuckDB SQL (column
+names and rounding are kept in lockstep — the driver hash-compares values
+after sorting columns by name).
+
+Scale discipline: reads prune columns; aggregations are two-phase
+(map-side combine via relational.grouped_agg); dimension joins broadcast;
+the single big-big join (orders x lineitem) uses the hash-shuffle join;
+top-k runs as per-batch local top-k + tiny final merge, never a full
+global sort.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from pdf_parser_ray.functions.num import round_half_away, series_round_half_away
+
+from pdf_parser_ray.pipelines import relational as rel
+from pdf_parser_ray.stages import dedup, similarity, text as textstage
+
+_TS = dt.datetime
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavoured relational pipelines
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Filter + low-cardinality grouped aggregation on lineitem."""
+    ds = rel.load(sf_dir, "lineitem",
+                  ["l_returnflag", "l_linestatus", "l_quantity",
+                   "l_extendedprice", "l_discount", "l_shipdate"])
+
+    cutoff = pa.scalar(_TS(1998, 9, 2))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "l_quantity": batch.column("l_quantity"),
+            "l_extendedprice": batch.column("l_extendedprice"),
+            "disc_price": disc_price,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = rel.grouped_agg(
+        prepped, ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "l_quantity", "sum"),
+         ("sum_base_price", "l_extendedprice", "sum"),
+         ("sum_disc_price", "disc_price", "sum"),
+         ("count_order", "", "count")],
+    )
+    df = agg.to_pandas()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        df[c] = series_round_half_away(df[c], 2)
+    return rel.to_pandas_sorted(df, ["l_returnflag", "l_linestatus"])
+
+
+def q3_top_revenue_orders(sf_dir: str):
+    """Dimension broadcast-semi + big-big hash join + top-k."""
+    date = _TS(1998, 3, 15)
+    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.filter(expr="c_mktsegment == 'BUILDING'")
+    cust_keys = [r["c_custkey"] for r in building.select_columns(["c_custkey"]).take_all()]
+
+    orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("o_orderdate"), pa.scalar(date)))
+
+    orders_f = rel.broadcast_semi(
+        orders.map_batches(orders_filter, batch_format="pyarrow", zero_copy_batch=True),
+        "o_custkey", cust_keys,
+    ).select_columns(["o_orderkey"])
+
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_shipdate"), pa.scalar(date)))
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
+
+    line_f = line.map_batches(line_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = rel.hash_join(line_f, orders_f, on="l_orderkey",
+                           right_on="o_orderkey", num_partitions=16)
+    agg = rel.grouped_agg(joined, ["l_orderkey"], [("revenue", "rev", "sum")])
+    df = agg.to_pandas()
+    df["revenue"] = series_round_half_away(df["revenue"], 2)
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
+                        kind="mergesort").head(10).reset_index(drop=True)
+    return df
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Broadcast dimension chain (region -> nation -> customer) + hash join
+    with lineitem; revenue by customer nation within one region."""
+    region = rel.load(sf_dir, "region").to_pandas()
+    nation = rel.load(sf_dir, "nation").to_pandas()
+    asia_keys = region.loc[region.r_name == "ASIA", "r_regionkey"]
+    nations = nation[nation.n_regionkey.isin(asia_keys)][["n_nationkey", "n_name"]]
+
+    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.merge(nations, left_on="c_nationkey", right_on="n_nationkey")
+    cust_map = cust[["c_custkey", "n_name"]]
+
+    orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_n = rel.broadcast_merge(
+        orders, cust_map.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    ).select_columns(["o_orderkey", "n_name"])
+
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
+
+    line_r = line.map_batches(line_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = rel.hash_join(line_r, orders_n, on="l_orderkey",
+                           right_on="o_orderkey", num_partitions=16)
+    agg = rel.grouped_agg(joined, ["n_name"], [("revenue", "rev", "sum")])
+    df = agg.to_pandas()
+    df["revenue"] = series_round_half_away(df["revenue"], 2)
+    return rel.to_pandas_sorted(df, ["n_name"])
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """Pure vectorised filter + global sum."""
+    ds = rel.load(sf_dir, "lineitem",
+                  ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
+    lo, hi = pa.scalar(_TS(1996, 1, 1)), pa.scalar(_TS(1997, 1, 1))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(batch.column("l_shipdate"), lo),
+                    pc.less(batch.column("l_shipdate"), hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(batch.column("l_discount"), pa.scalar(0.02)),
+                        pc.less_equal(batch.column("l_discount"), pa.scalar(0.06))),
+                pc.less(batch.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        batch = batch.filter(mask)
+        return pa.table({
+            "rev": pc.multiply(batch.column("l_extendedprice"),
+                               batch.column("l_discount"))
+        })
+
+    total = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).sum("rev")
+    return pd.DataFrame({"revenue": [round_half_away(total or 0.0, 2)]})
+
+
+def top_parts(sf_dir: str):
+    ds = rel.load(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice", "p_size"])
+    big = ds.filter(expr="p_size >= 40")
+    top = big.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+    df = top.to_pandas()
+    df["p_retailprice"] = series_round_half_away(df["p_retailprice"], 2)
+    return df[["p_partkey", "p_name", "p_retailprice"]]
+
+
+def priority_counts(sf_dir: str):
+    ds = rel.load(sf_dir, "orders", ["o_orderpriority"])
+    agg = rel.grouped_agg(ds, ["o_orderpriority"], [("n_orders", "", "count")])
+    return rel.to_pandas_sorted(agg.to_pandas(), ["o_orderpriority"])
+
+
+def nation_balance(sf_dir: str):
+    nation = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
+    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = rel.broadcast_merge(
+        cust, nation.rename(columns={"n_nationkey": "c_nationkey"}), on="c_nationkey"
+    )
+    agg = rel.grouped_agg(joined, ["n_name"],
+                          [("n_customers", "", "count"),
+                           ("total_acctbal", "c_acctbal", "sum"),
+                           ("min_acctbal", "c_acctbal", "min"),
+                           ("max_acctbal", "c_acctbal", "max")])
+    df = agg.to_pandas()
+    for c in ("total_acctbal", "min_acctbal", "max_acctbal"):
+        df[c] = series_round_half_away(df[c], 2)
+    return rel.to_pandas_sorted(df, ["n_name"])
+
+
+def segment_order_stats(sf_dir: str):
+    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = rel.load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = rel.broadcast_merge(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+    agg = rel.grouped_agg(joined, ["c_mktsegment"],
+                          [("n_orders", "", "count"),
+                           ("total_price", "o_totalprice", "sum"),
+                           ("max_price", "o_totalprice", "max")])
+    df = agg.to_pandas()
+    df["total_price"] = series_round_half_away(df["total_price"], 2)
+    df["max_price"] = series_round_half_away(df["max_price"], 2)
+    return rel.to_pandas_sorted(df, ["c_mktsegment"])
+
+
+# ---------------------------------------------------------------------------
+# events: time windows + sessionization
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    ds = rel.load(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        epoch = pc.divide(pc.cast(hour, pa.int64()), 1_000_000)
+        return pa.table({
+            "hour": epoch,
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = rel.grouped_agg(prepped, ["hour", "event_type"],
+                          [("n_events", "", "count"), ("sum_value", "value", "sum")])
+    df = agg.to_pandas()
+    df["sum_value"] = series_round_half_away(df["sum_value"], 2)
+    return rel.to_pandas_sorted(df, ["hour", "event_type"])
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user event sort inside ``map_groups``; a gap
+    > 30 min opens a new session. Shuffle key user_id."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        starts = g["ts"].diff().gt(gap) | g["ts"].diff().isna()
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_sessions": [int(starts.sum())],
+            "n_events": [len(g)],
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return rel.to_pandas_sorted(out.to_pandas(), ["user_id"])
+
+
+def events_top_users(sf_dir: str):
+    ds = rel.load(sf_dir, "events", ["user_id", "value"])
+    agg = rel.grouped_agg(ds, ["user_id"], [("total_value", "value", "sum")])
+    df = agg.to_pandas()
+    df["total_value"] = series_round_half_away(df["total_value"], 2)
+    return (df.sort_values(["total_value", "user_id"], ascending=[False, True],
+                           kind="mergesort").head(10).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+
+def docs_stats(sf_dir: str):
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstage.stats_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+
+
+def docs_langid(sf_dir: str):
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstage.langid_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+
+
+def docs_fingerprints(sf_dir: str):
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstage.fingerprint_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+
+
+def docs_exact_dedup(sf_dir: str):
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.exact_dedup(ds)
+    return rel.to_pandas_sorted(out.to_pandas(), ["fp"])
+
+
+def docs_lang_summary(sf_dir: str):
+    ds = rel.load(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.functions.textstats import token_count
+
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_tokens": pa.array([token_count(t) for t in texts], pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = rel.grouped_agg(prepped, ["lang"],
+                          [("n_docs", "", "count"), ("sum_tokens", "n_tokens", "sum")])
+    return rel.to_pandas_sorted(agg.to_pandas(), ["lang"])
+
+
+def docs_minhash_pairs(sf_dir: str):
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.minhash_candidates(ds)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_a", "doc_b"])
+
+
+def docs_simhash(sf_dir: str):
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.simhash_signatures(ds)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = (0, 1, 2)
+
+
+def _query_vectors(sf_dir: str) -> dict[int, list[float]]:
+    ds = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = rel.broadcast_semi(ds, "vec_id", list(_QUERY_IDS)).take_all()
+    return {r["vec_id"]: list(r["embedding"]) for r in rows}
+
+
+def emb_topk(sf_dir: str):
+    ds = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.topk_cosine(ds, _query_vectors(sf_dir), k=5)
+
+
+def emb_centroids(sf_dir: str):
+    ds = rel.load(sf_dir, "embeddings", ["label", "embedding"])
+    out = similarity.label_centroids(ds)
+    return rel.to_pandas_sorted(out.to_pandas(), ["label", "dim"])
+
+
+def emb_near_pairs(sf_dir: str):
+    ds = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.pairs_above(ds, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# extraction flagship (synthetic pages corpus; no SQL analog)
+# ---------------------------------------------------------------------------
+
+_CORPUS_SEED = 42
+
+
+def _corpus_docs_for(sf_dir: str) -> int:
+    name = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(name)
+    except ValueError:
+        sf = 0.001
+    return max(60, min(int(sf * 40_000), 4000))
+
+
+def extract_corpus(sf_dir: str):
+    """Flagship: synthesize the pages corpus deterministically at a size
+    keyed to sf, run the full extraction pipeline (explode mode), return
+    stable per-url facts (md5 of the extracted text, counters)."""
+    from pdf_parser_ray.functions.textstats import fingerprint
+    from pdf_parser_ray.pipelines.extraction import extract_dataset
+    from pdf_parser_ray.sources.synth import corpus_table
+
+    n = _corpus_docs_for(sf_dir)
+    ds = ray.data.from_arrow(corpus_table(n, seed=_CORPUS_SEED))
+    out = extract_dataset(ds, explode_threshold=64 * 1024)
+
+    def stable(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "url": batch.column("url"),
+            "n_pages": pc.cast(batch.column("n_pages"), pa.int64()),
+            "n_blocks": batch.column("n_blocks"),
+            "n_tables": batch.column("n_tables"),
+            "error": batch.column("error"),
+            "text_fp": pa.array([fingerprint(t) for t in texts], pa.string()),
+        })
+
+    final = out.map_batches(stable, batch_format="pyarrow")
+    return rel.to_pandas_sorted(final.to_pandas(), ["url"])

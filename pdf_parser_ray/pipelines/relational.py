@@ -1,0 +1,119 @@
+"""Relational building blocks over Ray Data: scan pruning, two-phase
+aggregation, broadcast joins, shuffle hash joins.
+
+Scale pattern notes (SURVEY.md §2.6):
+* ``grouped_agg`` ALWAYS pre-aggregates inside ``map_batches`` (map-side
+  combine) so the shuffle moves one row per (batch x group), not per input
+  row — a groupby on 10^12 rows with a low-cardinality key shuffles
+  kilobytes, not terabytes.
+* ``broadcast_merge`` ships the small side once via ``ray.put`` and merges
+  inside each task (vectorised pandas merge) — the idiomatic replacement
+  for a shuffle join against a dimension table.
+* ``hash_join`` delegates to ``Dataset.join`` (hash shuffle both sides) and
+  is reserved for genuinely big-big joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+_PARTIAL_COUNT = "__pcount"
+
+
+def load(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Scan one testdata table, pruning to ``columns`` at the read."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def grouped_agg(ds: ray.data.Dataset, keys: list[str],
+                spec: list[tuple[str, str, str]]) -> ray.data.Dataset:
+    """Two-phase grouped aggregation.
+
+    ``spec`` entries are ``(out_name, src_col, op)`` with op in
+    {"sum", "count", "min", "max"}. Returns a Dataset with columns
+    ``keys + [out_name...]``.
+    """
+    need_count = any(op == "count" for _, _, op in spec)
+    src_cols = sorted({src for _, src, op in spec if op != "count"})
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(keys + src_cols).to_pandas()
+        gb = df.groupby(keys, as_index=False, sort=False)
+        named = {}
+        for out, src, op in spec:
+            if op == "count":
+                continue
+            named[out] = pd.NamedAgg(column=src, aggfunc=op)
+        agg = gb.agg(**named) if named else gb.size().rename(columns={"size": _PARTIAL_COUNT})
+        if need_count and named:
+            counts = df.groupby(keys, sort=False).size().reset_index(name=_PARTIAL_COUNT)
+            agg = agg.merge(counts, on=keys)
+        return agg
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    finals = []
+    for out, _, op in spec:
+        if op == "count":
+            finals.append(Sum(_PARTIAL_COUNT, alias_name=out))
+        elif op == "sum":
+            finals.append(Sum(out, alias_name=out))
+        elif op == "min":
+            finals.append(Min(out, alias_name=out))
+        elif op == "max":
+            finals.append(Max(out, alias_name=out))
+        else:
+            raise ValueError(f"unsupported op {op}")
+    return partials.groupby(keys).aggregate(*finals)
+
+
+def broadcast_merge(ds: ray.data.Dataset, right: pd.DataFrame,
+                    on, how: str = "inner") -> ray.data.Dataset:
+    """Broadcast the (small) right side once via ``ray.put``; merge per
+    batch. Join columns must share names (rename the right side first)."""
+    ref = ray.put(right)
+
+    def merge(batch: pa.Table) -> pd.DataFrame:
+        return batch.to_pandas().merge(ray.get(ref), on=on, how=how)
+
+    return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def broadcast_semi(ds: ray.data.Dataset, key: str, values) -> ray.data.Dataset:
+    """Semi-join filter: keep rows whose ``key`` is in the broadcast set."""
+    ref = ray.put(pa.array(sorted(values)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch.column(key), value_set=ray.get(ref))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on: str, right_on: str | None = None,
+              num_partitions: int = 32,
+              join_type: str = "inner") -> ray.data.Dataset:
+    return left.join(
+        right,
+        join_type,
+        num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )
+
+
+def to_pandas_sorted(ds_or_df, by: list[str]) -> pd.DataFrame:
+    """Small-result helper: stable deterministic ordering for comparisons."""
+    df = ds_or_df.to_pandas() if hasattr(ds_or_df, "to_pandas") else ds_or_df
+    return df.sort_values(by, kind="mergesort").reset_index(drop=True)

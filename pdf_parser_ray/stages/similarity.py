@@ -1,0 +1,142 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+* ``topk_cosine``: brute-force cosine top-k against a broadcast query
+  matrix — numpy matmul per batch, per-batch local top-k, tiny final
+  combine. The scale path swaps the scorer for an IVF/LSH-bucketed probe;
+  the harness (broadcast once, local top-k, small merge) is unchanged.
+* ``pairs_above``: embedding near-duplicate pairs (cosine > threshold) via
+  blocked matmul against the broadcast matrix.
+* ``label_centroids``: per-(label, dim) mean via two-phase aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from pdf_parser_ray.functions.num import np_round_half_away, round_half_away
+from pdf_parser_ray.pipelines.relational import grouped_agg
+
+
+def _matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding")
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def topk_cosine(embs: ray.data.Dataset, queries: dict[int, list[float]],
+                k: int = 5) -> pd.DataFrame:
+    """-> (qid, vec_id, cos_sim) top-k per query, deterministically ordered
+    by (qid, -cos_sim, vec_id)."""
+    qids = sorted(queries)
+    qmat = _unit(np.array([queries[q] for q in qids], dtype=np.float64))
+    qref = ray.put(qmat)
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        vecs = _unit(_matrix(batch))
+        ids = np.asarray(batch.column("vec_id").to_pylist())
+        sims = vecs @ ray.get(qref).T  # (N, Q)
+        frames = []
+        for qi, qid in enumerate(qids):
+            s = np_round_half_away(sims[:, qi], 4)
+            take = min(k, len(ids))
+            idx = np.lexsort((ids, -s))[:take]
+            frames.append(pd.DataFrame({
+                "qid": qid, "vec_id": ids[idx], "cos_sim": s[idx],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    cand = embs.map_batches(local_topk, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    out = (cand.sort_values(["qid", "cos_sim", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+           .groupby("qid", sort=True).head(k).reset_index(drop=True))
+    return out
+
+
+def pairs_above(embs: ray.data.Dataset, threshold: float = 0.95) -> pd.DataFrame:
+    """-> (vec_a, vec_b, cos_sim) for all pairs above threshold (a < b).
+
+    Broadcasts the normalised matrix once (fine to ~1M x 64 f32); each task
+    scores its block against the whole. Beyond broadcast capacity the same
+    kernel runs per LSH bucket after a bucket groupby.
+    """
+    whole = pa.concat_tables([ray.get(r) for r in embs.to_arrow_refs()])
+    full = _unit(_matrix(whole))
+    ids_full = np.asarray(whole.column("vec_id").to_pylist())
+    mref = ray.put(full)
+    iref = ray.put(ids_full)
+
+    def block_pairs(batch: pa.Table) -> pd.DataFrame:
+        vecs = _unit(_matrix(batch))
+        ids = np.asarray(batch.column("vec_id").to_pylist())
+        sims = vecs @ ray.get(mref).T
+        other = ray.get(iref)
+        rows_a, rows_b, rows_s = [], [], []
+        ai, bj = np.nonzero(sims > threshold)
+        for i, j in zip(ai, bj):
+            if ids[i] < other[j]:
+                rows_a.append(int(ids[i]))
+                rows_b.append(int(other[j]))
+                rows_s.append(round_half_away(float(sims[i, j]), 4))
+        return pd.DataFrame({
+            "vec_a": pd.array(rows_a, dtype="int64"),
+            "vec_b": pd.array(rows_b, dtype="int64"),
+            "cos_sim": pd.array(rows_s, dtype="float64"),
+        })
+
+    out = embs.map_batches(block_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if "vec_a" not in out.columns:  # zero matches: rebuild the typed frame
+        out = pd.DataFrame({
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        })
+    return out.sort_values(["vec_a", "vec_b"], kind="mergesort").reset_index(drop=True)
+
+
+def label_centroids(embs: ray.data.Dataset) -> ray.data.Dataset:
+    """-> (label, dim, centroid): per-label mean embedding, exploded to one
+    row per dimension (SQL-mirrorable via unnest with ordinality)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vecs = _matrix(batch)
+        labels = np.asarray(batch.column("label").to_pylist())
+        frames = []
+        for lab in np.unique(labels):
+            sel = vecs[labels == lab]
+            frames.append(pd.DataFrame({
+                "label": int(lab),
+                "dim": np.arange(1, vecs.shape[1] + 1),
+                "s": sel.sum(axis=0),
+                "n": len(sel),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    partials = embs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    summed = partials.groupby(["label", "dim"]).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("s").to_pylist())
+        n = np.asarray(batch.column("n").to_pylist())
+        return pa.table({
+            "label": batch.column("label"),
+            "dim": batch.column("dim"),
+            "centroid": pa.array(np_round_half_away(s / n, 4)),
+        })
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
