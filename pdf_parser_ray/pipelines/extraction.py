@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import ray.data
 
+from pdf_parser_ray.runtime import cluster_cpus, ensure_data_context
 from pdf_parser_ray.stages.extract import (
     OUTPUT_COLUMNS,
     ParseDocuments,
@@ -35,7 +36,10 @@ from pdf_parser_ray.stages.extract import (
 
 # Defaults tuned on the 32-CPU sandbox; see BENCH notes in BASELINE.md.
 DEFAULT_PARSE_BATCH = 64
-DEFAULT_EXPLODE_THRESHOLD = 512 * 1024
+# Only genuinely giant documents (thousands of pages) explode; the common
+# case stays on the shuffle-free fast path. A ~1 MB bundle is ~300 pages
+# (~0.6 s of parse) — not yet a straggler.
+DEFAULT_EXPLODE_THRESHOLD = 1024 * 1024
 
 
 def read_pages(paths, columns=("url", "html")) -> ray.data.Dataset:
@@ -58,6 +62,7 @@ def extract_dataset(
     Returns a streaming Dataset with columns
     (url, text, markdown, json, n_pages, n_blocks, n_tables, error).
     """
+    ensure_data_context()
     routed = ds.map_batches(
         make_router(explode_threshold),
         batch_format="pyarrow",
@@ -72,16 +77,18 @@ def extract_dataset(
         batch_format="pyarrow",
         batch_size=parse_batch_size,
         zero_copy_batch=True,
-        # autoscaling actor pool; with num_cpus=1 the scheduler caps the
-        # pool at the cluster's CPU count, so one default serves 8..256 cores
-        concurrency=parse_concurrency if parse_concurrency is not None else (1, 256),
+        # fixed-size actor pool: the parse stage dominates compute, so claim
+        # the cores upfront instead of waiting on autoscaler ramp-up — but
+        # leave two cores for the read/route tasks feeding the pool, or the
+        # pipeline starves itself
+        concurrency=parse_concurrency if parse_concurrency is not None
+        else max(2, cluster_cpus() - 2),
         num_cpus=1,
     )
     if explode_threshold is None:
         return parsed.select_columns(OUTPUT_COLUMNS)
-    return parsed.groupby("url").map_groups(
-        assemble_group, batch_format="pyarrow"
-    )
+    return parsed.groupby("url").map_groups(assemble_group,
+                                            batch_format="pyarrow")
 
 
 def extract_paths(paths, **kwargs) -> ray.data.Dataset:

@@ -368,13 +368,11 @@ def gen_document(doc_id: int, seed: int = 42) -> dict:
     }
 
 
-def corpus_table(n_docs: int, seed: int = 42, start: int = 0):
-    """Arrow table of ``n_docs`` rows starting at ``start`` (driver-side /
-    test-size corpora; large corpora are generated distributed via
-    sources.pages.synth_dataset)."""
+def corpus_table_for_ids(ids, seed: int = 42):
+    """Arrow table for an explicit doc_id list (order preserved)."""
     import pyarrow as pa
 
-    rows = [gen_document(i, seed) for i in range(start, start + n_docs)]
+    rows = [gen_document(i, seed) for i in ids]
     return pa.table({
         "url": pa.array([r["url"] for r in rows], pa.string()),
         "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
@@ -382,3 +380,10 @@ def corpus_table(n_docs: int, seed: int = 42, start: int = 0):
         "text": pa.array([r["text"] for r in rows], pa.string()),
         "lang": pa.array([r["lang"] for r in rows], pa.string()),
     })
+
+
+def corpus_table(n_docs: int, seed: int = 42, start: int = 0):
+    """Arrow table of ``n_docs`` rows starting at ``start`` (driver-side /
+    test-size corpora; large corpora are generated distributed via
+    sources.pages.synth_dataset)."""
+    return corpus_table_for_ids(range(start, start + n_docs), seed)
