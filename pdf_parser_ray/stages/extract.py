@@ -59,11 +59,38 @@ ROUTED_SCHEMA = pa.schema([
 ])
 
 
+def _wrap_as_docs(batch: pa.Table) -> pa.Table:
+    """Vectorised fast path: every row passes through whole — no Python
+    copy of the payload bytes, just column reuse + constant columns."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    return pa.table({
+        "url": batch.column("url"),
+        "kind": pa.array(["doc"] * n, pa.string()),
+        "page_number": pa.array([0] * n, pa.int32()),
+        "n_pages": pa.array([0] * n, pa.int32()),
+        "payload": pc.cast(batch.column("html"), pa.large_binary()),
+        "meta": pa.array([""] * n, pa.string()),
+    }, schema=ROUTED_SCHEMA)
+
+
 def make_router(explode_threshold: int | None):
     """Stateless routing stage. ``explode_threshold=None`` disables the
     explode path entirely (pure-map pipeline, no shuffle downstream)."""
 
+    if explode_threshold is None:
+        return _wrap_as_docs
+
     def route(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # common case: nothing in this batch crosses the threshold
+        sizes = pc.binary_length(batch.column("html"))
+        if pa.compute.max(sizes).as_py() is None or \
+                pa.compute.max(sizes).as_py() <= explode_threshold:
+            return _wrap_as_docs(batch)
+
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
         out = {name: [] for name in ROUTED_SCHEMA.names}

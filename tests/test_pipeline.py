@@ -67,6 +67,22 @@ def test_explode_mode_matches_sequential(corpus_path, golden):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_explode_mode_with_no_giants(corpus_path, golden):
+    # threshold far above any payload: explode mode with an EMPTY chunk
+    # branch (empty groupby + union must be harmless)
+    got = _run(corpus_path, explode_threshold=10**12)
+    assert {u: r["text"] for u, r in got.items()} == {
+        u: w["text"] for u, w in golden.items()}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tasks_parse_mode(corpus_path, golden):
+    got = _run(corpus_path, explode_threshold=None, parse_mode="tasks")
+    assert {u: r["text"] for u, r in got.items()} == {
+        u: w["text"] for u, w in golden.items()}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_two_runs_identical(corpus_path):
     a = _run(corpus_path, explode_threshold=64 * 1024)
     b = _run(corpus_path, explode_threshold=64 * 1024)
