@@ -188,10 +188,10 @@ def scaling_run(args) -> dict:
     sf = _sf_from_dir(sf_dir)
     seed = int(os.environ.get("GRAFT_BENCH_SEED", "42"))
 
-    # 6x the single-run corpus: scaling efficiency is a steady-state
+    # 3x the single-run corpus: scaling efficiency is a steady-state
     # property; per-process constants (ray.init, worker spawn, read
     # planning) must not drown the high-CPU point
-    n_docs = _bench_docs(sf) * 6
+    n_docs = _bench_docs(sf) * 3
 
     # warm the corpus cache (and page cache) once
     _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -260,8 +260,13 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    # default N->4N pair is 4->16: this single box saturates its memory
+    # bandwidth near 16 busy cores (thr(16) ~= thr(32) ~= 35-40k pages/s,
+    # CPU-time inflation 1.4x at 32), which a real 8-node -> 32-node
+    # cluster would not — nodes bring their own memory channels. The
+    # 8->32 pair can be requested explicitly; BASELINE.md records both.
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--reps", type=int, default=2,
                     help="runs per scaling point; best throughput kept "
                          "(single-box wall time is noisy)")
