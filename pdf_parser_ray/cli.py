@@ -1,0 +1,186 @@
+"""Command-line interface.
+
+Corpus-level analogs of the reference CLI (cli.py:44-313 — parse / info /
+analyze), re-expressed for a Parquet corpus instead of a single PDF file:
+
+    python -m pdf_parser_ray parse   INPUT... -o OUT_DIR [--format ...]
+    python -m pdf_parser_ray info    INPUT...
+    python -m pdf_parser_ray analyze INPUT... --url URL [--page N]
+    python -m pdf_parser_ray synth   N -o OUT_DIR [--seed S]
+
+The CLI owns its Ray session (guarded init); library code never calls
+ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_parse(args) -> int:
+    """Run the extraction pipeline over parquet shards, checkpointed."""
+    from pdf_parser_ray.state.checkpoint import run_checkpointed
+
+    _init_ray(args.num_cpus)
+    pipeline_kwargs = {
+        "want_markdown": args.format in ("markdown", "all"),
+        "want_json": args.format in ("json", "all"),
+        "explode_threshold": args.explode_threshold,
+        "parse_mode": args.parse_mode,
+    }
+    summary = run_checkpointed(
+        args.input, args.output,
+        files_per_part=args.files_per_part,
+        pipeline_kwargs=pipeline_kwargs,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_info(args) -> int:
+    """Corpus facts: row count, schema, kind mix, payload sizes."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    _init_ray(args.num_cpus)
+    ds = ray.data.read_parquet(args.input)
+    n = ds.count()
+    schema = ds.schema()
+
+    def facts(batch):
+        import pyarrow as pa
+
+        sizes = pc.binary_length(batch.column("html"))
+        html_rows = pc.sum(
+            pc.cast(pc.match_substring_regex(batch.column("url"), r"\.html$"),
+                    pa.int64())).as_py() or 0
+        return pa.table({
+            "rows": pa.array([batch.num_rows], pa.int64()),
+            "html_rows": pa.array([html_rows], pa.int64()),
+            "bytes": pa.array([pc.sum(sizes).as_py() or 0], pa.int64()),
+            "max_bytes": pa.array([pc.max(sizes).as_py() or 0], pa.int64()),
+        })
+
+    agg = ds.map_batches(facts, batch_format="pyarrow", zero_copy_batch=True)
+    totals = {"rows": 0, "html_rows": 0, "bytes": 0, "max_bytes": 0}
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        totals["rows"] += sum(b.column("rows").to_pylist())
+        totals["html_rows"] += sum(b.column("html_rows").to_pylist())
+        totals["bytes"] += sum(b.column("bytes").to_pylist())
+        totals["max_bytes"] = max(totals["max_bytes"],
+                                  max(b.column("max_bytes").to_pylist()))
+    print(f"documents: {n}")
+    print(f"schema:    {', '.join(f'{f}:{schema.types[i]}' for i, f in enumerate(schema.names))}")
+    print(f"html rows: {totals['html_rows']} "
+          f"(pdf rows: {totals['rows'] - totals['html_rows']})")
+    print(f"payload:   {totals['bytes'] / 1e6:.1f} MB total, "
+          f"largest {totals['max_bytes'] / 1e3:.1f} KB")
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    """Verbose layout dump for ONE document (reference cli.py:222-313)."""
+    import ray.data
+
+    from pdf_parser_ray.functions import layout
+    from pdf_parser_ray.functions.document import doc_kind, extract_document
+
+    _init_ray(args.num_cpus)
+    ds = ray.data.read_parquet(args.input, columns=["url", "html"])
+    rows = ds.filter(expr=f"url == '{args.url}'").take(1)
+    if not rows:
+        print(f"url not found: {args.url}", file=sys.stderr)
+        return 1
+    url, payload = rows[0]["url"], rows[0]["html"]
+
+    if doc_kind(url) == "html":
+        out = extract_document(url, payload)
+        print(f"{url}: html document, {out['n_blocks']} kept blocks")
+        print(out["text"][: args.max_chars])
+        return 0
+
+    bundle = layout.load_bundle(payload)
+    start = end = args.page if args.page else None
+    pages, meta = (layout.parse_bundle(bundle, start_page=start, end_page=end)
+                   if start else layout.parse_bundle(bundle))
+    print(f"{url}: {len(bundle['pages'])} pages, metadata={meta}")
+    for page in pages:
+        print(f"\n--- page {page['page_number']} "
+              f"({page['width']:.0f}x{page['height']:.0f}) ---")
+        print(f"columns: {len(page['columns'])}  blocks: {len(page['blocks'])}"
+              f"  tables: {len(page['tables'])}")
+        if page["header"]:
+            print(f"header: {page['header']!r}")
+        if page["footer"]:
+            print(f"footer: {page['footer']!r}")
+        for b in page["blocks"][: args.max_blocks]:
+            preview = b["text"][:70].replace("\n", "\\n")
+            print(f"  [{b['type']:<9} col {b['column_index']}] {preview}")
+    return 0
+
+
+def cmd_synth(args) -> int:
+    """Generate a synthetic pages corpus (FIXTURES.md §1) to parquet."""
+    from pdf_parser_ray.sources.pages import synth_dataset
+
+    _init_ray(args.num_cpus)
+    synth_dataset(args.n_docs, seed=args.seed).write_parquet(args.output)
+    print(f"wrote {args.n_docs} docs to {args.output}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="pdf_parser_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("parse", help="extract a corpus (checkpointed)")
+    p.add_argument("input", nargs="+")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--format", choices=["text", "markdown", "json", "all"],
+                   default="text")
+    p.add_argument("--explode-threshold", type=int, default=None)
+    p.add_argument("--parse-mode", choices=["tasks", "actors"], default="tasks")
+    p.add_argument("--files-per-part", type=int, default=1)
+    p.set_defaults(fn=cmd_parse)
+
+    p = sub.add_parser("info", help="corpus facts")
+    p.add_argument("input", nargs="+")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("analyze", help="layout dump for one url")
+    p.add_argument("input", nargs="+")
+    p.add_argument("--url", required=True)
+    p.add_argument("--page", type=int, default=None)
+    p.add_argument("--max-blocks", type=int, default=10)
+    p.add_argument("--max-chars", type=int, default=1200)
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("synth", help="generate a synthetic corpus")
+    p.add_argument("n_docs", type=int)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_synth)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

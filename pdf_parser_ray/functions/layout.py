@@ -163,13 +163,31 @@ def fallback_page(page_number: int, pdict: dict) -> dict:
     return page
 
 
-def parse_bundle(bundle: dict, detect_tables: bool = True) -> tuple[list[dict], dict]:
+def parse_bundle(bundle: dict, detect_tables: bool = True,
+                 start_page: int = 1,
+                 end_page: int | None = None) -> tuple[list[dict], dict]:
     """Parse a decoded page-dict bundle into structured pages + filtered
     metadata. Per-page failures degrade to the fallback page; pages are
-    numbered by position (document.py:268-289)."""
+    numbered by absolute position (document.py:268-289).
+
+    Page-range semantics mirror the reference (document.py:241-261):
+    1-indexed inclusive; ``end_page`` past the document clamps; a start
+    before 1 or after the end raises ValueError (PDFPageError analog).
+    """
+    all_pages = bundle.get("pages", [])
+    if start_page < 1:
+        raise ValueError(f"start page must be >= 1, got {start_page}")
+    if end_page is None or end_page > len(all_pages):
+        end_page = len(all_pages)
+    if start_page > end_page and all_pages:
+        raise ValueError(
+            f"start page ({start_page}) cannot be greater than "
+            f"end page ({end_page})")
+
     pages = []
-    for i, pdict in enumerate(bundle.get("pages", [])):
+    for i in range(start_page - 1, end_page):
         number = i + 1
+        pdict = all_pages[i]
         try:
             pages.append(analyze_page(number, pdict, detect_tables))
         except Exception:

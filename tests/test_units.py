@@ -1,0 +1,175 @@
+"""Unit tests in the spirit of the reference suite (SURVEY.md §5.1:
+bbox geometry, table structures, ASCII conversion) plus this engine's own
+kernels (text stats, sketches, HTML stripping against committed goldens)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pdf_parser_ray.functions import geometry as g
+from pdf_parser_ray.functions import sketches, tables, textstats
+from pdf_parser_ray.functions.htmlstrip import strip_html
+from pdf_parser_ray.functions.num import round_half_away
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+class TestGeometry:
+    def test_box_validation(self):
+        with pytest.raises(ValueError):
+            g.box(10, 0, 5, 5)
+        with pytest.raises(ValueError):
+            g.box(0, 10, 5, 5)
+        assert g.box(1, 2, 3, 4) == (1.0, 2.0, 3.0, 4.0)
+
+    def test_dims(self):
+        b = g.box(10, 20, 30, 50)
+        assert g.width(b) == 20 and g.height(b) == 30
+        assert g.center_x(b) == 20 and g.center_y(b) == 35
+
+    def test_intersects_touching_edges_count(self):
+        # closed-interval semantics (models.py:86-93)
+        assert g.intersects((0, 0, 10, 10), (10, 10, 20, 20))
+        assert not g.intersects((0, 0, 10, 10), (11, 0, 20, 10))
+
+    def test_h_overlap_frac(self):
+        assert g.h_overlap_frac((0, 0, 10, 1), (5, 0, 15, 1)) == 0.5
+        assert g.h_overlap_frac((0, 0, 10, 1), (20, 0, 30, 1)) == 0.0
+        assert g.h_overlap_frac((0, 0, 10, 1), (2, 0, 4, 1)) == 1.0
+
+    def test_union(self):
+        assert g.union([(0, 0, 1, 1), (2, -1, 3, 5)]) == (0, -1, 3, 5)
+
+    def test_v_aligned(self):
+        assert g.v_aligned((0, 0, 1, 10), (0, 1, 1, 11))     # big overlap
+        assert g.v_aligned((0, 0, 1, 10), (0, 4, 1, 14))     # centers near
+        assert not g.v_aligned((0, 0, 1, 10), (0, 40, 1, 50))
+
+
+class TestTables:
+    SPEC = {"bbox_topleft": [72.0, 100.0, 400.0, 180.0],
+            "data": [["Name", "Value"], ["alpha", "100"], ["beta", "200"]]}
+
+    def test_payload_conversion_and_flip(self):
+        t = tables.table_from_payload(self.SPEC, 792.0)
+        assert t["num_rows"] == 3 and t["num_cols"] == 2
+        # Q5: y flipped to bottom-left convention
+        assert t["box"] == (72.0, 792.0 - 180.0, 400.0, 792.0 - 100.0)
+        assert t["has_header"] is True  # numbers only below the first row
+
+    def test_rejects_small(self):
+        assert tables.table_from_payload(
+            {"bbox_topleft": [0, 0, 100, 50], "data": [["only one row"]]},
+            792.0) is None
+        assert tables.table_from_payload(
+            {"bbox_topleft": [0, 0, 5, 50],  # narrower than 2 min cells
+             "data": [["a", "b"], ["c", "d"]]}, 792.0) is None
+
+    def test_rejects_mostly_empty(self):
+        spec = {"bbox_topleft": [0, 0, 100, 100],
+                "data": [["x", ""], ["", ""], ["", ""]]}
+        assert tables.table_from_payload(spec, 792.0) is None
+
+    def test_ascii_shape(self):
+        t = tables.table_from_payload(self.SPEC, 792.0)
+        lines = t["ascii"].splitlines()
+        assert lines[0].startswith("+") and lines[0].endswith("+")
+        assert lines[1] == "| Name  | Value |"
+        assert lines[2] == lines[0]  # header separator
+        assert lines[-1] == lines[0]
+
+    def test_ascii_wrapping_and_long_word_split(self):
+        spec = {"bbox_topleft": [0, 0, 300, 100],
+                "data": [["h1", "h2"],
+                         ["x" * 55, "several words that will wrap eventually "
+                                    "beyond forty characters"]]}
+        t = tables.table_from_payload(spec, 792.0)
+        body = t["ascii"]
+        # width clamp at 40 + Q11 long-word split with trailing dash
+        assert "x" * 39 + "-" in body
+        assert all(len(line) == len(body.splitlines()[0])
+                   for line in body.splitlines())
+
+    def test_markdown_truncation(self):
+        t = tables.table_from_payload(self.SPEC, 792.0)
+        md = tables.render_markdown(t).splitlines()
+        assert md[0] == "| Name  | Value |"
+        assert md[1] == "| ----- | ----- |"
+
+
+class TestTextStats:
+    def test_token_count(self):
+        assert textstats.token_count("a b  c\nd") == 4
+        assert textstats.token_count("") == 0
+
+    def test_alpha_ratio(self):
+        assert textstats.alpha_ratio("") == 0.0
+        assert textstats.alpha_ratio("ab12") == 0.5
+
+    def test_predict_lang(self):
+        assert textstats.predict_lang("the cat and the hat") == "en"
+        assert textstats.predict_lang("der hund und die katze ist") == "de"
+        assert textstats.predict_lang("xyzzy qwerty") == "unknown"
+
+    def test_fingerprint_matches_md5(self):
+        import hashlib
+
+        assert textstats.fingerprint("abc") == hashlib.md5(b"abc").hexdigest()
+
+
+class TestSketches:
+    def test_minhash_deterministic_and_similarity(self):
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        b = "the quick brown fox jumps over the lazy dog again and once"
+        c = "completely different words everywhere nothing shared at all"
+        sa, sb, sc = (sketches.minhash(t) for t in (a, b, c))
+        assert (sa == sketches.minhash(a)).all()
+        assert (sa == sb).mean() > (sa == sc).mean()
+
+    def test_lsh_band_keys(self):
+        sig = sketches.minhash("some text for banding with enough words here")
+        keys = sketches.lsh_band_keys(sig)
+        assert len(keys) == sketches.N_BANDS
+        assert keys == sketches.lsh_band_keys(sig)
+
+    def test_simhash_hamming(self):
+        a = sketches.simhash("shared words shared words shared words alpha")
+        b = sketches.simhash("shared words shared words shared words beta")
+        c = sketches.simhash("entirely unrelated content with other tokens")
+        assert sketches.hamming64(a, b) < sketches.hamming64(a, c)
+
+    def test_jaccard(self):
+        assert sketches.jaccard({1, 2}, {2, 3}) == pytest.approx(1 / 3)
+        assert sketches.jaccard(set(), set()) == 1.0
+
+
+class TestRounding:
+    def test_half_away_matches_duckdb(self):
+        import duckdb
+
+        con = duckdb.connect()
+        for v in (0.03125, -0.03125, 0.5, 1.005, 2.675, -2.675, 123.4567849):
+            for d in (2, 4):
+                want = con.execute(f"select round({v!r}::DOUBLE, {d})").fetchone()[0]
+                assert round_half_away(v, d) == want, (v, d)
+
+
+class TestHtmlStripGoldens:
+    def test_committed_goldens(self):
+        with open(os.path.join(HERE, "goldens_htmlstrip.json")) as f:
+            goldens = json.load(f)
+        assert len(goldens) >= 15
+        for name, case in goldens.items():
+            text, n = strip_html(case["html"])
+            assert text == case["text"], name
+            assert n == case["n_blocks"], name
+
+    def test_boilerplate_dropped(self):
+        text, _ = strip_html(
+            "<nav><p>navigation menu with plenty of characters</p></nav>"
+            "<p>Real content paragraph long enough to be retained today.</p>")
+        assert "navigation" not in text
+        assert "Real content" in text
