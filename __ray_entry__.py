@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
         "events_top_users": q.events_top_users,
+        "events_rolling": q.events_rolling,
         # documents: text analysis + dedup
         "docs_stats": q.docs_stats,
         "docs_langid": q.docs_langid,
@@ -49,10 +50,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_summary": q.docs_lang_summary,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_simhash": q.docs_simhash,
+        "docs_distinct_pairs": q.docs_distinct_pairs,
         # embeddings: similarity search
         "emb_topk": q.emb_topk,
         "emb_centroids": q.emb_centroids,
         "emb_near_pairs": q.emb_near_pairs,
+        "emb_topk_ivf": q.emb_topk_ivf,
+        # multimodal (stubbed decode, real Ray plumbing)
+        "media_features": q.media_features,
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
     }
@@ -160,6 +165,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(sum(value), 2) AS total_value
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id LIMIT 10
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+            FROM events
+        """,
+        "docs_distinct_pairs": """
+            SELECT DISTINCT lang, source FROM documents
         """,
         "docs_stats": f"""
             SELECT doc_id,

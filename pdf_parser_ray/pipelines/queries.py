@@ -401,3 +401,56 @@ def extract_corpus(sf_dir: str):
 
     final = out.map_batches(stable, batch_format="pyarrow")
     return rel.to_pandas_sorted(final.to_pandas(), ["url"])
+
+
+def events_rolling(sf_dir: str):
+    """Windowed aggregate: per-user 3-event moving average of ``value``
+    (ordered by ts, event_id). groupby(user_id) shuffle + in-group pandas
+    rolling — the Ray expression of a SQL window function."""
+    ds = rel.load(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        avg3 = g["value"].rolling(3, min_periods=1).mean()
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "avg3": series_round_half_away(avg3, 4),
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return rel.to_pandas_sorted(out.to_pandas(), ["event_id"])
+
+
+def docs_distinct_pairs(sf_dir: str):
+    """Distinct (lang, source) pairs — the unique/distinct operator,
+    expressed as a two-phase grouped count then key projection."""
+    ds = rel.load(sf_dir, "documents", ["lang", "source"])
+    agg = rel.grouped_agg(ds, ["lang", "source"], [("n", "", "count")])
+    df = agg.to_pandas()[["lang", "source"]]
+    return rel.to_pandas_sorted(df, ["lang", "source"])
+
+
+def emb_topk_ivf(sf_dir: str):
+    """Approximate (IVF, nprobe=4 of 16 cells) cosine top-k — the scale
+    path of emb_topk. Rows-only check (approximation has no SQL twin);
+    recall vs brute force is asserted in tests."""
+    ds = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.ivf_topk(ds, _query_vectors(sf_dir), k=5,
+                               n_centers=16, nprobe=4)
+
+
+def media_features(sf_dir: str):
+    """Multimodal actor-pool stages over a synthetic media table (the
+    decode step is stubbed deterministically — no codecs in this sandbox;
+    see stages/multimodal.py). Rows-only check."""
+    from pdf_parser_ray.stages import multimodal
+
+    n = max(30, _corpus_docs_for(sf_dir) // 10)
+    ds = ray.data.from_arrow(multimodal.synth_media_table(n))
+    out = multimodal.media_features(ds)
+    df = out.to_pandas()
+    df["feature_0"] = series_round_half_away(
+        df["feature"].map(lambda v: float(v[0])), 6)
+    df = df.drop(columns=["feature"])
+    return rel.to_pandas_sorted(df, ["media_id"])

@@ -140,3 +140,99 @@ def label_centroids(embs: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantizer) approximate search — the scale path for topk_cosine
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centers(embs: ray.data.Dataset, n_centers: int = 16,
+                   iters: int = 4) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations.
+
+    Init = the ``n_centers`` vectors with the lowest vec_id (stable across
+    runs and shardings); each iteration is one map_batches pass producing
+    per-center partial sums, combined on the driver (K x dim floats — tiny).
+    """
+    first = embs.sort("vec_id").limit(n_centers).take_all()
+    centers = _unit(np.array([r["embedding"] for r in first], dtype=np.float64))
+
+    for _ in range(iters):
+        cref = ray.put(centers)
+
+        def assign_partial(batch: pa.Table) -> pd.DataFrame:
+            vecs = _unit(_matrix(batch))
+            sims = vecs @ ray.get(cref).T
+            owner = np.argmax(sims, axis=1)
+            frames = []
+            for c in np.unique(owner):
+                sel = vecs[owner == c]
+                frames.append(pd.DataFrame({
+                    "center": int(c),
+                    "dim": np.arange(sel.shape[1]),
+                    "s": sel.sum(axis=0),
+                    "n": len(sel),
+                }))
+            return pd.concat(frames, ignore_index=True)
+
+        parts = embs.map_batches(assign_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+        agg = parts.groupby(["center", "dim"], sort=True).agg(
+            s=("s", "sum"), n=("n", "sum")).reset_index()
+        new = centers.copy()
+        for c, grp in agg.groupby("center", sort=True):
+            grp = grp.sort_values("dim")
+            new[int(c)] = grp["s"].to_numpy() / grp["n"].to_numpy()
+        centers = _unit(new)
+    return centers
+
+
+def ivf_topk(embs: ray.data.Dataset, queries: dict[int, list[float]],
+             k: int = 5, n_centers: int = 16, nprobe: int = 4,
+             centers: np.ndarray | None = None) -> pd.DataFrame:
+    """Approximate cosine top-k: probe only the ``nprobe`` coarse cells
+    nearest each query. Same output layout as topk_cosine; recall depends
+    on nprobe (tested >= 0.8 at nprobe=4/16 on the testdata)."""
+    if centers is None:
+        centers = kmeans_centers(embs, n_centers=n_centers)
+    qids = sorted(queries)
+    qmat = _unit(np.array([queries[q] for q in qids], dtype=np.float64))
+    probe = np.argsort(-(qmat @ centers.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    cref = ray.put(centers)
+    qref = ray.put(qmat)
+    pref = ray.put(probe)
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        vecs = _unit(_matrix(batch))
+        ids = np.asarray(batch.column("vec_id").to_pylist())
+        owner = np.argmax(vecs @ ray.get(cref).T, axis=1)
+        sims = vecs @ ray.get(qref).T
+        probes = ray.get(pref)
+        frames = []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(owner, probes[qi])
+            if not mask.any():
+                continue
+            s = np_round_half_away(sims[mask, qi], 4)
+            sub_ids = ids[mask]
+            take = min(k, len(sub_ids))
+            idx = np.lexsort((sub_ids, -s))[:take]
+            frames.append(pd.DataFrame({
+                "qid": qid, "vec_id": sub_ids[idx], "cos_sim": s[idx],
+            }))
+        if not frames:
+            return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    cand = embs.map_batches(local_topk, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    if "qid" not in cand.columns:
+        return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64"),
+                             "cos_sim": pd.Series(dtype="float64")})
+    return (cand.sort_values(["qid", "cos_sim", "vec_id"],
+                             ascending=[True, False, True], kind="mergesort")
+            .groupby("qid", sort=True).head(k).reset_index(drop=True))

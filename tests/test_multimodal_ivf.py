@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests (stubbed decode, real schema/actor wiring)
+and IVF recall vs brute-force cosine top-k."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_features_plumbing():
+    import ray.data
+
+    from pdf_parser_ray.stages import multimodal
+
+    ds = ray.data.from_arrow(multimodal.synth_media_table(30))
+    out = multimodal.media_features(ds).to_pandas()
+    assert len(out) == 30
+    assert set(out.columns) == {"media_id", "backend", "feature", "info"}
+    # every backend is the stub in this sandbox and says so
+    assert set(out["backend"]) == {"stub"}
+    assert all(len(v) == multimodal.FEATURE_DIM for v in out["feature"])
+    # deterministic across runs
+    out2 = multimodal.media_features(ds).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert a["feature"].map(tuple).equals(b["feature"].map(tuple))
+    # video info records sampled frame indices
+    vid = out[out.media_id % 3 == 2].iloc[0]
+    assert "sampled_frames" in json.loads(vid["info"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall_vs_bruteforce():
+    from pdf_parser_ray.pipelines import queries as q
+    from pdf_parser_ray.pipelines.relational import load
+    from pdf_parser_ray.stages import similarity
+
+    sf = "/root/testdata/sf0.001"
+    embs = load(sf, "embeddings", ["vec_id", "embedding"])
+    queries = q._query_vectors(sf)
+    exact = similarity.topk_cosine(embs, queries, k=5)
+    approx = similarity.ivf_topk(embs, queries, k=5, n_centers=16, nprobe=4)
+    assert len(approx) > 0
+    recalls = []
+    for qid in sorted(queries):
+        want = set(exact[exact.qid == qid]["vec_id"])
+        got = set(approx[approx.qid == qid]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # determinism
+    approx2 = similarity.ivf_topk(embs, queries, k=5, n_centers=16, nprobe=4)
+    assert approx.equals(approx2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_full_probe_equals_bruteforce():
+    from pdf_parser_ray.pipelines import queries as q
+    from pdf_parser_ray.pipelines.relational import load
+    from pdf_parser_ray.stages import similarity
+
+    sf = "/root/testdata/sf0.001"
+    embs = load(sf, "embeddings", ["vec_id", "embedding"])
+    queries = q._query_vectors(sf)
+    exact = similarity.topk_cosine(embs, queries, k=5)
+    full = similarity.ivf_topk(embs, queries, k=5, n_centers=8, nprobe=8)
+    assert exact.equals(full)

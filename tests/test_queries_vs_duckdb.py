@@ -5,6 +5,7 @@ an oracle_sql() twin must match DuckDB on row count, column names, and
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -12,7 +13,7 @@ import pytest
 
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
