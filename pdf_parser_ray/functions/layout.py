@@ -174,15 +174,18 @@ def parse_bundle(bundle: dict, detect_tables: bool = True,
     1-indexed inclusive; ``end_page`` past the document clamps; a start
     before 1 or after the end raises ValueError (PDFPageError analog).
     """
+    from pdf_parser_ray.functions.errors import PageRangeError
+
     all_pages = bundle.get("pages", [])
     if start_page < 1:
-        raise ValueError(f"start page must be >= 1, got {start_page}")
+        raise PageRangeError(f"start page must be >= 1, got {start_page}",
+                             page_number=start_page)
     if end_page is None or end_page > len(all_pages):
         end_page = len(all_pages)
     if start_page > end_page and all_pages:
-        raise ValueError(
+        raise PageRangeError(
             f"start page ({start_page}) cannot be greater than "
-            f"end page ({end_page})")
+            f"end page ({end_page})", page_number=start_page)
 
     pages = []
     for i in range(start_page - 1, end_page):
@@ -198,17 +201,19 @@ def parse_bundle(bundle: dict, detect_tables: bool = True,
 
 
 def load_bundle(payload: bytes) -> dict:
-    """Decode the ``html`` binary cell into a bundle dict; raises ValueError
-    on malformed payloads (the engine's analog of PDFLoadError,
-    document.py:132-162)."""
+    """Decode the ``html`` binary cell into a bundle dict; raises
+    DocumentLoadError on malformed payloads (the engine's analog of
+    PDFLoadError, document.py:132-162)."""
+    from pdf_parser_ray.functions.errors import DocumentLoadError
+
     if not payload:
-        raise ValueError("empty document payload")
+        raise DocumentLoadError("empty document payload")
     try:
         bundle = json.loads(payload.decode("utf-8"))
     except Exception as e:
-        raise ValueError(f"undecodable document payload: {e}") from e
+        raise DocumentLoadError(f"undecodable document payload: {e}") from e
     if not isinstance(bundle, dict) or "pages" not in bundle:
-        raise ValueError("payload is not a page-dict bundle")
+        raise DocumentLoadError("payload is not a page-dict bundle")
     if not isinstance(bundle["pages"], list):
-        raise ValueError("bundle 'pages' is not a list")
+        raise DocumentLoadError("bundle 'pages' is not a list")
     return bundle

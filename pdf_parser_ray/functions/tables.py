@@ -256,3 +256,41 @@ def render_markdown(table: dict) -> str:
         if r == 0:
             lines.append("| " + " | ".join("-" * w for w in widths) + " |")
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Cell lookup helpers (reference analog: output/models.py:263-320)
+# ---------------------------------------------------------------------------
+
+
+def cell_at(table: dict, row: int, col: int) -> dict | None:
+    """Cell covering (row, col), honouring row/col spans when present."""
+    for cell in table["cells"]:
+        if cell["row"] == row and cell["col"] == col:
+            return cell
+        rs = cell.get("rowspan", 1)
+        cs = cell.get("colspan", 1)
+        if (cell["row"] <= row < cell["row"] + rs
+                and cell["col"] <= col < cell["col"] + cs):
+            return cell
+    return None
+
+
+def row_cells(table: dict, row: int) -> list[dict]:
+    """All cells intersecting ``row``, sorted by column."""
+    hits = [c for c in table["cells"]
+            if c["row"] <= row < c["row"] + c.get("rowspan", 1)]
+    return sorted(hits, key=lambda c: c["col"])
+
+
+def column_cells(table: dict, col: int) -> list[dict]:
+    """All cells intersecting ``col``, sorted by row."""
+    hits = [c for c in table["cells"]
+            if c["col"] <= col < c["col"] + c.get("colspan", 1)]
+    return sorted(hits, key=lambda c: c["row"])
+
+
+def iter_rows(table: dict):
+    """Yield each row's cells in order."""
+    for row in range(table["num_rows"]):
+        yield row_cells(table, row)
