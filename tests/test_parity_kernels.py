@@ -91,6 +91,18 @@ def test_no_pages_bundle():
     _assert_match({"pages": []})
 
 
+def test_giant_document_parity():
+    # 150-page mixed document: the explode-path input shape, sequentially
+    import random
+
+    rng = random.Random(777)
+    bundle = {
+        "pages": [synth._make_page(rng) for _ in range(150)],
+        "metadata": {"title": "Giant", "author": "Synthetic"},
+    }
+    _assert_match(bundle, url="giant.pdf")
+
+
 def test_metadata_filtering():
     # empty values must be dropped from metadata (document.py:178)
     bundle = _scenario_bundle(synth._page_single_column, 5, meta=False)

@@ -41,11 +41,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_equal(a, b) -> bool:
+    # EXACT equality on purpose: the rounding discipline (half-away at a
+    # fixed scale on identically-computed doubles) makes Ray and DuckDB
+    # agree bit-for-bit; a tolerance here would only hide regressions.
     if isinstance(a, float) or isinstance(b, float):
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        return fa == fb
     return a == b
 
 
