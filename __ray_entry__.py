@@ -72,8 +72,10 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                       AS sum_base_price,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -81,7 +83,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_top_revenue_orders": """
             SELECT l_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -94,7 +97,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_nation_revenue": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -104,7 +108,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "q6_forecast_revenue": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            SELECT sum(CAST(round(l_extendedprice * l_discount * 100)
+                            AS BIGINT)) / 100.0 AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -124,7 +129,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_balance": """
             SELECT n_name, count(*) AS n_customers,
-                   round(sum(c_acctbal), 2) AS total_acctbal,
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+                       AS total_acctbal,
                    round(min(c_acctbal), 2) AS min_acctbal,
                    round(max(c_acctbal), 2) AS max_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -132,7 +138,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "segment_order_stats": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_price,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS total_price,
                    round(max(o_totalprice), 2) AS max_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
@@ -140,7 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
                    event_type, count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_sessions": """
@@ -162,16 +169,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
         "events_top_users": """
-            SELECT user_id, round(sum(value), 2) AS total_value
+            SELECT user_id,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id LIMIT 10
         """,
         "events_rolling": """
             SELECT event_id, user_id,
-                   round(avg(value) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+                   round((coalesce(lag(value, 2) OVER w, 0)
+                          + coalesce(lag(value, 1) OVER w, 0)
+                          + value)
+                         / least(row_number() OVER w, 3), 4) AS avg3
             FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "docs_distinct_pairs": """
             SELECT DISTINCT lang, source FROM documents

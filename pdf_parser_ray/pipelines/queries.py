@@ -30,6 +30,22 @@ from pdf_parser_ray.stages import dedup, similarity, text as textstage
 
 _TS = dt.datetime
 
+
+def _cents(arr):
+    """Exact-sum discipline for money columns: per-row half-away rounding
+    of value*100 to int64 on BOTH engines (the per-row double expression is
+    identical, so the int is identical, so integer sums are bit-exact
+    regardless of accumulation order — unlike double sums, which flipped a
+    cent at 6k rows)."""
+    return pc.cast(
+        pc.round(pc.multiply(arr, pa.scalar(100.0)),
+                 ndigits=0, round_mode="half_towards_infinity"),
+        pa.int64())
+
+
+def _dollars(series):
+    return series.astype("float64") / 100.0
+
 # ---------------------------------------------------------------------------
 # TPC-H-flavoured relational pipelines
 # ---------------------------------------------------------------------------
@@ -53,21 +69,22 @@ def q1_pricing_summary(sf_dir: str):
             "l_returnflag": batch.column("l_returnflag"),
             "l_linestatus": batch.column("l_linestatus"),
             "l_quantity": batch.column("l_quantity"),
-            "l_extendedprice": batch.column("l_extendedprice"),
-            "disc_price": disc_price,
+            "base_c": _cents(batch.column("l_extendedprice")),
+            "disc_c": _cents(disc_price),
         })
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     agg = rel.grouped_agg(
         prepped, ["l_returnflag", "l_linestatus"],
         [("sum_qty", "l_quantity", "sum"),
-         ("sum_base_price", "l_extendedprice", "sum"),
-         ("sum_disc_price", "disc_price", "sum"),
+         ("sum_base_price", "base_c", "sum"),
+         ("sum_disc_price", "disc_c", "sum"),
          ("count_order", "", "count")],
     )
     df = agg.to_pandas()
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        df[c] = series_round_half_away(df[c], 2)
+    df["sum_base_price"] = _dollars(df["sum_base_price"])
+    df["sum_disc_price"] = _dollars(df["sum_disc_price"])
+    df["sum_qty"] = series_round_half_away(df["sum_qty"], 2)
     return rel.to_pandas_sorted(df, ["l_returnflag", "l_linestatus"])
 
 
@@ -95,14 +112,15 @@ def q3_top_revenue_orders(sf_dir: str):
         batch = batch.filter(pc.greater(batch.column("l_shipdate"), pa.scalar(date)))
         rev = pc.multiply(batch.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "rev_c": _cents(rev)})
 
     line_f = line.map_batches(line_prep, batch_format="pyarrow", zero_copy_batch=True)
     joined = rel.hash_join(line_f, orders_f, on="l_orderkey",
                            right_on="o_orderkey", num_partitions=16)
-    agg = rel.grouped_agg(joined, ["l_orderkey"], [("revenue", "rev", "sum")])
+    agg = rel.grouped_agg(joined, ["l_orderkey"], [("revenue", "rev_c", "sum")])
     df = agg.to_pandas()
-    df["revenue"] = series_round_half_away(df["revenue"], 2)
+    df["revenue"] = _dollars(df["revenue"])
     df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
                         kind="mergesort").head(10).reset_index(drop=True)
     return df
@@ -131,14 +149,15 @@ def q5_nation_revenue(sf_dir: str):
     def line_prep(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "rev_c": _cents(rev)})
 
     line_r = line.map_batches(line_prep, batch_format="pyarrow", zero_copy_batch=True)
     joined = rel.hash_join(line_r, orders_n, on="l_orderkey",
                            right_on="o_orderkey", num_partitions=16)
-    agg = rel.grouped_agg(joined, ["n_name"], [("revenue", "rev", "sum")])
+    agg = rel.grouped_agg(joined, ["n_name"], [("revenue", "rev_c", "sum")])
     df = agg.to_pandas()
-    df["revenue"] = series_round_half_away(df["revenue"], 2)
+    df["revenue"] = _dollars(df["revenue"])
     return rel.to_pandas_sorted(df, ["n_name"])
 
 
@@ -160,12 +179,12 @@ def q6_forecast_revenue(sf_dir: str):
         )
         batch = batch.filter(mask)
         return pa.table({
-            "rev": pc.multiply(batch.column("l_extendedprice"),
-                               batch.column("l_discount"))
+            "rev_c": _cents(pc.multiply(batch.column("l_extendedprice"),
+                                        batch.column("l_discount")))
         })
 
-    total = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).sum("rev")
-    return pd.DataFrame({"revenue": [round_half_away(total or 0.0, 2)]})
+    total = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).sum("rev_c")
+    return pd.DataFrame({"revenue": [(total or 0) / 100.0]})
 
 
 def top_parts(sf_dir: str):
@@ -186,16 +205,22 @@ def priority_counts(sf_dir: str):
 def nation_balance(sf_dir: str):
     nation = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
     cust = rel.load(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column("bal_c", _cents(batch.column("c_acctbal")))
+
+    cust = cust.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
     joined = rel.broadcast_merge(
         cust, nation.rename(columns={"n_nationkey": "c_nationkey"}), on="c_nationkey"
     )
     agg = rel.grouped_agg(joined, ["n_name"],
                           [("n_customers", "", "count"),
-                           ("total_acctbal", "c_acctbal", "sum"),
+                           ("total_acctbal", "bal_c", "sum"),
                            ("min_acctbal", "c_acctbal", "min"),
                            ("max_acctbal", "c_acctbal", "max")])
     df = agg.to_pandas()
-    for c in ("total_acctbal", "min_acctbal", "max_acctbal"):
+    df["total_acctbal"] = _dollars(df["total_acctbal"])
+    for c in ("min_acctbal", "max_acctbal"):
         df[c] = series_round_half_away(df[c], 2)
     return rel.to_pandas_sorted(df, ["n_name"])
 
@@ -203,15 +228,21 @@ def nation_balance(sf_dir: str):
 def segment_order_stats(sf_dir: str):
     cust = rel.load(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     orders = rel.load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column("price_c", _cents(batch.column("o_totalprice")))
+
+    orders = orders.map_batches(add_cents, batch_format="pyarrow",
+                                zero_copy_batch=True)
     joined = rel.broadcast_merge(
         orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
     )
     agg = rel.grouped_agg(joined, ["c_mktsegment"],
                           [("n_orders", "", "count"),
-                           ("total_price", "o_totalprice", "sum"),
+                           ("total_price", "price_c", "sum"),
                            ("max_price", "o_totalprice", "max")])
     df = agg.to_pandas()
-    df["total_price"] = series_round_half_away(df["total_price"], 2)
+    df["total_price"] = _dollars(df["total_price"])
     df["max_price"] = series_round_half_away(df["max_price"], 2)
     return rel.to_pandas_sorted(df, ["c_mktsegment"])
 
@@ -230,14 +261,14 @@ def events_hourly(sf_dir: str):
         return pa.table({
             "hour": epoch,
             "event_type": batch.column("event_type"),
-            "value": batch.column("value"),
+            "value_c": _cents(batch.column("value")),
         })
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     agg = rel.grouped_agg(prepped, ["hour", "event_type"],
-                          [("n_events", "", "count"), ("sum_value", "value", "sum")])
+                          [("n_events", "", "count"), ("sum_value", "value_c", "sum")])
     df = agg.to_pandas()
-    df["sum_value"] = series_round_half_away(df["sum_value"], 2)
+    df["sum_value"] = _dollars(df["sum_value"])
     return rel.to_pandas_sorted(df, ["hour", "event_type"])
 
 
@@ -262,9 +293,15 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
 
 def events_top_users(sf_dir: str):
     ds = rel.load(sf_dir, "events", ["user_id", "value"])
-    agg = rel.grouped_agg(ds, ["user_id"], [("total_value", "value", "sum")])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch.column("user_id"),
+                         "value_c": _cents(batch.column("value"))})
+
+    ds = ds.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
+    agg = rel.grouped_agg(ds, ["user_id"], [("total_value", "value_c", "sum")])
     df = agg.to_pandas()
-    df["total_value"] = series_round_half_away(df["total_value"], 2)
+    df["total_value"] = _dollars(df["total_value"])
     return (df.sort_values(["total_value", "user_id"], ascending=[False, True],
                            kind="mergesort").head(10).reset_index(drop=True))
 
@@ -411,7 +448,13 @@ def events_rolling(sf_dir: str):
 
     def per_user(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        avg3 = g["value"].rolling(3, min_periods=1).mean()
+        v = g["value"].reset_index(drop=True)
+        # pinned addition order (oldest first) to match the SQL window's
+        # ascending accumulation; pandas.rolling uses a sliding-sum
+        # algorithm with different float behavior
+        s3 = v.shift(2).fillna(0.0) + v.shift(1).fillna(0.0) + v
+        n3 = pd.Series(np.minimum(np.arange(len(v)) + 1, 3), dtype="float64")
+        avg3 = (s3 / n3).set_axis(g.index)
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
             "user_id": g["user_id"].astype("int64"),
