@@ -209,3 +209,38 @@ def render_json(pages: list[dict], metadata: dict, source: str,
         indent=2,
         ensure_ascii=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-property text variants (output/models.py:364-385, 418-433)
+#
+# The reference exposes a SECOND text rendering via StructuredPage.text /
+# StructuredDocument.text that differs from the canonical formatter path:
+# content sorts by descending y1 only (bottom-up on top-left data — quirk
+# Q2, no column grouping), blocks join with blank lines, and the document
+# variant uses a slightly different banner discipline. Provided for API
+# parity; the formatter path above is the byte-identical contract the
+# pipeline emits.
+# ---------------------------------------------------------------------------
+
+
+def page_text_property(page: dict) -> str:
+    """StructuredPage.text analog (models.py:364-385)."""
+    items: list[tuple[float, str]] = []
+    for b in page["blocks"]:
+        items.append((b["box"][3], b["text"]))
+    for t in page["tables"]:
+        items.append((t["box"][3], t["ascii"]))
+    items.sort(key=lambda it: -it[0])
+    return "\n\n".join(text for _, text in items if text.strip())
+
+
+def document_text_property(pages: list[dict]) -> str:
+    """StructuredDocument.text analog (models.py:418-433)."""
+    parts: list[str] = []
+    for page in pages:
+        parts.append(f"\n{'=' * 80}")
+        parts.append(f"{'PAGE ' + str(page['page_number']):^80}")
+        parts.append(f"{'=' * 80}\n")
+        parts.append(page_text_property(page))
+    return "\n".join(parts)

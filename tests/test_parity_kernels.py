@@ -108,3 +108,19 @@ def test_metadata_filtering():
     bundle = _scenario_bundle(synth._page_single_column, 5, meta=False)
     bundle["metadata"] = {"title": "", "author": "A"}
     _assert_match(bundle)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_model_text_property_parity(seed):
+    """The .text property variants (models.py:364-385/418-433, quirk Q2)
+    match the reference objects exactly."""
+    import random
+
+    rng = random.Random(seed * 31337 + 5)
+    bundle = {"pages": [synth._make_page(rng) for _ in range(3)],
+              "metadata": {}}
+    ref_doc = refbridge.reference_parse_bundle(bundle)
+    pages, _ = layout.parse_bundle(bundle)
+    for ref_page, page in zip(ref_doc.pages, pages):
+        assert render.page_text_property(page) == ref_page.text
+    assert render.document_text_property(pages) == ref_doc.text
