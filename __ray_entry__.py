@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.events_sessions,
         "events_top_users": q.events_top_users,
         "events_rolling": q.events_rolling,
+        "events_asof_click": q.events_asof_click,
         # documents: text analysis + dedup
         "docs_stats": q.docs_stats,
         "docs_langid": q.docs_langid,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_simhash": q.docs_simhash,
         "docs_distinct_pairs": q.docs_distinct_pairs,
+        "docs_hash_sample": q.docs_hash_sample,
         # embeddings: similarity search
         "emb_topk": q.emb_topk,
         "emb_centroids": q.emb_centroids,
@@ -185,6 +187,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_distinct_pairs": """
             SELECT DISTINCT lang, source FROM documents
+        """,
+        "docs_hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(text), 1, 1) = '0'
+        """,
+        "events_asof_click": """
+            SELECT e.event_id, e.user_id,
+                   coalesce(c.event_id, -1) AS click_id,
+                   round(coalesce(c.value, 0.0), 2) AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
         """,
         "docs_stats": f"""
             SELECT doc_id,

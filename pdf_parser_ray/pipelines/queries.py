@@ -497,3 +497,61 @@ def media_features(sf_dir: str):
         df["feature"].map(lambda v: float(v[0])), 6)
     df = df.drop(columns=["feature"])
     return rel.to_pandas_sorted(df, ["media_id"])
+
+
+def events_asof_click(sf_dir: str):
+    """As-of join — an operator Ray Data lacks natively, composed from
+    groupby(user_id) + in-group ``pandas.merge_asof``: for every 'error'
+    event, the most recent 'click' by the same user at or before its ts.
+    Partitioning assumption: one user's events fit one group (true for any
+    realistic per-entity event stream; a hot user would need time-slice
+    salting). Oracle: DuckDB ASOF LEFT JOIN."""
+    ds = rel.load(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type", "value"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        errors = (group[group.event_type == "error"]
+                  .sort_values(["ts", "event_id"], kind="mergesort"))
+        clicks = (group[group.event_type == "click"]
+                  .sort_values(["ts", "event_id"], kind="mergesort"))
+        if errors.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "click_id": pd.Series(dtype="int64"),
+                "click_value": pd.Series(dtype="float64"),
+            })
+        joined = pd.merge_asof(
+            errors[["event_id", "user_id", "ts"]],
+            clicks[["ts", "event_id", "value"]].rename(
+                columns={"event_id": "click_id", "value": "click_value"}),
+            on="ts", direction="backward",
+        )
+        return pd.DataFrame({
+            "event_id": joined["event_id"].astype("int64"),
+            "user_id": joined["user_id"].astype("int64"),
+            "click_id": joined["click_id"].fillna(-1).astype("int64"),
+            "click_value": series_round_half_away(
+                joined["click_value"].fillna(0.0), 2),
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return rel.to_pandas_sorted(out.to_pandas(), ["event_id"])
+
+
+def docs_hash_sample(sf_dir: str):
+    """Deterministic 1/16 hash sample (md5 prefix bucket) — reproducible
+    sampling without an RNG, identical under any parallelism."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.functions.textstats import fingerprint
+
+        texts = batch.column("text").to_pylist()
+        mask = pa.array([fingerprint(t).startswith("0") for t in texts])
+        kept = batch.filter(mask)
+        return pa.table({"doc_id": kept.column("doc_id"),
+                         "lang": kept.column("lang")})
+
+    out = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
