@@ -40,6 +40,9 @@ def cmd_parse(args) -> int:
         "want_json": args.format in ("json", "all"),
         "explode_threshold": args.explode_threshold,
         "parse_mode": args.parse_mode,
+        "start_page": args.start_page,
+        "end_page": args.end_page,
+        "json_coordinates": args.coordinates,
     }
     summary = run_checkpointed(
         args.input, args.output,
@@ -155,6 +158,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--explode-threshold", type=int, default=None)
     p.add_argument("--parse-mode", choices=["tasks", "actors"], default="tasks")
     p.add_argument("--files-per-part", type=int, default=1)
+    p.add_argument("--start-page", type=int, default=1,
+                   help="first page to parse per document (1-indexed)")
+    p.add_argument("--end-page", type=int, default=None,
+                   help="last page to parse per document (inclusive)")
+    p.add_argument("--coordinates", action="store_true",
+                   help="include bounding boxes in JSON output")
     p.set_defaults(fn=cmd_parse)
 
     p = sub.add_parser("info", help="corpus facts")

@@ -22,7 +22,10 @@ def doc_kind(url: str) -> str:
 
 def extract_document(url: str, payload: bytes,
                      want_markdown: bool = True,
-                     want_json: bool = False) -> dict:
+                     want_json: bool = False,
+                     start_page: int = 1,
+                     end_page: int | None = None,
+                     json_coordinates: bool = False) -> dict:
     """Full extraction for one document.
 
     Returns a flat dict:
@@ -48,12 +51,14 @@ def extract_document(url: str, payload: bytes,
             out["n_blocks"] = n_blocks
         else:
             bundle = layout.load_bundle(payload)
-            pages, meta = layout.parse_bundle(bundle)
+            pages, meta = layout.parse_bundle(bundle, start_page=start_page,
+                                              end_page=end_page)
             out["text"] = render.render_plain(pages)
             if want_markdown:
                 out["markdown"] = render.render_markdown(pages, meta)
             if want_json:
-                out["json"] = render.render_json(pages, meta, url)
+                out["json"] = render.render_json(
+                    pages, meta, url, include_coordinates=json_coordinates)
             out["n_pages"] = len(pages)
             out["n_blocks"] = sum(len(p["blocks"]) for p in pages)
             out["n_tables"] = sum(len(p["tables"]) for p in pages)

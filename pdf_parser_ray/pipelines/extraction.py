@@ -67,6 +67,9 @@ def extract_dataset(
     explode_threshold: int | None = None,
     want_markdown: bool = True,
     want_json: bool = False,
+    start_page: int = 1,
+    end_page: int | None = None,
+    json_coordinates: bool = False,
     parse_mode: str = "tasks",
     parse_concurrency=None,
     parse_batch_size: int = DEFAULT_PARSE_BATCH,
@@ -89,11 +92,23 @@ def extract_dataset(
     (url, text, markdown, json, n_pages, n_blocks, n_tables, error).
     """
     ensure_data_context()
+    if start_page != 1 or end_page is not None:
+        # a page-range gate implies whole-document handling (the range is
+        # relative to each document; slicing exploded chunks would need the
+        # route stage to re-number) — force the pure-map path
+        explode_threshold = None
     routed = ds.map_batches(
         make_router(explode_threshold),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    ctor_kwargs = {
+        "want_markdown": want_markdown,
+        "want_json": want_json,
+        "start_page": start_page,
+        "end_page": end_page,
+        "json_coordinates": json_coordinates,
+    }
     parse_kwargs = dict(
         batch_format="pyarrow",
         batch_size=parse_batch_size,
@@ -102,10 +117,7 @@ def extract_dataset(
     if parse_mode == "actors":
         parsed = routed.map_batches(
             ParseDocuments,
-            fn_constructor_kwargs={
-                "want_markdown": want_markdown,
-                "want_json": want_json,
-            },
+            fn_constructor_kwargs=ctor_kwargs,
             # fixed-size actor pool: the parse stage dominates compute, so
             # claim the cores upfront instead of waiting on autoscaler
             # ramp-up — but leave two cores for the read/route tasks
@@ -116,8 +128,7 @@ def extract_dataset(
             **parse_kwargs,
         )
     else:
-        worker = ParseDocuments(want_markdown=want_markdown,
-                                want_json=want_json)
+        worker = ParseDocuments(**ctor_kwargs)
         parsed = routed.map_batches(worker, **parse_kwargs)
 
     if explode_threshold is None:

@@ -143,9 +143,14 @@ class ParseDocuments:
     pass to ``ds.map_batches(ParseDocuments, concurrency=..., ...)``.
     """
 
-    def __init__(self, want_markdown: bool = True, want_json: bool = False):
+    def __init__(self, want_markdown: bool = True, want_json: bool = False,
+                 start_page: int = 1, end_page: int | None = None,
+                 json_coordinates: bool = False):
         self.want_markdown = want_markdown
         self.want_json = want_json
+        self.start_page = start_page
+        self.end_page = end_page
+        self.json_coordinates = json_coordinates
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {name: [] for name, _ in RESULT_FIELDS}
@@ -178,6 +183,9 @@ class ParseDocuments:
                     url, payload,
                     want_markdown=self.want_markdown,
                     want_json=self.want_json,
+                    start_page=self.start_page,
+                    end_page=self.end_page,
+                    json_coordinates=self.json_coordinates,
                 )
                 emit(url, 0, row["n_pages"], row["text"], row["markdown"],
                      row["json"], row["n_blocks"], row["n_tables"],

@@ -97,3 +97,15 @@ def test_error_rows_survive(corpus_path, golden):
     for u in broken:
         assert got[u]["error"] != ""
         assert got[u]["text"] == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_page_range_pipeline(corpus_path, golden):
+    from pdf_parser_ray.functions.document import extract_document
+
+    got = _run(corpus_path, start_page=1, end_page=2)
+    for i in range(N_DOCS):
+        r = synth.gen_document(i, seed=SEED)
+        want = extract_document(r["url"], r["html"], start_page=1, end_page=2)
+        assert got[r["url"]]["text"] == want["text"], r["url"]
+        assert got[r["url"]]["n_pages"] == want["n_pages"]
