@@ -109,3 +109,13 @@ def test_page_range_pipeline(corpus_path, golden):
         want = extract_document(r["url"], r["html"], start_page=1, end_page=2)
         assert got[r["url"]]["text"] == want["text"], r["url"]
         assert got[r["url"]]["n_pages"] == want["n_pages"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_batch_size_invariance(corpus_path):
+    # identical bytes under different task batchings (determinism is
+    # data-driven, never arrival-order-driven)
+    a = _run(corpus_path, explode_threshold=None, parse_batch_size=16)
+    b = _run(corpus_path, explode_threshold=None, parse_batch_size=128)
+    assert {u: r["text"] for u, r in a.items()} == {
+        u: r["text"] for u, r in b.items()}
