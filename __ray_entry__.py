@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_nation_revenue": q.q5_nation_revenue,
         "q6_forecast_revenue": q.q6_forecast_revenue,
         "top_parts": q.top_parts,
+        "q14_promo_share": q.q14_promo_share,
+        "q4_late_orders": q.q4_late_orders,
         "priority_counts": q.priority_counts,
         "nation_balance": q.nation_balance,
         "segment_order_stats": q.segment_order_stats,
@@ -43,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": q.events_top_users,
         "events_rolling": q.events_rolling,
         "events_asof_click": q.events_asof_click,
+        "events_props_k": q.events_props_k,
         # documents: text analysis + dedup
         "docs_stats": q.docs_stats,
         "docs_langid": q.docs_langid,
@@ -53,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": q.docs_simhash,
         "docs_distinct_pairs": q.docs_distinct_pairs,
         "docs_hash_sample": q.docs_hash_sample,
+        "docs_top_by_lang": q.docs_top_by_lang,
         # embeddings: similarity search
         "emb_topk": q.emb_topk,
         "emb_centroids": q.emb_centroids,
@@ -128,6 +132,47 @@ def oracle_sql() -> dict[str, str]:
         "priority_counts": """
             SELECT o_orderpriority, count(*) AS n_orders
             FROM orders GROUP BY o_orderpriority
+        """,
+        "q14_promo_share": """
+            WITH sums AS (
+                SELECT
+                    sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                                  AS BIGINT) ELSE 0 END) AS promo_c,
+                    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS total_c
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT promo_c / 100.0 AS promo_revenue,
+                   total_c / 100.0 AS total_revenue,
+                   round(100.0 * promo_c / total_c, 4) AS promo_share
+            FROM sums
+        """,
+        "q4_late_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "events_props_k": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "docs_top_by_lang": """
+            SELECT lang, doc_id, n_chars
+            FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents
+            )
+            WHERE rn <= 3
         """,
         "nation_balance": """
             SELECT n_name, count(*) AS n_customers,

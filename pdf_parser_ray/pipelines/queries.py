@@ -555,3 +555,95 @@ def docs_hash_sample(sf_dir: str):
 
     out = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
     return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+
+
+def q14_promo_share(sf_dir: str):
+    """Broadcast part-dimension join + conditional aggregate: share of
+    revenue from PROMO-type parts."""
+    part = rel.load(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    part["is_promo"] = (part["p_type"] == "PROMO").astype("int64")
+    side = part[["p_partkey", "is_promo"]].rename(columns={"p_partkey": "l_partkey"})
+
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"l_partkey": batch.column("l_partkey"),
+                         "rev_c": _cents(rev)})
+
+    joined = rel.broadcast_merge(
+        line.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        side, on="l_partkey")
+
+    def split(batch: pa.Table) -> pa.Table:
+        promo = pc.multiply(batch.column("rev_c"),
+                            pc.cast(batch.column("is_promo"), pa.int64()))
+        return pa.table({"promo_c": promo, "total_c": batch.column("rev_c")})
+
+    sums = (joined.map_batches(split, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .sum(["promo_c", "total_c"]))
+    promo_c, total_c = sums["sum(promo_c)"], sums["sum(total_c)"]
+    return pd.DataFrame({
+        "promo_revenue": [promo_c / 100.0],
+        "total_revenue": [total_c / 100.0],
+        "promo_share": [round_half_away(100.0 * promo_c / total_c, 4)],
+    })
+
+
+def q4_late_orders(sf_dir: str):
+    """EXISTS semi-join: orders with any lineitem shipped more than 60 days
+    after the order date, counted by priority. Hash join + distinct + count
+    (the Ray expression of a correlated EXISTS)."""
+    orders = rel.load(sf_dir, "orders",
+                      ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = rel.load(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = rel.hash_join(line, orders, on="l_orderkey",
+                           right_on="o_orderkey", num_partitions=16)
+
+    def late(batch: pa.Table) -> pa.Table:
+        lag = pc.add(batch.column("o_orderdate"),
+                     pa.scalar(dt.timedelta(days=60)))
+        kept = batch.filter(pc.greater(batch.column("l_shipdate"), lag))
+        return pa.table({"l_orderkey": kept.column("l_orderkey"),
+                         "o_orderpriority": kept.column("o_orderpriority")})
+
+    hits = joined.map_batches(late, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = rel.grouped_agg(hits, ["o_orderpriority", "l_orderkey"],
+                               [("n", "", "count")])
+    counts = rel.grouped_agg(distinct, ["o_orderpriority"],
+                             [("n_orders", "", "count")])
+    return rel.to_pandas_sorted(counts.to_pandas(), ["o_orderpriority"])
+
+
+def events_props_k(sf_dir: str):
+    """JSON field extraction + exact integer aggregation per event type."""
+    import json as _json
+
+    ds = rel.load(sf_dir, "events", ["event_type", "props"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in batch.column("props").to_pylist()]
+        return pa.table({"event_type": batch.column("event_type"),
+                         "k": pa.array(ks, pa.int64())})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = rel.grouped_agg(prepped, ["event_type"],
+                          [("n_events", "", "count"), ("sum_k", "k", "sum")])
+    return rel.to_pandas_sorted(agg.to_pandas(), ["event_type"])
+
+
+def docs_top_by_lang(sf_dir: str):
+    """Top-3 longest documents per language (per-group top-k via
+    groupby(lang).map_groups; window row_number in SQL)."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def top3(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+        return g.head(3)[["lang", "doc_id", "n_chars"]]
+
+    out = ds.groupby("lang").map_groups(top3, batch_format="pandas")
+    return rel.to_pandas_sorted(out.to_pandas(), ["lang", "doc_id"])
