@@ -80,8 +80,9 @@ def q1_pricing_summary(sf_dir: str):
          ("sum_base_price", "base_c", "sum"),
          ("sum_disc_price", "disc_c", "sum"),
          ("count_order", "", "count")],
+        small_result=True,
     )
-    df = agg.to_pandas()
+    df = rel.as_pandas(agg)
     df["sum_base_price"] = _dollars(df["sum_base_price"])
     df["sum_disc_price"] = _dollars(df["sum_disc_price"])
     df["sum_qty"] = series_round_half_away(df["sum_qty"], 2)
@@ -155,8 +156,9 @@ def q5_nation_revenue(sf_dir: str):
     line_r = line.map_batches(line_prep, batch_format="pyarrow", zero_copy_batch=True)
     joined = rel.hash_join(line_r, orders_n, on="l_orderkey",
                            right_on="o_orderkey", num_partitions=16)
-    agg = rel.grouped_agg(joined, ["n_name"], [("revenue", "rev_c", "sum")])
-    df = agg.to_pandas()
+    agg = rel.grouped_agg(joined, ["n_name"], [("revenue", "rev_c", "sum")],
+                          small_result=True)
+    df = rel.as_pandas(agg)
     df["revenue"] = _dollars(df["revenue"])
     return rel.to_pandas_sorted(df, ["n_name"])
 
@@ -198,8 +200,9 @@ def top_parts(sf_dir: str):
 
 def priority_counts(sf_dir: str):
     ds = rel.load(sf_dir, "orders", ["o_orderpriority"])
-    agg = rel.grouped_agg(ds, ["o_orderpriority"], [("n_orders", "", "count")])
-    return rel.to_pandas_sorted(agg.to_pandas(), ["o_orderpriority"])
+    agg = rel.grouped_agg(ds, ["o_orderpriority"], [("n_orders", "", "count")],
+                          small_result=True)
+    return rel.to_pandas_sorted(rel.as_pandas(agg), ["o_orderpriority"])
 
 
 def nation_balance(sf_dir: str):
@@ -217,8 +220,9 @@ def nation_balance(sf_dir: str):
                           [("n_customers", "", "count"),
                            ("total_acctbal", "bal_c", "sum"),
                            ("min_acctbal", "c_acctbal", "min"),
-                           ("max_acctbal", "c_acctbal", "max")])
-    df = agg.to_pandas()
+                           ("max_acctbal", "c_acctbal", "max")],
+                          small_result=True)
+    df = rel.as_pandas(agg)
     df["total_acctbal"] = _dollars(df["total_acctbal"])
     for c in ("min_acctbal", "max_acctbal"):
         df[c] = series_round_half_away(df[c], 2)
@@ -240,8 +244,9 @@ def segment_order_stats(sf_dir: str):
     agg = rel.grouped_agg(joined, ["c_mktsegment"],
                           [("n_orders", "", "count"),
                            ("total_price", "price_c", "sum"),
-                           ("max_price", "o_totalprice", "max")])
-    df = agg.to_pandas()
+                           ("max_price", "o_totalprice", "max")],
+                          small_result=True)
+    df = rel.as_pandas(agg)
     df["total_price"] = _dollars(df["total_price"])
     df["max_price"] = series_round_half_away(df["max_price"], 2)
     return rel.to_pandas_sorted(df, ["c_mktsegment"])
@@ -266,8 +271,10 @@ def events_hourly(sf_dir: str):
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     agg = rel.grouped_agg(prepped, ["hour", "event_type"],
-                          [("n_events", "", "count"), ("sum_value", "value_c", "sum")])
-    df = agg.to_pandas()
+                          [("n_events", "", "count"),
+                           ("sum_value", "value_c", "sum")],
+                          small_result=True)
+    df = rel.as_pandas(agg)
     df["sum_value"] = _dollars(df["sum_value"])
     return rel.to_pandas_sorted(df, ["hour", "event_type"])
 
@@ -299,8 +306,9 @@ def events_top_users(sf_dir: str):
                          "value_c": _cents(batch.column("value"))})
 
     ds = ds.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
-    agg = rel.grouped_agg(ds, ["user_id"], [("total_value", "value_c", "sum")])
-    df = agg.to_pandas()
+    agg = rel.grouped_agg(ds, ["user_id"], [("total_value", "value_c", "sum")],
+                          small_result=True)
+    df = rel.as_pandas(agg)
     df["total_value"] = _dollars(df["total_value"])
     return (df.sort_values(["total_value", "user_id"], ascending=[False, True],
                            kind="mergesort").head(10).reset_index(drop=True))
@@ -352,8 +360,10 @@ def docs_lang_summary(sf_dir: str):
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     agg = rel.grouped_agg(prepped, ["lang"],
-                          [("n_docs", "", "count"), ("sum_tokens", "n_tokens", "sum")])
-    return rel.to_pandas_sorted(agg.to_pandas(), ["lang"])
+                          [("n_docs", "", "count"),
+                           ("sum_tokens", "n_tokens", "sum")],
+                          small_result=True)
+    return rel.to_pandas_sorted(rel.as_pandas(agg), ["lang"])
 
 
 def docs_minhash_pairs(sf_dir: str):
@@ -389,7 +399,7 @@ def emb_topk(sf_dir: str):
 def emb_centroids(sf_dir: str):
     ds = rel.load(sf_dir, "embeddings", ["label", "embedding"])
     out = similarity.label_centroids(ds)
-    return rel.to_pandas_sorted(out.to_pandas(), ["label", "dim"])
+    return rel.to_pandas_sorted(out, ["label", "dim"])
 
 
 def emb_near_pairs(sf_dir: str):
@@ -469,8 +479,9 @@ def docs_distinct_pairs(sf_dir: str):
     """Distinct (lang, source) pairs — the unique/distinct operator,
     expressed as a two-phase grouped count then key projection."""
     ds = rel.load(sf_dir, "documents", ["lang", "source"])
-    agg = rel.grouped_agg(ds, ["lang", "source"], [("n", "", "count")])
-    df = agg.to_pandas()[["lang", "source"]]
+    agg = rel.grouped_agg(ds, ["lang", "source"], [("n", "", "count")],
+                          small_result=True)
+    df = rel.as_pandas(agg)[["lang", "source"]]
     return rel.to_pandas_sorted(df, ["lang", "source"])
 
 
@@ -600,22 +611,36 @@ def q4_late_orders(sf_dir: str):
     orders = rel.load(sf_dir, "orders",
                       ["o_orderkey", "o_orderdate", "o_orderpriority"])
     line = rel.load(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
-    joined = rel.hash_join(line, orders, on="l_orderkey",
+
+    # EXISTS(ship > date+60) == MAX(ship) > date+60: pre-aggregate the max
+    # ship date per order inside each batch BEFORE the join (4x shrink; an
+    # order split across batches just yields several candidate maxes, and
+    # ANY of them exceeding the cutoff is sufficient)
+    def batch_max(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.groupby("l_orderkey", as_index=False, sort=False).agg(
+            max_ship=("l_shipdate", "max"))
+
+    line_max = line.map_batches(batch_max, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = rel.hash_join(line_max, orders, on="l_orderkey",
                            right_on="o_orderkey", num_partitions=16)
 
     def late(batch: pa.Table) -> pa.Table:
         lag = pc.add(batch.column("o_orderdate"),
                      pa.scalar(dt.timedelta(days=60)))
-        kept = batch.filter(pc.greater(batch.column("l_shipdate"), lag))
+        kept = batch.filter(pc.greater(batch.column("max_ship"), lag))
         return pa.table({"l_orderkey": kept.column("l_orderkey"),
                          "o_orderpriority": kept.column("o_orderpriority")})
 
     hits = joined.map_batches(late, batch_format="pyarrow", zero_copy_batch=True)
-    distinct = rel.grouped_agg(hits, ["o_orderpriority", "l_orderkey"],
-                               [("n", "", "count")])
-    counts = rel.grouped_agg(distinct, ["o_orderpriority"],
-                             [("n_orders", "", "count")])
-    return rel.to_pandas_sorted(counts.to_pandas(), ["o_orderpriority"])
+    # final distinct+count on the driver: only late-order keys survive the
+    # filter (at corpus scale this final consolidation becomes one more
+    # distributed grouped_agg on (priority, orderkey))
+    df = rel.as_pandas(hits).drop_duplicates()
+    counts = (df.groupby("o_orderpriority", as_index=False, sort=False)
+              .agg(n_orders=("l_orderkey", "count")))
+    return rel.to_pandas_sorted(counts, ["o_orderpriority"])
 
 
 def events_props_k(sf_dir: str):
@@ -631,8 +656,9 @@ def events_props_k(sf_dir: str):
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     agg = rel.grouped_agg(prepped, ["event_type"],
-                          [("n_events", "", "count"), ("sum_k", "k", "sum")])
-    return rel.to_pandas_sorted(agg.to_pandas(), ["event_type"])
+                          [("n_events", "", "count"), ("sum_k", "k", "sum")],
+                          small_result=True)
+    return rel.to_pandas_sorted(rel.as_pandas(agg), ["event_type"])
 
 
 def docs_top_by_lang(sf_dir: str):

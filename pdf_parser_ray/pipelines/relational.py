@@ -34,12 +34,19 @@ def load(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.
 
 
 def grouped_agg(ds: ray.data.Dataset, keys: list[str],
-                spec: list[tuple[str, str, str]]) -> ray.data.Dataset:
+                spec: list[tuple[str, str, str]],
+                small_result: bool = False):
     """Two-phase grouped aggregation.
 
     ``spec`` entries are ``(out_name, src_col, op)`` with op in
-    {"sum", "count", "min", "max"}. Returns a Dataset with columns
-    ``keys + [out_name...]``.
+    {"sum", "count", "min", "max"}.
+
+    ``small_result=True`` declares the group-key cardinality bounded (a few
+    thousand at most — priorities, nations, languages, hours): the map-side
+    combine still runs distributed, but the final merge of the tiny partial
+    rows happens on the driver instead of paying a whole sort-shuffle
+    groupby (which costs seconds of fixed overhead per call). Returns a
+    pandas DataFrame in that mode, a Dataset otherwise.
     """
     need_count = any(op == "count" for _, _, op in spec)
     src_cols = sorted({src for _, src, op in spec if op != "count"})
@@ -59,6 +66,18 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
         return agg
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    if small_result:
+        df = partials.to_pandas()
+        gb = df.groupby(keys, as_index=False, sort=False)
+        named = {}
+        for out, _, op in spec:
+            if op == "count":
+                named[out] = pd.NamedAgg(column=_PARTIAL_COUNT, aggfunc="sum")
+            elif op in ("sum", "min", "max"):
+                named[out] = pd.NamedAgg(column=out, aggfunc=op)
+        final_df = gb.agg(**named)
+        return final_df[keys + [out for out, _, _ in spec]]
 
     finals = []
     for out, _, op in spec:
@@ -111,6 +130,11 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         on=(on,),
         right_on=(right_on,) if right_on else None,
     )
+
+
+def as_pandas(x) -> pd.DataFrame:
+    """Dataset-or-DataFrame -> DataFrame (grouped_agg returns either)."""
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
 
 
 def to_pandas_sorted(ds_or_df, by: list[str]) -> pd.DataFrame:

@@ -124,22 +124,17 @@ def label_centroids(embs: ray.data.Dataset) -> ray.data.Dataset:
 
     partials = embs.map_batches(partial, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    from ray.data.aggregate import Sum
-
-    summed = partials.groupby(["label", "dim"]).aggregate(
-        Sum("s", alias_name="s"), Sum("n", alias_name="n")
-    )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        s = np.asarray(batch.column("s").to_pylist())
-        n = np.asarray(batch.column("n").to_pylist())
-        return pa.table({
-            "label": batch.column("label"),
-            "dim": batch.column("dim"),
-            "centroid": pa.array(np_round_half_away(s / n, 4)),
-        })
-
-    return summed.map_batches(finalize, batch_format="pyarrow")
+    # (label, dim) cardinality is n_labels x embedding_dim — a few thousand
+    # rows — so the final combine of the distributed partial sums runs on
+    # the driver instead of paying a sort-shuffle groupby
+    df = partials.to_pandas().groupby(["label", "dim"], as_index=False,
+                                      sort=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    return pd.DataFrame({
+        "label": df["label"].astype("int64"),
+        "dim": df["dim"].astype("int64"),
+        "centroid": np_round_half_away(df["s"].to_numpy() / df["n"].to_numpy(), 4),
+    })
 
 
 # ---------------------------------------------------------------------------
