@@ -25,11 +25,14 @@ def extract_document(url: str, payload: bytes,
                      want_json: bool = False,
                      start_page: int = 1,
                      end_page: int | None = None,
-                     json_coordinates: bool = False) -> dict:
+                     json_coordinates: bool = False,
+                     want_structured: bool = False) -> dict:
     """Full extraction for one document.
 
     Returns a flat dict:
         url, kind, text, markdown, json, n_pages, n_blocks, n_tables, error
+    plus (``want_structured``) nested ``blocks``/``tables`` lists in the
+    functions/schema.py shape.
     """
     out = {
         "url": url,
@@ -41,6 +44,8 @@ def extract_document(url: str, payload: bytes,
         "n_blocks": 0,
         "n_tables": 0,
         "error": "",
+        "blocks": [],
+        "tables": [],
     }
     try:
         if out["kind"] == HTML_KIND:
@@ -49,6 +54,16 @@ def extract_document(url: str, payload: bytes,
             out["markdown"] = text if want_markdown else ""
             out["n_pages"] = 1
             out["n_blocks"] = n_blocks
+            if want_structured and n_blocks:
+                from pdf_parser_ray.functions.htmlstrip import strip_html_parts
+
+                out["blocks"] = [{
+                    "page_number": 1,
+                    "text": part,
+                    "block_type": "PARAGRAPH",
+                    "column_index": 0,
+                    "bbox": [0.0, 0.0, 0.0, 0.0],
+                } for part in strip_html_parts(payload)]
         else:
             bundle = layout.load_bundle(payload)
             pages, meta = layout.parse_bundle(bundle, start_page=start_page,
@@ -62,6 +77,11 @@ def extract_document(url: str, payload: bytes,
             out["n_pages"] = len(pages)
             out["n_blocks"] = sum(len(p["blocks"]) for p in pages)
             out["n_tables"] = sum(len(p["tables"]) for p in pages)
+            if want_structured:
+                from pdf_parser_ray.functions import schema
+
+                out["blocks"] = schema.doc_blocks(pages)
+                out["tables"] = schema.doc_tables(pages)
     except Exception as e:  # noqa: BLE001 — per-row degradation by design
         out["error"] = f"{type(e).__name__}: {e}"
     return out

@@ -118,6 +118,12 @@ def strip_html(raw: bytes | str) -> tuple[str, int]:
     Returns (text, n_kept_blocks): kept block texts joined by blank lines.
     Decoding is utf-8 with replacement — never raises on byte noise.
     """
+    kept = strip_html_parts(raw)
+    return "\n\n".join(kept), len(kept)
+
+
+def strip_html_parts(raw: bytes | str) -> list[str]:
+    """The kept block texts, in document order."""
     if isinstance(raw, bytes):
         raw = raw.decode("utf-8", errors="replace")
     builder = _TreeBuilder()
@@ -151,4 +157,4 @@ def strip_html(raw: bytes | str) -> tuple[str, int]:
         else:
             if len(text) >= MIN_BLOCK_CHARS and density <= MAX_LINK_DENSITY:
                 kept.append(text)
-    return "\n\n".join(kept), len(kept)
+    return kept

@@ -70,6 +70,7 @@ def extract_dataset(
     start_page: int = 1,
     end_page: int | None = None,
     json_coordinates: bool = False,
+    want_structured: bool = False,
     parse_mode: str = "tasks",
     parse_concurrency=None,
     parse_batch_size: int = DEFAULT_PARSE_BATCH,
@@ -108,6 +109,7 @@ def extract_dataset(
         "start_page": start_page,
         "end_page": end_page,
         "json_coordinates": json_coordinates,
+        "want_structured": want_structured,
     }
     parse_kwargs = dict(
         batch_format="pyarrow",

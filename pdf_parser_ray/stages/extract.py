@@ -28,10 +28,12 @@ import json
 import pyarrow as pa
 
 from pdf_parser_ray.functions import layout, render
+from pdf_parser_ray.functions import schema as outschema
 from pdf_parser_ray.functions.document import extract_document
 
 # Result columns. large_string: extracted text for a giant document can
-# approach block-size limits.
+# approach block-size limits. blocks/tables: nested structured output
+# (functions/schema.py), empty lists unless want_structured.
 RESULT_FIELDS = [
     ("url", pa.string()),
     ("page_number", pa.int32()),
@@ -42,12 +44,15 @@ RESULT_FIELDS = [
     ("n_blocks", pa.int64()),
     ("n_tables", pa.int64()),
     ("error", pa.string()),
+    ("blocks", outschema.BLOCKS_TYPE),
+    ("tables", outschema.TABLES_TYPE),
     ("final", pa.bool_()),
 ]
 RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
 
 OUTPUT_COLUMNS = ["url", "text", "markdown", "json",
-                  "n_pages", "n_blocks", "n_tables", "error"]
+                  "n_pages", "n_blocks", "n_tables", "error",
+                  "blocks", "tables"]
 
 ROUTED_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -145,18 +150,21 @@ class ParseDocuments:
 
     def __init__(self, want_markdown: bool = True, want_json: bool = False,
                  start_page: int = 1, end_page: int | None = None,
-                 json_coordinates: bool = False):
+                 json_coordinates: bool = False,
+                 want_structured: bool = False):
         self.want_markdown = want_markdown
         self.want_json = want_json
         self.start_page = start_page
         self.end_page = end_page
         self.json_coordinates = json_coordinates
+        self.want_structured = want_structured
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {name: [] for name, _ in RESULT_FIELDS}
 
         def emit(url, page_number, n_pages, text, markdown, json_s,
-                 n_blocks, n_tables, error, final):
+                 n_blocks, n_tables, error, final,
+                 blocks=None, tables=None):
             out["url"].append(url)
             out["page_number"].append(page_number)
             out["n_pages"].append(n_pages)
@@ -166,6 +174,8 @@ class ParseDocuments:
             out["n_blocks"].append(n_blocks)
             out["n_tables"].append(n_tables)
             out["error"].append(error)
+            out["blocks"].append(blocks or [])
+            out["tables"].append(tables or [])
             out["final"].append(final)
 
         kinds = batch.column("kind").to_pylist()
@@ -186,19 +196,24 @@ class ParseDocuments:
                     start_page=self.start_page,
                     end_page=self.end_page,
                     json_coordinates=self.json_coordinates,
+                    want_structured=self.want_structured,
                 )
                 emit(url, 0, row["n_pages"], row["text"], row["markdown"],
                      row["json"], row["n_blocks"], row["n_tables"],
-                     row["error"], True)
+                     row["error"], True,
+                     blocks=row["blocks"], tables=row["tables"])
             else:
-                emit(url, number, total,
-                     *self._parse_page(number, payload, meta), "", False)
+                (text, md, json_s, n_blocks, n_tables,
+                 blocks, tables) = self._parse_page(number, payload, meta)
+                emit(url, number, total, text, md, json_s,
+                     n_blocks, n_tables, "", False,
+                     blocks=blocks, tables=tables)
         return pa.table(out, schema=RESULT_SCHEMA)
 
     def _parse_page(self, number: int, payload: bytes, meta_json: str):
         """One exploded page -> (text_chunk, md_chunk, json_chunk,
-        n_blocks, n_tables). Page-level failures degrade to the fallback
-        page exactly like the in-doc path (quirk Q12)."""
+        n_blocks, n_tables, blocks, tables). Page-level failures degrade to
+        the fallback page exactly like the in-doc path (quirk Q12)."""
         pdict = json.loads(payload.decode("utf-8"))
         try:
             page = layout.analyze_page(number, pdict)
@@ -213,7 +228,12 @@ class ParseDocuments:
                 lines.extend(render.markdown_meta_lines(meta))
             lines.extend(render.markdown_page_lines(page))
             md = "\n".join(lines)
-        return text, md, "", len(page["blocks"]), len(page["tables"])
+        blocks = tables = []
+        if self.want_structured:
+            blocks = outschema.doc_blocks([page])
+            tables = outschema.doc_tables([page])
+        return (text, md, "", len(page["blocks"]), len(page["tables"]),
+                blocks, tables)
 
 
 def assemble_group(group: pa.Table) -> pa.Table:
@@ -225,6 +245,8 @@ def assemble_group(group: pa.Table) -> pa.Table:
     rows = group.take(order)
     texts = rows.column("text").to_pylist()
     mds = rows.column("markdown").to_pylist()
+    blocks = [b for lst in rows.column("blocks").to_pylist() for b in lst]
+    tables = [t for lst in rows.column("tables").to_pylist() for t in lst]
     return pa.table({
         "url": [rows.column("url")[0].as_py()],
         "text": pa.array(["\n".join(texts)], pa.large_string()),
@@ -235,4 +257,6 @@ def assemble_group(group: pa.Table) -> pa.Table:
         "n_blocks": [sum(rows.column("n_blocks").to_pylist())],
         "n_tables": [sum(rows.column("n_tables").to_pylist())],
         "error": [""],
+        "blocks": pa.array([blocks], outschema.BLOCKS_TYPE),
+        "tables": pa.array([tables], outschema.TABLES_TYPE),
     })

@@ -119,3 +119,20 @@ def test_batch_size_invariance(corpus_path):
     b = _run(corpus_path, explode_threshold=None, parse_batch_size=128)
     assert {u: r["text"] for u, r in a.items()} == {
         u: r["text"] for u, r in b.items()}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_structured_nested_output(corpus_path, golden):
+    # nested Arrow blocks/tables columns (functions/schema.py), both modes
+    for kwargs in ({"explode_threshold": None},
+                   {"explode_threshold": 0}):
+        got = _run(corpus_path, want_structured=True, **kwargs)
+        for url, want in golden.items():
+            row = got[url]
+            assert len(row["blocks"]) == want["n_blocks"], url
+            assert len(row["tables"]) == want["n_tables"], url
+            if row["blocks"]:
+                b = row["blocks"][0]
+                assert set(b) == {"page_number", "text", "block_type",
+                                  "column_index", "bbox"}
+                assert len(b["bbox"]) == 4
