@@ -118,10 +118,20 @@ def run_checkpointed(
         pdir = _part_dir(out_dir, part_id)
         if os.path.exists(pdir):  # half-written: clear and redo
             shutil.rmtree(pdir)
+        # clear stale staging dirs from crashed runs (a SIGKILLed driver's
+        # workers can keep writing briefly — but only ever into their own
+        # staging dir, which no one will rename)
+        parent = os.path.dirname(pdir) or "."
+        base = os.path.basename(pdir)
+        for entry in os.listdir(parent):
+            if entry.startswith(base + ".staging-"):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
         started = time.time()
+        staging = f"{pdir}.staging-{os.getpid()}-{int(started * 1e6)}"
         ds = extract_paths(files, **pipeline_kwargs)
-        ds.write_parquet(pdir)
+        ds.write_parquet(staging)
+        os.rename(staging, pdir)  # publish atomically
         counters = _partition_counters(pdir)
         _write_manifest_atomic(mpath, {
             "partition_id": part_id,

@@ -56,8 +56,11 @@ def _read_texts(out_dir):
 def test_sigkill_then_resume(shards, tmp_path):
     out_killed = str(tmp_path / "killed")
     script = RUNNER.format(repo=REPO, files=shards, out=out_killed)
+    # new session so the WHOLE child ray cluster can be killed as a group —
+    # a SIGKILLed driver alone leaves workers flushing writes for a while
     proc = subprocess.Popen([sys.executable, "-c", script],
-                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                            start_new_session=True)
     # wait until at least one partition manifest lands, then SIGKILL
     manifest_dir = os.path.join(out_killed, "_manifest")
     deadline = time.time() + 120
@@ -70,8 +73,12 @@ def test_sigkill_then_resume(shards, tmp_path):
             break  # finished before we could kill — still a valid (trivial) run
         time.sleep(0.2)
     if proc.poll() is None:
-        proc.send_signal(signal.SIGKILL)
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
         proc.wait()
+        time.sleep(1.0)  # let any orphaned worker file handles settle
 
     done_before = len([f for f in os.listdir(manifest_dir)
                        if f.endswith(".json")]) if os.path.isdir(manifest_dir) else 0
