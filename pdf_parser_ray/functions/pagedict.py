@@ -15,6 +15,11 @@ Error tolerance mirrors the reference precisely: malformed bboxes raising
 KeyError/IndexError/ValueError drop the single item; any other exception
 (e.g. TypeError from a null bbox) propagates so the per-page fallback
 (document.py:276-321, quirk Q12) can take over.
+
+Spans are lean tuples ``(text, box, size, bold)`` (constants SP_*): no
+downstream consumer reads font name / italic / colour (the reference never
+emits them either — formatter.py outputs no span fields), and span decode
+is the single hottest kernel loop.
 """
 
 from __future__ import annotations
@@ -35,6 +40,13 @@ WIDE_OVERHANG_PT = 30.0
 TITLE_CENTER_PT = 50.0
 
 
+# span tuple slots
+SP_TEXT = 0
+SP_BOX = 1
+SP_SIZE = 2
+SP_BOLD = 3
+
+
 def rgb_of(color_int: int) -> tuple[int, int, int]:
     """Integer colour -> (r, g, b), black for 0 (page.py:746-755)."""
     if color_int == 0:
@@ -45,34 +57,37 @@ def rgb_of(color_int: int) -> tuple[int, int, int]:
 def _take_box(raw) -> g.Box | None:
     """4-float bbox from a raw payload entry; None when the payload is
     malformed in one of the tolerated ways (KeyError/IndexError/ValueError
-    only — anything else propagates, matching page.py:508-517)."""
+    only — anything else propagates, matching page.py:508-517). The
+    validation comparisons are inlined (identical semantics to
+    geometry.box's ValueError) — this runs once per span/line/block."""
     try:
-        return g.box(raw["bbox"][0], raw["bbox"][1], raw["bbox"][2], raw["bbox"][3])
+        bb = raw["bbox"]
+        x0 = float(bb[0]); y0 = float(bb[1]); x1 = float(bb[2]); y1 = float(bb[3])
     except (KeyError, IndexError, ValueError):
         return None
+    if x0 > x1 or y0 > y1:
+        return None
+    return (x0, y0, x1, y1)
 
 
-def decode_span(sd: dict) -> dict | None:
-    """Span payload -> span dict, or None (page.py:698-744). Whitespace-only
-    text is kept (it still drives spacing); empty text is dropped."""
-    text = sd.get("text", "")
+def decode_span(sd: dict, _get=dict.get):
+    """Span payload -> span tuple, or None (page.py:698-744).
+    Whitespace-only text is kept (it still drives spacing); empty text is
+    dropped. Bold detection matches page.py:729 (flag bit 16 or "bold" in
+    the lowered font name)."""
+    text = _get(sd, "text", "")
     if not text:
         return None
     bb = _take_box(sd)
     if bb is None:
         return None
-    name = sd.get("font", "unknown")
-    lowered = name.lower()
-    flags = sd.get("flags", 0)
-    return {
-        "text": text,
-        "box": bb,
-        "font": name,
-        "size": float(sd.get("size", 12.0)),
-        "bold": bool(flags & 16) or "bold" in lowered,
-        "italic": bool(flags & 2) or "italic" in lowered,
-        "color": rgb_of(sd.get("color", 0)),
-    }
+    flags = _get(sd, "flags", 0)
+    return (
+        text,
+        bb,
+        float(_get(sd, "size", 12.0)),
+        bool(flags & 16) or "bold" in _get(sd, "font", "unknown").lower(),
+    )
 
 
 def decode_line(ld: dict) -> dict | None:
@@ -85,7 +100,7 @@ def decode_line(ld: dict) -> dict | None:
     if not raw_spans:
         return None
 
-    spans: list[dict] = []
+    spans: list = []
     pieces: list[str] = []
     prev_end: float | None = None
     prev_size = 12.0
@@ -94,11 +109,12 @@ def decode_line(ld: dict) -> dict | None:
         if span is None:
             continue
         spans.append(span)
-        if prev_end is not None and span["box"][0] - prev_end > prev_size * SPACE_RATIO:
+        text, sbox, size, _ = span
+        if prev_end is not None and sbox[0] - prev_end > prev_size * SPACE_RATIO:
             pieces.append(" ")
-        pieces.append(span["text"])
-        prev_end = span["box"][2]
-        prev_size = span["size"]
+        pieces.append(text)
+        prev_end = sbox[2]
+        prev_size = size
 
     text = "".join(pieces).strip()
     if not text:
@@ -245,7 +261,7 @@ def _spans_straddle(block: dict, boundary: float) -> bool:
             return False
     left = right = False
     for span in block["spans"]:
-        if g.center_x(span["box"]) < boundary:
+        if g.center_x(span[SP_BOX]) < boundary:
             left = True
         else:
             right = True
@@ -260,19 +276,19 @@ def _halve_block(block: dict, boundary: float) -> tuple[dict | None, dict | None
     sides: dict[str, list[dict]] = {"L": [], "R": []}
     for ln in block["lines"]:
         for key, side_spans in (
-            ("L", [s for s in ln["spans"] if g.center_x(s["box"]) < boundary]),
-            ("R", [s for s in ln["spans"] if g.center_x(s["box"]) >= boundary]),
+            ("L", [s for s in ln["spans"] if g.center_x(s[SP_BOX]) < boundary]),
+            ("R", [s for s in ln["spans"] if g.center_x(s[SP_BOX]) >= boundary]),
         ):
             if not side_spans:
                 continue
             sides[key].append({
                 "box": (
-                    min(s["box"][0] for s in side_spans),
+                    min(s[SP_BOX][0] for s in side_spans),
                     ln["box"][1],
-                    max(s["box"][2] for s in side_spans),
+                    max(s[SP_BOX][2] for s in side_spans),
                     ln["box"][3],
                 ),
-                "text": " ".join(s["text"] for s in side_spans),
+                "text": " ".join(s[SP_TEXT] for s in side_spans),
                 "spans": side_spans,
             })
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import re
 
 from pdf_parser_ray.functions import geometry as g
-from pdf_parser_ray.functions.pagedict import block_text
+from pdf_parser_ray.functions.pagedict import SP_BOLD, SP_SIZE, block_text
 
 # Leading bullet / enumerator marker (paragraphs.py:319).
 _LIST_MARK = re.compile(r"^[\•\-\*\d]+[\.\)]\s")
@@ -83,7 +83,7 @@ def _continues(prev: dict, curr: dict) -> bool:
 def mean_span_size(block: dict) -> float:
     """Mean positive span font size, defaulting to 12.0
     (paragraphs.py:163-173)."""
-    sizes = [s["size"] for s in block["spans"] if s["size"] > 0]
+    sizes = [s[SP_SIZE] for s in block["spans"] if s[SP_SIZE] > 0]
     if not sizes:
         return 12.0
     return sum(sizes) / len(sizes)
@@ -132,8 +132,8 @@ def _classify(group: list[dict], spans: list[dict]) -> str:
     """HEADING / LIST_ITEM / PARAGRAPH heuristics (paragraphs.py:285-323)."""
     if not spans:
         return UNKNOWN
-    avg_size = sum(s["size"] for s in spans) / len(spans)
-    any_bold = any(s["bold"] for s in spans)
+    avg_size = sum(s[SP_SIZE] for s in spans) / len(spans)
+    any_bold = any(s[SP_BOLD] for s in spans)
     full = " ".join(block_text(b) for b in group).strip()
     if len(full) < 100 and (
         any_bold or avg_size >= 14 or (full.isupper() and len(full) > 3)

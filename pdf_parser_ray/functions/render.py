@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 
 from pdf_parser_ray.functions import tables as tabmod
+from pdf_parser_ray.functions.pagedict import SP_SIZE
 from pdf_parser_ray.functions.paragraphs import HEADING, LIST_ITEM
 
 
@@ -105,7 +106,7 @@ def _markdown_block(b: dict) -> str:
     text = b["text"].strip()
     if b["type"] == HEADING:
         if b["spans"]:
-            avg = sum(s["size"] for s in b["spans"]) / len(b["spans"])
+            avg = sum(s[SP_SIZE] for s in b["spans"]) / len(b["spans"])
             if avg >= 18:
                 return f"## {text}"
             if avg >= 14:
