@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_late_orders": q.q4_late_orders,
         "priority_counts": q.priority_counts,
         "nation_balance": q.nation_balance,
+        "supplier_stats": q.supplier_stats,
         "segment_order_stats": q.segment_order_stats,
         # events
         "events_hourly": q.events_hourly,
@@ -181,6 +182,13 @@ def oracle_sql() -> dict[str, str]:
                    round(min(c_acctbal), 2) AS min_acctbal,
                    round(max(c_acctbal), 2) AS max_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "supplier_stats": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0
+                       AS total_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
         """,
         "segment_order_stats": """

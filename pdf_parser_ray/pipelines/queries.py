@@ -673,3 +673,25 @@ def docs_top_by_lang(sf_dir: str):
 
     out = ds.groupby("lang").map_groups(top3, batch_format="pandas")
     return rel.to_pandas_sorted(out.to_pandas(), ["lang", "doc_id"])
+
+
+def supplier_stats(sf_dir: str):
+    """Supplier account balances by nation (broadcast dimension join +
+    exact-cents grouped aggregation)."""
+    nation = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
+    supp = rel.load(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column("bal_c", _cents(batch.column("s_acctbal")))
+
+    supp = supp.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
+    joined = rel.broadcast_merge(
+        supp, nation.rename(columns={"n_nationkey": "s_nationkey"}),
+        on="s_nationkey")
+    agg = rel.grouped_agg(joined, ["n_name"],
+                          [("n_suppliers", "", "count"),
+                           ("total_acctbal", "bal_c", "sum")],
+                          small_result=True)
+    df = rel.as_pandas(agg)
+    df["total_acctbal"] = _dollars(df["total_acctbal"])
+    return rel.to_pandas_sorted(df, ["n_name"])
