@@ -136,3 +136,12 @@ def test_structured_nested_output(corpus_path, golden):
                 assert set(b) == {"page_number", "text", "block_type",
                                   "column_index", "bbox"}
                 assert len(b["bbox"]) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_pool_mode(corpus_path, golden):
+    # actor-pool parse stage (ctor kwargs path) incl. explode combination
+    got = _run(corpus_path, parse_mode="actors", parse_concurrency=2,
+               explode_threshold=64 * 1024)
+    assert {u: r["text"] for u, r in got.items()} == {
+        u: w["text"] for u, w in golden.items()}
