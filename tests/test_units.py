@@ -173,3 +173,42 @@ class TestHtmlStripGoldens:
             "<p>Real content paragraph long enough to be retained today.</p>")
         assert "navigation" not in text
         assert "Real content" in text
+
+
+class TestErrors:
+    def test_hierarchy(self):
+        from pdf_parser_ray.functions import errors
+
+        assert issubclass(errors.DocumentLoadError, errors.ExtractionError)
+        assert issubclass(errors.DocumentLoadError, ValueError)
+        assert issubclass(errors.PageRangeError, errors.ExtractionError)
+        e = errors.PageRangeError("bad page", page_number=7)
+        assert "page_number=7" in str(e)
+        assert e.details == {"page_number": 7}
+
+    def test_load_bundle_raises_load_error(self):
+        from pdf_parser_ray.functions import errors, layout
+
+        for bad in (b"", b"\x00junk", b"[1,2]", b'{"nope": 1}'):
+            with pytest.raises(errors.DocumentLoadError):
+                layout.load_bundle(bad)
+
+
+class TestJaccardVerify:
+    def test_verify_candidates(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import verify_candidates_jaccard
+
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "alpha beta gamma delta epsilon zeta eta iota",
+                "completely different words with no overlap at all",
+            ],
+        }))
+        out = verify_candidates_jaccard(docs, [(1, 2), (1, 3)], threshold=0.5)
+        assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+        assert 0.5 <= out[0]["jaccard"] <= 1.0
