@@ -18,7 +18,6 @@ import ray
 import ray.data
 
 from pdf_parser_ray.functions.num import np_round_half_away, round_half_away
-from pdf_parser_ray.pipelines.relational import grouped_agg
 
 
 def _matrix(batch: pa.Table) -> np.ndarray:
