@@ -29,18 +29,32 @@ def synth_dataset(n_docs: int, seed: int = 42) -> ray.data.Dataset:
     return ids.map_batches(gen, batch_format="pyarrow", batch_size=512)
 
 
+def _generator_fingerprint() -> str:
+    """Hash of the generator source: a changed synth.py must invalidate
+    cached corpora or benchmarks would silently run on stale data."""
+    import hashlib
+    import inspect
+
+    from pdf_parser_ray.sources import synth
+
+    return hashlib.sha256(inspect.getsource(synth).encode()).hexdigest()[:12]
+
+
 def materialize_corpus(n_docs: int, seed: int = 42,
                        cache_dir: str = DEFAULT_CACHE) -> str:
     """Write (or reuse) the corpus parquet shards; returns the directory."""
     out = os.path.join(cache_dir, f"n{n_docs}_s{seed}")
     marker = os.path.join(out, "_COMPLETE")
+    fingerprint = _generator_fingerprint()
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read().strip() == fingerprint:
+                return out
     import shutil
 
     if os.path.exists(out):
         shutil.rmtree(out)
     synth_dataset(n_docs, seed).write_parquet(out)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(fingerprint)
     return out

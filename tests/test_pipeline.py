@@ -145,3 +145,14 @@ def test_actor_pool_mode(corpus_path, golden):
                explode_threshold=64 * 1024)
     assert {u: r["text"] for u, r in got.items()} == {
         u: w["text"] for u, w in golden.items()}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_schema_stable(corpus_path):
+    # the driver smoke-checks a stable schema on entry(); guard the columns
+    import __ray_entry__ as entrymod
+
+    df = entrymod.entry()
+    df = df if hasattr(df, "columns") else df.to_pandas()
+    assert list(df.columns) == ["url", "n_pages", "n_blocks", "n_tables",
+                                "error", "text_fp"]
