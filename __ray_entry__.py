@@ -250,8 +250,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.event_id, -1) AS click_id,
                    round(coalesce(c.value, 0.0), 2) AS click_value
             FROM (SELECT * FROM events WHERE event_type = 'error') e
-            ASOF LEFT JOIN
-                 (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (
+                 -- one click per (user_id, ts), keeping max event_id: the
+                 -- choice among equal-ts matches is explicit on both engines
+                 SELECT * FROM (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                     FROM events WHERE event_type = 'click'
+                 ) WHERE rn = 1
+            ) c
               ON e.user_id = c.user_id AND e.ts >= c.ts
         """,
         "docs_stats": f"""

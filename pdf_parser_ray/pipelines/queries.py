@@ -523,8 +523,12 @@ def events_asof_click(sf_dir: str):
     def per_user(group: pd.DataFrame) -> pd.DataFrame:
         errors = (group[group.event_type == "error"]
                   .sort_values(["ts", "event_id"], kind="mergesort"))
+        # tie-break: one click per (user_id, ts), keeping max event_id —
+        # explicit on both engines (the oracle dedupes identically), so the
+        # as-of match among equal-ts clicks is never engine-dependent
         clicks = (group[group.event_type == "click"]
-                  .sort_values(["ts", "event_id"], kind="mergesort"))
+                  .sort_values(["ts", "event_id"], kind="mergesort")
+                  .drop_duplicates(subset=["ts"], keep="last"))
         if errors.empty:
             return pd.DataFrame({
                 "event_id": pd.Series(dtype="int64"),

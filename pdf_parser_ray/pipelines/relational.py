@@ -53,7 +53,8 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.select(keys + src_cols).to_pandas()
-        gb = df.groupby(keys, as_index=False, sort=False)
+        # dropna=False: SQL GROUP BY keeps NULL groups (DuckDB lockstep)
+        gb = df.groupby(keys, as_index=False, sort=False, dropna=False)
         named = {}
         for out, src, op in spec:
             if op == "count":
@@ -61,7 +62,8 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
             named[out] = pd.NamedAgg(column=src, aggfunc=op)
         agg = gb.agg(**named) if named else gb.size().rename(columns={"size": _PARTIAL_COUNT})
         if need_count and named:
-            counts = df.groupby(keys, sort=False).size().reset_index(name=_PARTIAL_COUNT)
+            counts = (df.groupby(keys, sort=False, dropna=False).size()
+                      .reset_index(name=_PARTIAL_COUNT))
             agg = agg.merge(counts, on=keys)
         return agg
 
@@ -69,7 +71,7 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
 
     if small_result:
         df = partials.to_pandas()
-        gb = df.groupby(keys, as_index=False, sort=False)
+        gb = df.groupby(keys, as_index=False, sort=False, dropna=False)
         named = {}
         for out, _, op in spec:
             if op == "count":

@@ -42,9 +42,13 @@ def _generator_fingerprint() -> str:
 
 def materialize_corpus(n_docs: int, seed: int = 42,
                        cache_dir: str = DEFAULT_CACHE) -> str:
-    """Write (or reuse) the corpus parquet shards; returns the directory."""
+    """Write (or reuse) the corpus parquet shards; returns the directory.
+
+    The completion marker lives OUTSIDE the shard directory (sibling file)
+    so a plain ``ray.data.read_parquet(dir)`` never tries to parse it."""
     out = os.path.join(cache_dir, f"n{n_docs}_s{seed}")
-    marker = os.path.join(out, "_COMPLETE")
+    marker = os.path.join(cache_dir, f"n{n_docs}_s{seed}.complete")
+    legacy_marker = os.path.join(out, "_COMPLETE")
     fingerprint = _generator_fingerprint()
     if os.path.exists(marker):
         with open(marker) as f:
@@ -54,7 +58,12 @@ def materialize_corpus(n_docs: int, seed: int = 42,
 
     if os.path.exists(out):
         shutil.rmtree(out)
+    if os.path.exists(marker):
+        os.remove(marker)
+    os.makedirs(cache_dir, exist_ok=True)
     synth_dataset(n_docs, seed).write_parquet(out)
+    if os.path.exists(legacy_marker):  # pre-relocation cache layout
+        os.remove(legacy_marker)
     with open(marker, "w") as f:
         f.write(fingerprint)
     return out

@@ -125,7 +125,11 @@ def make_router(explode_threshold: int | None):
                     continue
                 pages = bundle["pages"]
                 meta_json = json.dumps(bundle.get("metadata") or {})
-                if not pages:
+                # a non-dict page entry would poison per-page parsing (both
+                # analyze_page and the fallback need a dict); route the whole
+                # doc instead so it degrades to the standard error row exactly
+                # like pure-map mode (never-raises invariant)
+                if not pages or not all(isinstance(p, dict) for p in pages):
                     emit(url, "doc", 0, 0, payload, "")
                     continue
                 for i, pdict in enumerate(pages):
@@ -203,10 +207,20 @@ class ParseDocuments:
                      row["error"], True,
                      blocks=row["blocks"], tables=row["tables"])
             else:
-                (text, md, json_s, n_blocks, n_tables,
-                 blocks, tables) = self._parse_page(number, payload, meta)
+                try:
+                    (text, md, json_s, n_blocks, n_tables,
+                     blocks, tables) = self._parse_page(number, payload, meta)
+                    err = ""
+                except Exception as e:  # noqa: BLE001 — never-raises invariant
+                    # the router only explodes dict page entries, so this is a
+                    # safety net for unexpected page-level failures: degrade to
+                    # an error chunk instead of failing the Ray task
+                    text = md = json_s = ""
+                    n_blocks = n_tables = 0
+                    blocks = tables = []
+                    err = f"{type(e).__name__}: {e}"
                 emit(url, number, total, text, md, json_s,
-                     n_blocks, n_tables, "", False,
+                     n_blocks, n_tables, err, False,
                      blocks=blocks, tables=tables)
         return pa.table(out, schema=RESULT_SCHEMA)
 
@@ -256,7 +270,8 @@ def assemble_group(group: pa.Table) -> pa.Table:
         "n_pages": pa.array([rows.column("n_pages")[0].as_py()], pa.int32()),
         "n_blocks": [sum(rows.column("n_blocks").to_pylist())],
         "n_tables": [sum(rows.column("n_tables").to_pylist())],
-        "error": [""],
+        "error": ["; ".join(dict.fromkeys(
+            e for e in rows.column("error").to_pylist() if e))],
         "blocks": pa.array([blocks], outschema.BLOCKS_TYPE),
         "tables": pa.array([tables], outschema.TABLES_TYPE),
     })

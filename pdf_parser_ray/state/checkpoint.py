@@ -84,6 +84,27 @@ def _partition_counters(part_dir: str) -> dict:
     return counters
 
 
+def _remove_stale_parts(out_dir: str, parts_total: int) -> None:
+    """Delete part dirs and manifests whose part_id >= parts_total."""
+    import re
+
+    part_rx = re.compile(r"^part-(\d{4,})$")
+    for entry in os.listdir(out_dir):
+        m = part_rx.match(entry)
+        if m and int(m.group(1)) >= parts_total:
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+    mdir = os.path.join(out_dir, "_manifest")
+    man_rx = re.compile(r"^part-(\d{4,})\.json$")
+    if os.path.isdir(mdir):
+        for entry in os.listdir(mdir):
+            m = man_rx.match(entry)
+            if m and int(m.group(1)) >= parts_total:
+                try:
+                    os.remove(os.path.join(mdir, entry))
+                except OSError:
+                    pass
+
+
 def run_checkpointed(
     input_files: list[str],
     out_dir: str,
@@ -104,6 +125,12 @@ def run_checkpointed(
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
 
     parts = plan_partitions(input_files, files_per_part)
+
+    # a resume with a shorter input list (or larger files_per_part) must not
+    # leave stale part dirs/manifests beyond the new plan — consumers that
+    # glob part-* would silently include rows from the previous run
+    _remove_stale_parts(out_dir, parts_total=len(parts))
+
     skipped = run = total_rows = 0
 
     for part_id, files in enumerate(parts):
