@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_topk": q.emb_topk,
         "emb_centroids": q.emb_centroids,
         "emb_near_pairs": q.emb_near_pairs,
+        "emb_near_pairs_lsh": q.emb_near_pairs_lsh,
         "emb_topk_ivf": q.emb_topk_ivf,
         # multimodal (stubbed decode, real Ray plumbing)
         "media_features": q.media_features,
@@ -337,6 +338,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])) > 0.95
+        """,
+        "emb_near_pairs_lsh": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) > 0.8
         """,
         # docs_minhash_pairs, docs_simhash, extract_corpus: not
         # SQL-expressible (hashing sketches / full layout engine) ->

@@ -94,7 +94,9 @@ def q3_top_revenue_orders(sf_dir: str):
     date = _TS(1998, 3, 15)
     cust = rel.load(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     building = cust.filter(expr="c_mktsegment == 'BUILDING'")
-    cust_keys = [r["c_custkey"] for r in building.select_columns(["c_custkey"]).take_all()]
+    # semi-join build side: the filtered key column only, gathered as a
+    # compact Arrow array (never Python rows) then broadcast once
+    cust_keys = rel.collect_column(building, "c_custkey")
 
     orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -407,6 +409,16 @@ def emb_near_pairs(sf_dir: str):
     return similarity.pairs_above(ds, threshold=0.95)
 
 
+def emb_near_pairs_lsh(sf_dir: str):
+    """Subquadratic near-pair search (random-hyperplane LSH banding +
+    in-bucket exact scoring). Oracle: the exact all-pairs SQL at the same
+    threshold — equality holds because in-bucket scoring is exact and LSH
+    recall at cos >= 0.8 with 16x4-bit bands is ~1 (verified on planted
+    near-dups in tests/test_similarity_scale.py)."""
+    ds = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.lsh_pairs_above(ds, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # extraction flagship (synthetic pages corpus; no SQL analog)
 # ---------------------------------------------------------------------------
@@ -638,13 +650,15 @@ def q4_late_orders(sf_dir: str):
                          "o_orderpriority": kept.column("o_orderpriority")})
 
     hits = joined.map_batches(late, batch_format="pyarrow", zero_copy_batch=True)
-    # final distinct+count on the driver: only late-order keys survive the
-    # filter (at corpus scale this final consolidation becomes one more
-    # distributed grouped_agg on (priority, orderkey))
-    df = rel.as_pandas(hits).drop_duplicates()
-    counts = (df.groupby("o_orderpriority", as_index=False, sort=False)
-              .agg(n_orders=("l_orderkey", "count")))
-    return rel.to_pandas_sorted(counts, ["o_orderpriority"])
+    # distinct late orders fully distributed: grouped_agg on
+    # (priority, orderkey) dedupes the per-batch candidate maxes without
+    # ever pulling order keys to the driver; only the 5-row priority
+    # count crosses over
+    distinct_orders = rel.grouped_agg(
+        hits, ["o_orderpriority", "l_orderkey"], [("n", "", "count")])
+    counts = rel.grouped_agg(distinct_orders, ["o_orderpriority"],
+                             [("n_orders", "", "count")], small_result=True)
+    return rel.to_pandas_sorted(rel.as_pandas(counts), ["o_orderpriority"])
 
 
 def events_props_k(sf_dir: str):

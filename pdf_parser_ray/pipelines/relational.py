@@ -51,7 +51,7 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
     need_count = any(op == "count" for _, _, op in spec)
     src_cols = sorted({src for _, src, op in spec if op != "count"})
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(keys + src_cols).to_pandas()
         # dropna=False: SQL GROUP BY keeps NULL groups (DuckDB lockstep)
         gb = df.groupby(keys, as_index=False, sort=False, dropna=False)
@@ -65,7 +65,10 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
             counts = (df.groupby(keys, sort=False, dropna=False).size()
                       .reset_index(name=_PARTIAL_COUNT))
             agg = agg.merge(counts, on=keys)
-        return agg
+        # ALWAYS hand Arrow blocks to the downstream Dataset.groupby:
+        # pandas-format blocks make Ray 2.49's sort-shuffle aggregate
+        # ~30x slower (measured 117 s vs 4 s on 274k rows / 150k groups)
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -108,9 +111,30 @@ def broadcast_merge(ds: ray.data.Dataset, right: pd.DataFrame,
     return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def collect_column(ds: ray.data.Dataset, col: str) -> pa.Array:
+    """Gather ONE column of a Dataset to the driver as a compact Arrow
+    array (zero-copy chunks, no Python row objects). The distributed
+    projection runs first, so only the key column crosses to the driver —
+    the semi-join build-side pattern for sides too big for take_all() but
+    small enough to broadcast (e.g. a filtered key set)."""
+    refs = ds.select_columns([col]).to_arrow_refs()
+    chunks: list[pa.Array] = []
+    for ref in refs:
+        chunks.extend(ray.get(ref).column(col).chunks)
+    if not chunks:
+        return pa.array([], pa.int64())
+    return pa.chunked_array(chunks).combine_chunks()
+
+
 def broadcast_semi(ds: ray.data.Dataset, key: str, values) -> ray.data.Dataset:
-    """Semi-join filter: keep rows whose ``key`` is in the broadcast set."""
-    ref = ray.put(pa.array(sorted(values)))
+    """Semi-join filter: keep rows whose ``key`` is in the broadcast set.
+    ``values`` may be a Python iterable or an Arrow array (from
+    ``collect_column``)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+    else:
+        arr = pa.array(sorted(values))
+    ref = ray.put(arr)
 
     def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

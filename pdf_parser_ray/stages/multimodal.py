@@ -157,17 +157,29 @@ class VideoFrameSample(_MediaActor):
         return vec, {"sampled_frames": frame_indices}
 
 
-def media_features(media_ds, concurrency=None):
-    """Fan the three modality actors over the corpus; union of features.
+class MediaFeatures:
+    """Single-scan dispatcher: one actor holds all three modality
+    processors (each probes its codec lib once in __init__) and routes
+    every batch to each by kind. One pass over the corpus — branching
+    three ``map_batches`` off the same un-materialized upstream would
+    re-execute the scan 3x (the re-execution trap BASELINE.md documents
+    for the explode path). At write-time-partitioned-by-kind deployments
+    the per-kind actor classes above can run as disjoint scans instead."""
 
-    Each stage filters its own kind inside the batch (cheap) so the input
-    is read once per modality; at scale, pre-partitioning by kind at write
-    time turns these into disjoint scans.
-    """
-    common = dict(batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
-                  zero_copy_batch=True,
-                  concurrency=concurrency if concurrency is not None else 2)
-    img = media_ds.map_batches(ImageFeatures, **common)
-    aud = media_ds.map_batches(AudioFeatures, **common)
-    vid = media_ds.map_batches(VideoFrameSample, **common)
-    return img.union(aud).union(vid)
+    def __init__(self):
+        self._stages = (ImageFeatures(), AudioFeatures(), VideoFrameSample())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([stage(batch) for stage in self._stages])
+
+
+def media_features(media_ds, concurrency=None):
+    """Per-modality decode/feature actor pool over the media corpus —
+    single scan, small batches (large binary payloads)."""
+    return media_ds.map_batches(
+        MediaFeatures,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        zero_copy_batch=True,
+        concurrency=concurrency if concurrency is not None else 2,
+    )

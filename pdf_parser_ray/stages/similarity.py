@@ -4,8 +4,11 @@
   matrix — numpy matmul per batch, per-batch local top-k, tiny final
   combine. The scale path swaps the scorer for an IVF/LSH-bucketed probe;
   the harness (broadcast once, local top-k, small merge) is unchanged.
-* ``pairs_above``: embedding near-duplicate pairs (cosine > threshold) via
-  blocked matmul against the broadcast matrix.
+* ``pairs_above``: EXACT embedding near-duplicate pairs (cosine >
+  threshold) via a distributed block-pair plan — no driver
+  materialization, each task fetches two object-store blocks.
+* ``lsh_pairs_above``: the subquadratic scale path — random-hyperplane
+  LSH banding, in-bucket exact scoring, hot-bucket cap.
 * ``label_centroids``: per-(label, dim) mean via two-phase aggregation.
 """
 
@@ -17,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from pdf_parser_ray.functions.num import np_round_half_away, round_half_away
+from pdf_parser_ray.functions.num import np_round_half_away
 
 
 def _matrix(batch: pa.Table) -> np.ndarray:
@@ -61,45 +64,185 @@ def topk_cosine(embs: ray.data.Dataset, queries: dict[int, list[float]],
     return out
 
 
-def pairs_above(embs: ray.data.Dataset, threshold: float = 0.95) -> pd.DataFrame:
-    """-> (vec_a, vec_b, cos_sim) for all pairs above threshold (a < b).
+_EMPTY_PAIRS = {
+    "vec_a": pa.array([], pa.int64()),
+    "vec_b": pa.array([], pa.int64()),
+    "cos_sim": pa.array([], pa.float64()),
+}
 
-    Broadcasts the normalised matrix once (fine to ~1M x 64 f32); each task
-    scores its block against the whole. Beyond broadcast capacity the same
-    kernel runs per LSH bucket after a bucket groupby.
-    """
-    whole = pa.concat_tables([ray.get(r) for r in embs.to_arrow_refs()])
-    full = _unit(_matrix(whole))
-    ids_full = np.asarray(whole.column("vec_id").to_pylist())
-    mref = ray.put(full)
-    iref = ray.put(ids_full)
 
-    def block_pairs(batch: pa.Table) -> pd.DataFrame:
-        vecs = _unit(_matrix(batch))
-        ids = np.asarray(batch.column("vec_id").to_pylist())
-        sims = vecs @ ray.get(mref).T
-        other = ray.get(iref)
-        rows_a, rows_b, rows_s = [], [], []
-        ai, bj = np.nonzero(sims > threshold)
-        for i, j in zip(ai, bj):
-            if ids[i] < other[j]:
-                rows_a.append(int(ids[i]))
-                rows_b.append(int(other[j]))
-                rows_s.append(round_half_away(float(sims[i, j]), 4))
-        return pd.DataFrame({
-            "vec_a": pd.array(rows_a, dtype="int64"),
-            "vec_b": pd.array(rows_b, dtype="int64"),
-            "cos_sim": pd.array(rows_s, dtype="float64"),
-        })
+def _exact_pairs_tables(ids_a, mat_a, ids_b, mat_b, threshold: float,
+                        same_block: bool, chunk_rows: int) -> pa.Table:
+    """Exact cosine pairs > threshold between two unit matrices, chunked so
+    the sims buffer never exceeds chunk_rows^2 floats. Pairs are oriented
+    (min_id, max_id); for a block against itself only the strict upper
+    triangle of indices is scored."""
+    out_a, out_b, out_s = [], [], []
+    for a0 in range(0, len(ids_a), chunk_rows):
+        a1 = min(a0 + chunk_rows, len(ids_a))
+        for b0 in range(0, len(ids_b), chunk_rows):
+            b1 = min(b0 + chunk_rows, len(ids_b))
+            if same_block and b1 <= a0:
+                continue  # fully below the diagonal
+            sims = mat_a[a0:a1] @ mat_b[b0:b1].T
+            ai, bj = np.nonzero(sims > threshold)
+            if same_block:
+                keep = (a0 + ai) < (b0 + bj)  # strict upper triangle
+                ai, bj = ai[keep], bj[keep]
+            if not len(ai):
+                continue
+            ida = ids_a[a0 + ai]
+            idb = ids_b[b0 + bj]
+            lo = np.minimum(ida, idb)
+            hi = np.maximum(ida, idb)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(np_round_half_away(sims[ai, bj], 4))
+    if not out_a:
+        return pa.table(_EMPTY_PAIRS)
+    return pa.table({
+        "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+        "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+        "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+    })
 
-    out = embs.map_batches(block_pairs, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
-    if "vec_a" not in out.columns:  # zero matches: rebuild the typed frame
+
+def pairs_above(embs: ray.data.Dataset, threshold: float = 0.95,
+                chunk_rows: int = 4096) -> pd.DataFrame:
+    """-> (vec_a, vec_b, cos_sim) for ALL pairs above threshold (a < b) —
+    exact, via a distributed block-pair plan.
+
+    The driver never materializes vectors: ``to_arrow_refs`` leaves every
+    block in the object store; a tiny (i, j) block-index dataset fans out
+    one task per block pair, and each task fetches exactly its two blocks
+    and scores them with a chunked matmul (peak sims buffer
+    chunk_rows^2 x 8 B). Only matching pairs ever reach the driver.
+    Cost is inherently O(B^2/2) tasks — the exact-search model; the
+    subquadratic scale path is ``lsh_pairs_above`` (same kernel per LSH
+    bucket)."""
+    refs = embs.select_columns(["vec_id", "embedding"]).to_arrow_refs()
+    refs_ref = ray.put(refs)  # list of refs: tiny; blocks stay put
+    nblocks = len(refs)
+    pairs_idx = [{"i": i, "j": j}
+                 for i in range(nblocks) for j in range(i, nblocks)]
+
+    def score(batch: pa.Table) -> pa.Table:
+        all_refs = ray.get(refs_ref)
+        tables = []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            ta = ray.get(all_refs[i])
+            ids_a = np.asarray(ta.column("vec_id").to_pylist())
+            mat_a = _unit(_matrix(ta))
+            if j == i:
+                ids_b, mat_b = ids_a, mat_a
+            else:
+                tb = ray.get(all_refs[j])
+                ids_b = np.asarray(tb.column("vec_id").to_pylist())
+                mat_b = _unit(_matrix(tb))
+            tables.append(_exact_pairs_tables(ids_a, mat_a, ids_b, mat_b,
+                                              threshold, j == i, chunk_rows))
+        return pa.concat_tables(tables) if tables else pa.table(_EMPTY_PAIRS)
+
+    idx = ray.data.from_items(pairs_idx,
+                              override_num_blocks=max(1, len(pairs_idx)))
+    out = idx.map_batches(score, batch_format="pyarrow").to_pandas()
+    if out.empty:
         out = pd.DataFrame({
             "vec_a": pd.Series(dtype="int64"),
             "vec_b": pd.Series(dtype="int64"),
             "cos_sim": pd.Series(dtype="float64"),
         })
+    return out.sort_values(["vec_a", "vec_b"], kind="mergesort").reset_index(drop=True)
+
+
+# LSH near-pair search: the subquadratic scale path for pairs_above.
+# Random-hyperplane signatures; docs sharing any band key are candidates,
+# scored with the SAME exact kernel inside their bucket.
+LSH_PLANES = 64
+LSH_BANDS = 16
+LSH_SEED = 0x5EED
+LSH_BUCKET_CAP = 2048
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(LSH_SEED)
+    return rng.standard_normal((dim, LSH_PLANES))
+
+
+def lsh_pairs_above(embs: ray.data.Dataset, threshold: float = 0.8,
+                    bucket_cap: int = LSH_BUCKET_CAP) -> pd.DataFrame:
+    """Near-duplicate pairs via random-hyperplane LSH + in-bucket exact
+    scoring — subquadratic: shuffles (band_key, vec_id, embedding) rows,
+    never forms cross-bucket pairs.
+
+    Recall for cos >= 0.8 with 16 bands x 4 bits is ~0.9998 (tested on
+    planted near-dups); pairs found in several bands are deduped by a
+    (vec_a, vec_b) groupby. Hot buckets beyond ``bucket_cap`` rows are
+    truncated (logged) — the cap bounds the O(|bucket|^2) kernel."""
+    first = embs.take(1)
+    if not first:
+        return pd.DataFrame({
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        })
+    dim = len(first[0]["embedding"])
+    rows_per_band = LSH_PLANES // LSH_BANDS
+    pref = ray.put(_hyperplanes(dim))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        vecs = _unit(_matrix(batch))
+        bits = (vecs @ ray.get(pref)) > 0  # (N, planes)
+        weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+        tables = []
+        for b in range(LSH_BANDS):
+            chunk = bits[:, b * rows_per_band:(b + 1) * rows_per_band]
+            vals = chunk.astype(np.int64) @ weights
+            key = pa.array([f"{b}:{v}" for v in vals], pa.string())
+            tables.append(pa.table({
+                "band_key": key,
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }))
+        return pa.concat_tables(tables)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table(_EMPTY_PAIRS)
+        if n > bucket_cap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_pairs_above: hot bucket %s has %d rows; truncating to "
+                "%d (dropping %d rows from in-bucket pairing)",
+                group.column("band_key")[0].as_py(), n, bucket_cap,
+                n - bucket_cap)
+            order = pa.compute.sort_indices(group.column("vec_id"))
+            group = group.take(order[:bucket_cap])
+        ids = np.asarray(group.column("vec_id").to_pylist())
+        mat = _unit(_matrix(group))
+        return _exact_pairs_tables(ids, mat, ids, mat, threshold,
+                                   same_block=True, chunk_rows=bucket_cap)
+
+    banded = embs.map_batches(band_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    pairs = banded.groupby("band_key").map_groups(bucket_pairs,
+                                                  batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    deduped = pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("cos_sim", alias_name="cos_sim"))
+    out = deduped.to_pandas()
+    if out.empty:
+        out = pd.DataFrame({
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        })
+    out = out.astype({"vec_a": "int64", "vec_b": "int64",
+                      "cos_sim": "float64"})
     return out.sort_values(["vec_a", "vec_b"], kind="mergesort").reset_index(drop=True)
 
 
@@ -141,15 +284,33 @@ def label_centroids(embs: ray.data.Dataset) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _lowest_id_rows(embs: ray.data.Dataset, k: int) -> list[dict]:
+    """The ``k`` rows with the lowest vec_id via distributed local min-k
+    (per-batch top-k + tiny driver merge) — no global sort shuffle for a
+    handful of rows."""
+    import pyarrow.compute as pc
+
+    def local_mink(batch: pa.Table) -> pa.Table:
+        t = batch.select(["vec_id", "embedding"])
+        idx = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])[:k]
+        return t.take(idx)
+
+    cand = embs.map_batches(local_mink, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()  # <= k per block
+    cand.sort(key=lambda r: r["vec_id"])
+    return cand[:k]
+
+
 def kmeans_centers(embs: ray.data.Dataset, n_centers: int = 16,
                    iters: int = 4) -> np.ndarray:
     """Deterministic distributed Lloyd iterations.
 
     Init = the ``n_centers`` vectors with the lowest vec_id (stable across
-    runs and shardings); each iteration is one map_batches pass producing
+    runs and shardings, computed as a distributed local min-k — never a
+    global sort); each iteration is one map_batches pass producing
     per-center partial sums, combined on the driver (K x dim floats — tiny).
     """
-    first = embs.sort("vec_id").limit(n_centers).take_all()
+    first = _lowest_id_rows(embs, n_centers)
     centers = _unit(np.array([r["embedding"] for r in first], dtype=np.float64))
 
     for _ in range(iters):

@@ -66,3 +66,66 @@ def test_ivf_full_probe_equals_bruteforce():
     exact = similarity.topk_cosine(embs, queries, k=5)
     full = similarity.ivf_topk(embs, queries, k=5, n_centers=8, nprobe=8)
     assert exact.equals(full)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_features_single_scan():
+    """The media corpus must be scanned once, not once per modality."""
+    import math
+
+    import ray
+    import ray.data
+
+    from pdf_parser_ray.stages import multimodal
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+
+    def count_scan(batch):
+        ray.get(counter.inc.remote())
+        return batch
+
+    n, bs = 60, 15
+    ds = (ray.data.from_arrow(multimodal.synth_media_table(n))
+          .map_batches(count_scan, batch_format="pyarrow", batch_size=bs))
+    out = multimodal.media_features(ds).to_pandas()
+    assert len(out) == n
+    scans = ray.get(counter.get.remote())
+    assert scans == math.ceil(n / bs), (
+        f"media corpus scanned {scans}x, expected {math.ceil(n / bs)} "
+        "(one pass)")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_init_matches_lowest_ids():
+    """Distributed min-k init == the n_centers lowest-vec_id vectors."""
+    import numpy as np
+    import ray.data
+
+    from pdf_parser_ray.stages import similarity
+
+    rng = np.random.RandomState(3)
+    vecs = rng.rand(200, 8)
+    ids = rng.permutation(200)  # ids deliberately not in storage order
+    import pyarrow as pa
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).map_batches(lambda b: b, batch_size=16,
+                                            batch_format="pyarrow")
+    rows = similarity._lowest_id_rows(ds, 10)
+    assert [r["vec_id"] for r in rows] == sorted(ids.tolist())[:10]
+    order = np.argsort(ids)
+    want = vecs[order[:10]]
+    got = np.array([r["embedding"] for r in rows])
+    assert np.allclose(got, want)

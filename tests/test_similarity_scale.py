@@ -1,0 +1,118 @@
+"""Scale-path tests for near-pair search: the distributed block-pair
+exact plan (no driver materialization) and the LSH-bucketed variant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _planted_table(n: int, dim: int, n_planted: int, seed: int,
+                   noise: float = 1e-4):
+    """Random unit-ish vectors with ``n_planted`` near-duplicate pairs:
+    vec[n + k] is a tiny perturbation of vec[k]."""
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n, dim))
+    dups = base[:n_planted] + noise * rng.standard_normal((n_planted, dim))
+    mat = np.vstack([base, dups])
+    ids = np.arange(len(mat))
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+    })
+    planted = {(int(k), int(n + k)) for k in range(n_planted)}
+    return t, planted
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pairs_above_block_plan_no_driver_materialization():
+    """30k vectors across 8 blocks: planted pairs found exactly, and the
+    driver never fetches a large object (the block-pair plan keeps vector
+    blocks in the object store; only (i,j) indices and matched pairs cross
+    to the driver)."""
+    import ray
+    import ray.data
+
+    from pdf_parser_ray.stages import similarity
+
+    t, planted = _planted_table(n=30_000, dim=8, n_planted=25, seed=11)
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    fetched = []
+    real_get = ray.get
+
+    def spy_get(obj, **kwargs):
+        out = real_get(obj, **kwargs)
+        for o in out if isinstance(out, list) else [out]:
+            if isinstance(o, (pa.Table, pd.DataFrame)):
+                nbytes = (o.nbytes if isinstance(o, pa.Table)
+                          else int(o.memory_usage(deep=True).sum()))
+                fetched.append(nbytes)
+        return out
+
+    ray.get = spy_get
+    try:
+        out = similarity.pairs_above(ds, threshold=0.9999)
+    finally:
+        ray.get = real_get
+
+    got = set(zip(out["vec_a"].tolist(), out["vec_b"].tolist()))
+    assert got == planted
+    assert (out["cos_sim"] > 0.999).all()
+    # driver-side fetches must all be small (pair results / index blocks);
+    # the old implementation pulled the whole vector table (~2 MB+ here)
+    big = [b for b in fetched if b > 512 * 1024]
+    assert not big, f"driver fetched large objects: {big}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_pairs_match_exact_on_planted_dups():
+    import ray.data
+
+    from pdf_parser_ray.stages import similarity
+
+    t, planted = _planted_table(n=4000, dim=32, n_planted=40, seed=7,
+                                noise=0.05)  # cos ~ 0.995+
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = similarity.pairs_above(ds, threshold=0.9)
+    approx = similarity.lsh_pairs_above(ds, threshold=0.9)
+    pd.testing.assert_frame_equal(exact, approx)
+    got = set(zip(exact["vec_a"].tolist(), exact["vec_b"].tolist()))
+    assert got == planted
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_hot_bucket_cap_bounds_pairing():
+    """200 identical vectors with cap=50: pairing is truncated to the 50
+    lowest ids instead of emitting O(200^2) pairs per band."""
+    import ray.data
+
+    from pdf_parser_ray.stages import similarity
+
+    vec = np.ones(16)
+    mat = np.tile(vec, (200, 1))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(200), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t)
+    out = similarity.lsh_pairs_above(ds, threshold=0.9, bucket_cap=50)
+    assert len(out) == 50 * 49 // 2
+    assert out["vec_a"].max() < 50 and out["vec_b"].max() < 50
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_pairs_empty_dataset():
+    import ray.data
+
+    from pdf_parser_ray.stages import similarity
+
+    t = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64())),
+    })
+    out = similarity.lsh_pairs_above(ray.data.from_arrow(t))
+    assert out.empty
+    assert list(out.columns) == ["vec_a", "vec_b", "cos_sim"]
