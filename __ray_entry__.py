@@ -54,7 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_lang_summary": q.docs_lang_summary,
         "docs_minhash_pairs": q.docs_minhash_pairs,
+        "docs_minhash_candidates": q.docs_minhash_candidates,
         "docs_simhash": q.docs_simhash,
+        "docs_simhash_pairs": q.docs_simhash_pairs,
         "docs_distinct_pairs": q.docs_distinct_pairs,
         "docs_hash_sample": q.docs_hash_sample,
         "docs_top_by_lang": q.docs_top_by_lang,
@@ -349,7 +351,84 @@ def oracle_sql() -> dict[str, str]:
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])) > 0.8
         """,
-        # docs_minhash_pairs, docs_simhash, extract_corpus: not
-        # SQL-expressible (hashing sketches / full layout engine) ->
-        # rows-only checks by design.
+        "docs_minhash_pairs": r"""
+            -- exact word-3-shingle Jaccard >= 0.8 over all pairs, via an
+            -- inverted-index self-join on shared shingles (pairs sharing
+            -- no shingle have J = 0 and cannot qualify)
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+        """,
+        "docs_simhash": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id, md5_number_upper(tok) AS h64 FROM toks
+            ), bits AS (
+                SELECT doc_id, b.b AS b,
+                       sum(CASE WHEN (h64 >> b.b) & 1 = 1
+                           THEN 1 ELSE -1 END) AS vote
+                FROM h, (SELECT unnest(range(0, 64)) AS b) b
+                GROUP BY doc_id, b.b
+            ), sig AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN vote > 0
+                            THEN (1::HUGEINT << CAST(b AS INTEGER))
+                            ELSE 0::HUGEINT END) AS UBIGINT) AS sig
+                FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   lower(lpad(to_hex(coalesce(sig, 0::UBIGINT)), 16, '0'))
+                       AS simhash
+            FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+        """,
+        "docs_simhash_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id, md5_number_upper(tok) AS h64 FROM toks
+            ), bits AS (
+                SELECT doc_id, b.b AS b,
+                       sum(CASE WHEN (h64 >> b.b) & 1 = 1
+                           THEN 1 ELSE -1 END) AS vote
+                FROM h, (SELECT unnest(range(0, 64)) AS b) b
+                GROUP BY doc_id, b.b
+            ), sig0 AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN vote > 0
+                            THEN (1::HUGEINT << CAST(b AS INTEGER))
+                            ELSE 0::HUGEINT END) AS UBIGINT) AS sig
+                FROM bits GROUP BY doc_id
+            ), sig AS (
+                SELECT d.doc_id, coalesce(sig, 0::UBIGINT) AS sig
+                FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        # docs_minhash_candidates, extract_corpus: not SQL-expressible
+        # (minhash band hashing / full layout engine) -> rows-only checks
+        # by design.
     }

@@ -53,16 +53,25 @@ def lsh_band_keys(signature: np.ndarray, doc_salt: str = "") -> list[str]:
     return keys
 
 
+def _md5_64(token: str) -> int:
+    """64-bit token hash == DuckDB ``md5_number_upper``: the first 8 bytes
+    of the md5 digest, little-endian — chosen so SQL oracles can replicate
+    the SimHash exactly."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8],
+                          "little")
+
+
 def simhash(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (crc32-seeded bit votes)."""
+    """64-bit SimHash over whitespace tokens (md5-derived bit votes; every
+    occurrence votes, matching an ``unnest(tokens)`` SQL formulation)."""
     tokens = text.split()
     if not tokens:
         return 0
-    hashes = _crc_array(tokens)
-    # expand the 32-bit crc to 64 deterministic bits per token
-    h64 = (hashes << np.uint64(32)) | (
-        (hashes * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFF)
-    )
+    cache: dict[str, int] = {}
+    h64 = np.array([cache.get(t) or cache.setdefault(t, _md5_64(t))
+                    for t in tokens], dtype=np.uint64)
     bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
@@ -71,6 +80,19 @@ def simhash(text: str) -> int:
         if votes[i] > 0:
             out |= np.uint64(1) << np.uint64(i)
     return int(out)
+
+
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 64 // SIMHASH_CHUNKS
+
+
+def simhash_band_keys(sig: int) -> list[str]:
+    """One key per 16-bit chunk. Pigeonhole: two signatures within hamming
+    distance SIMHASH_CHUNKS - 1 (= 3) MUST agree on at least one chunk, so
+    chunk-key grouping is an EXACT candidate generator for hamming <= 3."""
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    return [f"{c}:{(sig >> (c * SIMHASH_CHUNK_BITS)) & mask}"
+            for c in range(SIMHASH_CHUNKS)]
 
 
 def hamming64(a: int, b: int) -> int:

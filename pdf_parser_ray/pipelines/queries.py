@@ -369,6 +369,21 @@ def docs_lang_summary(sf_dir: str):
 
 
 def docs_minhash_pairs(sf_dir: str):
+    """Full MinHash dedup loop: LSH candidates -> distributed exact
+    word-shingle Jaccard -> pairs with jaccard >= 0.8. Oracle: the exact
+    all-pairs shingle-Jaccard SQL (inverted-index self-join) — equality
+    holds because verification is exact and LSH recall at J >= 0.8 with
+    16x4-row bands is ~1 (P(miss | J=0.8) ~ 1e-13; the testdata's true
+    pairs are all J >= 0.9)."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.minhash_verified_pairs(ds, threshold=0.8)
+    df = out.to_pandas()[["doc_a", "doc_b", "jaccard"]]
+    return rel.to_pandas_sorted(df, ["doc_a", "doc_b"])
+
+
+def docs_minhash_candidates(sf_dir: str):
+    """Raw LSH candidate pairs (pre-verification; minhash-specific, so
+    rows-only check — the verified loop above carries the oracle)."""
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
     out = dedup.minhash_candidates(ds)
     return rel.to_pandas_sorted(out.to_pandas(), ["doc_a", "doc_b"])
@@ -378,6 +393,16 @@ def docs_simhash(sf_dir: str):
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
     out = dedup.simhash_signatures(ds)
     return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+
+
+def docs_simhash_pairs(sf_dir: str):
+    """Hamming-neighbor pairs (<= 3 bits of 64) between SimHash
+    signatures, via exact 16-bit chunk banding. Oracle: DuckDB recomputes
+    the signatures (md5_number_upper token hashes == functions/sketches
+    _md5_64) and checks bit_count(xor) over all pairs."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.simhash_pairs(ds, max_hamming=3)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------

@@ -4,20 +4,44 @@
   doc_id per identical text. One shuffle of (fp, doc_id) pairs only —
   never the text itself.
 * MinHash+LSH: shingle -> 64-perm minhash -> 16 band keys -> groupby(band)
-  emits candidate pairs -> pair-dedup. Shuffles tiny (band_key, doc_id)
-  rows; candidate volume is data-dependent, not O(n^2).
-* SimHash: 64-bit signatures per doc (pairing/hamming filters downstream).
-* n-gram Jaccard verification of LSH candidates.
+  emits candidate pairs (hot bands capped) -> pair-dedup -> exact
+  word-shingle Jaccard verification via a distributed double join.
+  Shuffles tiny (band_key, doc_id) rows; candidate volume is
+  data-dependent, not O(n^2).
+* SimHash: md5-derived 64-bit signatures per doc; hamming-neighbor pairs
+  via 16-bit chunk banding (EXACT for hamming <= 3 by pigeonhole).
+  The md5 bit hash is chosen to equal DuckDB ``md5_number_upper`` so both
+  stages have SQL oracles.
 """
 
 from __future__ import annotations
 
+import logging
+
+import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
 from pdf_parser_ray.functions import sketches
 from pdf_parser_ray.functions.num import round_half_away
 from pdf_parser_ray.stages.text import fingerprint_batch
+
+logger = logging.getLogger(__name__)
+
+# Hot-band guard: an LSH band bucket larger than this (boilerplate-heavy
+# corpora) emits a star to its representative doc instead of all pairs —
+# O(n) rows, not O(n^2) — with the drop logged. Never triggers on the
+# testdata (max bucket ~ largest dup-group, < 10).
+BAND_BUCKET_CAP = 256
+# SimHash 16-bit chunks are far less selective than 64-bit minhash bands
+# (2^16 values; correlated bits cluster real corpora), so hot buckets in
+# the hundreds are NORMAL — and the in-bucket kernel is a vectorized XOR
+# (4096^2/2 = 8M word ops ~ ms), so the cap can sit much higher before
+# truncation (logged) trades exactness for boundedness. The exact upgrade
+# path for pathological buckets is recursive banding over the remaining
+# 48 bits (pigeonhole applies again); not needed at this corpus scale.
+SIMHASH_BUCKET_CAP = 4096
 
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -42,28 +66,144 @@ def _band_rows(batch: pa.Table) -> pa.Table:
                      "doc_id": pa.array(out_id, pa.int64())})
 
 
-def _emit_pairs(group: pa.Table) -> pa.Table:
-    ids = sorted(group.column("doc_id").to_pylist())
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"doc_a": pa.array(a, pa.int64()),
-                     "doc_b": pa.array(b, pa.int64())})
+def _make_emit_pairs(bucket_cap: int):
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        if len(ids) > bucket_cap:
+            # star to the representative (lowest id): keeps every doc
+            # connected to its dup-group transitively while bounding the
+            # emission at O(n); the dropped direct pairs are logged
+            dropped = len(ids) * (len(ids) - 1) // 2 - (len(ids) - 1)
+            logger.warning(
+                "minhash_candidates: hot band %s has %d docs; emitting "
+                "star pairs only (dropping %d direct pairs)",
+                group.column("band_key")[0].as_py(), len(ids), dropped)
+            a = [ids[0]] * (len(ids) - 1)
+            b = ids[1:]
+        else:
+            a, b = [], []
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    return emit_pairs
 
 
-def minhash_candidates(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """-> distinct (doc_a, doc_b) near-duplicate candidate pairs."""
+def minhash_candidates(docs: ray.data.Dataset,
+                       bucket_cap: int = BAND_BUCKET_CAP) -> ray.data.Dataset:
+    """-> distinct (doc_a, doc_b, n_bands) near-duplicate candidate pairs."""
     bands = docs.map_batches(_band_rows, batch_format="pyarrow",
                              zero_copy_batch=True)
-    pairs = bands.groupby("band_key").map_groups(_emit_pairs,
-                                                batch_format="pyarrow")
+    pairs = bands.groupby("band_key").map_groups(
+        _make_emit_pairs(bucket_cap), batch_format="pyarrow")
     # same pair can surface from several bands: dedupe
     from ray.data.aggregate import Count
 
     return (pairs.groupby(["doc_a", "doc_b"])
             .aggregate(Count(alias_name="n_bands")))
+
+
+_SHINGLE_SEP = "\x1f"  # unit separator: never occurs in word shingles
+
+
+def _shingle_rows(batch: pa.Table) -> pa.Table:
+    """-> (doc_id, shingles): distinct word 3-shingles per doc, joined
+    into one separator-delimited string (Arrow hash joins reject
+    list-typed payload columns; string shingles — not hashes — keep the
+    SQL twin byte-identical)."""
+    ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": ids,
+        "shingles": pa.array(
+            [_SHINGLE_SEP.join(sorted(sketches.word_shingles(t)))
+             for t in texts],
+            pa.large_string()),
+    })
+
+
+def _shingle_set(packed: str) -> set[str]:
+    return set(packed.split(_SHINGLE_SEP)) if packed else set()
+
+
+def minhash_verified_pairs(docs: ray.data.Dataset,
+                           threshold: float = 0.8,
+                           bucket_cap: int = BAND_BUCKET_CAP) -> ray.data.Dataset:
+    """The full dedup loop, distributed end to end: LSH candidates ->
+    exact word-shingle Jaccard -> pairs with jaccard >= threshold.
+
+    Candidate texts are NEVER gathered on the driver: the candidate doc
+    set filters the corpus via a broadcast semi-join (``pc.is_in``), the
+    per-doc shingle sets are computed distributed, and each pair meets
+    its two shingle sets through two hash joins on doc_id (the co-group
+    pattern; candidate volume is LSH-bounded, so the joins are small).
+    Output: (doc_a, doc_b, jaccard) — jaccard rounded half-away to 4.
+    """
+    cands = minhash_candidates(docs, bucket_cap=bucket_cap).materialize()
+
+    # candidate doc ids — a compact Arrow array on the driver (the
+    # broadcast semi-join build side; no text, no rows)
+    id_chunks: list[pa.Array] = []
+    for ref in cands.select_columns(["doc_a", "doc_b"]).to_arrow_refs():
+        t = ray.get(ref)
+        if "doc_a" not in t.schema.names:  # empty shuffle partitions
+            continue
+        id_chunks.extend(t.column("doc_a").chunks)
+        id_chunks.extend(t.column("doc_b").chunks)
+    if not id_chunks:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+    wanted = pa.compute.unique(pa.chunked_array(id_chunks).combine_chunks())
+    wref = ray.put(wanted)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("doc_id"),
+                                     value_set=ray.get(wref)))
+
+    shingles = (docs.map_batches(keep_candidates, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .map_batches(_shingle_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .materialize())  # joined twice below: pin to avoid re-scan
+
+    def rename(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["doc_id", col])
+        return fn
+
+    sh_a = shingles.map_batches(rename("sh_a"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    sh_b = shingles.map_batches(rename("sh_b"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    n_parts = 4  # candidate pairs are LSH-bounded; keep the shuffle tiny
+    j1 = cands.join(sh_a, "inner", n_parts, on=("doc_a",),
+                    right_on=("doc_id",))
+    j2 = j1.join(sh_b, "inner", n_parts, on=("doc_b",),
+                 right_on=("doc_id",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        a_lists = batch.column("sh_a").to_pylist()
+        b_lists = batch.column("sh_b").to_pylist()
+        sims = [sketches.jaccard(_shingle_set(a), _shingle_set(b))
+                for a, b in zip(a_lists, b_lists)]
+        keep = [s >= threshold for s in sims]
+        out = pa.table({
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "jaccard": pa.array([round_half_away(s, 4) for s in sims],
+                                pa.float64()),
+        })
+        return out.filter(pa.array(keep, pa.bool_()))
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -79,24 +219,105 @@ def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
                             zero_copy_batch=True)
 
 
+def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
+                  bucket_cap: int = SIMHASH_BUCKET_CAP) -> ray.data.Dataset:
+    """-> (doc_a, doc_b, hamming) for all pairs with hamming distance <=
+    ``max_hamming`` between 64-bit SimHash signatures.
+
+    Candidates via 16-bit chunk banding — EXACT for max_hamming <= 3
+    (pigeonhole over 4 chunks); in-bucket hamming is computed from the
+    signatures carried with the band rows, pairs deduped by a
+    (doc_a, doc_b) groupby. Hot buckets (identical chunks across > cap
+    docs) are star-capped like the minhash bands."""
+    if max_hamming >= sketches.SIMHASH_CHUNKS:
+        raise ValueError(
+            f"chunk banding is exact only for hamming < "
+            f"{sketches.SIMHASH_CHUNKS}, got {max_hamming}")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_key, out_id, out_sig = [], [], []
+        for doc_id, text in zip(ids, texts):
+            sig = sketches.simhash(text)
+            for key in sketches.simhash_band_keys(sig):
+                out_key.append(key)
+                out_id.append(doc_id)
+                out_sig.append(sig)
+        return pa.table({
+            "chunk_key": pa.array(out_key, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "sig": pa.array(np.array(out_sig, dtype=np.uint64),
+                            pa.uint64()),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        order = pa.compute.sort_indices(group.column("doc_id"))
+        group = group.take(order)
+        if n > bucket_cap:
+            logger.warning(
+                "simhash_pairs: hot chunk %s has %d docs; truncating to %d",
+                group.column("chunk_key")[0].as_py(), n, bucket_cap)
+            group = group.slice(0, bucket_cap)
+            n = bucket_cap
+        ids = np.asarray(group.column("doc_id").to_pylist())
+        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.uint64)
+        ia, ib = np.triu_indices(n, 1)
+        x = sigs[ia] ^ sigs[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):  # popcount via shift-mask (vectorized)
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+            if not x.any():
+                break
+        keep = ham <= max_hamming
+        return pa.table({
+            "doc_a": pa.array(ids[ia[keep]], pa.int64()),
+            "doc_b": pa.array(ids[ib[keep]], pa.int64()),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        })
+
+    banded = docs.map_batches(band_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    pairs = banded.groupby("chunk_key").map_groups(bucket_pairs,
+                                                   batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
 def verify_candidates_jaccard(docs: ray.data.Dataset,
                               pairs: list[tuple[int, int]],
                               threshold: float = 0.6) -> list[dict]:
-    """Exact word-shingle Jaccard for candidate pairs. Sandbox path
-    broadcasts the candidate docs' texts; at corpus scale the same check
-    runs as a double broadcast-semi + co-group join keyed on doc_id."""
-    import ray
+    """Exact word-shingle Jaccard for an explicit (small) candidate list.
+    The corpus filter is a broadcast semi-join (``pc.is_in``), never a
+    per-row Python lambda; for the fully-distributed pipeline form see
+    ``minhash_verified_pairs``."""
+    wanted = pa.array(sorted({d for p in pairs for d in p}), pa.int64())
+    wref = ray.put(wanted)
 
-    wanted = {d for p in pairs for d in p}
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("doc_id"),
+                                     value_set=ray.get(wref)))
+
     texts = {}
-    for row in docs.filter(lambda r: r["doc_id"] in wanted).take_all():
-        texts[row["doc_id"]] = row["text"]
+    sh = (docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(_shingle_rows, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    for row in sh.take_all():
+        texts[row["doc_id"]] = _shingle_set(row["shingles"])
     out = []
     for a, b in pairs:
-        sim = sketches.jaccard(
-            sketches.word_shingles(texts.get(a, "")),
-            sketches.word_shingles(texts.get(b, "")),
-        )
+        sim = sketches.jaccard(texts.get(a, set()), texts.get(b, set()))
         if sim >= threshold:
             out.append({"doc_a": a, "doc_b": b,
                         "jaccard": round_half_away(sim, 4)})
