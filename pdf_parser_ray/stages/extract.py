@@ -47,6 +47,9 @@ RESULT_FIELDS = [
     ("blocks", outschema.BLOCKS_TYPE),
     ("tables", outschema.TABLES_TYPE),
     ("final", pa.bool_()),
+    # bundle metadata JSON, carried on page-1 chunk rows only: the
+    # assemble stage needs it to rebuild the document-level JSON output
+    ("meta", pa.string()),
 ]
 RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
 
@@ -168,7 +171,7 @@ class ParseDocuments:
 
         def emit(url, page_number, n_pages, text, markdown, json_s,
                  n_blocks, n_tables, error, final,
-                 blocks=None, tables=None):
+                 blocks=None, tables=None, meta=""):
             out["url"].append(url)
             out["page_number"].append(page_number)
             out["n_pages"].append(n_pages)
@@ -181,6 +184,7 @@ class ParseDocuments:
             out["blocks"].append(blocks or [])
             out["tables"].append(tables or [])
             out["final"].append(final)
+            out["meta"].append(meta)
 
         kinds = batch.column("kind").to_pylist()
         urls = batch.column("url").to_pylist()
@@ -221,7 +225,8 @@ class ParseDocuments:
                     err = f"{type(e).__name__}: {e}"
                 emit(url, number, total, text, md, json_s,
                      n_blocks, n_tables, err, False,
-                     blocks=blocks, tables=tables)
+                     blocks=blocks, tables=tables,
+                     meta=meta if number == 1 else "")
         return pa.table(out, schema=RESULT_SCHEMA)
 
     def _parse_page(self, number: int, payload: bytes, meta_json: str):
@@ -242,11 +247,20 @@ class ParseDocuments:
                 lines.extend(render.markdown_meta_lines(meta))
             lines.extend(render.markdown_page_lines(page))
             md = "\n".join(lines)
+        json_s = ""
+        if self.want_json:
+            # per-page fragment of the reference JSON document
+            # (output/formatter.py:250-364): the page dict alone, compact;
+            # assemble_group rebuilds the document envelope and re-dumps
+            # with indent=2 (json value round-trips are byte-stable)
+            json_s = json.dumps(
+                render._json_page(page, self.json_coordinates),
+                ensure_ascii=False)
         blocks = tables = []
         if self.want_structured:
             blocks = outschema.doc_blocks([page])
             tables = outschema.doc_tables([page])
-        return (text, md, "", len(page["blocks"]), len(page["tables"]),
+        return (text, md, json_s, len(page["blocks"]), len(page["tables"]),
                 blocks, tables)
 
 
@@ -261,12 +275,30 @@ def assemble_group(group: pa.Table) -> pa.Table:
     mds = rows.column("markdown").to_pylist()
     blocks = [b for lst in rows.column("blocks").to_pylist() for b in lst]
     tables = [t for lst in rows.column("tables").to_pylist() for t in lst]
+    url = rows.column("url")[0].as_py()
+    json_frags = rows.column("json").to_pylist()
+    json_doc = ""
+    if any(json_frags):
+        # rebuild the document envelope exactly like the sequential
+        # renderer (render.render_json / formatter.py:250-364); metadata
+        # rides on the page-1 chunk row, filtered identically to
+        # parse_bundle (empty values dropped)
+        raw_meta = rows.column("meta")[0].as_py() or "{}"
+        meta = {k: v for k, v in json.loads(raw_meta).items() if v}
+        # skip empty fragments (safety-net error chunks produce none)
+        pages = [json.loads(f) for f in json_frags if f]
+        json_doc = json.dumps({
+            "source_path": url,
+            "page_count": len(pages),
+            "metadata": meta,
+            "pages": pages,
+        }, indent=2, ensure_ascii=False)
     return pa.table({
-        "url": [rows.column("url")[0].as_py()],
+        "url": [url],
         "text": pa.array(["\n".join(texts)], pa.large_string()),
         "markdown": pa.array(["\n".join(m for m in mds if m != "")],
                              pa.large_string()),
-        "json": pa.array([""], pa.large_string()),
+        "json": pa.array([json_doc], pa.large_string()),
         "n_pages": pa.array([rows.column("n_pages")[0].as_py()], pa.int32()),
         "n_blocks": [sum(rows.column("n_blocks").to_pylist())],
         "n_tables": [sum(rows.column("n_tables").to_pylist())],

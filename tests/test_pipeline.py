@@ -156,3 +156,17 @@ def test_entry_schema_stable(corpus_path):
     df = df if hasattr(df, "columns") else df.to_pandas()
     assert list(df.columns) == ["url", "n_pages", "n_blocks", "n_tables",
                                 "error", "text_fp"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_explode_mode_json_matches_sequential(corpus_path):
+    """want_json through the explode path: per-page fragments reassembled
+    into the exact sequential JSON document (both coordinate modes)."""
+    for coords in (False, True):
+        got = _run(corpus_path, explode_threshold=0, want_json=True,
+                   json_coordinates=coords)
+        for i in range(N_DOCS):
+            r = synth.gen_document(i, seed=SEED)
+            want = extract_document(r["url"], r["html"], want_json=True,
+                                    json_coordinates=coords)
+            assert got[r["url"]]["json"] == want["json"], (r["url"], coords)
