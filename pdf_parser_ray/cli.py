@@ -44,6 +44,9 @@ def cmd_parse(args) -> int:
         "end_page": args.end_page,
         "json_coordinates": args.coordinates,
     }
+    if args.pdf_column:
+        pipeline_kwargs["pdf_column"] = args.pdf_column
+        pipeline_kwargs["password"] = args.password
     summary = run_checkpointed(
         args.input, args.output,
         files_per_part=args.files_per_part,
@@ -164,6 +167,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="last page to parse per document (inclusive)")
     p.add_argument("--coordinates", action="store_true",
                    help="include bounding boxes in JSON output")
+    p.add_argument("--pdf-column", default=None,
+                   help="treat this input column as raw PDF bytes and "
+                        "decode via PyMuPDF (sources/pdfbytes.py seam)")
+    p.add_argument("--password", default=None,
+                   help="password for encrypted PDFs (with --pdf-column; "
+                        "reference core/document.py:104-119)")
     p.set_defaults(fn=cmd_parse)
 
     p = sub.add_parser("info", help="corpus facts")

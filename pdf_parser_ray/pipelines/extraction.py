@@ -157,5 +157,23 @@ def extract_dataset(
     return finals.union(assembled)
 
 
-def extract_paths(paths, **kwargs) -> ray.data.Dataset:
-    return extract_dataset(read_pages(paths), **kwargs)
+def extract_paths(paths, *, pdf_column: str | None = None,
+                  password: str | None = None, **kwargs) -> ray.data.Dataset:
+    """``pdf_column``: treat that column as raw PDF bytes and decode it
+    through the PyMuPDF seam (sources/pdfbytes.py) into the native bundle
+    payload before extraction; ``password`` unlocks encrypted PDFs
+    (reference core/document.py:104-119). Without it, the column layout
+    is the native (url, html) bundle corpus."""
+    if pdf_column is None:
+        return extract_dataset(read_pages(paths), **kwargs)
+    from pdf_parser_ray.sources.pdfbytes import PdfToBundle
+
+    raw = read_pages(paths, columns=("url", pdf_column))
+    bundles = raw.map_batches(
+        PdfToBundle,
+        fn_constructor_kwargs={"password": password, "pdf_column": pdf_column},
+        batch_format="pyarrow",
+        batch_size=16,  # raw PDFs are large binaries: keep batches small
+        concurrency=2,
+    )
+    return extract_dataset(bundles, **kwargs)
