@@ -352,12 +352,12 @@ def docs_lang_summary(sf_dir: str):
     ds = rel.load(sf_dir, "documents", ["doc_id", "lang", "text"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        from pdf_parser_ray.functions.textstats import token_count
+        from pdf_parser_ray.stages.text import token_count_array
 
-        texts = batch.column("text").to_pylist()
         return pa.table({
             "lang": batch.column("lang"),
-            "n_tokens": pa.array([token_count(t) for t in texts], pa.int64()),
+            "n_tokens": pa.array(token_count_array(batch.column("text")),
+                                 pa.int64()),
         })
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)

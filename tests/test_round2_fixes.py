@@ -163,3 +163,36 @@ def test_corpus_cache_readable_by_plain_read_parquet(tmp_path):
     # cache hit returns the same dir without rebuilding
     again = materialize_corpus(20, seed=5, cache_dir=str(tmp_path / "cache"))
     assert again == out
+
+
+def test_vectorized_textstats_match_scalar_reference():
+    """The pc-regex vectorized stats/langid kernels must equal the scalar
+    Python-re reference kernels row by row on the real corpus (RE2 vs re
+    semantics: identical on this data; the oracle SQL is RE2 too)."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.functions import textstats as ts
+    from pdf_parser_ray.functions.num import round_half_away
+    from pdf_parser_ray.stages import text as textstage
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    texts = t.column("text").to_pylist()
+    # edge cases the corpus may lack
+    extra = ["", " ", "no-stopwords-here!!!", "the the the", "éé the é"]
+    t2 = pa.table({
+        "doc_id": pa.array(range(len(extra)), pa.int64()),
+        "text": pa.array(extra, pa.string()),
+    })
+    for table in (t, t2):
+        texts = table.column("text").to_pylist()
+        stats = textstage.stats_batch(table)
+        assert stats.column("n_tokens").to_pylist() == [
+            ts.token_count(x) for x in texts]
+        assert stats.column("alpha_ratio").to_pylist() == [
+            round_half_away(ts.alpha_ratio(x), 4) for x in texts]
+        assert stats.column("stop_ratio").to_pylist() == [
+            round_half_away(ts.stopword_ratio(x), 4) for x in texts]
+        lang = textstage.langid_batch(table)
+        assert lang.column("pred_lang").to_pylist() == [
+            ts.predict_lang(x) for x in texts]
