@@ -657,10 +657,11 @@ def q4_late_orders(sf_dir: str):
     # ship date per order inside each batch BEFORE the join (4x shrink; an
     # order split across batches just yields several candidate maxes, and
     # ANY of them exceeding the cutoff is sufficient)
-    def batch_max(batch: pa.Table) -> pd.DataFrame:
+    def batch_max(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        return df.groupby("l_orderkey", as_index=False, sort=False).agg(
+        agg = df.groupby("l_orderkey", as_index=False, sort=False).agg(
             max_ship=("l_shipdate", "max"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
     line_max = line.map_batches(batch_max, batch_format="pyarrow",
                                 zero_copy_batch=True)

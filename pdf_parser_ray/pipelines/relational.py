@@ -105,8 +105,10 @@ def broadcast_merge(ds: ray.data.Dataset, right: pd.DataFrame,
     batch. Join columns must share names (rename the right side first)."""
     ref = ray.put(right)
 
-    def merge(batch: pa.Table) -> pd.DataFrame:
-        return batch.to_pandas().merge(ray.get(ref), on=on, how=how)
+    def merge(batch: pa.Table) -> pa.Table:
+        merged = batch.to_pandas().merge(ray.get(ref), on=on, how=how)
+        # arrow blocks out: pandas blocks cripple any downstream shuffle
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
     return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
 
