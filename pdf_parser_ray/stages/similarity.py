@@ -121,31 +121,61 @@ def pairs_above(embs: ray.data.Dataset, threshold: float = 0.95,
     subquadratic scale path is ``lsh_pairs_above`` (same kernel per LSH
     bucket)."""
     refs = embs.select_columns(["vec_id", "embedding"]).to_arrow_refs()
-    refs_ref = ray.put(refs)  # list of refs: tiny; blocks stay put
-    nblocks = len(refs)
+
+    # size-aware super-blocks: pair-plan cost is O(G^2) in the group
+    # count, so coalesce small blocks into ~64 MB groups (sizes probed by
+    # tiny remote tasks — the driver never touches block data). A block
+    # larger than the target stays its own group; the chunked kernel
+    # bounds task memory regardless.
+    nbytes_of = ray.remote(num_cpus=0)(lambda t: t.nbytes)
+    sizes = ray.get([nbytes_of.remote(r) for r in refs])
+    target_group_bytes = 64 * 1024 * 1024
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for i, sz in enumerate(sizes):
+        if cur and cur_bytes + sz > target_group_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(i)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+
+    refs_ref = ray.put(refs)
+    groups_ref = ray.put(groups)
+    ngroups = len(groups)
     pairs_idx = [{"i": i, "j": j}
-                 for i in range(nblocks) for j in range(i, nblocks)]
+                 for i in range(ngroups) for j in range(i, ngroups)]
+
+    def _fetch_group(all_refs, group) -> pa.Table:
+        return pa.concat_tables([ray.get(all_refs[k]) for k in group])
 
     def score(batch: pa.Table) -> pa.Table:
         all_refs = ray.get(refs_ref)
+        all_groups = ray.get(groups_ref)
         tables = []
         for i, j in zip(batch.column("i").to_pylist(),
                         batch.column("j").to_pylist()):
-            ta = ray.get(all_refs[i])
+            ta = _fetch_group(all_refs, all_groups[i])
             ids_a = np.asarray(ta.column("vec_id").to_pylist())
             mat_a = _unit(_matrix(ta))
             if j == i:
                 ids_b, mat_b = ids_a, mat_a
             else:
-                tb = ray.get(all_refs[j])
+                tb = _fetch_group(all_refs, all_groups[j])
                 ids_b = np.asarray(tb.column("vec_id").to_pylist())
                 mat_b = _unit(_matrix(tb))
             tables.append(_exact_pairs_tables(ids_a, mat_a, ids_b, mat_b,
                                               threshold, j == i, chunk_rows))
         return pa.concat_tables(tables) if tables else pa.table(_EMPTY_PAIRS)
 
-    idx = ray.data.from_items(pairs_idx,
-                              override_num_blocks=max(1, len(pairs_idx)))
+    # one task per index block; cap task count so tiny inputs don't pay
+    # per-task scheduling overhead for trivial group pairs
+    from pdf_parser_ray.runtime import cluster_cpus
+
+    n_tasks = max(1, min(len(pairs_idx), cluster_cpus() * 2))
+    idx = ray.data.from_items(pairs_idx, override_num_blocks=n_tasks)
     out = idx.map_batches(score, batch_format="pyarrow").to_pandas()
     if out.empty:
         out = pd.DataFrame({
