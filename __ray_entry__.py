@@ -60,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct_pairs": q.docs_distinct_pairs,
         "docs_hash_sample": q.docs_hash_sample,
         "docs_top_by_lang": q.docs_top_by_lang,
+        "docs_top_tokens": q.docs_top_tokens,
+        "docs_stratified_sample": q.docs_stratified_sample,
+        "docs_dup_clusters": q.docs_dup_clusters,
+        "orders_price_quantiles": q.orders_price_quantiles,
         # embeddings: similarity search
         "emb_topk": q.emb_topk,
         "emb_centroids": q.emb_centroids,
@@ -243,6 +247,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_distinct_pairs": """
             SELECT DISTINCT lang, source FROM documents
+        """,
+        "docs_top_tokens": r"""
+            SELECT tok, count(*) AS n_occurrences
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents)
+            GROUP BY tok
+            ORDER BY n_occurrences DESC, tok
+            LIMIT 20
+        """,
+        "docs_stratified_sample": """
+            SELECT lang, doc_id, md5(text) AS fp
+            FROM (
+                SELECT lang, doc_id, text,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY md5(text), doc_id) AS rn
+                FROM documents
+            )
+            WHERE rn <= 5
+        """,
+        "orders_price_quantiles": """
+            SELECT
+                quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+                    / 100.0 AS p50,
+                quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)
+                    / 100.0 AS p90,
+                quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.99)
+                    / 100.0 AS p99
+            FROM orders
+        """,
+        "docs_dup_clusters": r"""
+            -- connected components over the exact-Jaccard >= 0.8 pair
+            -- graph (the docs_minhash_pairs oracle), min-id labeling via
+            -- recursive reachability
+            WITH RECURSIVE words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+            ), edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), reach(src, node) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+            )
+            SELECT src AS doc_id, min(node) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "docs_hash_sample": """
             SELECT doc_id, lang FROM documents

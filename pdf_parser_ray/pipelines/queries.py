@@ -719,6 +719,152 @@ def docs_top_by_lang(sf_dir: str):
     return rel.to_pandas_sorted(out.to_pandas(), ["lang", "doc_id"])
 
 
+def docs_top_tokens(sf_dir: str, k: int = 20):
+    """Corpus-wide token frequency top-k: vectorized token explode
+    (pc.split_pattern_regex) -> per-batch value_counts (map-side combine)
+    -> distributed grouped sum -> per-batch local top-k -> tiny driver
+    merge. The full token->count table never leaves the cluster."""
+    ds = rel.load(sf_dir, "documents", ["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = pc.value_counts(toks)
+        return pa.table({"tok": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = rel.grouped_agg(partials, ["tok"], [("n_occurrences", "n", "sum")])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("n_occurrences", "descending"),
+                                                ("tok", "ascending")])
+        return batch.take(idx[:k])
+
+    cand = agg.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = (cand.sort_values(["n_occurrences", "tok"], ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True))
+    return out[["tok", "n_occurrences"]]
+
+
+def docs_stratified_sample(sf_dir: str, per_lang: int = 5):
+    """Deterministic stratified sample: the ``per_lang`` docs with the
+    smallest md5 fingerprint per language (reproducible under any
+    parallelism; groupby(lang) + in-group head)."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.functions.textstats import fingerprint
+
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "fp": pa.array([fingerprint(t) for t in texts], pa.string()),
+        })
+
+    def head_per_lang(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["fp", "doc_id"], kind="mergesort")
+        return g.head(per_lang)[["lang", "doc_id", "fp"]]
+
+    out = (ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("lang").map_groups(head_per_lang, batch_format="pandas"))
+    return rel.to_pandas_sorted(out.to_pandas(), ["lang", "doc_id"])
+
+
+def orders_price_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (p50/p90/p99 of o_totalprice) via a
+    cents-value histogram: grouped count per distinct cent value runs
+    distributed (cardinality bounded by the price range, not the row
+    count), then the driver walks the tiny (value, count) histogram.
+    Matches DuckDB quantile_disc (sorted index ceil(q*n)-1)."""
+    orders = rel.load(sf_dir, "orders", ["o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"price_c": _cents(batch.column("o_totalprice"))})
+
+    hist = rel.grouped_agg(
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["price_c"], [("n", "", "count")])
+    hdf = hist.to_pandas().sort_values("price_c").reset_index(drop=True)
+    counts = hdf["n"].to_numpy()
+    values = hdf["price_c"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    row = {}
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        target = int(np.ceil(q * n))  # 1-indexed rank, quantile_disc
+        row[name] = float(values[np.searchsorted(cum, target)]) / 100.0
+    return pd.DataFrame([row])
+
+
+def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
+    """Dedup clustering: connected components over the verified near-dup
+    pair graph, as iterative distributed min-label propagation (converges
+    in O(component diameter) rounds; dup components are tiny, so 2-3
+    rounds). Output: (doc_id, cluster_id=min doc_id in component) for
+    every doc in at least one pair. Oracle: recursive CTE reachability."""
+    from ray.data.aggregate import Min
+
+    docs = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    edges = dedup.minhash_verified_pairs(docs, threshold=threshold).materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+
+    # undirected edge list (both directions) and the initial labels
+    # (label = own id), all as Dataset programs — edges never gather on
+    # the driver, so the propagation scales to edge sets that don't fit
+    # one machine
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"u": batch.column("doc_a"), "v": batch.column("doc_b")}),
+            pa.table({"u": batch.column("doc_b"), "v": batch.column("doc_a")}),
+        ])
+
+    edge_ds = edges.map_batches(both_dirs, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    label_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        if "u" not in b.schema.names:  # schema-less empty shuffle block
+            return label_schema.empty_table()
+        return pa.table({"doc_id": b.column("u"), "label": b.column("u")})
+
+    labels = (rel.grouped_agg(edge_ds, ["u"], [("n", "", "count")])
+              .map_batches(init_labels, batch_format="pyarrow")
+              .materialize())
+
+    # join partition count from the known edge count (Ray 2.49 joins
+    # fail on empty hash partitions — see dedup.minhash_verified_pairs)
+    n_parts = max(1, min(16, edge_ds.count() // 1000))
+
+    for _ in range(64):  # diameter bound; real loop exits on fixpoint
+        # candidate labels: every node keeps its own and receives each
+        # neighbor's current label
+        prop = edge_ds.join(labels, "inner", n_parts, on=("u",),
+                            right_on=("doc_id",))
+
+        def as_cand(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch.column("v"),
+                             "label": batch.column("label")})
+
+        cands = prop.map_batches(as_cand, batch_format="pyarrow").union(labels)
+        new_labels = rel.ensure_schema(
+            cands.groupby("doc_id").aggregate(Min("label", alias_name="label")),
+            label_schema).materialize()
+        # fixpoint check: total label sum strictly decreases until stable
+        if new_labels.sum("label") == labels.sum("label"):
+            labels = new_labels
+            break
+        labels = new_labels
+
+    df = labels.to_pandas().rename(columns={"label": "cluster_id"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
 def supplier_stats(sf_dir: str):
     """Supplier account balances by nation (broadcast dimension join +
     exact-cents grouped aggregation)."""

@@ -147,6 +147,20 @@ def broadcast_semi(ds: ray.data.Dataset, key: str, values) -> ray.data.Dataset:
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def ensure_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Normalize every block to ``schema``. Ray's sort-shuffle aggregate
+    emits SCHEMA-LESS empty blocks for empty partitions; pyarrow (Acero)
+    hash joins fail on them ("No match ... for key field"), so any
+    aggregate output that feeds a join must pass through here."""
+
+    def fix(batch: pa.Table) -> pa.Table:
+        if set(schema.names) <= set(batch.schema.names):
+            return batch.select(schema.names).cast(schema)
+        return schema.empty_table()
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               on: str, right_on: str | None = None,
               num_partitions: int = 32,

@@ -183,7 +183,20 @@ def minhash_verified_pairs(docs: ray.data.Dataset,
                                 zero_copy_batch=True)
     sh_b = shingles.map_batches(rename("sh_b"), batch_format="pyarrow",
                                 zero_copy_batch=True)
-    n_parts = 4  # candidate pairs are LSH-bounded; keep the shuffle tiny
+    # Ray 2.49 Dataset.join fails if any hash partition receives zero
+    # rows (internal empty table is schema-less and Acero rejects it), so
+    # size the partition count to the known candidate count: 1 partition
+    # until the pair set is big enough that an empty bucket is impossible
+    # in practice
+    n_pairs = cands.count()
+    n_parts = max(1, min(16, n_pairs // 1000))
+    # normalize the aggregate output: its empty partitions are
+    # schema-less blocks that crash the Acero join
+    from pdf_parser_ray.pipelines.relational import ensure_schema
+
+    cands = ensure_schema(cands, pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("n_bands", pa.int64())]))
     j1 = cands.join(sh_a, "inner", n_parts, on=("doc_a",),
                     right_on=("doc_id",))
     j2 = j1.join(sh_b, "inner", n_parts, on=("doc_b",),

@@ -124,3 +124,38 @@ def test_simhash_hot_bucket_truncates(caplog):
                                   bucket_cap=10).to_pandas()
     assert len(out) == 10 * 9 // 2
     assert out["doc_a"].max() < 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_clusters_transitive_chain(tmp_path, monkeypatch):
+    """A chain A~B~C~D (adjacent near-dups only) must collapse into ONE
+    cluster labeled by the minimum doc_id, via >1 propagation rounds."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    words = base.split()
+    texts = []
+    for k in range(4):  # each neighbor differs by 2 more words
+        w = list(words)
+        for j in range(2 * k):
+            w[j] = f"sub{k}_{j}"
+        texts.append(" ".join(w))
+    texts.append("entirely different content " + " ".join(
+        f"zz{i}" for i in range(40)))
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q.docs_dup_clusters(str(tmp_path), threshold=0.7)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert set(got) >= {0, 1, 2, 3}
+    assert {got[i] for i in range(4)} == {0}, got  # one component, min id
+    assert 4 not in got  # the unrelated doc joins no cluster
