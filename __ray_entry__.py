@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": q.docs_top_tokens,
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_dup_clusters": q.docs_dup_clusters,
+        "docs_winnow_fp": q.docs_winnow_fp,
         "orders_price_quantiles": q.orders_price_quantiles,
         # embeddings: similarity search
         "emb_topk": q.emb_topk,
@@ -265,6 +266,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 5
+        """,
+        "docs_winnow_fp": """
+            -- winnowing fingerprints: min 64-bit k-gram hash per sliding
+            -- window of 8 grams, distinct per doc (k = 5 chars)
+            WITH grams AS (
+                SELECT doc_id, i,
+                       md5_number_upper(substr(text, CAST(i AS INTEGER), 5))
+                           AS h
+                FROM documents,
+                     LATERAL unnest(range(1, length(text) - 5 + 2)) AS t(i)
+                WHERE length(text) >= 5
+            ), winmin AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN 7 PRECEDING
+                                    AND CURRENT ROW) AS fp,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS rn
+                FROM grams
+            )
+            SELECT DISTINCT doc_id, fp FROM winmin WHERE rn >= 8
         """,
         "orders_price_quantiles": """
             SELECT

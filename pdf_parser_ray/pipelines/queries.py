@@ -800,6 +800,45 @@ def orders_price_quantiles(sf_dir: str):
     return pd.DataFrame([row])
 
 
+def docs_winnow_fp(sf_dir: str, k: int = 5, window: int = 8):
+    """Winnowing document fingerprints (Schleimer et al. 2003): hash every
+    char k-gram, slide a window of ``window`` consecutive gram hashes,
+    keep the minimum per window, emit the distinct minima per doc.
+    Robust to insertions/shifts (unlike whole-text md5). Gram hashes are
+    md5-derived 64-bit (== DuckDB md5_number_upper) so the SQL twin is
+    value-exact; a production deployment would swap a cheaper polynomial
+    rolling hash into the same stage."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        cache: dict[str, int] = {}
+        out_id, out_fp = [], []
+        for doc_id, text in zip(ids, texts):
+            n_grams = len(text) - k + 1
+            if n_grams < window:
+                continue  # no full window (SQL twin: rn >= window)
+            hs = np.fromiter(
+                (cache.get(g) or cache.setdefault(g, _md5_64(g))
+                 for g in (text[i:i + k] for i in range(n_grams))),
+                dtype=np.uint64, count=n_grams)
+            mins = np.lib.stride_tricks.sliding_window_view(
+                hs, window).min(axis=1)
+            for fp in np.unique(mins):
+                out_id.append(doc_id)
+                out_fp.append(fp)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "fp": pa.array(np.array(out_fp, dtype=np.uint64), pa.uint64()),
+        })
+
+    out = ds.map_batches(winnow, batch_format="pyarrow", zero_copy_batch=True)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id", "fp"])
+
+
 def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
     """Dedup clustering: connected components over the verified near-dup
     pair graph, as iterative distributed min-label propagation (converges
