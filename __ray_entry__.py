@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_winnow_fp": q.docs_winnow_fp,
+        "docs_tfidf_top_terms": q.docs_tfidf_top_terms,
         "orders_price_quantiles": q.orders_price_quantiles,
         # embeddings: similarity search
         "emb_topk": q.emb_topk,
@@ -266,6 +267,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 5
+        """,
+        "docs_tfidf_top_terms": r"""
+            WITH tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\S+')) AS tok
+                      FROM documents)
+                GROUP BY doc_id, tok
+            ), df AS (
+                SELECT tok, count(*) AS df FROM tf GROUP BY tok
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.tok, tf.tf,
+                       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4)
+                           AS tfidf
+                FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+            )
+            SELECT doc_id, tok, tf, tfidf
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+                FROM scored
+            )
+            WHERE rn <= 3
         """,
         "docs_winnow_fp": """
             -- winnowing fingerprints: min 64-bit k-gram hash per sliding

@@ -839,6 +839,67 @@ def docs_winnow_fp(sf_dir: str, k: int = 5, window: int = 8):
     return rel.to_pandas_sorted(out.to_pandas(), ["doc_id", "fp"])
 
 
+def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Top-k TF-IDF terms per document: per-doc term frequencies
+    (vectorized explode + value_counts), document frequencies via a
+    distributed distinct-(doc, tok) count, IDF broadcast (vocab is small
+    relative to the corpus), per-doc top-k inside map_batches. Score =
+    round(tf * ln(N / df), 4); ranking uses the ROUNDED score on both
+    engines so float ulps cannot flip an order."""
+    from ray.data.aggregate import Count
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        toks_per_doc = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        out_id, out_tok, out_tf = [], [], []
+        for doc_id, toks in zip(ids, toks_per_doc.to_pylist()):
+            counts: dict[str, int] = {}
+            for t in toks:
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                out_id.append(doc_id)
+                out_tok.append(t)
+                out_tf.append(c)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "tok": pa.array(out_tok, pa.string()),
+                         "tf": pa.array(out_tf, pa.int64())})
+
+    tf = ds.map_batches(doc_tf, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    # document frequency: rows are already distinct (doc, tok), so df is
+    # one grouped count per token — two-phase, distributed
+    df_ds = tf.groupby("tok").aggregate(Count(alias_name="df"))
+    df_map = rel.as_pandas(rel.ensure_schema(
+        df_ds, pa.schema([("tok", pa.string()), ("df", pa.int64())])))
+
+    side = ray.put(dict(zip(df_map["tok"], df_map["df"])))
+
+    def topk(batch: pa.Table) -> pd.DataFrame:
+        pdf = batch.to_pandas()
+        dfs = pdf["tok"].map(ray.get(side)).astype("int64")
+        score = series_round_half_away(
+            pdf["tf"] * np.log(n_docs / dfs.astype("float64")), 4)
+        pdf = pdf.assign(tfidf=score)
+        pdf = pdf.sort_values(["doc_id", "tfidf", "tok"],
+                              ascending=[True, False, True], kind="mergesort")
+        return pdf.groupby("doc_id", sort=False).head(k)
+
+    # local-top-k + merge: a doc whose rows straddle a block boundary
+    # yields partial top-ks, and the global per-doc top-k is contained in
+    # their union — so the driver-side merge only ever sees <= 2k rows
+    # per doc, never the full term table
+    cand = tf.map_batches(topk, batch_format="pyarrow").to_pandas()
+    merged = (cand.sort_values(["doc_id", "tfidf", "tok"],
+                               ascending=[True, False, True], kind="mergesort")
+              .groupby("doc_id", sort=False).head(k))
+    return rel.to_pandas_sorted(merged[["doc_id", "tok", "tf", "tfidf"]],
+                                ["doc_id", "tfidf", "tok"])
+
+
 def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
     """Dedup clustering: connected components over the verified near-dup
     pair graph, as iterative distributed min-label propagation (converges
