@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": q.top_parts,
         "q14_promo_share": q.q14_promo_share,
         "q4_late_orders": q.q4_late_orders,
+        "q10_returned_items": q.q10_returned_items,
         "priority_counts": q.priority_counts,
         "nation_balance": q.nation_balance,
         "supplier_stats": q.supplier_stats,
@@ -157,6 +158,21 @@ def oracle_sql() -> dict[str, str]:
                    total_c / 100.0 AS total_revenue,
                    round(100.0 * promo_c / total_c, 4) AS promo_share
             FROM sums
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "q4_late_orders": """
             SELECT o_orderpriority, count(*) AS n_orders

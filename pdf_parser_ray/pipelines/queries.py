@@ -259,6 +259,69 @@ def segment_order_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q10_returned_items(sf_dir: str):
+    """Top-20 customers by revenue from returned items in one quarter
+    (TPC-H Q10 shape): filtered big-big hash join -> distributed grouped
+    revenue -> local top-k + driver merge -> broadcast-semi enrichment of
+    just the 20 winners with name/nation."""
+    lo, hi = _TS(1996, 10, 1), _TS(1997, 1, 1)
+    orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater_equal(batch.column("o_orderdate"),
+                                        pa.scalar(lo)),
+                       pc.less(batch.column("o_orderdate"), pa.scalar(hi)))
+        kept = batch.filter(mask)
+        return pa.table({"o_orderkey": kept.column("o_orderkey"),
+                         "o_custkey": kept.column("o_custkey")})
+
+    orders_f = orders.map_batches(orders_prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_returnflag"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("l_returnflag"),
+                                     pa.scalar("R")))
+        rev = pc.multiply(kept.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), kept.column("l_discount")))
+        return pa.table({"l_orderkey": kept.column("l_orderkey"),
+                         "rev_c": _cents(rev)})
+
+    line_f = line.map_batches(line_prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = rel.hash_join(line_f, orders_f, on="l_orderkey",
+                           right_on="o_orderkey", num_partitions=16)
+    agg = rel.grouped_agg(joined, ["o_custkey"], [("rev_c", "rev_c", "sum")])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        if "o_custkey" not in batch.schema.names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "rev_c": pa.array([], pa.int64())})
+        idx = pc.sort_indices(batch, sort_keys=[("rev_c", "descending"),
+                                                ("o_custkey", "ascending")])
+        return batch.take(idx[:20])
+
+    cand = agg.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = (cand.sort_values(["rev_c", "o_custkey"], ascending=[False, True],
+                            kind="mergesort").head(20))
+
+    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    nation = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
+    winners = rel.broadcast_semi(cust, "c_custkey",
+                                 top["o_custkey"].tolist()).to_pandas()
+    out = (top.rename(columns={"o_custkey": "c_custkey"})
+           .merge(winners, on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    out["revenue"] = _dollars(out["rev_c"])
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    return out[["c_custkey", "c_name", "n_name", "revenue"]]
+
+
 def events_hourly(sf_dir: str):
     ds = rel.load(sf_dir, "events", ["ts", "event_type", "value"])
 
