@@ -192,10 +192,21 @@ def q6_forecast_revenue(sf_dir: str):
 
 
 def top_parts(sf_dir: str):
+    """Top-10 by price: per-batch local top-k + tiny driver merge — never
+    a global sort shuffle for 10 rows."""
     ds = rel.load(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice", "p_size"])
     big = ds.filter(expr="p_size >= 40")
-    top = big.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
-    df = top.to_pandas()
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("p_retailprice", "descending"),
+                                                ("p_partkey", "ascending")])
+        return batch.take(idx[:10])
+
+    cand = big.map_batches(local_top, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    df = (cand.sort_values(["p_retailprice", "p_partkey"],
+                           ascending=[False, True], kind="mergesort")
+          .head(10).reset_index(drop=True))
     df["p_retailprice"] = series_round_half_away(df["p_retailprice"], 2)
     return df[["p_partkey", "p_name", "p_retailprice"]]
 
