@@ -158,12 +158,16 @@ def pairs_above(embs: ray.data.Dataset, threshold: float = 0.95,
         for i, j in zip(batch.column("i").to_pylist(),
                         batch.column("j").to_pylist()):
             ta = _fetch_group(all_refs, all_groups[i])
+            if ta.num_rows == 0:
+                continue  # empty input blocks (e.g. an empty dataset)
             ids_a = np.asarray(ta.column("vec_id").to_pylist())
             mat_a = _unit(_matrix(ta))
             if j == i:
                 ids_b, mat_b = ids_a, mat_a
             else:
                 tb = _fetch_group(all_refs, all_groups[j])
+                if tb.num_rows == 0:
+                    continue
                 ids_b = np.asarray(tb.column("vec_id").to_pylist())
                 mat_b = _unit(_matrix(tb))
             tables.append(_exact_pairs_tables(ids_a, mat_a, ids_b, mat_b,

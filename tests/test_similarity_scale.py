@@ -116,3 +116,18 @@ def test_lsh_pairs_empty_dataset():
     out = similarity.lsh_pairs_above(ray.data.from_arrow(t))
     assert out.empty
     assert list(out.columns) == ["vec_a", "vec_b", "cos_sim"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pairs_above_empty_and_single():
+    import ray.data
+
+    from pdf_parser_ray.stages import similarity
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float64()))})
+    out = similarity.pairs_above(ray.data.from_arrow(empty))
+    assert out.empty and list(out.columns) == ["vec_a", "vec_b", "cos_sim"]
+    single = pa.table({"vec_id": pa.array([7], pa.int64()),
+                       "embedding": pa.array([[1.0] * 8], pa.list_(pa.float64()))})
+    assert similarity.pairs_above(ray.data.from_arrow(single)).empty
