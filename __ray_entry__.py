@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": q.docs_top_tokens,
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_dup_clusters": q.docs_dup_clusters,
+        "docs_dedup_keep": q.docs_dedup_keep,
         "docs_winnow_fp": q.docs_winnow_fp,
         "docs_tfidf_top_terms": q.docs_tfidf_top_terms,
         "orders_price_quantiles": q.orders_price_quantiles,
@@ -375,6 +376,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS doc_id, min(node) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        "docs_dedup_keep": r"""
+            -- keep list: all docs except non-representative members of a
+            -- near-dup cluster (same CC as docs_dup_clusters)
+            WITH RECURSIVE words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+            ), edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), reach(src, node) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+            ), cc AS (
+                SELECT src AS doc_id, min(node) AS cluster_id
+                FROM reach GROUP BY src
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d
+            WHERE d.doc_id NOT IN (
+                SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
         """,
         "docs_hash_sample": """
             SELECT doc_id, lang FROM documents

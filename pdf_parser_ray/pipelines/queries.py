@@ -1039,6 +1039,27 @@ def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
     return rel.to_pandas_sorted(df, ["doc_id"])
 
 
+def docs_dedup_keep(sf_dir: str, threshold: float = 0.8):
+    """The end product of near-dup dedup: the KEEP list — every document
+    except non-representative members of a dup cluster (representative =
+    min doc_id in the connected component). Non-representatives are
+    removed via a broadcast anti-join (the removed set is bounded by the
+    near-dup pair volume, tiny relative to the corpus)."""
+    clusters = docs_dup_clusters(sf_dir, threshold=threshold)
+    removed = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                           "doc_id"]
+    docs = rel.load(sf_dir, "documents", ["doc_id", "lang"])
+    rref = ray.put(pa.array(sorted(removed.tolist()), pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("doc_id"),
+                                  value_set=ray.get(rref)))
+        return batch.filter(mask)
+
+    out = docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+
+
 def supplier_stats(sf_dir: str):
     """Supplier account balances by nation (broadcast dimension join +
     exact-cents grouped aggregation)."""
