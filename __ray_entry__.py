@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow_fp": q.docs_winnow_fp,
         "docs_tfidf_top_terms": q.docs_tfidf_top_terms,
         "orders_price_quantiles": q.orders_price_quantiles,
+        "nation_acctbal_median": q.nation_acctbal_median,
         # embeddings: similarity search
         "emb_topk": q.emb_topk,
         "emb_centroids": q.emb_centroids,
@@ -340,6 +341,13 @@ def oracle_sql() -> dict[str, str]:
                 quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.99)
                     / 100.0 AS p99
             FROM orders
+        """,
+        "nation_acctbal_median": """
+            SELECT n_name,
+                   quantile_disc(CAST(round(c_acctbal * 100) AS BIGINT), 0.5)
+                       / 100.0 AS median_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "docs_dup_clusters": r"""
             -- connected components over the exact-Jaccard >= 0.8 pair

@@ -974,6 +974,39 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
                                 ["doc_id", "tfidf", "tok"])
 
 
+def nation_acctbal_median(sf_dir: str):
+    """Group-wise EXACT median (customer acctbal per nation) via the
+    same distributed cents-histogram pattern as orders_price_quantiles:
+    the grouped (nation, cent-value) counts run distributed; the driver
+    walks one tiny histogram per nation (25 x bounded price range)."""
+    nation = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
+    cust = rel.load(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(batch.column("c_nationkey"), pa.int64()),
+            "bal_c": _cents(batch.column("c_acctbal")),
+        })
+
+    hist = rel.grouped_agg(
+        cust.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_nationkey", "bal_c"], [("n", "", "count")])
+    hdf = rel.as_pandas(rel.ensure_schema(hist, pa.schema([
+        ("c_nationkey", pa.int64()), ("bal_c", pa.int64()),
+        ("n", pa.int64())])))
+    rows = []
+    for key, grp in hdf.groupby("c_nationkey", sort=True):
+        grp = grp.sort_values("bal_c")
+        cum = np.cumsum(grp["n"].to_numpy())
+        n = int(cum[-1])
+        target = int(np.ceil(0.5 * n))  # quantile_disc rank
+        med = float(grp["bal_c"].to_numpy()[np.searchsorted(cum, target)])
+        rows.append({"c_nationkey": int(key), "median_acctbal": med / 100.0})
+    df = pd.DataFrame(rows).merge(nation, left_on="c_nationkey",
+                                  right_on="n_nationkey")
+    return rel.to_pandas_sorted(df[["n_name", "median_acctbal"]], ["n_name"])
+
+
 def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
     """Dedup clustering: connected components over the verified near-dup
     pair graph, as iterative distributed min-label propagation (converges
