@@ -1,0 +1,109 @@
+"""Cluster-scale evidence tests: worker-kill task retry and plan-shape
+invariants (the pure-map pipeline must stay shuffle-free)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from pdf_parser_ray.sources import synth
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER_KILL_RUNNER = """
+import os, random, signal, sys, threading, time
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+def killer():
+    # kill one Ray worker process mid-run: tasks are pure/idempotent so
+    # Ray's retry must replay them with identical output
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        time.sleep(0.05)
+        try:
+            # only workers actively executing a map stage of OUR pipeline
+            # (killing ray::IDLE would not exercise task retry)
+            out = os.popen("pgrep -f 'ray::Map'").read().split()
+            victims = [int(p) for p in out if int(p) != os.getpid()]
+            if victims:
+                os.kill(random.Random(7).choice(sorted(victims)), signal.SIGKILL)
+                print("KILLED_WORKER", flush=True)
+                return
+        except (ValueError, ProcessLookupError):
+            pass
+
+threading.Thread(target=killer, daemon=True).start()
+from pdf_parser_ray.pipelines.extraction import extract_paths
+rows = extract_paths({files!r}).take_all()
+fps = sorted((r["url"], __import__("hashlib").md5(r["text"].encode()).hexdigest())
+             for r in rows)
+import json
+print("RESULT", json.dumps(fps))
+ray.shutdown()
+"""
+
+
+@pytest.fixture(scope="module")
+def ft_shards(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("ftshards")
+    files = []
+    for shard in range(4):
+        path = d / f"pages-{shard}.parquet"
+        pq.write_table(synth.corpus_table(120, seed=91, start=shard * 120),
+                       path)
+        files.append(str(path))
+    return files
+
+
+def _run_pipeline(files, kill=False):
+    script = WORKER_KILL_RUNNER.format(repo=REPO, files=files)
+    if not kill:
+        script = script.replace(
+            "threading.Thread(target=killer, daemon=True).start()", "pass")
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=300,
+                          cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    if kill:
+        # the test is vacuous unless a worker actually died mid-run
+        assert "KILLED_WORKER" in proc.stdout, proc.stdout[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
+    assert line, proc.stdout[-2000:]
+    import json
+
+    return json.loads(line[0][len("RESULT "):])
+
+
+def test_worker_kill_mid_run_is_retried_with_identical_output(ft_shards):
+    """SIGKILL one Ray worker while the pipeline streams: the job must
+    complete via task retry and produce byte-identical text."""
+    clean = _run_pipeline(ft_shards, kill=False)
+    killed = _run_pipeline(ft_shards, kill=True)
+    assert killed == clean
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pure_map_pipeline_plan_is_shuffle_free(tmp_path):
+    """The default extraction pipeline must contain NO all-to-all stage
+    (sort/shuffle/repartition/aggregate) — the design invariant behind
+    its linear scaling."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.extraction import extract_paths
+
+    path = tmp_path / "pages.parquet"
+    pq.write_table(synth.corpus_table(60, seed=17), path)
+    ds = extract_paths(str(path)).materialize()
+    stats = ds.stats()
+    for marker in ("Sort", "Shuffle", "Repartition", "Aggregate"):
+        assert marker not in stats, f"unexpected {marker} stage:\n{stats}"
