@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -138,6 +139,40 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run one registered pipeline from the query suite over a testdata
+    directory; print (small results) or write parquet."""
+    import importlib.util
+
+    _init_ray(args.num_cpus)
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__ray_entry__.py"))
+    entrymod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entrymod)
+    queries = entrymod.queries()
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}; available: "
+              f"{', '.join(sorted(queries))}", file=sys.stderr)
+        return 1
+    result = queries[args.name](args.sf_dir)
+    df = result.to_pandas() if hasattr(result, "to_pandas") and not hasattr(
+        result, "columns") else result
+    if args.output:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       args.output)
+        print(f"wrote {len(df)} rows to {args.output}")
+    else:
+        with_rows = df if len(df) <= args.max_rows else df.head(args.max_rows)
+        print(with_rows.to_string(index=False))
+        if len(df) > args.max_rows:
+            print(f"... ({len(df)} rows total; -o FILE for all)")
+    return 0
+
+
 def cmd_synth(args) -> int:
     """Generate a synthetic pages corpus (FIXTURES.md §1) to parquet."""
     from pdf_parser_ray.sources.pages import synth_dataset
@@ -186,6 +221,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-blocks", type=int, default=10)
     p.add_argument("--max-chars", type=int, default=1200)
     p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("query", help="run one pipeline from the suite")
+    p.add_argument("name")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("--max-rows", type=int, default=50)
+    p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("synth", help="generate a synthetic corpus")
     p.add_argument("n_docs", type=int)

@@ -107,3 +107,45 @@ def test_pure_map_pipeline_plan_is_shuffle_free(tmp_path):
     stats = ds.stats()
     for marker in ("Sort", "Shuffle", "Repartition", "Aggregate"):
         assert marker not in stats, f"unexpected {marker} stage:\n{stats}"
+
+
+CONSTRAINED_STORE_RUNNER = """
+import os, sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR",
+         object_store_memory=256 * 1024 * 1024)
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from pdf_parser_ray.sources.pages import materialize_corpus
+from pdf_parser_ray.pipelines.extraction import extract_paths
+corpus = materialize_corpus(30000, seed=42, cache_dir={cache!r})
+files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+               if f.endswith(".parquet"))
+out = extract_paths(files, want_markdown=False)
+docs = pages = 0
+for batch in out.select_columns(["n_pages"]).iter_batches(
+        batch_size=4096, batch_format="pyarrow"):
+    docs += batch.num_rows
+    pages += sum(batch.column("n_pages").to_pylist())
+print("RESULT", docs, pages)
+ray.shutdown()
+"""
+
+
+def test_streaming_under_constrained_object_store(tmp_path):
+    """30k docs (~160 MB in, ~140 MB text out) through a 256 MB object
+    store: streaming execution + spilling must finish the job — the
+    'no stage materializes the corpus' claim, executable."""
+    script = CONSTRAINED_STORE_RUNNER.format(repo=REPO,
+                                             cache=str(tmp_path / "corpus"))
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=420,
+                          cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
+    assert line, proc.stdout[-2000:]
+    _, docs, pages = line[0].split()
+    assert int(docs) == 30000
+    assert int(pages) > 100000
