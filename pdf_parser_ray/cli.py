@@ -20,12 +20,13 @@ import os
 import sys
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None, verbose: bool = False):
     import ray
 
     if not ray.is_initialized():
         kwargs = dict(address="local", include_dashboard=False,
-                      ignore_reinit_error=True, logging_level="ERROR")
+                      ignore_reinit_error=True,
+                      logging_level="INFO" if verbose else "ERROR")
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
@@ -35,7 +36,7 @@ def cmd_parse(args) -> int:
     """Run the extraction pipeline over parquet shards, checkpointed."""
     from pdf_parser_ray.state.checkpoint import run_checkpointed
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
     pipeline_kwargs = {
         "want_markdown": args.format in ("markdown", "all"),
         "want_json": args.format in ("json", "all"),
@@ -62,7 +63,7 @@ def cmd_info(args) -> int:
     import pyarrow.compute as pc
     import ray.data
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
     ds = ray.data.read_parquet(args.input)
     n = ds.count()
     schema = ds.schema()
@@ -105,13 +106,22 @@ def cmd_analyze(args) -> int:
     from pdf_parser_ray.functions import layout
     from pdf_parser_ray.functions.document import doc_kind, extract_document
 
-    _init_ray(args.num_cpus)
-    ds = ray.data.read_parquet(args.input, columns=["url", "html"])
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
+    payload_col = args.pdf_column or "html"
+    ds = ray.data.read_parquet(args.input, columns=["url", payload_col])
     rows = ds.filter(expr=f"url == '{args.url}'").take(1)
     if not rows:
         print(f"url not found: {args.url}", file=sys.stderr)
         return 1
-    url, payload = rows[0]["url"], rows[0]["html"]
+    url, payload = rows[0]["url"], rows[0][payload_col]
+    if args.pdf_column:
+        # raw PDF bytes -> native bundle via the PyMuPDF seam (reference
+        # cli.py analyze --password analog)
+        from pdf_parser_ray.sources.pdfbytes import pdf_bytes_to_bundle
+
+        bundle = pdf_bytes_to_bundle(payload, password=args.password,
+                                     filename=url)
+        payload = json.dumps(bundle).encode("utf-8")
 
     if doc_kind(url) == "html":
         out = extract_document(url, payload)
@@ -144,7 +154,7 @@ def cmd_query(args) -> int:
     directory; print (small results) or write parquet."""
     import importlib.util
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
     spec = importlib.util.spec_from_file_location(
         "__ray_entry__", os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "__ray_entry__.py"))
@@ -177,7 +187,7 @@ def cmd_synth(args) -> int:
     """Generate a synthetic pages corpus (FIXTURES.md §1) to parquet."""
     from pdf_parser_ray.sources.pages import synth_dataset
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
     synth_dataset(args.n_docs, seed=args.seed).write_parquet(args.output)
     print(f"wrote {args.n_docs} docs to {args.output}")
     return 0
@@ -186,6 +196,8 @@ def cmd_synth(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="pdf_parser_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="verbose Ray logging (reference cli.py -v analog)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("parse", help="extract a corpus (checkpointed)")
@@ -220,6 +232,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--page", type=int, default=None)
     p.add_argument("--max-blocks", type=int, default=10)
     p.add_argument("--max-chars", type=int, default=1200)
+    p.add_argument("--pdf-column", default=None,
+                   help="treat this column as raw PDF bytes (PyMuPDF seam)")
+    p.add_argument("--password", default=None,
+                   help="password for encrypted PDFs (with --pdf-column)")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("query", help="run one pipeline from the suite")
