@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q.events_rolling,
         "events_asof_click": q.events_asof_click,
         "events_props_k": q.events_props_k,
+        "events_distinct_users": q.events_distinct_users,
+        "events_users_hll": q.events_users_hll,
         # documents: text analysis + dedup
         "docs_stats": q.docs_stats,
         "docs_langid": q.docs_langid,
@@ -191,6 +193,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "events_distinct_users": """
+            SELECT count(DISTINCT user_id) AS n_users FROM events
         """,
         "docs_top_by_lang": """
             SELECT lang, doc_id, n_chars

@@ -989,6 +989,45 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
                                 ["doc_id", "tfidf", "tok"])
 
 
+def events_distinct_users(sf_dir: str):
+    """Exact distinct count, two-phase: per-batch unique -> distributed
+    grouped count -> count of groups."""
+    ds = rel.load(sf_dir, "events", ["user_id"])
+
+    def batch_unique(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
+
+    uniq = rel.grouped_agg(
+        ds.map_batches(batch_unique, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("n", "", "count")])
+    return pd.DataFrame({"n_users": [int(uniq.count())]})
+
+
+def events_users_hll(sf_dir: str):
+    """Approximate distinct users via a mergeable HyperLogLog sketch —
+    one `map_batches` pass emitting a 4 KB register row per batch, merged
+    on the driver (a tree merge at cluster scale). No SQL twin (DuckDB's
+    approx_count_distinct uses its own HLL variant): rows-only check;
+    accuracy and split-merge invariance are pinned in tests/test_hll.py."""
+    from pdf_parser_ray.functions import hll
+
+    ds = rel.load(sf_dir, "events", ["user_id"])
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        regs = hll.add_values(hll.empty_registers(),
+                              batch.column("user_id").to_pylist())
+        return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = hll.empty_registers()
+    for row in ds.map_batches(batch_sketch, batch_format="pyarrow",
+                              zero_copy_batch=True).iter_rows():
+        merged = hll.merge(merged,
+                           np.frombuffer(row["registers"], dtype=np.uint8))
+    return pd.DataFrame({"est_users": [round_half_away(
+        float(hll.estimate(merged)), 1)]})
+
+
 def nation_acctbal_median(sf_dir: str):
     """Group-wise EXACT median (customer acctbal per nation) via the
     same distributed cents-histogram pattern as orders_price_quantiles:
