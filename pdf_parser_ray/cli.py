@@ -165,9 +165,10 @@ def cmd_query(args) -> int:
         print(f"unknown query {args.name!r}; available: "
               f"{', '.join(sorted(queries))}", file=sys.stderr)
         return 1
+    import pandas as pd
+
     result = queries[args.name](args.sf_dir)
-    df = result.to_pandas() if hasattr(result, "to_pandas") and not hasattr(
-        result, "columns") else result
+    df = result if isinstance(result, pd.DataFrame) else result.to_pandas()
     if args.output:
         import pyarrow as pa
         import pyarrow.parquet as pq

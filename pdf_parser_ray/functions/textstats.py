@@ -12,17 +12,22 @@ from __future__ import annotations
 import hashlib
 import re
 
-_TOKEN = re.compile(r"\S+")
+# re.ASCII: these kernels' oracles run on DuckDB's RE2, whose \S and \b
+# are ASCII-only; Python's default Unicode-aware \b/\S would diverge on
+# non-ASCII text (e.g. 'thé', NBSP) — the ASCII flag makes both engines
+# (and the pc.count_substring_regex vectorized path in stages/text.py)
+# agree on arbitrary input, fuzz-pinned in tests/test_sketch_sql_fuzz.py.
+_TOKEN = re.compile(r"\S+", re.ASCII)
 _NON_ALPHA_SPACE = re.compile(r"[^a-zA-Z ]")
 
 # language marker words (n-gram heuristic): counts of these decide the
 # predicted language with a fixed >= cascade (en, de, fr, es) and
 # "unknown" when nothing matches
 _LANG_MARKERS = {
-    "en": re.compile(r"\b(the|and|of|to|in)\b"),
-    "de": re.compile(r"\b(der|die|das|und|ist)\b"),
-    "fr": re.compile(r"\b(le|la|les|et|est)\b"),
-    "es": re.compile(r"\b(el|los|las|es|y)\b"),
+    "en": re.compile(r"\b(the|and|of|to|in)\b", re.ASCII),
+    "de": re.compile(r"\b(der|die|das|und|ist)\b", re.ASCII),
+    "fr": re.compile(r"\b(le|la|les|et|est)\b", re.ASCII),
+    "es": re.compile(r"\b(el|los|las|es|y)\b", re.ASCII),
 }
 _STOPWORDS = _LANG_MARKERS["en"]
 

@@ -196,17 +196,8 @@ def top_parts(sf_dir: str):
     a global sort shuffle for 10 rows."""
     ds = rel.load(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice", "p_size"])
     big = ds.filter(expr="p_size >= 40")
-
-    def local_top(batch: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(batch, sort_keys=[("p_retailprice", "descending"),
-                                                ("p_partkey", "ascending")])
-        return batch.take(idx[:10])
-
-    cand = big.map_batches(local_top, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
-    df = (cand.sort_values(["p_retailprice", "p_partkey"],
-                           ascending=[False, True], kind="mergesort")
-          .head(10).reset_index(drop=True))
+    df = rel.local_topk(big, [("p_retailprice", "descending"),
+                              ("p_partkey", "ascending")], 10)
     df["p_retailprice"] = series_round_half_away(df["p_retailprice"], 2)
     return df[["p_partkey", "p_name", "p_retailprice"]]
 
@@ -307,18 +298,8 @@ def q10_returned_items(sf_dir: str):
     joined = rel.hash_join(line_f, orders_f, on="l_orderkey",
                            right_on="o_orderkey", num_partitions=16)
     agg = rel.grouped_agg(joined, ["o_custkey"], [("rev_c", "rev_c", "sum")])
-
-    def local_top(batch: pa.Table) -> pa.Table:
-        if "o_custkey" not in batch.schema.names:
-            return pa.table({"o_custkey": pa.array([], pa.int64()),
-                             "rev_c": pa.array([], pa.int64())})
-        idx = pc.sort_indices(batch, sort_keys=[("rev_c", "descending"),
-                                                ("o_custkey", "ascending")])
-        return batch.take(idx[:20])
-
-    cand = agg.map_batches(local_top, batch_format="pyarrow").to_pandas()
-    top = (cand.sort_values(["rev_c", "o_custkey"], ascending=[False, True],
-                            kind="mergesort").head(20))
+    top = rel.local_topk(agg, [("rev_c", "descending"),
+                               ("o_custkey", "ascending")], 20)
 
     cust = rel.load(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
     nation = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
@@ -490,8 +471,12 @@ def docs_simhash_pairs(sf_dir: str):
     the signatures (md5_number_upper token hashes == functions/sketches
     _md5_64) and checks bit_count(xor) over all pairs."""
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
-    out = dedup.simhash_pairs(ds, max_hamming=3)
-    return rel.to_pandas_sorted(out.to_pandas(), ["doc_a", "doc_b"])
+    out = dedup.simhash_pairs(ds, max_hamming=3).to_pandas()
+    if out.empty:  # a fully-empty Ray aggregate loses its schema
+        out = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                            "doc_b": pd.Series(dtype="int64"),
+                            "hamming": pd.Series(dtype="int64")})
+    return rel.to_pandas_sorted(out, ["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -826,15 +811,8 @@ def docs_top_tokens(sf_dir: str, k: int = 20):
     partials = ds.map_batches(partial_counts, batch_format="pyarrow",
                               zero_copy_batch=True)
     agg = rel.grouped_agg(partials, ["tok"], [("n_occurrences", "n", "sum")])
-
-    def local_topk(batch: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(batch, sort_keys=[("n_occurrences", "descending"),
-                                                ("tok", "ascending")])
-        return batch.take(idx[:k])
-
-    cand = agg.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    out = (cand.sort_values(["n_occurrences", "tok"], ascending=[False, True],
-                            kind="mergesort").head(k).reset_index(drop=True))
+    out = rel.local_topk(agg, [("n_occurrences", "descending"),
+                               ("tok", "ascending")], k)
     return out[["tok", "n_occurrences"]]
 
 
@@ -995,7 +973,9 @@ def events_distinct_users(sf_dir: str):
     ds = rel.load(sf_dir, "events", ["user_id"])
 
     def batch_unique(batch: pa.Table) -> pa.Table:
-        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
+        # drop nulls: SQL count(DISTINCT x) ignores NULL
+        return pa.table({"user_id": pc.unique(
+            pc.drop_null(batch.column("user_id")))})
 
     uniq = rel.grouped_agg(
         ds.map_batches(batch_unique, batch_format="pyarrow",

@@ -122,9 +122,12 @@ def collect_column(ds: ray.data.Dataset, col: str) -> pa.Array:
     refs = ds.select_columns([col]).to_arrow_refs()
     chunks: list[pa.Array] = []
     for ref in refs:
-        chunks.extend(ray.get(ref).column(col).chunks)
+        t = ray.get(ref)
+        if col in t.schema.names:  # skip schema-less empty blocks
+            chunks.extend(t.column(col).chunks)
     if not chunks:
-        return pa.array([], pa.int64())
+        # typed empty: a mistyped value_set breaks pc.is_in downstream
+        return pa.array([], ds.schema().base_schema.field(col).type)
     return pa.chunked_array(chunks).combine_chunks()
 
 
@@ -172,6 +175,27 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         on=(on,),
         right_on=(right_on,) if right_on else None,
     )
+
+
+def local_topk(ds: ray.data.Dataset, sort_keys: list[tuple[str, str]],
+               k: int) -> pd.DataFrame:
+    """Global top-k without a sort shuffle: per-batch local top-k (Arrow
+    sort_indices) then a tiny driver merge of <= k rows per block.
+    ``sort_keys`` follow pyarrow: [(col, "ascending"|"descending"), ...].
+    """
+
+    def take_top(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(batch, sort_keys=sort_keys)
+        return batch.take(idx[:k])
+
+    cand = ds.map_batches(take_top, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    cols = [c for c, _ in sort_keys]
+    asc = [d == "ascending" for _, d in sort_keys]
+    return (cand.sort_values(cols, ascending=asc, kind="mergesort")
+            .head(k).reset_index(drop=True))
 
 
 def as_pandas(x) -> pd.DataFrame:

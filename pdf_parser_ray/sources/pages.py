@@ -50,7 +50,9 @@ def materialize_corpus(n_docs: int, seed: int = 42,
     marker = os.path.join(cache_dir, f"n{n_docs}_s{seed}.complete")
     legacy_marker = os.path.join(out, "_COMPLETE")
     fingerprint = _generator_fingerprint()
-    if os.path.exists(marker):
+    # the marker lives OUTSIDE the shard dir, so its existence no longer
+    # implies the data's: require both
+    if os.path.exists(marker) and os.path.isdir(out):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
                 return out

@@ -65,18 +65,37 @@ def pdf_bytes_to_bundle(data: bytes, password: str | None = None,
     except Exception as e:
         raise DocumentLoadError(
             f"failed to load PDF from bytes ({filename}): {e}") from e
-    if getattr(doc, "is_encrypted", False):
-        if password is None:
-            doc.close()
+    try:
+        if getattr(doc, "is_encrypted", False):
+            if password is None:
+                raise DocumentLoadError(
+                    f"PDF is encrypted and no password was provided: {filename}")
+            if not doc.authenticate(password):
+                raise DocumentLoadError(
+                    f"invalid password for encrypted PDF: {filename}")
+        try:
+            pages = [_sanitize(doc[i].get_text("dict"))
+                     for i in range(len(doc))]
+        except Exception as e:  # mupdf RuntimeError on corrupt pages etc.
             raise DocumentLoadError(
-                f"PDF is encrypted and no password was provided: {filename}")
-        if not doc.authenticate(password):
-            doc.close()
-            raise DocumentLoadError(
-                f"invalid password for encrypted PDF: {filename}")
-    pages = [doc[i].get_text("dict") for i in range(len(doc))]
-    meta = {k: v for k, v in (doc.metadata or {}).items() if v}
-    return {"pages": pages, "metadata": meta}
+                f"failed to extract pages ({filename}): {e}") from e
+        meta = {k: v for k, v in (doc.metadata or {}).items() if v}
+        return {"pages": pages, "metadata": meta}
+    finally:
+        doc.close()  # the seam must not leak native handles per document
+
+
+def _sanitize(obj):
+    """Make a get_text('dict') payload JSON-serializable: PyMuPDF embeds
+    raw image bytes in type-1 blocks ({"type": 1, "image": <bytes>});
+    the layout engine only consumes text (type-0) content, so binary
+    values are dropped, not encoded."""
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()
+                if not isinstance(v, (bytes, bytearray, memoryview))}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    return obj
 
 
 class PdfToBundle:
@@ -111,8 +130,10 @@ class PdfToBundle:
                 bundle = pdf_bytes_to_bundle(data, password=self.password,
                                              filename=url)
                 out.append(json.dumps(bundle).encode("utf-8"))
-            except DocumentLoadError:
-                # empty payload -> standard downstream error row
+            except Exception:  # noqa: BLE001 — never fail the Ray task
+                # anything a real decoder can throw (bad bytes, wrong
+                # password, corrupt xref, non-serializable leftovers)
+                # degrades to an empty payload -> standard error row
                 out.append(b"")
         return pa.table({
             "url": pa.array(urls, pa.string()),

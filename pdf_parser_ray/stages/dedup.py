@@ -109,6 +109,18 @@ def minhash_candidates(docs: ray.data.Dataset,
 _SHINGLE_SEP = "\x1f"  # unit separator: never occurs in word shingles
 
 
+def _sql_shingles(text: str) -> set[str]:
+    """Word 3-shingles with the SQL oracle's exact domain: docs with
+    fewer than 3 words have NO shingles (the oracle's shingle CTE is
+    gated on len(w) >= 3 — unlike sketches.word_shingles, whose
+    whole-text fallback would let two identical 1-word docs score
+    jaccard 1.0 while the oracle emits no such pair)."""
+    words = text.split()
+    if len(words) < 3:
+        return set()
+    return {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+
+
 def _shingle_rows(batch: pa.Table) -> pa.Table:
     """-> (doc_id, shingles): distinct word 3-shingles per doc, joined
     into one separator-delimited string (Arrow hash joins reject
@@ -119,8 +131,7 @@ def _shingle_rows(batch: pa.Table) -> pa.Table:
     return pa.table({
         "doc_id": ids,
         "shingles": pa.array(
-            [_SHINGLE_SEP.join(sorted(sketches.word_shingles(t)))
-             for t in texts],
+            [_SHINGLE_SEP.join(sorted(_sql_shingles(t))) for t in texts],
             pa.large_string()),
     })
 
@@ -207,7 +218,11 @@ def minhash_verified_pairs(docs: ray.data.Dataset,
         b_lists = batch.column("sh_b").to_pylist()
         sims = [sketches.jaccard(_shingle_set(a), _shingle_set(b))
                 for a, b in zip(a_lists, b_lists)]
-        keep = [s >= threshold for s in sims]
+        # a shingle-less doc (< 3 words) can never qualify: the oracle's
+        # inverted-index join has no rows for it (jaccard(empty, empty)
+        # would otherwise report 1.0)
+        keep = [s >= threshold and bool(a) and bool(b)
+                for s, a, b in zip(sims, a_lists, b_lists)]
         out = pa.table({
             "doc_a": batch.column("doc_a"),
             "doc_b": batch.column("doc_b"),

@@ -4,10 +4,11 @@ All stages are stateless ``map_batches`` functions over Arrow batches,
 vectorized end to end with ``pyarrow.compute`` regex kernels + numpy —
 no per-row Python in the hot path. The kernels stay in DuckDB lockstep:
 Arrow's regex engine is RE2, the same engine DuckDB uses, so counts are
-identical by construction (and a parity test pins the vectorized path to
-the scalar reference kernels in functions/textstats.py on the real
-corpus). md5 fingerprints keep the hashlib loop — there is no Arrow md5
-kernel — but that loop is memory-bound, not compute-bound.
+identical by construction; the scalar kernels in functions/textstats.py
+compile with re.ASCII so all three engines agree even on non-ASCII text
+(parity-tested on the corpus plus unicode edge cases). md5 fingerprints
+keep the hashlib loop — there is no Arrow md5 kernel — but that loop is
+memory-bound, not compute-bound.
 """
 
 from __future__ import annotations

@@ -159,3 +159,20 @@ def test_dup_clusters_transitive_chain(tmp_path, monkeypatch):
     assert set(got) >= {0, 1, 2, 3}
     assert {got[i] for i in range(4)} == {0}, got  # one component, min id
     assert 4 not in got  # the unrelated doc joins no cluster
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_short_doc_pairs_match_sql_domain():
+    """Two identical 1-2-word docs share all minhash bands, but the SQL
+    oracle's shingle CTE excludes docs with < 3 words — the verified
+    pipeline must emit NO pair for them (jaccard(empty,empty) would
+    otherwise claim 1.0)."""
+    import ray.data
+
+    from pdf_parser_ray.stages import dedup
+
+    texts = ["hi there", "hi there", "one", "one",
+             "a normal document with plenty of words to shingle properly"]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    out = dedup.minhash_verified_pairs(docs, threshold=0.5).to_pandas()
+    assert len(out) == 0, out

@@ -196,3 +196,49 @@ def test_pipeline_pdf_column_without_fitz(tmp_path):
     assert len(out) == 2
     for r in out.values():
         assert r["error"] != "" and r["text"] == ""
+
+
+def test_image_blocks_are_sanitized_not_fatal(stub_fitz, monkeypatch):
+    """PyMuPDF embeds raw image bytes in type-1 blocks; the seam must
+    strip them (the layout engine only reads text blocks) instead of
+    blowing up json.dumps — and close the document either way."""
+    import types
+
+    from pdf_parser_ray.sources import pdfbytes
+
+    class _ImgPage:
+        def get_text(self, kind):
+            return {"width": 612.0, "height": 792.0, "blocks": [
+                PAGE["blocks"][0],
+                {"type": 1, "bbox": [0, 0, 9, 9], "image": b"\x89PNG..."},
+            ]}
+
+    class _ImgDoc(_StubDoc):
+        def __init__(self):
+            super().__init__({"pages": [None]})
+
+        def __getitem__(self, i):
+            return _ImgPage()
+
+    doc = _ImgDoc()
+    monkeypatch.setattr(sys.modules["fitz"], "open",
+                        lambda stream=None, filetype=None: doc)
+    pdfbytes.reset_fitz_probe()
+    bundle = pdfbytes.pdf_bytes_to_bundle(b"whatever")
+    assert doc.closed
+    img_block = bundle["pages"][0]["blocks"][1]
+    assert "image" not in img_block and img_block["type"] == 1
+    # the bundle must be JSON-serializable end to end
+    json.dumps(bundle)
+    # and the actor stage must survive a page that RAISES mid-extract
+    class _BadDoc(_ImgDoc):
+        def __getitem__(self, i):
+            raise RuntimeError("mupdf: corrupt page")
+
+    monkeypatch.setattr(sys.modules["fitz"], "open",
+                        lambda stream=None, filetype=None: _BadDoc())
+    pdfbytes.reset_fitz_probe()
+    import pyarrow as pa
+    batch = pa.table({"url": ["x.pdf"], "pdf": [b"zz"]})
+    out = pdfbytes.PdfToBundle()(batch)
+    assert out.column("html")[0].as_py() == b""  # degraded, no raise

@@ -178,8 +178,11 @@ def test_vectorized_textstats_match_scalar_reference():
     t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
                       columns=["doc_id", "text"])
     texts = t.column("text").to_pylist()
-    # edge cases the corpus may lack
-    extra = ["", " ", "no-stopwords-here!!!", "the the the", "éé the é"]
+    # edge cases the corpus may lack — incl. the RE2-vs-Unicode-\b traps
+    # (scalar kernels compile with re.ASCII to match RE2): 'thé' has an
+    # ASCII word boundary after 'the'; NBSP is a token char in both
+    extra = ["", " ", "no-stopwords-here!!!", "the the the", "éé the é",
+             "thé café", "a b the", "die der und"]
     t2 = pa.table({
         "doc_id": pa.array(range(len(extra)), pa.int64()),
         "text": pa.array(extra, pa.string()),
