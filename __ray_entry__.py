@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep": q.docs_dedup_keep,
         "docs_winnow_fp": q.docs_winnow_fp,
         "docs_tfidf_top_terms": q.docs_tfidf_top_terms,
+        "docs_pack_sequences": q.docs_pack_sequences,
         "orders_price_quantiles": q.orders_price_quantiles,
         "nation_acctbal_median": q.nation_acctbal_median,
         # embeddings: similarity search
@@ -290,6 +291,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 5
+        """,
+        "docs_pack_sequences": r"""
+            -- doc-bounded greedy packing of token streams into 512-token
+            -- sequences: one row per sequence with its fill
+            WITH toks AS (
+                SELECT doc_id,
+                       length(regexp_extract_all(text, '\S+')) AS n
+                FROM documents
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS seq_index,
+                   CAST(least(n - i * 512, 512) AS BIGINT) AS n_tokens
+            FROM toks, LATERAL unnest(range(0, CAST(ceil(n / 512.0) AS BIGINT)))
+                 AS t(i)
         """,
         "docs_tfidf_top_terms": r"""
             WITH tf AS (

@@ -967,6 +967,36 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
                                 ["doc_id", "tfidf", "tok"])
 
 
+def docs_pack_sequences(sf_dir: str, seq_len: int = 512):
+    """Training-loader sequence packing: chunk each document's token
+    stream into fixed-length sequences (doc-bounded greedy packing — the
+    deterministic, parallelism-invariant variant; cross-doc packing
+    would depend on block layout). One row per emitted sequence with its
+    fill. Vectorized: token counts via the pc-regex kernel, sequence
+    explosion via numpy repeat/arange."""
+    from pdf_parser_ray.stages.text import token_count_array
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tok = token_count_array(batch.column("text"))
+        n_seq = np.maximum((n_tok + seq_len - 1) // seq_len, 0)
+        doc_rep = np.repeat(ids, n_seq)
+        seq_idx = np.concatenate([np.arange(k) for k in n_seq]) if len(ids) \
+            else np.array([], dtype=np.int64)
+        tok_rep = np.repeat(n_tok, n_seq)
+        n_in_seq = np.minimum(tok_rep - seq_idx * seq_len, seq_len)
+        return pa.table({
+            "doc_id": pa.array(doc_rep, pa.int64()),
+            "seq_index": pa.array(seq_idx, pa.int64()),
+            "n_tokens": pa.array(n_in_seq, pa.int64()),
+        })
+
+    out = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id", "seq_index"])
+
+
 def events_distinct_users(sf_dir: str):
     """Exact distinct count, two-phase: per-batch unique -> distributed
     grouped count -> count of groups."""

@@ -199,3 +199,32 @@ def test_vectorized_textstats_match_scalar_reference():
         lang = textstage.langid_batch(table)
         assert lang.column("pred_lang").to_pylist() == [
             ts.predict_lang(x) for x in texts]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_multi_chunk(tmp_path):
+    """Docs longer than seq_len split into ceil(n/512) sequences with the
+    remainder in the last one."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from pdf_parser_ray.pipelines import queries as q
+
+    texts = [" ".join(f"t{i}" for i in range(1200)),  # 3 seqs: 512,512,176
+             " ".join(f"t{i}" for i in range(512)),   # exactly 1 full seq
+             "short doc"]
+    t = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = q.docs_pack_sequences(str(tmp_path))
+    got = list(zip(df["doc_id"], df["seq_index"], df["n_tokens"]))
+    assert got == [(0, 0, 512), (0, 1, 512), (0, 2, 176),
+                   (1, 0, 512), (2, 0, 2)]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    sql = con.execute(entrymod.oracle_sql()["docs_pack_sequences"]).df()
+    sql = sql.sort_values(["doc_id", "seq_index"]).reset_index(drop=True)
+    assert list(zip(sql["doc_id"], sql["seq_index"], sql["n_tokens"])) == got
