@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k": q.events_props_k,
         "events_distinct_users": q.events_distinct_users,
         "events_users_hll": q.events_users_hll,
+        "events_hopping": q.events_hopping,
+        "customers_without_orders": q.customers_without_orders,
+        "docs_lang_source_rollup": q.docs_lang_source_rollup,
         # documents: text analysis + dedup
         "docs_stats": q.docs_stats,
         "docs_langid": q.docs_langid,
@@ -197,6 +200,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_distinct_users": """
             SELECT count(DISTINCT user_id) AS n_users FROM events
+        """,
+        "events_hopping": """
+            SELECT ws AS window_start, count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                       AS sum_value
+            FROM (
+                -- floor(): CAST(double AS BIGINT) would ROUND sub-second
+                -- epochs into the wrong bucket
+                SELECT CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800
+                       - b.k * 1800 AS ws, value
+                FROM events, (SELECT unnest([0, 1]) AS k) b
+            )
+            GROUP BY ws
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "docs_lang_source_rollup": """
+            SELECT lang, source, count(*) AS n_docs
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
         """,
         "docs_top_by_lang": """
             SELECT lang, doc_id, n_chars

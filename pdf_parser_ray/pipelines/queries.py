@@ -376,6 +376,85 @@ def events_top_users(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def events_hopping(sf_dir: str):
+    """Hopping (overlapping) time windows: 60-minute windows every 30
+    minutes — each event lands in exactly two windows, materialized by a
+    vectorized 2x explode before the grouped aggregation (the streaming-
+    window operator Ray Data lacks natively, as a batch transform)."""
+    ds = rel.load(sf_dir, "events", ["ts", "value"])
+    hop, length = 1800, 3600
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        bucket = pc.multiply(pc.divide(epoch, pa.scalar(hop)), pa.scalar(hop))
+        v = _cents(batch.column("value"))
+        tables = []
+        for k in range(length // hop):
+            tables.append(pa.table({
+                "window_start": pc.subtract(bucket, pa.scalar(k * hop)),
+                "value_c": v,
+            }))
+        return pa.concat_tables(tables)
+
+    prepped = ds.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    agg = rel.grouped_agg(prepped, ["window_start"],
+                          [("n_events", "", "count"),
+                           ("sum_value", "value_c", "sum")],
+                          small_result=True)
+    df = rel.as_pandas(agg)
+    df["sum_value"] = _dollars(df["sum_value"])
+    return rel.to_pandas_sorted(df, ["window_start"])
+
+
+def customers_without_orders(sf_dir: str):
+    """NOT EXISTS anti-join: customers with no orders, counted by market
+    segment. The order-customer key set is deduped distributed
+    (grouped count) and gathered as a compact Arrow array; the customer
+    scan drops matches via a broadcast inverted is_in."""
+    orders = rel.load(sf_dir, "orders", ["o_custkey"])
+
+    def batch_unique(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(batch.column("o_custkey"))})
+
+    # the key set must reach every task anyway (it IS the broadcast
+    # side), so dedupe per batch + once on the driver — no shuffle
+    uni = orders.map_batches(batch_unique, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    keys = pc.unique(rel.collect_column(uni, "o_custkey"))
+    kref = ray.put(keys)
+
+    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("c_custkey"),
+                                  value_set=ray.get(kref)))
+        return batch.filter(mask)
+
+    out = rel.grouped_agg(
+        cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_mktsegment"], [("n_customers", "", "count")], small_result=True)
+    return rel.to_pandas_sorted(rel.as_pandas(out), ["c_mktsegment"])
+
+
+def docs_lang_source_rollup(sf_dir: str):
+    """ROLLUP (lang, source): per-pair counts, per-lang subtotals, and a
+    grand total, expressed as three grouped aggregations unioned with
+    NULL level markers — the Ray expression of GROUP BY ROLLUP."""
+    ds = rel.load(sf_dir, "documents", ["lang", "source"])
+    pair = rel.as_pandas(rel.grouped_agg(
+        ds, ["lang", "source"], [("n_docs", "", "count")], small_result=True))
+    lang = (pair.groupby("lang", as_index=False)["n_docs"].sum()
+            .assign(source=None))
+    total = pd.DataFrame({"lang": [None], "source": [None],
+                          "n_docs": [int(pair["n_docs"].sum())]})
+    out = pd.concat([pair, lang, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return (out[["lang", "source", "n_docs"]]
+            .sort_values(["lang", "source", "n_docs"], na_position="last",
+                         kind="mergesort").reset_index(drop=True))
+
+
 def docs_stats(sf_dir: str):
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(textstage.stats_batch, batch_format="pyarrow",

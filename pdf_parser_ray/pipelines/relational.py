@@ -74,6 +74,12 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
 
     if small_result:
         df = partials.to_pandas()
+        if df.empty and not set(keys) <= set(df.columns):
+            # a fully-empty Ray dataset loses its schema at to_pandas:
+            # rebuild the typed empty result frame
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in keys}
+                                | {out: pd.Series(dtype="int64")
+                                   for out, _, _ in spec})
         gb = df.groupby(keys, as_index=False, sort=False, dropna=False)
         named = {}
         for out, _, op in spec:
