@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q.events_distinct_users,
         "events_users_hll": q.events_users_hll,
         "events_hopping": q.events_hopping,
+        "events_funnel": q.events_funnel,
         "customers_without_orders": q.customers_without_orders,
         "docs_lang_source_rollup": q.docs_lang_source_rollup,
         # documents: text analysis + dedup
@@ -200,6 +201,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_distinct_users": """
             SELECT count(DISTINCT user_id) AS n_users FROM events
+        """,
+        "events_funnel": """
+            WITH fv AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), fc AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN fv ON e.user_id = fv.user_id
+                WHERE e.event_type = 'click' AND e.ts >= fv.t
+                GROUP BY e.user_id
+            ), fp AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN fc ON e.user_id = fc.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= fc.t
+                GROUP BY e.user_id
+            )
+            SELECT (SELECT count(*) FROM fv) AS n_viewed,
+                   (SELECT count(*) FROM fc) AS n_clicked,
+                   (SELECT count(*) FROM fp) AS n_converted
         """,
         "events_hopping": """
             SELECT ws AS window_start, count(*) AS n_events,

@@ -376,6 +376,39 @@ def events_top_users(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def events_funnel(sf_dir: str):
+    """Funnel analysis (view -> click -> purchase): per user, the first
+    view, the first click at-or-after it, the first purchase at-or-after
+    that — one groupby(user_id) shuffle, per-user vectorized scan, tiny
+    driver sum of stage flags."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        views = group.loc[group.event_type == "view", "ts"]
+        viewed = clicked = converted = 0
+        if not views.empty:
+            viewed = 1
+            fv = views.min()
+            clicks = group.loc[(group.event_type == "click")
+                               & (group.ts >= fv), "ts"]
+            if not clicks.empty:
+                clicked = 1
+                fc = clicks.min()
+                purchases = group.loc[(group.event_type == "purchase")
+                                      & (group.ts >= fc), "ts"]
+                converted = int(not purchases.empty)
+        return pd.DataFrame({"viewed": [viewed], "clicked": [clicked],
+                             "converted": [converted]})
+
+    flags = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    df = flags.to_pandas().sum()
+    return pd.DataFrame({
+        "n_viewed": [int(df["viewed"])],
+        "n_clicked": [int(df["clicked"])],
+        "n_converted": [int(df["converted"])],
+    })
+
+
 def events_hopping(sf_dir: str):
     """Hopping (overlapping) time windows: 60-minute windows every 30
     minutes — each event lands in exactly two windows, materialized by a

@@ -228,3 +228,38 @@ def test_pack_sequences_multi_chunk(tmp_path):
     sql = con.execute(entrymod.oracle_sql()["docs_pack_sequences"]).df()
     sql = sql.sort_values(["doc_id", "seq_index"]).reset_index(drop=True)
     assert list(zip(sql["doc_id"], sql["seq_index"], sql["n_tokens"])) == got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_respects_stage_ordering(tmp_path):
+    """A purchase BEFORE the first qualifying click must not convert;
+    a click before the first view must not count as clicked."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from pdf_parser_ray.pipelines import queries as q
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # user 1: view -> click -> purchase (full funnel)
+    rows += [(1, 1, t0, "view"), (2, 1, t0 + pd.Timedelta("1h"), "click"),
+             (3, 1, t0 + pd.Timedelta("2h"), "purchase")]
+    # user 2: purchase BEFORE click (clicked but not converted)
+    rows += [(4, 2, t0, "view"), (5, 2, t0 + pd.Timedelta("2h"), "click"),
+             (6, 2, t0 + pd.Timedelta("1h"), "purchase")]
+    # user 3: click BEFORE view (viewed but not clicked)
+    rows += [(7, 3, t0, "click"), (8, 3, t0 + pd.Timedelta("1h"), "view")]
+    # user 4: never viewed
+    rows += [(9, 4, t0, "click"), (10, 4, t0 + pd.Timedelta("1h"), "purchase")]
+    events = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+    events["value"] = 0.0
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False),
+                   os.path.join(str(tmp_path), "events.parquet"))
+    df = q.events_funnel(str(tmp_path))
+    assert df.iloc[0].tolist() == [3, 2, 1]  # viewed / clicked / converted
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    sql = con.execute(entrymod.oracle_sql()["events_funnel"]).df()
+    assert sql.iloc[0].tolist() == [3, 2, 1]
