@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance": q.nation_balance,
         "supplier_stats": q.supplier_stats,
         "segment_order_stats": q.segment_order_stats,
+        "segment_price_quartiles": q.segment_price_quartiles,
         # events
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_topk": q.emb_topk,
         "emb_centroids": q.emb_centroids,
         "emb_near_pairs": q.emb_near_pairs,
+        "emb_label_coherence": q.emb_label_coherence,
         "emb_near_pairs_lsh": q.emb_near_pairs_lsh,
         "emb_topk_ivf": q.emb_topk_ivf,
         # multimodal (stubbed decode, real Ray plumbing)
@@ -279,6 +281,44 @@ def oracle_sql() -> dict[str, str]:
                    round(max(o_totalprice), 2) AS max_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "segment_price_quartiles": """
+            SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+                   count(*) AS n_orders,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       ntile(4) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice, o_orderkey)
+                           AS quartile
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            GROUP BY c_mktsegment, quartile
+        """,
+        "emb_label_coherence": """
+            -- mean cosine of members to their label centroid; centroid =
+            -- ROUNDED per-dim means (the emb_centroids contract), member
+            -- cosines quantized to 4-digit ints so the mean is an exact
+            -- integer sum on both engines
+            WITH vals AS (
+                SELECT label,
+                       unnest(CAST(embedding AS DOUBLE[])) AS val,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM embeddings
+            ), cent AS (
+                SELECT label, list(c ORDER BY dim) AS cvec
+                FROM (SELECT label, dim, round(avg(val), 4) AS c
+                      FROM vals GROUP BY label, dim)
+                GROUP BY label
+            )
+            SELECT CAST(e.label AS BIGINT) AS label,
+                   round(sum(CAST(round(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]), cent.cvec)
+                              * 10000) AS BIGINT))
+                         / CAST(count(*) AS DOUBLE) / 10000, 4) AS coherence
+            FROM embeddings e JOIN cent ON e.label = cent.label
+            GROUP BY e.label
         """,
         "events_hourly": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,

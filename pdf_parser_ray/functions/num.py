@@ -24,6 +24,14 @@ def np_round_half_away(a, digits: int):
     return np.copysign(np.floor(np.abs(a) * scale + 0.5), a) / scale
 
 
+def np_round_half_away_int(a) -> np.ndarray:
+    """Half-away-from-zero to the nearest INTEGER, as int64 — the numpy
+    twin of SQL ``CAST(round(x) AS BIGINT)`` for pre-scaled values (the
+    exact-integer-sum discipline for means/sums of floats)."""
+    a = np.asarray(a, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(a) + 0.5), a).astype(np.int64)
+
+
 def series_round_half_away(s, digits: int):
     import pandas as pd
 

@@ -23,7 +23,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from pdf_parser_ray.functions.num import round_half_away, series_round_half_away
+from pdf_parser_ray.functions.num import (
+    np_round_half_away_int,
+    round_half_away,
+    series_round_half_away,
+)
 
 from pdf_parser_ray.pipelines import relational as rel
 from pdf_parser_ray.stages import dedup, similarity, text as textstage
@@ -374,6 +378,90 @@ def events_top_users(sf_dir: str):
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
+
+
+def segment_price_quartiles(sf_dir: str):
+    """NTILE(4) window buckets: orders quartiled by price within each
+    market segment (deterministic tie-break by orderkey), aggregated to
+    (segment, quartile, n_orders, min/max price). groupby(segment)
+    shuffle + in-group rank arithmetic replicating SQL NTILE sizing
+    (first n%4 buckets get the extra row)."""
+    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                         "o_totalprice"])
+    joined = rel.broadcast_merge(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey")
+
+    def per_segment(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"],
+                              kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        base, rem = divmod(n, 4)
+        sizes = [base + 1 if i < rem else base for i in range(4)]
+        g["quartile"] = np.repeat(np.arange(1, 5), sizes)
+        agg = g.groupby("quartile", as_index=False).agg(
+            n_orders=("o_orderkey", "count"),
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"))
+        agg.insert(0, "c_mktsegment", g["c_mktsegment"].iloc[0])
+        return agg
+
+    out = (joined.groupby("c_mktsegment")
+           .map_groups(per_segment, batch_format="pandas").to_pandas())
+    for c in ("min_price", "max_price"):
+        out[c] = series_round_half_away(out[c], 2)
+    out["quartile"] = out["quartile"].astype("int64")
+    return rel.to_pandas_sorted(out, ["c_mktsegment", "quartile"])
+
+
+def emb_label_coherence(sf_dir: str):
+    """Cluster-coherence data-quality metric: per label, the mean cosine
+    of members to their label centroid. The centroid uses the ROUNDED
+    per-dim means (the emb_centroids contract — bit-identical on both
+    engines); per-member cosines go through int64 micro-units so the
+    mean is an exact integer sum regardless of accumulation order."""
+    cents = label_centroids_frame(sf_dir)
+    by_label = {int(lab): grp.sort_values("dim")["centroid"].to_numpy()
+                for lab, grp in cents.groupby("label")}
+    cref = ray.put(by_label)
+
+    embs = rel.load(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cref)
+        vecs = similarity._matrix(batch)
+        labels = np.asarray(batch.column("label").to_pylist())
+        out_lab, out_sum, out_n = [], [], []
+        for lab in np.unique(labels):
+            sel = vecs[labels == lab]
+            c = cmap[int(lab)]
+            sims = (sel @ c) / (np.linalg.norm(sel, axis=1)
+                                * np.linalg.norm(c))
+            # 4-digit units: wide enough that engine ulp differences in
+            # the cosine can never straddle a rounding boundary
+            micro = np_round_half_away_int(sims * 1e4)
+            out_lab.append(int(lab))
+            out_sum.append(int(micro.sum()))
+            out_n.append(len(sel))
+        return pa.table({"label": pa.array(out_lab, pa.int64()),
+                         "s": pa.array(out_sum, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    agg = rel.grouped_agg(
+        embs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label"], [("s", "s", "sum"), ("n", "n", "sum")], small_result=True)
+    df = rel.as_pandas(agg)
+    df["coherence"] = series_round_half_away(
+        df["s"].astype("float64") / df["n"].astype("float64") / 1e4, 4)
+    return rel.to_pandas_sorted(df[["label", "coherence"]], ["label"])
+
+
+def label_centroids_frame(sf_dir: str) -> pd.DataFrame:
+    """(label, dim, centroid) with rounded means — emb_centroids' result
+    reused as a broadcast artifact."""
+    ds = rel.load(sf_dir, "embeddings", ["label", "embedding"])
+    return rel.to_pandas_sorted(similarity.label_centroids(ds),
+                                ["label", "dim"])
 
 
 def events_funnel(sf_dir: str):
