@@ -1119,21 +1119,24 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
     n_docs = ds.count()
 
     def doc_tf(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        toks_per_doc = pc.split_pattern_regex(batch.column("text"), r"\s+")
-        out_id, out_tok, out_tf = [], [], []
-        for doc_id, toks in zip(ids, toks_per_doc.to_pylist()):
-            counts: dict[str, int] = {}
-            for t in toks:
-                if t:
-                    counts[t] = counts.get(t, 0) + 1
-            for t, c in counts.items():
-                out_id.append(doc_id)
-                out_tok.append(t)
-                out_tf.append(c)
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "tok": pa.array(out_tok, pa.string()),
-                         "tf": pa.array(out_tf, pa.int64())})
+        # fully vectorized explode: token lists flatten with their parent
+        # row indices, then one pandas groupby counts (doc, tok) pairs
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": ids[parents[keep]],
+            "tok": flat.to_numpy(zero_copy_only=False)[keep],
+        })
+        counts = (df.groupby(["doc_id", "tok"], sort=False)
+                  .size().reset_index(name="tf"))
+        return pa.table({"doc_id": pa.array(counts["doc_id"], pa.int64()),
+                         "tok": pa.array(counts["tok"], pa.string()),
+                         "tf": pa.array(counts["tf"], pa.int64())})
 
     tf = ds.map_batches(doc_tf, batch_format="pyarrow",
                         zero_copy_batch=True).materialize()
