@@ -33,3 +33,9 @@ class LayoutAnalysisError(ExtractionError):
 
 class TableExtractionError(ExtractionError):
     """Table conversion failed (same-name analog)."""
+
+
+class ConfigurationError(ExtractionError, ValueError):
+    """Invalid, missing, or conflicting configuration (same-name analog,
+    core/exceptions.py:181-209). ``parameter=`` rides in the details dict
+    exactly like the reference's keyword."""

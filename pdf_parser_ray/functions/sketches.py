@@ -5,9 +5,24 @@ reliance on Python's randomized str hash), vectorised with numpy.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import numpy as np
+
+# DuckDB's regex engine is RE2 with ASCII character classes: \s matches
+# exactly [\t\n\f\r ] (no \v, no Unicode Zs like NBSP). Python's
+# str.split() splits on UNICODE whitespace, so text containing NBSP or \v
+# would tokenize differently on the two engines. Every sketch tokenizes
+# through this RE2-equivalent class so the SQL twins
+# (regexp_extract_all(text, '\S+')) are exact on arbitrary text — parity
+# fuzz in tests/test_sketch_sql_fuzz.py includes Zs/Cc characters.
+_RE2_TOKEN = re.compile(r"[^\t\n\f\r ]+")
+
+
+def re2_tokens(text: str) -> list[str]:
+    """Whitespace tokens under RE2 \\S+ semantics (DuckDB lockstep)."""
+    return _RE2_TOKEN.findall(text)
 
 _MERSENNE = (1 << 61) - 1
 N_PERM = 64
@@ -21,7 +36,7 @@ _B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 
 
 def word_shingles(text: str, k: int = 3) -> set[str]:
-    words = text.split()
+    words = re2_tokens(text)
     if len(words) < k:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
@@ -66,7 +81,7 @@ def _md5_64(token: str) -> int:
 def simhash(text: str) -> int:
     """64-bit SimHash over whitespace tokens (md5-derived bit votes; every
     occurrence votes, matching an ``unnest(tokens)`` SQL formulation)."""
-    tokens = text.split()
+    tokens = re2_tokens(text)
     if not tokens:
         return 0
     cache: dict[str, int] = {}

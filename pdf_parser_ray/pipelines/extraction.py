@@ -93,6 +93,12 @@ def extract_dataset(
     (url, text, markdown, json, n_pages, n_blocks, n_tables, error).
     """
     ensure_data_context()
+    if parse_mode not in ("tasks", "actors"):
+        from pdf_parser_ray.functions.errors import ConfigurationError
+
+        raise ConfigurationError(
+            f"parse_mode must be 'tasks' or 'actors', got {parse_mode!r}",
+            parameter="parse_mode")
     if start_page != 1 or end_page is not None:
         # a page-range gate implies whole-document handling (the range is
         # relative to each document; slicing exploded chunks would need the

@@ -643,9 +643,13 @@ def docs_minhash_pairs(sf_dir: str):
     """Full MinHash dedup loop: LSH candidates -> distributed exact
     word-shingle Jaccard -> pairs with jaccard >= 0.8. Oracle: the exact
     all-pairs shingle-Jaccard SQL (inverted-index self-join) — equality
-    holds because verification is exact and LSH recall at J >= 0.8 with
-    16x4-row bands is ~1 (P(miss | J=0.8) ~ 1e-13; the testdata's true
-    pairs are all J >= 0.9)."""
+    holds because verification is exact and the testdata's true pairs
+    all have J >= 0.9, where 16x4-row banding misses with
+    P = (1 - 0.9^4)^16 ~ 4e-8. Right AT the 0.8 threshold the miss
+    probability is (1 - 0.8^4)^16 ~ 2.2e-4 — near-threshold pairs can in
+    principle be missed, which is the standard MinHash-LSH recall trade;
+    the oracle-equality claim rests on the corpus's pair distribution,
+    not on a universal guarantee."""
     out = _verified_pairs(sf_dir, 0.8)
     df = out.to_pandas()[["doc_a", "doc_b", "jaccard"]]
     return rel.to_pandas_sorted(df, ["doc_a", "doc_b"])
@@ -1219,22 +1223,38 @@ def events_distinct_users(sf_dir: str):
 
 def events_users_hll(sf_dir: str):
     """Approximate distinct users via a mergeable HyperLogLog sketch —
-    one `map_batches` pass emitting a 4 KB register row per batch, merged
-    on the driver (a tree merge at cluster scale). No SQL twin (DuckDB's
-    approx_count_distinct uses its own HLL variant): rows-only check;
-    accuracy and split-merge invariance are pinned in tests/test_hll.py."""
+    one `map_batches` pass emitting a 4 KB register row per batch, then a
+    distributed tree merge (`map_batches` folds up to 64 sketches per
+    task) so the driver only combines the handful of survivors — never
+    O(n_batches) serial work. NULL user_ids are dropped before sketching
+    (count(DISTINCT) semantics, same as events_distinct_users). No SQL
+    twin (DuckDB's approx_count_distinct uses its own HLL variant):
+    rows-only check; accuracy and split-merge invariance are pinned in
+    tests/test_hll.py."""
     from pdf_parser_ray.functions import hll
 
     ds = rel.load(sf_dir, "events", ["user_id"])
 
     def batch_sketch(batch: pa.Table) -> pa.Table:
-        regs = hll.add_values(hll.empty_registers(),
-                              batch.column("user_id").to_pylist())
+        vals = pc.drop_null(batch.column("user_id"))
+        regs = hll.add_values(hll.empty_registers(), vals.to_pylist())
         return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
 
+    def merge_sketches(batch: pa.Table) -> pa.Table:
+        regs = hll.empty_registers()
+        for buf in batch.column("registers").to_pylist():
+            regs = hll.merge(regs, np.frombuffer(buf, dtype=np.uint8))
+        return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
+
+    sketches = ds.map_batches(batch_sketch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # tree level: 64-way fan-in per task (register rows are 4 KB, so one
+    # level suffices up to 64x64 input batches; merge is associative +
+    # idempotent, so any tree shape yields bit-identical registers)
+    level1 = sketches.map_batches(merge_sketches, batch_format="pyarrow",
+                                  batch_size=64)
     merged = hll.empty_registers()
-    for row in ds.map_batches(batch_sketch, batch_format="pyarrow",
-                              zero_copy_batch=True).iter_rows():
+    for row in level1.take_all():
         merged = hll.merge(merged,
                            np.frombuffer(row["registers"], dtype=np.uint8))
     return pd.DataFrame({"est_users": [round_half_away(

@@ -106,7 +106,11 @@ def minhash_candidates(docs: ray.data.Dataset,
             .aggregate(Count(alias_name="n_bands")))
 
 
-_SHINGLE_SEP = "\x1f"  # unit separator: never occurs in word shingles
+# Shingle-pack separator. Must be a character that can NEVER occur inside
+# a shingle: RE2 tokens exclude exactly [\t\n\f\r ] and shingles join
+# tokens with " ", so "\n" is collision-free. (\x1f is NOT safe: it is
+# Python-split whitespace but RE2 token content.)
+_SHINGLE_SEP = "\n"
 
 
 def _sql_shingles(text: str) -> set[str]:
@@ -114,8 +118,10 @@ def _sql_shingles(text: str) -> set[str]:
     fewer than 3 words have NO shingles (the oracle's shingle CTE is
     gated on len(w) >= 3 — unlike sketches.word_shingles, whose
     whole-text fallback would let two identical 1-word docs score
-    jaccard 1.0 while the oracle emits no such pair)."""
-    words = text.split()
+    jaccard 1.0 while the oracle emits no such pair). Tokenization is
+    RE2 \\S+ (sketches.re2_tokens), matching the oracle's
+    regexp_extract_all exactly — including on NBSP/\\v whitespace."""
+    words = sketches.re2_tokens(text)
     if len(words) < 3:
         return set()
     return {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}

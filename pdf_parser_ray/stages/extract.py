@@ -285,11 +285,13 @@ def assemble_group(group: pa.Table) -> pa.Table:
         # parse_bundle (empty values dropped)
         raw_meta = rows.column("meta")[0].as_py() or "{}"
         meta = {k: v for k, v in json.loads(raw_meta).items() if v}
-        # skip empty fragments (safety-net error chunks produce none)
+        # skip empty fragments (safety-net error chunks produce none) but
+        # report the document's TRUE page count from the n_pages column —
+        # len(pages) would undercount when an errored chunk was skipped
         pages = [json.loads(f) for f in json_frags if f]
         json_doc = json.dumps({
             "source_path": url,
-            "page_count": len(pages),
+            "page_count": int(rows.column("n_pages")[0].as_py()),
             "metadata": meta,
             "pages": pages,
         }, indent=2, ensure_ascii=False)

@@ -280,7 +280,7 @@ def lsh_pairs_above(embs: ray.data.Dataset, threshold: float = 0.8,
     return out.sort_values(["vec_a", "vec_b"], kind="mergesort").reset_index(drop=True)
 
 
-def label_centroids(embs: ray.data.Dataset) -> ray.data.Dataset:
+def label_centroids(embs: ray.data.Dataset) -> pd.DataFrame:
     """-> (label, dim, centroid): per-label mean embedding, exploded to one
     row per dimension (SQL-mirrorable via unnest with ordinality)."""
 

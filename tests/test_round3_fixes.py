@@ -1,0 +1,122 @@
+"""Round-3 fix pins: ConfigurationError surface, RE2 tokenization
+lockstep, HLL null semantics + tree merge, explode-JSON page_count,
+label_centroids return type."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pdf_parser_ray.functions import sketches
+from pdf_parser_ray.functions.errors import (
+    ConfigurationError,
+    ExtractionError,
+)
+
+
+def test_configuration_error_hierarchy_and_parameter():
+    # mirrors the reference surface (core/exceptions.py:181-209): a
+    # ValueError subclass carrying the offending parameter in details
+    err = ConfigurationError("bad knob", parameter="parse_mode")
+    assert isinstance(err, ExtractionError)
+    assert isinstance(err, ValueError)
+    assert err.details["parameter"] == "parse_mode"
+    assert "parse_mode" in str(err)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extract_dataset_rejects_bad_parse_mode():
+    import ray.data
+
+    from pdf_parser_ray.pipelines.extraction import extract_dataset
+
+    ds = ray.data.from_arrow(pa.table({"url": ["u"], "html": [b"x"]}))
+    with pytest.raises(ConfigurationError):
+        extract_dataset(ds, parse_mode="threads")
+
+
+def test_re2_tokens_diverge_from_python_split():
+    # Zs (NBSP) and Cc (\x1f) are Python-split whitespace but RE2 token
+    # content; \t stays a separator on both
+    assert sketches.re2_tokens("a\xa0b") == ["a\xa0b"]
+    assert sketches.re2_tokens("a\x1fb") == ["a\x1fb"]
+    assert sketches.re2_tokens("a\x0bb") == ["a\x0bb"]
+    assert sketches.re2_tokens("a\tb c") == ["a", "b", "c"]
+    assert "a\xa0b".split() == ["a", "b"]  # the divergence being pinned
+
+
+def test_shingle_sep_collision_free():
+    # tokens may contain any char except [\t\n\f\r ]; the pack separator
+    # must therefore be one of those five — regression pin for the \x1f
+    # collision
+    from pdf_parser_ray.stages.dedup import _SHINGLE_SEP
+
+    assert _SHINGLE_SEP in "\t\n\f\r "
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_users_hll_drops_nulls(monkeypatch):
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    def fake_load(tbl):
+        def load(sf_dir, table, columns=None):
+            return ray.data.from_arrow(tbl)
+        return load
+
+    with_nulls = pa.table({"user_id": pa.array([1, None, 2, 2, None],
+                                               pa.int64())})
+    without = pa.table({"user_id": pa.array([1, 2, 2], pa.int64())})
+    monkeypatch.setattr(q.rel, "load", fake_load(with_nulls))
+    est_a = q.events_users_hll("ignored")
+    monkeypatch.setattr(q.rel, "load", fake_load(without))
+    est_b = q.events_users_hll("ignored")
+    pd.testing.assert_frame_equal(est_a, est_b)
+
+
+def test_assemble_group_page_count_uses_n_pages():
+    # a safety-net error chunk contributes no JSON fragment; page_count
+    # must still report the document's true page count (ADVICE r2)
+    from pdf_parser_ray.stages.extract import RESULT_SCHEMA, assemble_group
+
+    frag = json.dumps({"page_number": 1, "blocks": [], "tables": []})
+    group = pa.table({
+        "url": ["u", "u"],
+        "page_number": pa.array([1, 2], pa.int32()),
+        "n_pages": pa.array([2, 2], pa.int32()),
+        "text": pa.array(["page one text", ""], pa.large_string()),
+        "markdown": pa.array(["", ""], pa.large_string()),
+        "json": pa.array([frag, ""], pa.large_string()),
+        "n_blocks": pa.array([1, 0], pa.int64()),
+        "n_tables": pa.array([0, 0], pa.int64()),
+        "error": ["", "RuntimeError: boom"],
+        "blocks": pa.array([[], []],
+                           RESULT_SCHEMA.field("blocks").type),
+        "tables": pa.array([[], []],
+                           RESULT_SCHEMA.field("tables").type),
+        "final": [False, False],
+        "meta": ["{}", ""],
+    }, schema=RESULT_SCHEMA)
+    out = assemble_group(group)
+    doc = json.loads(out.column("json")[0].as_py())
+    assert doc["page_count"] == 2
+    assert len(doc["pages"]) == 1  # errored chunk really was skipped
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_centroids_returns_dataframe():
+    import ray.data
+
+    from pdf_parser_ray.stages import similarity
+
+    t = pa.table({
+        "label": pa.array([0, 0, 1], pa.int64()),
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+    })
+    out = similarity.label_centroids(ray.data.from_arrow(t))
+    assert isinstance(out, pd.DataFrame)
+    assert set(out.columns) == {"label", "dim", "centroid"}

@@ -13,9 +13,15 @@ from hypothesis import strategies as st
 
 from pdf_parser_ray.functions import sketches
 
-# words with unicode + punctuation to stress \S+ / md5 agreement
+# words with unicode + punctuation to stress \S+ / md5 agreement — plus
+# the whitespace classes where Python str.split() and RE2 \S+ DISAGREE
+# (Zs like NBSP/narrow-nbsp, Cc like \v and the \x1c-\x1f separators,
+#   line separator): RE2 keeps all of these inside tokens, so the
+# Python kernels must too (sketches.re2_tokens)
 _WORD = st.text(
     alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Po"),
+                           whitelist_characters="\xa0\u202f\u2007\u2028"
+                                                "\x0b\x1c\x1d\x1e\x1f",
                            blacklist_characters="'\\"),
     min_size=1, max_size=8)
 _TEXT = st.lists(_WORD, min_size=0, max_size=40).map(" ".join)
@@ -82,8 +88,9 @@ def test_winnow_sql_parity_fuzz(con, text):
 def test_shingle_jaccard_sql_parity_fuzz(con, a, b):
     """Exact 3-word-shingle Jaccard: python kernel vs the SQL formulation
     used by the docs_minhash_pairs oracle (restricted to >= 3 words, the
-    regime the oracle covers)."""
-    if len(a.split()) < 3 or len(b.split()) < 3:
+    regime the oracle covers). The >= 3 gate uses RE2 token counts —
+    the oracle's own domain."""
+    if len(sketches.re2_tokens(a)) < 3 or len(sketches.re2_tokens(b)) < 3:
         return
     py = sketches.jaccard(sketches.word_shingles(a), sketches.word_shingles(b))
     row = con.execute(r"""
