@@ -528,33 +528,67 @@ def events_hopping(sf_dir: str):
     return rel.to_pandas_sorted(df, ["window_start"])
 
 
-def customers_without_orders(sf_dir: str):
+def customers_without_orders(sf_dir: str,
+                             broadcast_max_keys: int = 5_000_000):
     """NOT EXISTS anti-join: customers with no orders, counted by market
-    segment. The order-customer key set is deduped distributed
-    (grouped count) and gathered as a compact Arrow array; the customer
-    scan drops matches via a broadcast inverted is_in."""
+    segment — SIZE-GATED on the build side.
+
+    * Build side small (the common case — a filtered/deduped key set):
+      per-batch-unique order keys gather to the driver as a compact
+      Arrow array and broadcast once; the customer scan drops matches
+      via an inverted ``pc.is_in``. One scan each, zero shuffles.
+    * Build side large (web scale — the gate measures the per-batch-
+      deduped row count, an upper bound on the distinct count): fall
+      back to a hash-shuffle LEFT OUTER join + null filter. No driver
+      structure grows with the key set. The right side stays per-batch-
+      deduped but not globally distinct — duplicates only multiply
+      MATCHED rows, which the null filter drops, so the anti-join is
+      exact without paying a distinct shuffle first.
+    """
     orders = rel.load(sf_dir, "orders", ["o_custkey"])
 
     def batch_unique(batch: pa.Table) -> pa.Table:
-        return pa.table({"o_custkey": pc.unique(batch.column("o_custkey"))})
+        return pa.table({"o_custkey": pc.unique(
+            pc.drop_null(batch.column("o_custkey")))})
 
-    # the key set must reach every task anyway (it IS the broadcast
-    # side), so dedupe per batch + once on the driver — no shuffle
     uni = orders.map_batches(batch_unique, batch_format="pyarrow",
-                             zero_copy_batch=True)
-    keys = pc.unique(rel.collect_column(uni, "o_custkey"))
-    kref = ray.put(keys)
-
+                             zero_copy_batch=True).materialize()
     cust = rel.load(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
-    def anti(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(batch.column("c_custkey"),
-                                  value_set=ray.get(kref)))
-        return batch.filter(mask)
+    if uni.count() <= broadcast_max_keys:
+        keys = pc.unique(rel.collect_column(uni, "o_custkey"))
+        kref = ray.put(keys)
 
-    out = rel.grouped_agg(
-        cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True),
-        ["c_mktsegment"], [("n_customers", "", "count")], small_result=True)
+        def anti(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column("c_custkey"),
+                                      value_set=ray.get(kref)))
+            return batch.filter(mask)
+
+        lonely = cust.map_batches(anti, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        n_parts = max(1, min(32, uni.count() // 1000))
+
+        def mark(batch: pa.Table) -> pa.Table:
+            # the join output keeps only the left key column, so the right
+            # side carries an explicit match marker
+            return batch.append_column(
+                "matched", pa.array([1] * batch.num_rows, pa.int8()))
+
+        marked = uni.map_batches(mark, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        joined = cust.join(marked, "left_outer", n_parts,
+                           on=("c_custkey",), right_on=("o_custkey",))
+
+        def unmatched(batch: pa.Table) -> pa.Table:
+            kept = batch.filter(pc.is_null(batch.column("matched")))
+            return kept.select(["c_custkey", "c_mktsegment"])
+
+        lonely = joined.map_batches(unmatched, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    out = rel.grouped_agg(lonely, ["c_mktsegment"],
+                          [("n_customers", "", "count")], small_result=True)
     return rel.to_pandas_sorted(rel.as_pandas(out), ["c_mktsegment"])
 
 
@@ -1111,10 +1145,16 @@ def docs_winnow_fp(sf_dir: str, k: int = 5, window: int = 8):
 
 
 def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
-    """Top-k TF-IDF terms per document: per-doc term frequencies
-    (vectorized explode + value_counts), document frequencies via a
-    distributed distinct-(doc, tok) count, IDF broadcast (vocab is small
-    relative to the corpus), per-doc top-k inside map_batches. Score =
+    """Top-k TF-IDF terms per document, distributed end to end: per-doc
+    term frequencies (vectorized explode + value_counts), document
+    frequencies via a distributed distinct-(doc, tok) count, then
+    ``tf JOIN df ON tok`` as a hash-shuffle Dataset join — the full
+    vocabulary never materializes on the driver (a web-scale vocab can
+    be tens of GB; r2 broadcast it). Scoring happens in-batch on the
+    joined rows; per-doc top-k is per-batch local top-k + a driver merge
+    of the <= docs x k x n_parts candidate rows (the result itself is
+    docs x k rows, so the merge is output-sized, not corpus-sized — a
+    production job would write it instead of returning it). Score =
     round(tf * ln(N / df), 4); ranking uses the ROUNDED score on both
     engines so float ulps cannot flip an order."""
     from ray.data.aggregate import Count
@@ -1146,27 +1186,29 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
                         zero_copy_batch=True).materialize()
     # document frequency: rows are already distinct (doc, tok), so df is
     # one grouped count per token — two-phase, distributed
-    df_ds = tf.groupby("tok").aggregate(Count(alias_name="df"))
-    df_map = rel.as_pandas(rel.ensure_schema(
-        df_ds, pa.schema([("tok", pa.string()), ("df", pa.int64())])))
-
-    side = ray.put(dict(zip(df_map["tok"], df_map["df"])))
+    df_ds = rel.ensure_schema(
+        tf.groupby("tok").aggregate(Count(alias_name="df")),
+        pa.schema([("tok", pa.string()), ("df", pa.int64())]))
+    # hash-shuffle join on tok — partition count sized from the known tf
+    # row count (Ray 2.49 joins crash on empty hash partitions)
+    n_parts = max(1, min(16, tf.count() // 1000))
+    joined = tf.join(df_ds, "inner", n_parts, on=("tok",))
 
     def topk(batch: pa.Table) -> pd.DataFrame:
         pdf = batch.to_pandas()
-        dfs = pdf["tok"].map(ray.get(side)).astype("int64")
         score = series_round_half_away(
-            pdf["tf"] * np.log(n_docs / dfs.astype("float64")), 4)
+            pdf["tf"] * np.log(n_docs / pdf["df"].astype("float64")), 4)
         pdf = pdf.assign(tfidf=score)
         pdf = pdf.sort_values(["doc_id", "tfidf", "tok"],
                               ascending=[True, False, True], kind="mergesort")
-        return pdf.groupby("doc_id", sort=False).head(k)
+        return pdf.groupby("doc_id", sort=False)[
+            ["doc_id", "tok", "tf", "tfidf"]].head(k)
 
-    # local-top-k + merge: a doc whose rows straddle a block boundary
-    # yields partial top-ks, and the global per-doc top-k is contained in
-    # their union — so the driver-side merge only ever sees <= 2k rows
-    # per doc, never the full term table
-    cand = tf.map_batches(topk, batch_format="pyarrow").to_pandas()
+    # local-top-k + merge: the join hash-partitions a doc's terms by tok,
+    # so each block holds a partial top-k per doc, and the global per-doc
+    # top-k is contained in their union — the driver merge sees at most
+    # k x n_parts rows per doc, never the full term table
+    cand = joined.map_batches(topk, batch_format="pyarrow").to_pandas()
     merged = (cand.sort_values(["doc_id", "tfidf", "tok"],
                                ascending=[True, False, True], kind="mergesort")
               .groupby("doc_id", sort=False).head(k))

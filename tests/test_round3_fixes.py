@@ -108,6 +108,36 @@ def test_assemble_group_page_count_uses_n_pages():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_anti_join_shuffle_path_matches_broadcast(monkeypatch):
+    # force the size gate down so the left-outer hash-shuffle path runs,
+    # and pin it to the broadcast path's result on data where the answer
+    # is non-empty (sf0.001 has zero order-less customers)
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    tables = {
+        "orders": pa.table({"o_custkey": pa.array([2, 4, 2, None],
+                                                  pa.int64())}),
+        "customer": pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "c_mktsegment": ["A", "A", "B", "B", "B", "A"],
+        }),
+    }
+
+    def load(sf_dir, table, columns=None):
+        return ray.data.from_arrow(tables[table])
+
+    monkeypatch.setattr(q.rel, "load", load)
+    broadcast = q.customers_without_orders("ignored")
+    shuffle = q.customers_without_orders("ignored", broadcast_max_keys=0)
+    pd.testing.assert_frame_equal(broadcast, shuffle)
+    # 1, 6 in A; 3, 5 in B
+    assert broadcast.set_index("c_mktsegment")["n_customers"].to_dict() == {
+        "A": 2, "B": 2}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_label_centroids_returns_dataframe():
     import ray.data
 
