@@ -430,7 +430,7 @@ def emb_label_coherence(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         cmap = ray.get(cref)
         vecs = similarity._matrix(batch)
-        labels = np.asarray(batch.column("label").to_pylist())
+        labels = similarity._id_array(batch, "label")
         out_lab, out_sum, out_n = [], [], []
         for lab in np.unique(labels):
             sel = vecs[labels == lab]

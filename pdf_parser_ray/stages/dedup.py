@@ -300,8 +300,8 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
                 group.column("chunk_key")[0].as_py(), n, bucket_cap)
             group = group.slice(0, bucket_cap)
             n = bucket_cap
-        ids = np.asarray(group.column("doc_id").to_pylist())
-        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.uint64)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = group.column("sig").to_numpy(zero_copy_only=False)
         ia, ib = np.triu_indices(n, 1)
         x = sigs[ia] ^ sigs[ib]
         ham = np.zeros(len(x), dtype=np.int64)

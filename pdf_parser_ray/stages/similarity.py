@@ -24,8 +24,44 @@ from pdf_parser_ray.functions.num import np_round_half_away
 
 
 def _matrix(batch: pa.Table) -> np.ndarray:
+    """Embedding column -> (N, dim) float64 matrix.
+
+    Fast path: fixed-size-list columns, and variable list columns whose
+    lengths are uniform (the parquet layout of the testdata), reshape the
+    flattened Arrow values buffer directly — zero-copy up to the single
+    vectorized float64 upcast, never per-row Python lists (the r2 path
+    converted via to_pylist, the hottest conversion in the embedding
+    suite). Ragged or null layouts fall back to the row-wise path."""
     col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if col.null_count == 0:
+        import pyarrow.compute as pc
+
+        if pa.types.is_fixed_size_list(col.type):
+            dim = col.type.list_size
+            flat = col.values.slice(col.offset * dim, n * dim)
+            return (flat.to_numpy(zero_copy_only=False)
+                    .reshape(n, dim).astype(np.float64, copy=False))
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            mm = pc.min_max(pc.list_value_length(col))
+            dim = mm["min"].as_py()
+            if dim == mm["max"].as_py() and dim is not None and dim > 0:
+                flat = col.flatten()  # offset-aware
+                return (flat.to_numpy(zero_copy_only=False)
+                        .reshape(n, dim).astype(np.float64, copy=False))
     return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _id_array(batch: pa.Table, col: str = "vec_id") -> np.ndarray:
+    """Numeric id column -> numpy without Python-object round-trips."""
+    c = batch.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return c.to_numpy(zero_copy_only=False)
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -44,7 +80,7 @@ def topk_cosine(embs: ray.data.Dataset, queries: dict[int, list[float]],
 
     def local_topk(batch: pa.Table) -> pd.DataFrame:
         vecs = _unit(_matrix(batch))
-        ids = np.asarray(batch.column("vec_id").to_pylist())
+        ids = _id_array(batch)
         sims = vecs @ ray.get(qref).T  # (N, Q)
         frames = []
         for qi, qid in enumerate(qids):
@@ -160,7 +196,7 @@ def pairs_above(embs: ray.data.Dataset, threshold: float = 0.95,
             ta = _fetch_group(all_refs, all_groups[i])
             if ta.num_rows == 0:
                 continue  # empty input blocks (e.g. an empty dataset)
-            ids_a = np.asarray(ta.column("vec_id").to_pylist())
+            ids_a = _id_array(ta)
             mat_a = _unit(_matrix(ta))
             if j == i:
                 ids_b, mat_b = ids_a, mat_a
@@ -168,7 +204,7 @@ def pairs_above(embs: ray.data.Dataset, threshold: float = 0.95,
                 tb = _fetch_group(all_refs, all_groups[j])
                 if tb.num_rows == 0:
                     continue
-                ids_b = np.asarray(tb.column("vec_id").to_pylist())
+                ids_b = _id_array(tb)
                 mat_b = _unit(_matrix(tb))
             tables.append(_exact_pairs_tables(ids_a, mat_a, ids_b, mat_b,
                                               threshold, j == i, chunk_rows))
@@ -255,7 +291,7 @@ def lsh_pairs_above(embs: ray.data.Dataset, threshold: float = 0.8,
                 n - bucket_cap)
             order = pa.compute.sort_indices(group.column("vec_id"))
             group = group.take(order[:bucket_cap])
-        ids = np.asarray(group.column("vec_id").to_pylist())
+        ids = _id_array(group)
         mat = _unit(_matrix(group))
         return _exact_pairs_tables(ids, mat, ids, mat, threshold,
                                    same_block=True, chunk_rows=bucket_cap)
@@ -286,7 +322,7 @@ def label_centroids(embs: ray.data.Dataset) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         vecs = _matrix(batch)
-        labels = np.asarray(batch.column("label").to_pylist())
+        labels = _id_array(batch, "label")
         frames = []
         for lab in np.unique(labels):
             sel = vecs[labels == lab]
@@ -394,7 +430,7 @@ def ivf_topk(embs: ray.data.Dataset, queries: dict[int, list[float]],
 
     def local_topk(batch: pa.Table) -> pd.DataFrame:
         vecs = _unit(_matrix(batch))
-        ids = np.asarray(batch.column("vec_id").to_pylist())
+        ids = _id_array(batch)
         owner = np.argmax(vecs @ ray.get(cref).T, axis=1)
         sims = vecs @ ray.get(qref).T
         probes = ray.get(pref)
