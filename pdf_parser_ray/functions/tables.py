@@ -19,6 +19,7 @@ A cell dict:
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 MIN_ROWS = 2
 MIN_COLS = 2
@@ -28,6 +29,26 @@ MIN_CELL_H_PT = 5.0
 CELL_W_MIN = 3
 CELL_W_MAX = 40
 PAD = 1
+
+
+@dataclass
+class ASCIITableStyle:
+    """User-facing style plug-point for ASCII/markdown table rendering
+    (reference analog: tables/ascii_converter.py:20-40). The defaults ARE
+    the byte contract — every pipeline-rendered table uses them; a custom
+    style is an explicit caller choice via ``render_ascii(t, style=...)``
+    or ``extract_document``-level wiring."""
+
+    horizontal: str = "-"
+    vertical: str = "|"
+    corner: str = "+"
+    header_separator: bool = True
+    padding: int = PAD
+    max_cell_width: int = CELL_W_MAX
+    min_cell_width: int = CELL_W_MIN
+
+
+_DEFAULT_STYLE = ASCIITableStyle()
 
 _NUMBERISH = re.compile(r"\d+\.?\d*")
 
@@ -153,23 +174,28 @@ def _text_grid(table: dict) -> list[list[str]]:
     return grid
 
 
-def _column_widths(grid: list[list[str]], num_cols: int) -> list[int]:
-    """Per-column width: longest content line, clamped to [3, 40]
-    (ascii_converter.py:121-152)."""
+def _column_widths(grid: list[list[str]], num_cols: int,
+                   style: ASCIITableStyle = _DEFAULT_STYLE) -> list[int]:
+    """Per-column width: longest content line, clamped to
+    [min_cell_width, max_cell_width] (ascii_converter.py:121-152)."""
     widths = []
     for c in range(num_cols):
-        w = CELL_W_MIN
+        w = style.min_cell_width
         for row in grid:
             if c < len(row):
                 for line in row[c].split("\n"):
                     w = max(w, len(line))
-        widths.append(min(w, CELL_W_MAX))
+        widths.append(min(w, style.max_cell_width))
     return widths
 
 
-def _rule(widths: list[int]) -> str:
+def _rule(widths: list[int],
+          style: ASCIITableStyle = _DEFAULT_STYLE) -> str:
     """``+---+---+`` separator (ascii_converter.py:188-202)."""
-    return "+" + "+".join("-" * (w + 2 * PAD) for w in widths) + "+"
+    return (style.corner
+            + style.corner.join(
+                style.horizontal * (w + 2 * style.padding) for w in widths)
+            + style.corner)
 
 
 def _wrap_one(chunk: str, w: int) -> list[str]:
@@ -212,16 +238,19 @@ def _wrap_cell(text: str, w: int) -> list[str]:
     return out if out else [""]
 
 
-def render_ascii(table: dict) -> str:
+def render_ascii(table: dict,
+                 style: ASCIITableStyle = _DEFAULT_STYLE) -> str:
     """Bordered ASCII rendering (ascii_converter.py:72-253): top rule, rows
-    (multi-line when wrapped), a rule after the header row, bottom rule."""
+    (multi-line when wrapped), a rule after the header row (when
+    ``style.header_separator``), bottom rule. The default style is the
+    byte contract; pass a custom ``ASCIITableStyle`` to restyle."""
     if not table["cells"] or table["num_rows"] == 0 or table["num_cols"] == 0:
         return ""
     grid = _text_grid(table)
-    widths = _column_widths(grid, table["num_cols"])
-    pad = " " * PAD
+    widths = _column_widths(grid, table["num_cols"], style)
+    pad = " " * style.padding
 
-    lines = [_rule(widths)]
+    lines = [_rule(widths, style)]
     for r, row in enumerate(grid):
         wrapped = [_wrap_cell(row[c] if c < len(row) else "", widths[c])
                    for c in range(len(widths))]
@@ -231,21 +260,25 @@ def render_ascii(table: dict) -> str:
             for c, w in enumerate(widths):
                 chunk = wrapped[c][level] if level < len(wrapped[c]) else ""
                 cells.append(f"{pad}{chunk.ljust(w)}{pad}")
-            lines.append("|" + "|".join(cells) + "|")
-        if table["has_header"] and r == 0:
-            lines.append(_rule(widths))
-    lines.append(_rule(widths))
+            lines.append(style.vertical + style.vertical.join(cells)
+                         + style.vertical)
+        if table["has_header"] and r == 0 and style.header_separator:
+            lines.append(_rule(widths, style))
+    lines.append(_rule(widths, style))
     return "\n".join(lines)
 
 
-def render_markdown(table: dict) -> str:
+def render_markdown(table: dict,
+                    style: ASCIITableStyle = _DEFAULT_STYLE) -> str:
     """``| a | b |`` markdown rendering with a dash rule after row 0; cells
     padded then TRUNCATED to the column width, newlines become spaces
-    (ascii_converter.py:333-375)."""
+    (ascii_converter.py:333-375). Markdown syntax is fixed (``|`` and
+    ``-`` are the markdown table grammar — the reference's converter
+    likewise hardcodes them); the style contributes the width clamps."""
     if not table["cells"] or table["num_rows"] == 0 or table["num_cols"] == 0:
         return ""
     grid = _text_grid(table)
-    widths = _column_widths(grid, table["num_cols"])
+    widths = _column_widths(grid, table["num_cols"], style)
     lines = []
     for r, row in enumerate(grid):
         cells = [
