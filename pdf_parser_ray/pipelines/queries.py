@@ -1427,6 +1427,84 @@ def docs_dedup_keep(sf_dir: str, threshold: float = 0.8):
     return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
 
 
+def docs_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
+    """Sketch-free exact n-gram Jaccard dedup pairs (word 3-shingles,
+    J >= 0.6): distributed inverted-index self-join on shingle hashes —
+    see stages/dedup.ngram_jaccard_pairs. Complements docs_minhash_pairs
+    (LSH + verify at 0.8): exact at ANY threshold, cost driven by shingle
+    document frequency instead of signature banding."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.ngram_jaccard_pairs(ds, threshold=threshold).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                            "doc_b": pd.Series(dtype="int64"),
+                            "jaccard": pd.Series(dtype="float64")})
+    return rel.to_pandas_sorted(out, ["doc_a", "doc_b"])
+
+
+def events_error_click_window(sf_dir: str, window_s: int = 300):
+    """Interval (range) join — an operator Ray Data lacks natively,
+    composed from groupby(user_id) + in-group vectorized searchsorted:
+    for every 'error' event, the number of 'click' events by the same
+    user in the trailing window [ts - window_s, ts]. Partitioning
+    assumption: one user's events fit one group (same as the as-of
+    join; a hot user needs time-slice salting). Oracle: SQL range
+    left-join + grouped count."""
+    ds = rel.load(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type"])
+    win = np.timedelta64(window_s, "s")
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        errors = (group[group.event_type == "error"]
+                  .sort_values(["ts", "event_id"], kind="mergesort"))
+        if errors.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "n_recent_clicks": pd.Series(dtype="int64"),
+            })
+        clicks = np.sort(group.loc[group.event_type == "click",
+                                   "ts"].to_numpy())
+        ets = errors["ts"].to_numpy()
+        hi = np.searchsorted(clicks, ets, side="right")
+        lo = np.searchsorted(clicks, ets - win, side="left")
+        return pd.DataFrame({
+            "event_id": errors["event_id"].astype("int64").to_numpy(),
+            "user_id": errors["user_id"].astype("int64").to_numpy(),
+            "n_recent_clicks": (hi - lo).astype("int64"),
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return rel.to_pandas_sorted(out.to_pandas(), ["event_id"])
+
+
+def docs_quality_filter(sf_dir: str, min_tokens: int = 30,
+                        min_alpha: float = 0.5, min_stop: float = 0.02):
+    """C4-style quality gate over the text-quality signals: keep
+    documents with enough tokens, a high-enough alphabetic ratio and a
+    plausible stopword ratio — one streaming pass over the stats stage,
+    filter applied in-batch on the ROUNDED metrics (both engines compare
+    the same 4-digit values, so the gate can never disagree by a ulp)."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    stats = ds.map_batches(textstage.stats_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("n_tokens"),
+                                 pa.scalar(min_tokens)),
+                pc.greater_equal(batch.column("alpha_ratio"),
+                                 pa.scalar(min_alpha))),
+            pc.greater_equal(batch.column("stop_ratio"),
+                             pa.scalar(min_stop)))
+        return batch.filter(keep)
+
+    out = stats.map_batches(gate, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+
+
 def supplier_stats(sf_dir: str):
     """Supplier account balances by nation (broadcast dimension join +
     exact-cents grouped aggregation)."""
