@@ -53,17 +53,27 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     return fps.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
-def _band_rows(batch: pa.Table) -> pa.Table:
-    ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    out_key, out_id = [], []
-    for doc_id, text in zip(ids, texts):
-        sig = sketches.minhash(text)
-        for key in sketches.lsh_band_keys(sig):
-            out_key.append(key)
-            out_id.append(doc_id)
-    return pa.table({"band_key": pa.array(out_key, pa.string()),
-                     "doc_id": pa.array(out_id, pa.int64())})
+def _make_band_rows(band_fn=None):
+    """Band-row stage; ``band_fn`` (text -> band keys) is injectable so
+    tests can force hot buckets deterministically (a driver-side
+    monkeypatch would not reach Ray workers)."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_key, out_id = [], []
+        for doc_id, text in zip(ids, texts):
+            if band_fn is not None:
+                keys = band_fn(text)
+            else:
+                keys = sketches.lsh_band_keys(sketches.minhash(text))
+            for key in keys:
+                out_key.append(key)
+                out_id.append(doc_id)
+        return pa.table({"band_key": pa.array(out_key, pa.string()),
+                         "doc_id": pa.array(out_id, pa.int64())})
+
+    return band_rows
 
 
 def _make_emit_pairs(bucket_cap: int):
@@ -72,7 +82,9 @@ def _make_emit_pairs(bucket_cap: int):
         if len(ids) > bucket_cap:
             # star to the representative (lowest id): keeps every doc
             # connected to its dup-group transitively while bounding the
-            # emission at O(n); the dropped direct pairs are logged
+            # emission at O(n); the dropped direct pairs are logged, and
+            # the verified loop re-attaches members whose star edge fails
+            # verification (see minhash_verified_pairs repair pass)
             dropped = len(ids) * (len(ids) - 1) // 2 - (len(ids) - 1)
             logger.warning(
                 "minhash_candidates: hot band %s has %d docs; emitting "
@@ -80,30 +92,51 @@ def _make_emit_pairs(bucket_cap: int):
                 group.column("band_key")[0].as_py(), len(ids), dropped)
             a = [ids[0]] * (len(ids) - 1)
             b = ids[1:]
+            star = [1] * (len(ids) - 1)
         else:
             a, b = [], []
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     a.append(ids[i])
                     b.append(ids[j])
+            star = [0] * len(a)
         return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64())})
+                         "doc_b": pa.array(b, pa.int64()),
+                         "star": pa.array(star, pa.int8())})
 
     return emit_pairs
 
 
 def minhash_candidates(docs: ray.data.Dataset,
-                       bucket_cap: int = BAND_BUCKET_CAP) -> ray.data.Dataset:
-    """-> distinct (doc_a, doc_b, n_bands) near-duplicate candidate pairs."""
-    bands = docs.map_batches(_band_rows, batch_format="pyarrow",
+                       bucket_cap: int = BAND_BUCKET_CAP,
+                       band_fn=None,
+                       keep_star: bool = False) -> ray.data.Dataset:
+    """-> distinct (doc_a, doc_b, n_bands) near-duplicate candidate pairs.
+    ``keep_star=True`` additionally returns the max star flag per pair
+    (1 when the pair exists ONLY as a hot-band star edge) for the
+    verified loop's repair pass."""
+    bands = docs.map_batches(_make_band_rows(band_fn),
+                             batch_format="pyarrow",
                              zero_copy_batch=True)
     pairs = bands.groupby("band_key").map_groups(
         _make_emit_pairs(bucket_cap), batch_format="pyarrow")
-    # same pair can surface from several bands: dedupe
-    from ray.data.aggregate import Count
+    # same pair can surface from several bands: dedupe. A pair is a star
+    # edge only if NO band emitted it directly -> Min over the flag.
+    from ray.data.aggregate import Count, Min
 
-    return (pairs.groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="n_bands")))
+    out = (pairs.groupby(["doc_a", "doc_b"])
+           .aggregate(Count(alias_name="n_bands"),
+                      Min("star", alias_name="star")))
+    if keep_star:
+        return out
+
+    def strip(batch: pa.Table) -> pa.Table:
+        if "star" in batch.schema.names:
+            return batch.drop_columns(["star"])
+        return batch
+
+    return out.map_batches(strip, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 # Shingle-pack separator. Must be a character that can NEVER occur inside
@@ -146,50 +179,18 @@ def _shingle_set(packed: str) -> set[str]:
     return set(packed.split(_SHINGLE_SEP)) if packed else set()
 
 
-def minhash_verified_pairs(docs: ray.data.Dataset,
-                           threshold: float = 0.8,
-                           bucket_cap: int = BAND_BUCKET_CAP) -> ray.data.Dataset:
-    """The full dedup loop, distributed end to end: LSH candidates ->
-    exact word-shingle Jaccard -> pairs with jaccard >= threshold.
+_EMPTY_VERIFIED = pa.table({
+    "doc_a": pa.array([], pa.int64()),
+    "doc_b": pa.array([], pa.int64()),
+    "jaccard": pa.array([], pa.float64()),
+})
 
-    Candidate texts are NEVER gathered on the driver: the candidate doc
-    set filters the corpus via a broadcast semi-join (``pc.is_in``), the
-    per-doc shingle sets are computed distributed, and each pair meets
-    its two shingle sets through two hash joins on doc_id (the co-group
-    pattern; candidate volume is LSH-bounded, so the joins are small).
-    Output: (doc_a, doc_b, jaccard) — jaccard rounded half-away to 4.
-    """
-    cands = minhash_candidates(docs, bucket_cap=bucket_cap).materialize()
 
-    # candidate doc ids — a compact Arrow array on the driver (the
-    # broadcast semi-join build side; no text, no rows)
-    id_chunks: list[pa.Array] = []
-    for ref in cands.select_columns(["doc_a", "doc_b"]).to_arrow_refs():
-        t = ray.get(ref)
-        if "doc_a" not in t.schema.names:  # empty shuffle partitions
-            continue
-        id_chunks.extend(t.column("doc_a").chunks)
-        id_chunks.extend(t.column("doc_b").chunks)
-    if not id_chunks:
-        return ray.data.from_arrow(pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }))
-    wanted = pa.compute.unique(pa.chunked_array(id_chunks).combine_chunks())
-    wref = ray.put(wanted)
-
-    def keep_candidates(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.is_in(batch.column("doc_id"),
-                                     value_set=ray.get(wref)))
-
-    shingles = (docs.map_batches(keep_candidates, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-                .map_batches(_shingle_rows, batch_format="pyarrow",
-                             zero_copy_batch=True)
-                .materialize())  # joined twice below: pin to avoid re-scan
+def _score_candidates(cands: ray.data.Dataset, shingles: ray.data.Dataset,
+                      n_parts: int, threshold: float) -> ray.data.Dataset:
+    """(doc_a, doc_b, star) candidates x (doc_id, shingles) -> scored
+    (doc_a, doc_b, star, jaccard, keep): each pair meets its two shingle
+    sets through two hash joins on doc_id (the co-group pattern)."""
 
     def rename(col: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -200,20 +201,6 @@ def minhash_verified_pairs(docs: ray.data.Dataset,
                                 zero_copy_batch=True)
     sh_b = shingles.map_batches(rename("sh_b"), batch_format="pyarrow",
                                 zero_copy_batch=True)
-    # Ray 2.49 Dataset.join fails if any hash partition receives zero
-    # rows (internal empty table is schema-less and Acero rejects it), so
-    # size the partition count to the known candidate count: 1 partition
-    # until the pair set is big enough that an empty bucket is impossible
-    # in practice
-    n_pairs = cands.count()
-    n_parts = max(1, min(16, n_pairs // 1000))
-    # normalize the aggregate output: its empty partitions are
-    # schema-less blocks that crash the Acero join
-    from pdf_parser_ray.pipelines.relational import ensure_schema
-
-    cands = ensure_schema(cands, pa.schema([
-        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
-        ("n_bands", pa.int64())]))
     j1 = cands.join(sh_a, "inner", n_parts, on=("doc_a",),
                     right_on=("doc_id",))
     j2 = j1.join(sh_b, "inner", n_parts, on=("doc_b",),
@@ -229,15 +216,180 @@ def minhash_verified_pairs(docs: ray.data.Dataset,
         # would otherwise report 1.0)
         keep = [s >= threshold and bool(a) and bool(b)
                 for s, a, b in zip(sims, a_lists, b_lists)]
-        out = pa.table({
+        return pa.table({
             "doc_a": batch.column("doc_a"),
             "doc_b": batch.column("doc_b"),
+            "star": batch.column("star"),
             "jaccard": pa.array([round_half_away(s, 4) for s in sims],
                                 pa.float64()),
+            "keep": pa.array(keep, pa.bool_()),
         })
-        return out.filter(pa.array(keep, pa.bool_()))
 
     return j2.map_batches(score, batch_format="pyarrow")
+
+
+def _kept_only(scored: ray.data.Dataset) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(batch.column("keep"))
+        return kept.select(["doc_a", "doc_b", "jaccard"])
+
+    return scored.map_batches(fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def minhash_verified_pairs(docs: ray.data.Dataset,
+                           threshold: float = 0.8,
+                           bucket_cap: int = BAND_BUCKET_CAP,
+                           band_fn=None,
+                           repair_partner_cap: int = 64,
+                           repair_gather_cap: int = 100_000) -> ray.data.Dataset:
+    """The full dedup loop, distributed end to end: LSH candidates ->
+    exact word-shingle Jaccard -> pairs with jaccard >= threshold.
+
+    Candidate texts are NEVER gathered on the driver: the candidate doc
+    set filters the corpus via a broadcast semi-join (``pc.is_in``), the
+    per-doc shingle sets are computed distributed, and each pair meets
+    its two shingle sets through two hash joins on doc_id (the co-group
+    pattern; candidate volume is LSH-bounded, so the joins are small).
+
+    Hot-band star repair: when a band bucket overflows ``bucket_cap``,
+    candidates degrade to star edges (rep—member). A member whose star
+    edge FAILS verification could silently lose its true near-dup pairs
+    (the rep may be an outlier), so failed star edges get a second pass:
+    each failed member is re-paired against up to ``repair_partner_cap``
+    members of the same star (failed and verified alike, lowest ids
+    first — deterministic) and those pairs are verified with the same
+    exact kernel. The gather of failed star edges is bounded by
+    ``repair_gather_cap`` (logged when truncated) — the repair set is
+    hot-band-sized, not corpus-sized. Output: (doc_a, doc_b, jaccard) —
+    jaccard rounded half-away to 4.
+    """
+    cands = minhash_candidates(docs, bucket_cap=bucket_cap,
+                               band_fn=band_fn,
+                               keep_star=True).materialize()
+
+    # candidate doc ids — a compact Arrow array on the driver (the
+    # broadcast semi-join build side; no text, no rows)
+    id_chunks: list[pa.Array] = []
+    for ref in cands.select_columns(["doc_a", "doc_b"]).to_arrow_refs():
+        t = ray.get(ref)
+        if "doc_a" not in t.schema.names:  # empty shuffle partitions
+            continue
+        id_chunks.extend(t.column("doc_a").chunks)
+        id_chunks.extend(t.column("doc_b").chunks)
+    if not id_chunks:
+        return ray.data.from_arrow(_EMPTY_VERIFIED)
+    wanted = pa.compute.unique(pa.chunked_array(id_chunks).combine_chunks())
+    wref = ray.put(wanted)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("doc_id"),
+                                     value_set=ray.get(wref)))
+
+    shingles = (docs.map_batches(keep_candidates, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .map_batches(_shingle_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .materialize())  # joined twice (+ repair): pin once
+
+    # Ray 2.49 Dataset.join fails if any hash partition receives zero
+    # rows (internal empty table is schema-less and Acero rejects it), so
+    # size the partition count to the known candidate count: 1 partition
+    # until the pair set is big enough that an empty bucket is impossible
+    # in practice
+    n_pairs = cands.count()
+    n_parts = max(1, min(16, n_pairs // 1000))
+    # normalize the aggregate output: its empty partitions are
+    # schema-less blocks that crash the Acero join
+    from pdf_parser_ray.pipelines.relational import ensure_schema
+
+    cand_schema = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("star", pa.int8())])
+    cands = ensure_schema(
+        cands, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("n_bands", pa.int64()), ("star", pa.int8())])
+    ).select_columns(["doc_a", "doc_b", "star"])
+    scored = _score_candidates(cands, shingles, n_parts,
+                               threshold).materialize()
+
+    def failed_star_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.and_(
+            pc.equal(batch.column("star"), pa.scalar(1, pa.int8())),
+            pc.invert(batch.column("keep"))))
+        return kept.select(["doc_a", "doc_b"])
+
+    failed = scored.map_batches(failed_star_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    n_failed = failed.count()
+    if n_failed == 0:
+        return _kept_only(scored)
+
+    # ---- repair pass: re-attach members whose star edge failed ----
+    if n_failed > repair_gather_cap:
+        logger.warning(
+            "minhash_verified_pairs: %d failed star edges exceed the "
+            "repair gather cap %d; repairing a deterministic prefix",
+            n_failed, repair_gather_cap)
+    failed_df = failed.limit(repair_gather_cap).to_pandas()
+
+    def verified_star_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.and_(
+            pc.equal(batch.column("star"), pa.scalar(1, pa.int8())),
+            batch.column("keep")))
+        return kept.select(["doc_a", "doc_b"])
+
+    verified_df = (scored.map_batches(verified_star_rows,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                   .limit(repair_gather_cap).to_pandas())
+
+    rep_members: dict[int, list[int]] = {}
+    if "doc_a" in verified_df.columns:  # empty gathers lose their schema
+        for rep, grp in verified_df.groupby("doc_a"):
+            rep_members[int(rep)] = sorted(int(x) for x in grp["doc_b"])
+    out_a, out_b = [], []
+    seen: set[tuple[int, int]] = set()
+    for rep, grp in failed_df.groupby("doc_a"):
+        failed_members = sorted(int(x) for x in grp["doc_b"])
+        partners = sorted(set(failed_members)
+                          | set(rep_members.get(int(rep), [])))
+        partners = partners[:repair_partner_cap]
+        for m in failed_members:
+            for p in partners:
+                if p == m:
+                    continue
+                pair = (min(m, p), max(m, p))
+                if pair not in seen:
+                    seen.add(pair)
+                    out_a.append(pair[0])
+                    out_b.append(pair[1])
+    if not out_a:
+        return _kept_only(scored)
+    repair_cands = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(out_a, pa.int64()),
+        "doc_b": pa.array(out_b, pa.int64()),
+        "star": pa.array([0] * len(out_a), pa.int8()),
+    }, schema=cand_schema))
+    repair_parts = max(1, min(16, len(out_a) // 1000))
+    repaired = _score_candidates(repair_cands, shingles, repair_parts,
+                                 threshold)
+
+    # union + dedupe: a repaired pair may also exist as a direct
+    # candidate from a non-hot band (identical jaccard either way)
+    from ray.data.aggregate import Min
+
+    union = _kept_only(scored).union(_kept_only(repaired))
+    deduped = union.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("jaccard", alias_name="jaccard"))
+    return ensure_schema(deduped, pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("jaccard", pa.float64())]))
 
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,

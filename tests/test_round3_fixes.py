@@ -138,6 +138,62 @@ def test_anti_join_shuffle_path_matches_broadcast(monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_star_cap_repair_reattaches_members():
+    """A hot band star-caps to rep—member edges; when the rep is an
+    outlier every star edge fails verification, and without the repair
+    pass the members' true near-dup pairs would vanish (r2 ADVICE)."""
+    import ray.data
+
+    from pdf_parser_ray.stages import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "totally unrelated words here nothing shared at all ever",
+            base,
+            base + " lambda",
+            base + " mu",
+        ],
+    }))
+    # force ONE band bucket of size 4 with cap 3 -> star edges from rep 0
+    out = dedup.minhash_verified_pairs(
+        docs, threshold=0.8, bucket_cap=3,
+        band_fn=lambda text: ["hot"]).to_pandas()
+    got = {(int(a), int(b)): round(j, 4)
+           for a, b, j in zip(out.doc_a, out.doc_b, out.jaccard)}
+    assert got == {(1, 2): 0.8889, (1, 3): 0.8889, (2, 3): 0.8}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_star_cap_repair_uses_verified_members():
+    """A failed member must also be re-paired against members whose star
+    edge VERIFIED (rep similar to some members but not others)."""
+    import ray.data
+
+    from pdf_parser_ray.stages import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [
+            base,                 # rep
+            base + " lambda",     # star edge verifies (J 0.8889)
+            # shares enough with doc 1 but NOT with the rep:
+            # rep-2 fails, 1-2 must come from the repair pass
+            "nu xi omicron " + base.replace("alpha beta gamma ", "")
+            + " lambda",
+        ],
+    }))
+    out = dedup.minhash_verified_pairs(
+        docs, threshold=0.5, bucket_cap=2,
+        band_fn=lambda text: ["hot"]).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(out.doc_a, out.doc_b)}
+    assert (0, 1) in pairs
+    assert (1, 2) in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_label_centroids_returns_dataframe():
     import ray.data
 
