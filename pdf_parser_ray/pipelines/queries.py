@@ -567,7 +567,7 @@ def customers_without_orders(sf_dir: str,
         lonely = cust.map_batches(anti, batch_format="pyarrow",
                                   zero_copy_batch=True)
     else:
-        n_parts = max(1, min(32, uni.count() // 1000))
+        n_parts = rel.join_partitions(uni.count(), cap=32)
 
         def mark(batch: pa.Table) -> pa.Table:
             # the join output keeps only the left key column, so the right
@@ -1188,10 +1188,12 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
     # one grouped count per token — two-phase, distributed
     df_ds = rel.ensure_schema(
         tf.groupby("tok").aggregate(Count(alias_name="df")),
-        pa.schema([("tok", pa.string()), ("df", pa.int64())]))
-    # hash-shuffle join on tok — partition count sized from the known tf
-    # row count (Ray 2.49 joins crash on empty hash partitions)
-    n_parts = max(1, min(16, tf.count() // 1000))
+        pa.schema([("tok", pa.string()), ("df", pa.int64())])).materialize()
+    # hash-shuffle join on tok — partition count sized from the KEY
+    # cardinality (the vocabulary), not the row count: Ray 2.49 joins
+    # crash on empty hash partitions, and a small vocabulary over many
+    # partitions guarantees empties (the sf0.1 testdata has 31 tokens)
+    n_parts = rel.join_partitions(df_ds.count(), rows_per_part=100)
     joined = tf.join(df_ds, "inner", n_parts, on=("tok",))
 
     def topk(batch: pa.Table) -> pd.DataFrame:
@@ -1374,7 +1376,7 @@ def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
 
     # join partition count from the known edge count (Ray 2.49 joins
     # fail on empty hash partitions — see dedup.minhash_verified_pairs)
-    n_parts = max(1, min(16, edge_ds.count() // 1000))
+    n_parts = rel.join_partitions(edge_ds.count())
 
     for _ in range(64):  # diameter bound; real loop exits on fixpoint
         # candidate labels: every node keeps its own and receives each

@@ -170,6 +170,22 @@ def ensure_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def join_partitions(n_keys: int, rows_per_part: int = 1000,
+                    cap: int = 16) -> int:
+    """Partition count for a Ray 2.49 ``Dataset.join``.
+
+    Two failure modes bound it: (a) a partition receiving ZERO rows
+    crashes the Acero join ("No match for key field"), so the count
+    scales with the known key/row count; (b) join aggregator pools sized
+    past the core count DEADLOCK on small clusters (a 4-CPU session hung
+    on chained 16-partition joins), so the count also caps at half the
+    cluster CPUs."""
+    from pdf_parser_ray.runtime import cluster_cpus
+
+    return max(1, min(cap, max(1, cluster_cpus() // 2),
+                      n_keys // rows_per_part))
+
+
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               on: str, right_on: str | None = None,
               num_partitions: int = 32,

@@ -300,7 +300,9 @@ def minhash_verified_pairs(docs: ray.data.Dataset,
     # until the pair set is big enough that an empty bucket is impossible
     # in practice
     n_pairs = cands.count()
-    n_parts = max(1, min(16, n_pairs // 1000))
+    from pdf_parser_ray.pipelines.relational import join_partitions
+
+    n_parts = join_partitions(n_pairs)
     # normalize the aggregate output: its empty partitions are
     # schema-less blocks that crash the Acero join
     from pdf_parser_ray.pipelines.relational import ensure_schema
@@ -376,7 +378,9 @@ def minhash_verified_pairs(docs: ray.data.Dataset,
         "doc_b": pa.array(out_b, pa.int64()),
         "star": pa.array([0] * len(out_a), pa.int8()),
     }, schema=cand_schema))
-    repair_parts = max(1, min(16, len(out_a) // 1000))
+    from pdf_parser_ray.pipelines.relational import join_partitions
+
+    repair_parts = join_partitions(len(out_a))
     repaired = _score_candidates(repair_cands, shingles, repair_parts,
                                  threshold)
 
@@ -441,7 +445,13 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
             "doc_b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64()),
         }))
-    n_parts = num_partitions or max(1, min(16, n_rows // 4000))
+    # partition count: bounded by rows AND by cluster CPUs — this plan
+    # chains THREE hash joins in one streaming graph, and join aggregator
+    # pools sized past the core count deadlock on small clusters (the
+    # 4-CPU pytest session hung at 16 partitions; 16 CPUs were fine)
+    from pdf_parser_ray.pipelines.relational import join_partitions
+
+    n_parts = num_partitions or join_partitions(n_rows, rows_per_part=4000)
 
     counts = ensure_schema(
         grouped_agg(sh, ["doc_id"], [("n", "", "count")]),
