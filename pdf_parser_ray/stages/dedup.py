@@ -403,13 +403,19 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
     no LSH recall caveat at any threshold.
 
     Plan (all Dataset programs; nothing corpus-sized on the driver):
-      1. (h, doc_id) rows: distinct md5-64 shingle hashes per doc
-         (hashes, not strings, cross the shuffle — 8 B per shingle).
-      2. per-doc shingle counts: distributed grouped count.
-      3. inverted-index self-join on h (hash shuffle) -> candidate
-         (doc_a < doc_b) co-occurrence rows -> grouped count = exact
-         intersection size per pair.
-      4. two hash joins attach |A| and |B|; jaccard = i / (|A|+|B|-i),
+      1. (h, doc_id, n) rows: distinct md5-64 shingle hashes per doc,
+         each row carrying |doc|'s shingle count n (8 B hashes cross the
+         shuffle, never shingle strings; carrying n eliminates the two
+         count-attach joins a naive plan needs).
+      2. inverted-index self-join on h (ONE hash-shuffle join) ->
+         co-occurrence rows, oriented doc_a < doc_b.
+      3. LENGTH FILTER (set-similarity length bound, PPJoin family):
+         J <= min(|A|,|B|) / max(|A|,|B|), so min/max >= threshold is a
+         LOSSLESS necessary condition — size-dissimilar pairs drop
+         before the wide step.
+      4. pair groupby (id-packed int64 key when ids fit 32 bits):
+         Sum(c) = exact intersection, Min(n_a)/Min(n_b) carry the set
+         sizes (constant per pair); jaccard = i / (n_a + n_b - i),
          filter >= threshold, round half-away to 4.
 
     Pairs sharing no shingle have J = 0 and can never qualify, so the
@@ -417,23 +423,33 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
     frequency: a boilerplate shingle shared by d docs contributes
     O(d^2) candidate rows — at web scale you drop stop-shingles above a
     document-frequency cap FIRST (the standard trade; not triggered on
-    the testdata, where the exact SQL twin must match bit-for-bit).
-    Oracle: the inverted-index SQL at the same threshold."""
-    from ray.data.aggregate import Count
+    the testdata, where the exact SQL twin must match bit-for-bit). The
+    wide step is the pair groupby; a low-entropy vocabulary (sf0.1
+    testdata: 31 tokens) makes ~half of all doc pairs co-occur, and its
+    cost is then Ray's aggregate constant (~14 s / 1M groups at 32
+    CPUs), not this plan — the length filter and the map-side combine
+    are the available levers. Oracle: the inverted-index SQL at the
+    same threshold."""
+    from ray.data.aggregate import Min, Sum
 
-    from pdf_parser_ray.pipelines.relational import ensure_schema, grouped_agg
+    from pdf_parser_ray.pipelines.relational import (
+        ensure_schema,
+        join_partitions,
+    )
 
     def sh_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_h, out_id = [], []
+        out_h, out_id, out_n = [], [], []
         for doc_id, text in zip(ids, texts):
-            for s in _sql_shingles(text):
-                out_h.append(sketches._md5_64(s))
-                out_id.append(doc_id)
+            hs = [sketches._md5_64(s) for s in _sql_shingles(text)]
+            out_h.extend(hs)
+            out_id.extend([doc_id] * len(hs))
+            out_n.extend([len(hs)] * len(hs))
         return pa.table({
             "h": pa.array(np.array(out_h, dtype=np.uint64), pa.uint64()),
             "doc_id": pa.array(out_id, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
         })
 
     sh = docs.map_batches(sh_rows, batch_format="pyarrow",
@@ -445,54 +461,83 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
             "doc_b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64()),
         }))
-    # partition count: bounded by rows AND by cluster CPUs — this plan
-    # chains THREE hash joins in one streaming graph, and join aggregator
-    # pools sized past the core count deadlock on small clusters (the
-    # 4-CPU pytest session hung at 16 partitions; 16 CPUs were fine)
-    from pdf_parser_ray.pipelines.relational import join_partitions
-
+    # partition count: bounded by rows AND by cluster CPUs — join
+    # aggregator pools sized past the core count deadlock on small
+    # clusters (a 4-CPU session hung at 16 partitions; 16 CPUs fine)
     n_parts = num_partitions or join_partitions(n_rows, rows_per_part=4000)
-
-    counts = ensure_schema(
-        grouped_agg(sh, ["doc_id"], [("n", "", "count")]),
-        pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]))
+    # id-packing precondition for the pair groupby: ids must fit 32 bits
+    # (4.3e9 docs). Beyond that — a 10^12-doc corpus — remap to dense
+    # per-shard ids first, or the plan falls back to a two-column key
+    # (2x the sort cost, no id bound).
+    packable = 0 <= sh.min("doc_id") and sh.max("doc_id") < 2 ** 32
 
     def rename(cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(cols)
         return fn
 
-    right = sh.map_batches(rename(["h", "doc_b"]), batch_format="pyarrow",
-                           zero_copy_batch=True)
+    right = sh.map_batches(rename(["h", "doc_b", "n_b"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
     joined = sh.join(right, "inner", n_parts, on=("h",))
 
     def orient(batch: pa.Table) -> pa.Table:
+        # orient + length-filter + map-side combine: one output row per
+        # (batch x surviving pair), with the pair sizes carried along
         import pyarrow.compute as pc
 
         kept = batch.filter(pc.less(batch.column("doc_id"),
                                     batch.column("doc_b")))
-        return pa.table({"doc_a": kept.column("doc_id"),
-                         "doc_b": kept.column("doc_b")})
+        a = kept.column("doc_id").to_numpy(zero_copy_only=False)
+        b = kept.column("doc_b").to_numpy(zero_copy_only=False)
+        na = kept.column("n").to_numpy(zero_copy_only=False)
+        nb = kept.column("n_b").to_numpy(zero_copy_only=False)
+        ok = (np.minimum(na, nb).astype(np.float64)
+              >= threshold * np.maximum(na, nb))
+        a, b, na, nb = a[ok], b[ok], na[ok], nb[ok]
+        if packable:
+            pk = (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
+            keys, idx, cnts = np.unique(pk, return_index=True,
+                                        return_counts=True)
+            return pa.table({"pk": pa.array(keys, pa.int64()),
+                             "c": pa.array(cnts, pa.int64()),
+                             "n_a": pa.array(na[idx], pa.int64()),
+                             "n_b": pa.array(nb[idx], pa.int64())})
+        import pandas as pd
 
-    inter = ensure_schema(
-        joined.map_batches(orient, batch_format="pyarrow",
-                           zero_copy_batch=True)
-        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="i")),
-        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                   ("i", pa.int64())]))
+        part = (pd.DataFrame({"doc_a": a, "doc_b": b,
+                              "n_a": na, "n_b": nb})
+                .groupby(["doc_a", "doc_b"], sort=False)
+                .agg(c=("n_a", "size"), n_a=("n_a", "first"),
+                     n_b=("n_b", "first")).reset_index())
+        return pa.table({"doc_a": pa.array(part["doc_a"], pa.int64()),
+                         "doc_b": pa.array(part["doc_b"], pa.int64()),
+                         "c": pa.array(part["c"], pa.int64()),
+                         "n_a": pa.array(part["n_a"], pa.int64()),
+                         "n_b": pa.array(part["n_b"], pa.int64())})
 
-    counts_a = counts.map_batches(rename(["doc_a_key", "n_a"]),
-                                  batch_format="pyarrow",
+    partials = joined.map_batches(orient, batch_format="pyarrow",
                                   zero_copy_batch=True)
-    counts_b = counts.map_batches(rename(["doc_b_key", "n_b"]),
-                                  batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    j1 = inter.join(counts_a, "inner", n_parts, on=("doc_a",),
-                    right_on=("doc_a_key",))
-    j2 = j1.join(counts_b, "inner", n_parts, on=("doc_b",),
-                 right_on=("doc_b_key",))
+    aggs = [Sum("c", alias_name="i"), Min("n_a", alias_name="n_a"),
+            Min("n_b", alias_name="n_b")]
+    if packable:
+        inter = partials.groupby("pk").aggregate(*aggs)
+    else:
+        inter = partials.groupby(["doc_a", "doc_b"]).aggregate(*aggs)
 
     def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        names = batch.schema.names
+        if "i" not in names:  # schema-less empty shuffle block
+            return empty
+        if "pk" in names:
+            pk = batch.column("pk").to_numpy(zero_copy_only=False)
+            a = pk >> np.int64(32)
+            b = pk & np.int64(0xFFFFFFFF)
+        else:
+            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
         i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
         na = batch.column("n_a").to_numpy(zero_copy_only=False)
         nb = batch.column("n_b").to_numpy(zero_copy_only=False)
@@ -501,17 +546,17 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
         from pdf_parser_ray.functions.num import np_round_half_away
 
         return pa.table({
-            "doc_a": pa.array(
-                batch.column("doc_a").to_numpy(zero_copy_only=False)[keep],
-                pa.int64()),
-            "doc_b": pa.array(
-                batch.column("doc_b").to_numpy(zero_copy_only=False)[keep],
-                pa.int64()),
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
             "jaccard": pa.array(np_round_half_away(jac[keep], 4),
                                 pa.float64()),
         })
 
-    return j2.map_batches(score, batch_format="pyarrow")
+    out = inter.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return ensure_schema(out, pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("jaccard", pa.float64())]))
 
 
 def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
