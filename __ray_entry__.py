@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_filter": q.docs_quality_filter,
         "events_error_click_window": q.events_error_click_window,
         "docs_ngram_jaccard_pairs": q.docs_ngram_jaccard_pairs,
+        "events_cohort_retention": q.events_cohort_retention,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -753,6 +754,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts ca ON ca.doc_id = doc_a
             JOIN counts cb ON cb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+        """,
+        "events_cohort_retention": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day
+                FROM events WHERE user_id IS NOT NULL
+            ), c AS (
+                SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+            )
+            SELECT c.cohort_day, d.day AS activity_day,
+                   count(DISTINCT d.user_id) AS n_users
+            FROM d JOIN c ON d.user_id = c.user_id
+            GROUP BY 1, 2
         """,
         "events_error_click_window": """
             SELECT e.event_id, e.user_id,

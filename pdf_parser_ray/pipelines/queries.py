@@ -1480,6 +1480,52 @@ def events_error_click_window(sf_dir: str, window_s: int = 300):
     return rel.to_pandas_sorted(out.to_pandas(), ["event_id"])
 
 
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by first-activity day
+    (their cohort); for each (cohort_day, activity_day), the number of
+    distinct cohort members active that day. Fully distributed: distinct
+    (user, day) pairs via a map-side-combined grouped count, per-user
+    cohort via a grouped min, one hash join on user_id (partitions sized
+    by user cardinality), then a small grouped count. NULL user_ids drop
+    on both engines (count-DISTINCT semantics)."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_valid(batch.column("user_id")))
+        day = pc.divide(pc.cast(pc.floor_temporal(kept.column("ts"),
+                                                  unit="day"),
+                                pa.int64()), 1_000_000)
+        return pa.table({"user_id": pc.cast(kept.column("user_id"),
+                                            pa.int64()),
+                         "day": day})
+
+    days = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    # distinct (user, day): the grouped count's keys ARE the distinct set
+    uday = rel.ensure_schema(
+        rel.grouped_agg(days, ["user_id", "day"], [("n", "", "count")]),
+        pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                   ("n", pa.int64())]))
+    cohort = rel.ensure_schema(
+        rel.grouped_agg(days, ["user_id"], [("cohort_day", "day", "min")]),
+        pa.schema([("user_id", pa.int64()),
+                   ("cohort_day", pa.int64())])).materialize()
+
+    def strip_user(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["uid", "cohort_day"])
+
+    side = cohort.map_batches(strip_user, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    n_parts = rel.join_partitions(cohort.count(), rows_per_part=100)
+    joined = uday.join(side, "inner", n_parts, on=("user_id",),
+                       right_on=("uid",))
+    out = rel.grouped_agg(joined, ["cohort_day", "day"],
+                          [("n_users", "", "count")], small_result=True)
+    df = rel.as_pandas(out).rename(columns={"day": "activity_day"})
+    return rel.to_pandas_sorted(df[["cohort_day", "activity_day",
+                                    "n_users"]],
+                                ["cohort_day", "activity_day"])
+
+
 def docs_quality_filter(sf_dir: str, min_tokens: int = 30,
                         min_alpha: float = 0.5, min_stop: float = 0.02):
     """C4-style quality gate over the text-quality signals: keep

@@ -193,6 +193,47 @@ def test_star_cap_repair_uses_verified_members():
     assert (1, 2) in pairs
 
 
+def _ngram_corpus(ids):
+    import ray.data
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [base, base + " lambda",
+             "one two three four five six seven eight nine ten",
+             "completely different words in this document here now"]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": texts,
+    }))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_pairs_partition_invariance():
+    from pdf_parser_ray.stages import dedup
+
+    docs = _ngram_corpus([1, 2, 3, 4])
+    a = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                  num_partitions=1).to_pandas()
+    b = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                  num_partitions=4).to_pandas()
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))  # noqa: E731
+    assert key(a) == key(b)
+    assert len(a) == 1  # only the base/base+lambda pair (J = 8/9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_pairs_wide_id_fallback():
+    """doc_ids beyond 32 bits must take the two-column groupby path and
+    produce the same pairs as the packed path does for small ids."""
+    from pdf_parser_ray.stages import dedup
+
+    big = 2 ** 40
+    docs = _ngram_corpus([big + 1, big + 2, big + 3, big + 4])
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    assert len(out) == 1
+    assert int(out.doc_a[0]) == big + 1 and int(out.doc_b[0]) == big + 2
+    assert round(float(out.jaccard[0]), 4) == 0.8889
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_label_centroids_returns_dataframe():
     import ray.data
