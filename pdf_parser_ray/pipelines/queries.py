@@ -821,7 +821,9 @@ def events_rolling(sf_dir: str):
         })
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return rel.to_pandas_sorted(out.to_pandas(), ["event_id"])
+    df = rel.ensure_columns(out.to_pandas(), {
+        "event_id": "int64", "user_id": "int64", "avg3": "float64"})
+    return rel.to_pandas_sorted(df, ["event_id"])
 
 
 def docs_distinct_pairs(sf_dir: str):
@@ -900,7 +902,10 @@ def events_asof_click(sf_dir: str):
         })
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return rel.to_pandas_sorted(out.to_pandas(), ["event_id"])
+    df = rel.ensure_columns(out.to_pandas(), {
+        "event_id": "int64", "user_id": "int64",
+        "click_id": "int64", "click_value": "float64"})
+    return rel.to_pandas_sorted(df, ["event_id"])
 
 
 def docs_hash_sample(sf_dir: str):
@@ -1477,7 +1482,10 @@ def events_error_click_window(sf_dir: str, window_s: int = 300):
         })
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return rel.to_pandas_sorted(out.to_pandas(), ["event_id"])
+    df = rel.ensure_columns(out.to_pandas(), {
+        "event_id": "int64", "user_id": "int64",
+        "n_recent_clicks": "int64"})
+    return rel.to_pandas_sorted(df, ["event_id"])
 
 
 def events_cohort_retention(sf_dir: str):

@@ -225,6 +225,16 @@ def as_pandas(x) -> pd.DataFrame:
     return x if isinstance(x, pd.DataFrame) else x.to_pandas()
 
 
+def ensure_columns(df: pd.DataFrame, dtypes: dict[str, str]) -> pd.DataFrame:
+    """A Dataset whose every block is empty loses its schema at
+    ``to_pandas()`` (column-less frame); rebuild the typed empty result
+    so downstream sorts/selects don't KeyError. No-op when columns
+    exist."""
+    if set(dtypes) <= set(df.columns):
+        return df
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in dtypes.items()})
+
+
 def to_pandas_sorted(ds_or_df, by: list[str]) -> pd.DataFrame:
     """Small-result helper: stable deterministic ordering for comparisons."""
     df = ds_or_df.to_pandas() if hasattr(ds_or_df, "to_pandas") else ds_or_df
