@@ -1558,7 +1558,10 @@ def docs_quality_filter(sf_dir: str, min_tokens: int = 30,
 
     out = stats.map_batches(gate, batch_format="pyarrow",
                             zero_copy_batch=True)
-    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_tokens": "int64",
+        "alpha_ratio": "float64", "stop_ratio": "float64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
 
 
 def supplier_stats(sf_dir: str):

@@ -1,0 +1,90 @@
+"""Property-based SQL parity for the text-quality family (docs_stats,
+docs_langid, docs_quality_filter): the pc-regex kernels and DuckDB's
+regexp functions are both RE2, so counts and the derived rounded ratios
+must agree on ARBITRARY text — including the whitespace classes where
+Python semantics would diverge (Zs/Cc, pinned separately for the
+sketches)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import __ray_entry__ as entrymod
+
+_WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Po"),
+                           whitelist_characters="\xa0 \x0b\x1f",
+                           blacklist_characters="'\\"),
+    min_size=1, max_size=8)
+# seed language-marker words so the langid cascade's >= tie-breaks and
+# the stopword ratio get exercised, not just the all-zero branch
+_MARKER = st.sampled_from(["the", "and", "der", "und", "le", "et",
+                           "el", "es", "y", "in", "to", "la", "los"])
+_TEXT = st.lists(st.one_of(_WORD, _MARKER),
+                 min_size=0, max_size=30).map(" ".join)
+_DOCS = st.lists(_TEXT, min_size=1, max_size=8)
+
+
+def _table(texts) -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["fuzz"] * len(texts), pa.string()),
+    })
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns),
+                          kind="mergesort").reset_index(drop=True)
+
+
+def _check(query_name: str, texts) -> None:
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    tbl = _table(texts)
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        ray_df = entrymod.queries()[query_name]("fuzz")
+    finally:
+        q.rel.load = orig
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    sql_df = con.execute(entrymod.oracle_sql()[query_name]).df()
+    a, b = _canon(ray_df), _canon(sql_df)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{len(a)} != {len(b)}"
+    for col in a.columns:
+        for i, (x, y) in enumerate(zip(a[col], b[col])):
+            assert x == y, f"{query_name}.{col}[{i}]: {x!r} != {y!r}"
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(texts=_DOCS)
+def test_docs_stats_fuzz(texts):
+    _check("docs_stats", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(texts=_DOCS)
+def test_docs_langid_fuzz(texts):
+    _check("docs_langid", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(texts=_DOCS)
+def test_docs_quality_filter_fuzz(texts):
+    _check("docs_quality_filter", texts)
