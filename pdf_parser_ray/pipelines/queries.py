@@ -694,7 +694,9 @@ def docs_minhash_candidates(sf_dir: str):
     rows-only check — the verified loop above carries the oracle)."""
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
     out = dedup.minhash_candidates(ds)
-    return rel.to_pandas_sorted(out.to_pandas(), ["doc_a", "doc_b"])
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_a": "int64", "doc_b": "int64", "n_bands": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_a", "doc_b"])
 
 
 def docs_simhash(sf_dir: str):
@@ -923,7 +925,9 @@ def docs_hash_sample(sf_dir: str):
                          "lang": kept.column("lang")})
 
     out = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
-    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"doc_id": "int64", "lang": "object"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
 
 
 def q14_promo_share(sf_dir: str):
@@ -1146,7 +1150,9 @@ def docs_winnow_fp(sf_dir: str, k: int = 5, window: int = 8):
         })
 
     out = ds.map_batches(winnow, batch_format="pyarrow", zero_copy_batch=True)
-    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id", "fp"])
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"doc_id": "int64", "fp": "uint64"})
+    return rel.to_pandas_sorted(df, ["doc_id", "fp"])
 
 
 def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
@@ -1250,7 +1256,9 @@ def docs_pack_sequences(sf_dir: str, seq_len: int = 512):
         })
 
     out = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
-    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id", "seq_index"])
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "seq_index": "int64", "n_tokens": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id", "seq_index"])
 
 
 def events_distinct_users(sf_dir: str):

@@ -235,6 +235,34 @@ def test_ngram_pairs_wide_id_fallback():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_empty_result_pipelines_keep_schema(monkeypatch):
+    """Filter-derived pipelines whose result can legally be EMPTY must
+    return a typed empty frame, not crash on the lost Dataset schema
+    (class of bug the events/docs fuzz suites caught)."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": ["ab", "cd"],
+                    "lang": ["en", "en"], "source": ["x", "x"]})
+
+    def load(sf_dir, table, columns=None):
+        return ray.data.from_arrow(tbl.select(columns) if columns else tbl)
+
+    monkeypatch.setattr(q.rel, "load", load)
+    assert list(q.docs_winnow_fp("f").columns) == ["doc_id", "fp"]
+    assert len(q.docs_winnow_fp("f")) == 0
+    assert list(q.docs_minhash_candidates("f").columns) == [
+        "doc_a", "doc_b", "n_bands"]
+    assert list(q.docs_pack_sequences("f").columns) == [
+        "doc_id", "seq_index", "n_tokens"]
+    assert list(q.docs_quality_filter("f").columns) == [
+        "doc_id", "n_tokens", "alpha_ratio", "stop_ratio"]
+    assert len(q.docs_quality_filter("f")) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_label_centroids_returns_dataframe():
     import ray.data
 
