@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_error_click_window": q.events_error_click_window,
         "docs_ngram_jaccard_pairs": q.docs_ngram_jaccard_pairs,
         "events_cohort_retention": q.events_cohort_retention,
+        "docs_langid_confusion": q.docs_langid_confusion,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -777,6 +778,26 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= e.ts - INTERVAL 300 SECOND
              AND c.ts <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "docs_langid_confusion": r"""
+            SELECT lang, pred_lang, count(*) AS n_docs
+            FROM (
+                SELECT lang,
+                       CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+                            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                            WHEN de >= fr AND de >= es THEN 'de'
+                            WHEN fr >= es THEN 'fr'
+                            ELSE 'es' END AS pred_lang
+                FROM (
+                    SELECT lang,
+                           length(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS en,
+                           length(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS de,
+                           length(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS fr,
+                           length(regexp_extract_all(text, '\b(el|los|las|es|y)\b')) AS es
+                    FROM documents
+                )
+            )
+            GROUP BY lang, pred_lang
         """,
         "docs_quality_filter": f"""
             SELECT * FROM (

@@ -1542,6 +1542,25 @@ def events_cohort_retention(sf_dir: str):
                                 ["cohort_day", "activity_day"])
 
 
+def docs_langid_confusion(sf_dir: str):
+    """Classifier-evaluation confusion matrix: labeled ``lang`` x
+    predicted language (the n-gram marker cascade), with counts — the
+    standard data-quality check for a heuristic classifier at corpus
+    scale. One streaming pass (prediction in-batch) + a small grouped
+    count; no shuffle beyond the bounded (lang, pred) key space."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def predict(batch: pa.Table) -> pa.Table:
+        pred = textstage.langid_batch(batch)
+        return pa.table({"lang": batch.column("lang"),
+                         "pred_lang": pred.column("pred_lang")})
+
+    out = rel.grouped_agg(
+        ds.map_batches(predict, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "pred_lang"], [("n_docs", "", "count")], small_result=True)
+    return rel.to_pandas_sorted(rel.as_pandas(out), ["lang", "pred_lang"])
+
+
 def docs_quality_filter(sf_dir: str, min_tokens: int = 30,
                         min_alpha: float = 0.5, min_stop: float = 0.02):
     """C4-style quality gate over the text-quality signals: keep
