@@ -1531,7 +1531,7 @@ def events_cohort_retention(sf_dir: str):
 
     side = cohort.map_batches(strip_user, batch_format="pyarrow",
                               zero_copy_batch=True)
-    n_parts = rel.join_partitions(cohort.count(), rows_per_part=100)
+    n_parts = rel.join_partitions(cohort.count())
     joined = uday.join(side, "inner", n_parts, on=("user_id",),
                        right_on=("uid",))
     out = rel.grouped_agg(joined, ["cohort_day", "day"],
