@@ -192,7 +192,10 @@ def q6_forecast_revenue(sf_dir: str):
         })
 
     total = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).sum("rev_c")
-    return pd.DataFrame({"revenue": [(total or 0) / 100.0]})
+    # SQL SUM over zero matching rows is NULL, not 0 — keep the engine in
+    # lockstep with the oracle on the empty-filter edge (fuzz-caught)
+    return pd.DataFrame({"revenue": [float("nan") if total is None
+                                     else total / 100.0]})
 
 
 def top_parts(sf_dir: str):

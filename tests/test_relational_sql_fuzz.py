@@ -1,0 +1,154 @@
+"""Property-based SQL parity for the exact-cents aggregation discipline:
+money columns fuzz over adversarial doubles (sign changes, magnitudes,
+half-cent neighborhoods) and the grouped/global sums must stay BIT-equal
+to DuckDB, because both engines round the identical per-row double to
+int64 cents before summing — accumulation order can no longer matter.
+
+Domain note: l_quantity stays integral (as in TPC-H) — q1's sum_qty is a
+raw double sum on both engines, which is only order-independent for
+integral values; arbitrary-float quantity sums are outside the pinned
+contract (the money columns are where the cents discipline applies)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import __ray_entry__ as entrymod
+
+_BASE = dt.datetime(1996, 1, 1)
+
+_MONEY = st.one_of(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    # half-cent neighborhoods: x.xx5 boundaries where naive double
+    # rounding of SUMS (instead of per-row cents) would flip
+    st.integers(min_value=-200000, max_value=200000).map(
+        lambda k: k / 1000.0),
+)
+
+_LINE = st.tuples(
+    st.sampled_from(["A", "N", "R"]),                  # l_returnflag
+    st.sampled_from(["F", "O"]),                       # l_linestatus
+    st.integers(min_value=1, max_value=50),            # l_quantity
+    _MONEY,                                            # l_extendedprice
+    st.integers(min_value=0, max_value=10).map(
+        lambda k: k / 100.0),                          # l_discount
+    st.integers(min_value=0, max_value=1200),          # shipdate day offset
+)
+_LINES = st.lists(_LINE, min_size=1, max_size=30)
+
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=200_000),       # seconds offset
+    st.sampled_from(["view", "click", "purchase"]),
+    _MONEY,
+)
+_EVENTS = st.lists(_EVENT, min_size=1, max_size=30)
+
+
+def _lineitem(rows) -> pa.Table:
+    return pa.table({
+        "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+        "l_linestatus": pa.array([r[1] for r in rows], pa.string()),
+        "l_quantity": pa.array([float(r[2]) for r in rows], pa.float64()),
+        "l_extendedprice": pa.array([r[3] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[4] for r in rows], pa.float64()),
+        "l_shipdate": pa.array(
+            [_BASE + dt.timedelta(days=r[5]) for r in rows],
+            pa.timestamp("us")),
+    })
+
+
+def _events(rows) -> pa.Table:
+    return pa.table({
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[0]) for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns),
+                          kind="mergesort").reset_index(drop=True)
+
+
+def _check(query_name: str, tables: dict[str, pa.Table]) -> None:
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    orig = q.rel.load
+
+    def load(sf_dir, table, columns=None):
+        tbl = tables[table]
+        return ray.data.from_arrow(tbl.select(columns) if columns else tbl)
+
+    q.rel.load = load
+    try:
+        ray_df = entrymod.queries()[query_name]("fuzz")
+    finally:
+        q.rel.load = orig
+    con = duckdb.connect()
+    for name, tbl in tables.items():
+        con.register(name, tbl)
+    sql_df = con.execute(entrymod.oracle_sql()[query_name]).df()
+    a, b = _canon(ray_df), _canon(sql_df)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{len(a)} != {len(b)}"
+    import math
+
+    for col in a.columns:
+        for i, (x, y) in enumerate(zip(a[col], b[col])):
+            if (isinstance(x, float) and isinstance(y, float)
+                    and math.isnan(x) and math.isnan(y)):
+                continue
+            assert x == y, f"{query_name}.{col}[{i}]: {x!r} != {y!r}"
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(rows=_LINES)
+def test_q1_cents_discipline_fuzz(rows):
+    _check("q1_pricing_summary", {"lineitem": _lineitem(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(rows=_LINES)
+def test_q6_cents_discipline_fuzz(rows):
+    _check("q6_forecast_revenue", {"lineitem": _lineitem(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(rows=_EVENTS)
+def test_events_hourly_cents_fuzz(rows):
+    _check("events_hourly", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(bals=st.lists(_MONEY, min_size=1, max_size=25),
+       nkeys=st.lists(st.integers(min_value=0, max_value=3),
+                      min_size=1, max_size=25))
+def test_grouped_median_cents_fuzz(bals, nkeys):
+    n = min(len(bals), len(nkeys))
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1, 2, 3], pa.int64()),
+        "n_name": ["AA", "BB", "CC", "DD"],
+        "n_regionkey": pa.array([0, 0, 1, 1], pa.int64()),
+    })
+    customer = pa.table({
+        "c_nationkey": pa.array(nkeys[:n], pa.int64()),
+        "c_acctbal": pa.array(bals[:n], pa.float64()),
+    })
+    _check("nation_acctbal_median",
+           {"nation": nation, "customer": customer})
