@@ -88,3 +88,35 @@ def test_docs_langid_fuzz(texts):
 @given(texts=_DOCS)
 def test_docs_quality_filter_fuzz(texts):
     _check("docs_quality_filter", texts)
+
+
+# near-dup strategy: duplicate/perturb a base doc so the exact dedup
+# pipelines see real pairs, not only the trivial empty result
+_NEAR = st.lists(_TEXT, min_size=2, max_size=5).flatmap(
+    lambda base: st.lists(
+        st.tuples(st.integers(0, len(base) - 1), _WORD),
+        min_size=0, max_size=4,
+    ).map(lambda edits: base + [base[i] + " " + w for i, w in edits]))
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_NEAR)
+def test_docs_exact_dedup_fuzz(texts):
+    _check("docs_exact_dedup", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_NEAR)
+def test_docs_ngram_jaccard_pairs_fuzz(texts):
+    # exact at any threshold: no LSH recall caveat, safe to fuzz
+    _check("docs_ngram_jaccard_pairs", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_NEAR)
+def test_docs_simhash_pairs_fuzz(texts):
+    # chunk banding is EXACT for hamming <= 3 (pigeonhole): fuzz-safe
+    _check("docs_simhash_pairs", texts)
