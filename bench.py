@@ -334,9 +334,11 @@ def main():
     # 8->32 pair can be requested explicitly; BASELINE.md records both.
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
-    ap.add_argument("--reps", type=int, default=2,
-                    help="runs per scaling point; best throughput kept "
-                         "(single-box wall time is noisy)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="runs per scaling point / headline; best "
+                         "throughput kept (single-box wall time is noisy: "
+                         "a 2-rep scaling run measured 0.776 where 3 reps "
+                         "measured 0.845 the same day)")
     args = ap.parse_args()
 
     report = scaling_run(args) if args.scaling else single_run(args)
