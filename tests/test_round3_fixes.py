@@ -234,6 +234,20 @@ def test_ngram_pairs_wide_id_fallback():
     assert round(float(out.jaccard[0]), 4) == 0.8889
 
 
+def test_join_partitions_bounds():
+    """Partition sizing must respect both Ray 2.49 failure modes: never
+    more partitions than keys can fill, never more than the cluster can
+    run without deadlocking the join aggregator pools."""
+    from pdf_parser_ray.pipelines.relational import join_partitions
+    from pdf_parser_ray.runtime import cluster_cpus
+
+    assert join_partitions(0) == 1
+    assert join_partitions(500) == 1            # < rows_per_part
+    big = join_partitions(10_000_000)
+    assert 1 <= big <= min(16, max(1, cluster_cpus() // 2))
+    assert join_partitions(10_000_000, cap=32) <= max(1, cluster_cpus() // 2)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_empty_result_pipelines_keep_schema(monkeypatch):
     """Filter-derived pipelines whose result can legally be EMPTY must
