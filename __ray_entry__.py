@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard_pairs": q.docs_ngram_jaccard_pairs,
         "events_cohort_retention": q.events_cohort_retention,
         "docs_langid_confusion": q.docs_langid_confusion,
+        "events_sessions_salted": q.events_sessions_salted,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -341,6 +342,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessions": """
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN prev_ts IS NULL
+                              OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM (
+                    SELECT user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events
+                )
+            )
+            GROUP BY user_id
+        """,
+        # same contract as events_sessions — the salted plan must be
+        # output-identical to the unsalted one
+        "events_sessions_salted": """
             SELECT user_id,
                    CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events

@@ -362,6 +362,67 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
     return rel.to_pandas_sorted(out.to_pandas(), ["user_id"])
 
 
+def events_sessions_salted(sf_dir: str, gap_minutes: int = 30):
+    """Hot-key-safe sessionization: identical output contract to
+    ``events_sessions``, but the shuffle key is SALTED to (user_id, day)
+    so one user's entire history never has to fit a single group — the
+    scale path for power users / bot traffic that plain groupby(user_id)
+    cannot bound.
+
+    Two-level plan, EXACT by construction:
+      1. per (user, day) slice: session count inside the slice plus the
+         slice's first/last event timestamps (groups are day-bounded).
+      2. per user over the tiny slice summaries (one row per active
+         day): a session continues across a slice boundary iff the gap
+         between the previous slice's last event and this slice's first
+         is <= the session gap, so total = sum(slice sessions) - merged
+         boundaries. A 30-minute gap never spans a whole absent day, so
+         comparing consecutive PRESENT slices is sufficient.
+    Oracle: the same SQL as events_sessions (same contract)."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.floor_temporal(batch.column("ts"),
+                                                  unit="day"),
+                                pa.int64()), 1_000_000)
+        return batch.append_column("day", day)
+
+    def per_slice(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        starts = g["ts"].diff().gt(gap) | g["ts"].diff().isna()
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "day": [int(g["day"].iloc[0])],
+            "slice_sessions": [int(starts.sum())],
+            "first_ts": [g["ts"].iloc[0]],
+            "last_ts": [g["ts"].iloc[-1]],
+            "n_events": [len(g)],
+        })
+
+    slices = (ds.map_batches(add_day, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["user_id", "day"])
+              .map_groups(per_slice, batch_format="pandas"))
+
+    def merge_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("day", kind="mergesort")
+        merged = int((g["first_ts"].iloc[1:].to_numpy()
+                      - g["last_ts"].iloc[:-1].to_numpy() <= gap).sum()) \
+            if len(g) > 1 else 0
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_sessions": [int(g["slice_sessions"].sum()) - merged],
+            "n_events": [int(g["n_events"].sum())],
+        })
+
+    out = slices.groupby("user_id").map_groups(merge_user,
+                                               batch_format="pandas")
+    df = rel.ensure_columns(out.to_pandas(), {
+        "user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
+    return rel.to_pandas_sorted(df, ["user_id"])
+
+
 def events_top_users(sf_dir: str):
     ds = rel.load(sf_dir, "events", ["user_id", "value"])
 

@@ -101,3 +101,13 @@ def test_sessions_fuzz(rows):
 @given(rows=_EVENTS)
 def test_cohort_retention_fuzz(rows):
     _check("events_cohort_retention", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_salted_sessions_fuzz(rows):
+    # the salted two-level plan must equal the window-SQL oracle on
+    # arbitrary inputs — midnight-boundary sessions included (the
+    # offsets span ~4 days, so slice merges genuinely trigger)
+    _check("events_sessions_salted", rows)
