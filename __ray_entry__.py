@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": q.events_cohort_retention,
         "docs_langid_confusion": q.docs_langid_confusion,
         "events_sessions_salted": q.events_sessions_salted,
+        "docs_temperature_sample": q.docs_temperature_sample,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -799,6 +800,21 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= e.ts - INTERVAL 300 SECOND
              AND c.ts <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "docs_temperature_sample": """
+            -- alpha=0.5 temperature language resampling: keep iff the
+            -- md5-derived uniform is below sqrt(n_min / n_lang)
+            WITH counts AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), mn AS (
+                SELECT min(n) AS n_min FROM counts
+            ), rates AS (
+                SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n) AS rate
+                FROM counts, mn
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE md5_number_upper(d.text) / 18446744073709551616.0 < r.rate
         """,
         "docs_langid_confusion": r"""
             SELECT lang, pred_lang, count(*) AS n_docs

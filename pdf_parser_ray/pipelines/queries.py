@@ -1606,6 +1606,48 @@ def events_cohort_retention(sf_dir: str):
                                 ["cohort_day", "activity_day"])
 
 
+def docs_temperature_sample(sf_dir: str):
+    """Temperature-balanced language resampling (the mC4/XLM-R training
+    mix, alpha = 0.5): rare languages keep everything, dominant ones are
+    deterministically down-sampled toward sqrt-proportional shares.
+    keep(doc) iff u(doc) < rate(lang), with
+
+      rate(lang) = sqrt(n_min / n_lang)      (rarest language -> 1.0)
+      u(doc)     = md5_64(text) / 2^64       (reproducible uniform)
+
+    Both quantities are BIT-identical on the two engines by
+    construction: sqrt of the identical double ratio is correctly
+    rounded (IEEE), the md5 uniform is an exact power-of-two scaling,
+    and no RNG is involved — so the sample is stable under any
+    parallelism AND hash-exact vs SQL. Plan: one tiny grouped count
+    (languages are bounded) broadcast as the rate map, then a streaming
+    in-batch filter."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "lang", "text"])
+    counts = rel.as_pandas(rel.grouped_agg(
+        ds, ["lang"], [("n", "", "count")], small_result=True))
+    n_min = float(counts["n"].min())
+    rates = {lang: float(np.sqrt(n_min / float(n)))
+             for lang, n in zip(counts["lang"], counts["n"])}
+    rref = ray.put(rates)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rmap = ray.get(rref)
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = pa.array([
+            float(_md5_64(t)) / 18446744073709551616.0 < rmap[lang]
+            for t, lang in zip(texts, langs)], pa.bool_())
+        kept = batch.filter(mask)
+        return kept.select(["doc_id", "lang"])
+
+    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"doc_id": "int64", "lang": "object"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
 def docs_langid_confusion(sf_dir: str):
     """Classifier-evaluation confusion matrix: labeled ``lang`` x
     predicted language (the n-gram marker cascade), with counts — the
