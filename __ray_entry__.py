@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid_confusion": q.docs_langid_confusion,
         "events_sessions_salted": q.events_sessions_salted,
         "docs_temperature_sample": q.docs_temperature_sample,
+        "docs_bloom_new_docs": q.docs_bloom_new_docs,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -800,6 +801,17 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= e.ts - INTERVAL 300 SECOND
              AND c.ts <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "docs_bloom_new_docs": """
+            -- candidates (doc_id % 7 != 0) whose 64-bit text fingerprint
+            -- (md5_number_upper == the engine's md5-64) is absent from
+            -- the reference set (doc_id % 7 == 0); the engine computes
+            -- this exactly via a bloom-prefiltered anti-join
+            SELECT doc_id FROM documents
+            WHERE doc_id % 7 <> 0
+              AND md5_number_upper(text) NOT IN (
+                    SELECT md5_number_upper(text) FROM documents
+                    WHERE doc_id % 7 = 0)
         """,
         "docs_temperature_sample": """
             -- alpha=0.5 temperature language resampling: keep iff the

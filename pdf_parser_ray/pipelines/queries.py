@@ -1606,6 +1606,120 @@ def events_cohort_retention(sf_dir: str):
                                 ["cohort_day", "activity_day"])
 
 
+def docs_bloom_new_docs(sf_dir: str):
+    """Incremental-crawl dedup: which candidate documents are NEW
+    relative to a reference crawl? (Reference = docs with
+    doc_id % 7 == 0; candidates = the rest — a deterministic stand-in
+    for "the previous run's output".)
+
+    The 100-TB pattern this demonstrates: a full anti-join would shuffle
+    every candidate fingerprint; instead the reference set folds into a
+    256 KB mergeable Bloom sketch (per-batch blooms, OR-tree merge,
+    broadcast once), and the candidate stream splits in-batch:
+      * bloom-NEGATIVE -> definitively new (a bloom has no false
+        negatives), emitted without any shuffle;
+      * bloom-POSITIVE (true dups + ~0.2% false positives) -> the only
+        rows that pay a hash join against the reference fingerprints;
+        unmatched ones are new too.
+    The result is EXACT — the sketch only routes rows; oracle:
+    NOT IN over md5(text)."""
+    from pdf_parser_ray.functions import bloom
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    docs = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        fps = np.array([_md5_64(t) for t in texts], dtype=np.uint64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.uint64())})
+
+    fps = docs.map_batches(fp_rows, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def is_ref(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 7 == 0))
+
+    def is_cand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 7 != 0))
+
+    ref = fps.map_batches(is_ref, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    cands = fps.map_batches(is_cand, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # per-batch blooms -> OR-tree merge (64-way) -> tiny driver fold
+    def batch_bloom(batch: pa.Table) -> pa.Table:
+        bits = bloom.add_keys(
+            bloom.empty(),
+            batch.column("fp").to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def merge_blooms(batch: pa.Table) -> pa.Table:
+        bits = bloom.empty()
+        for buf in batch.column("bits").to_pylist():
+            bits = bloom.merge(bits, np.frombuffer(buf, dtype=np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    level1 = (ref.map_batches(batch_bloom, batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .map_batches(merge_blooms, batch_format="pyarrow",
+                           batch_size=64))
+    sketch = bloom.empty()
+    for row in level1.take_all():
+        sketch = bloom.merge(sketch,
+                             np.frombuffer(row["bits"], dtype=np.uint8))
+    bref = ray.put(sketch)
+
+    def split_negative(batch: pa.Table) -> pa.Table:
+        hit = bloom.contains(ray.get(bref),
+                             batch.column("fp").to_numpy(
+                                 zero_copy_only=False))
+        return batch.filter(pa.array(~hit)).select(["doc_id"])
+
+    def split_positive(batch: pa.Table) -> pa.Table:
+        hit = bloom.contains(ray.get(bref),
+                             batch.column("fp").to_numpy(
+                                 zero_copy_only=False))
+        return batch.filter(pa.array(hit))
+
+    negatives = cands.map_batches(split_negative, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    positives = cands.map_batches(split_positive, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    if positives.count() == 0:
+        unmatched = None
+    else:
+        def mark(batch: pa.Table) -> pa.Table:
+            kept = batch.select(["fp"]).rename_columns(["ref_fp"])
+            return kept.append_column(
+                "matched", pa.array([1] * kept.num_rows, pa.int8()))
+
+        marked = ref.map_batches(mark, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        n_parts = rel.join_partitions(positives.count())
+        joined = positives.join(marked, "left_outer", n_parts,
+                                on=("fp",), right_on=("ref_fp",))
+
+        def keep_unmatched(batch: pa.Table) -> pa.Table:
+            kept = batch.filter(pc.is_null(batch.column("matched")))
+            return kept.select(["doc_id"])
+
+        unmatched = joined.map_batches(keep_unmatched,
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+    out = negatives if unmatched is None else negatives.union(unmatched)
+    df = rel.ensure_columns(out.to_pandas(), {"doc_id": "int64"})
+    # a candidate duplicated WITHIN the candidate set is still one row
+    # per doc_id here (identity, not text dedup) — no further grouping
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
 def docs_temperature_sample(sf_dir: str):
     """Temperature-balanced language resampling (the mC4/XLM-R training
     mix, alpha = 0.5): rare languages keep everything, dominant ones are
