@@ -215,6 +215,10 @@ def local_topk(ds: ray.data.Dataset, sort_keys: list[tuple[str, str]],
     cand = ds.map_batches(take_top, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas()
     cols = [c for c, _ in sort_keys]
+    if cand.empty and not set(cols) <= set(cand.columns):
+        # all-empty upstream loses the Dataset schema; rebuild the sort
+        # columns so an empty top-k is an empty frame, not a KeyError
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
     asc = [d == "ascending" for _, d in sort_keys]
     return (cand.sort_values(cols, ascending=asc, kind="mergesort")
             .head(k).reset_index(drop=True))

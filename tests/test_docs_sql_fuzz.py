@@ -120,3 +120,40 @@ def test_docs_ngram_jaccard_pairs_fuzz(texts):
 def test_docs_simhash_pairs_fuzz(texts):
     # chunk banding is EXACT for hamming <= 3 (pigeonhole): fuzz-safe
     _check("docs_simhash_pairs", texts)
+
+
+# deterministic-exact pipelines (md5 / integer arithmetic only — no
+# cross-libm float risk like TF-IDF's ln(), no LSH recall caveat):
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_docs_fingerprints_fuzz(texts):
+    _check("docs_fingerprints", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_docs_hash_sample_fuzz(texts):
+    _check("docs_hash_sample", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_DOCS)
+def test_docs_stratified_sample_fuzz(texts):
+    _check("docs_stratified_sample", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_DOCS)
+def test_docs_top_tokens_fuzz(texts):
+    _check("docs_top_tokens", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_DOCS)
+def test_docs_pack_sequences_fuzz(texts):
+    _check("docs_pack_sequences", texts)

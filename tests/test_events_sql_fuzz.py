@@ -106,6 +106,20 @@ def test_cohort_retention_fuzz(rows):
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
 @given(rows=_EVENTS)
+def test_funnel_fuzz(rows):
+    _check("events_funnel", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_hopping_windows_fuzz(rows):
+    _check("events_hopping", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
 def test_salted_sessions_fuzz(rows):
     # the salted two-level plan must equal the window-SQL oracle on
     # arbitrary inputs — midnight-boundary sessions included (the
