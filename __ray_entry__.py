@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_salted": q.events_sessions_salted,
         "docs_temperature_sample": q.docs_temperature_sample,
         "docs_bloom_new_docs": q.docs_bloom_new_docs,
+        "docs_pii_redact": q.docs_pii_redact,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -861,6 +862,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE n_tokens >= 30 AND alpha_ratio >= 0.5 AND stop_ratio >= 0.02
+        """,
+        "docs_pii_redact": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                   len(regexp_extract_all(text, '\b\d{9,}\b')) AS n_num,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{9,}\b', '<NUM>', 'g')) AS red_fp
+            FROM documents
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

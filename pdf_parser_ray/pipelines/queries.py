@@ -1831,3 +1831,55 @@ def supplier_stats(sf_dir: str):
     df = rel.as_pandas(agg)
     df["total_acctbal"] = _dollars(df["total_acctbal"])
     return rel.to_pandas_sorted(df, ["n_name"])
+
+
+# --- PII redaction (training-data scrubbing) -------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_NUM = r"\b\d{9,}\b"
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized PII scrub over a batch: RE2 kernels replace emails,
+    IPv4 literals and long digit runs (account-number-shaped) with typed
+    placeholder tokens, in that fixed order (placeholders contain no
+    digits, so later passes can never re-match inside an earlier
+    replacement). Counts are taken on the ORIGINAL text. Both pyarrow
+    and DuckDB run RE2, so the SQL twin is byte-exact."""
+    text = batch.column("text")
+    red = pc.replace_substring_regex(text, pattern=_PII_EMAIL,
+                                     replacement="<EMAIL>")
+    red = pc.replace_substring_regex(red, pattern=_PII_IP,
+                                     replacement="<IP>")
+    red = pc.replace_substring_regex(red, pattern=_PII_NUM,
+                                     replacement="<NUM>")
+    from pdf_parser_ray.functions.textstats import fingerprint
+
+    fps = pa.array([fingerprint(s) for s in red.to_pylist()], pa.string())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_email": pc.cast(pc.count_substring_regex(text, _PII_EMAIL),
+                           pa.int64()),
+        "n_ip": pc.cast(pc.count_substring_regex(text, _PII_IP), pa.int64()),
+        "n_num": pc.cast(pc.count_substring_regex(text, _PII_NUM),
+                         pa.int64()),
+        "red_fp": fps,
+        "redacted": red,
+    })
+
+
+def docs_pii_redact(sf_dir: str):
+    """PII redaction sweep: one streaming, shuffle-free `map_batches`
+    pass over the corpus — the ideal 100-TB shape (per-batch RE2
+    kernels, no state, no exchange). Emits per-doc redaction counts and
+    the md5 fingerprint of the scrubbed text (the fingerprint, not the
+    text, rides to the driver so the result stays small at any scale)."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(pii_redact_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out = out.select_columns(["doc_id", "n_email", "n_ip", "n_num", "red_fp"])
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_email": "int64", "n_ip": "int64",
+        "n_num": "int64", "red_fp": "object"})
+    return rel.to_pandas_sorted(df, ["doc_id"])

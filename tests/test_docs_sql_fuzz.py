@@ -157,3 +157,46 @@ def test_docs_top_tokens_fuzz(texts):
 @given(texts=_DOCS)
 def test_docs_pack_sequences_fuzz(texts):
     _check("docs_pack_sequences", texts)
+
+
+# PII strategy: mix ordinary words with email-, IPv4- and account-number-
+# shaped tokens so the redaction kernels exercise every pattern (and
+# their interactions: digit runs inside emails/IPs must be consumed by
+# the earlier pass on both engines).
+_PII = st.one_of(
+    st.from_regex(r"[a-z]{1,5}[._%+-]{0,2}[a-z0-9]{1,4}@[a-z0-9]{1,6}\.(com|co\.uk|io)",
+                  fullmatch=True),
+    st.tuples(st.integers(0, 999), st.integers(0, 999),
+              st.integers(0, 999), st.integers(0, 999)).map(
+        lambda t: ".".join(map(str, t))),
+    st.integers(10**8, 10**14).map(str),
+)
+_PII_TEXT = st.lists(st.one_of(_WORD, _MARKER, _PII),
+                     min_size=0, max_size=25).map(" ".join)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(texts=st.lists(_PII_TEXT, min_size=1, max_size=8))
+def test_docs_pii_redact_fuzz(texts):
+    _check("docs_pii_redact", texts)
+
+
+def test_docs_pii_redact_counts():
+    """Deterministic spot-check: counts and placeholder substitution."""
+    from pdf_parser_ray.pipelines.queries import pii_redact_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "mail a.b+c@ex.co.uk and 10.0.0.1 acct 1234567890",
+            "clean text only",
+        ]),
+    })
+    out = pii_redact_batch(tbl)
+    assert out.column("n_email").to_pylist() == [1, 0]
+    assert out.column("n_ip").to_pylist() == [1, 0]
+    assert out.column("n_num").to_pylist() == [1, 0]
+    assert out.column("redacted").to_pylist()[0] == \
+        "mail <EMAIL> and <IP> acct <NUM>"
+    assert out.column("redacted").to_pylist()[1] == "clean text only"
