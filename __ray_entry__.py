@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_temperature_sample": q.docs_temperature_sample,
         "docs_bloom_new_docs": q.docs_bloom_new_docs,
         "docs_pii_redact": q.docs_pii_redact,
+        "docs_line_dedup": q.docs_line_dedup,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -877,6 +878,36 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                        '\b\d{9,}\b', '<NUM>', 'g')) AS red_fp
             FROM documents
+        """,
+        "docs_line_dedup": """
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS idx
+                FROM documents
+            ),
+            freq AS (
+                SELECT line FROM (
+                    SELECT line, count(DISTINCT doc_id) AS nd
+                    FROM lines GROUP BY line
+                ) WHERE nd >= 2
+            ),
+            kept AS (
+                SELECT doc_id, idx, line FROM lines
+                WHERE line NOT IN (SELECT line FROM freq)
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY idx) AS clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   len(string_split(d.text, chr(10))) AS n_lines,
+                   len(string_split(d.text, chr(10)))
+                       - coalesce(a.n_kept, 0) AS n_removed,
+                   md5(coalesce(a.clean, '')) AS clean_fp
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

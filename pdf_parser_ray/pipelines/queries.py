@@ -1883,3 +1883,103 @@ def docs_pii_redact(sf_dir: str):
         "doc_id": "int64", "n_email": "int64", "n_ip": "int64",
         "n_num": "int64", "red_fp": "object"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+# --- corpus-level line dedup (CCNet-style boilerplate removal) -------------
+
+def _line_table(batch: pa.Table):
+    """Split a batch of documents into per-line arrays: returns
+    (flat_lines, per_doc_counts, per_doc_hash_array). Vectorized via the
+    Arrow split/flatten kernels; only the md5 of each distinct line runs
+    in Python (memoized — boilerplate lines repeat by definition)."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    lst = pc.split_pattern(pc.fill_null(batch.column("text"), ""),
+                           pattern="\n")
+    flat = pc.list_flatten(lst).combine_chunks()
+    counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    cache: dict[str, int] = {}
+    hashes = np.fromiter(
+        (cache.get(s) or cache.setdefault(s, _md5_64(s))
+         for s in flat.to_pylist()),
+        dtype=np.uint64, count=len(flat))
+    return flat, counts, hashes
+
+
+def docs_line_dedup(sf_dir: str, min_docs: int = 2):
+    """Corpus-level duplicate-line removal (the CCNet/C4 boilerplate
+    pass): a line that appears in >= ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, licence footers) and is
+    struck from every document; per-doc line order is preserved.
+
+    Plan (two streaming passes, one small shuffle):
+      1. split -> hash lines (64-bit md5), per-doc-unique them IN BATCH
+         (each doc lives in exactly one row, so batch-local per-doc
+         dedup is already global), then ONE grouped count by line hash —
+         the only exchange, carrying 8-byte keys, not line text.
+      2. the frequent set is small by construction (bounded by
+         corpus_lines/min_docs and in practice by the boilerplate
+         vocabulary) -> collect + ray.put broadcast, then a second
+         shuffle-free pass rebuilds each document with Arrow list
+         kernels (filter + offset rebuild + binary_join).
+    Emits counts and the md5 of the cleaned text, not the text itself.
+    """
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_hashes(batch: pa.Table) -> pa.Table:
+        _, counts, hashes = _line_table(batch)
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        order = np.lexsort((hashes, doc_idx))
+        h, d = hashes[order], doc_idx[order]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+        return pa.table({"h": pa.array(h[first], pa.uint64())})
+
+    per_line = rel.grouped_agg(
+        ds.map_batches(pair_hashes, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["h"], [("nd", "", "count")])
+
+    def boilerplate_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("nd"), pa.scalar(min_docs)))
+
+    freq = rel.collect_column(
+        per_line.map_batches(boilerplate_only, batch_format="pyarrow",
+                             zero_copy_batch=True), "h")
+    freq_np = freq.to_numpy(zero_copy_only=False).astype(np.uint64)
+    freq_ref = ray.put(np.sort(freq_np))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.functions.textstats import fingerprint
+
+        flat, counts, hashes = _line_table(batch)
+        bad = ray.get(freq_ref)
+        keep = ~np.isin(hashes, bad)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        if len(keep):
+            kept_per_doc = np.where(
+                counts == 0, 0, np.add.reduceat(keep.astype(np.int64), starts))
+        else:
+            kept_per_doc = np.zeros(len(counts), dtype=np.int64)
+        vals = flat.filter(pa.array(keep))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int64)
+        rebuilt = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), vals)
+        clean = pc.binary_join(rebuilt, "\n")
+        fps = pa.array([fingerprint(s) for s in clean.to_pylist()],
+                       pa.string())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(counts, pa.int64()),
+            "n_removed": pa.array(counts - kept_per_doc, pa.int64()),
+            "clean_fp": fps,
+        })
+
+    out = ds.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_lines": "int64", "n_removed": "int64",
+        "clean_fp": "object"})
+    return rel.to_pandas_sorted(df, ["doc_id"])

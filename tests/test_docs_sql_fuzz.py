@@ -200,3 +200,51 @@ def test_docs_pii_redact_counts():
     assert out.column("redacted").to_pylist()[0] == \
         "mail <EMAIL> and <IP> acct <NUM>"
     assert out.column("redacted").to_pylist()[1] == "clean text only"
+
+
+# line-dedup strategy: build multi-line docs from a SMALL shared line pool
+# so cross-document frequent lines (the boilerplate the operator strikes)
+# actually occur, including empty lines and docs that get fully blanked.
+_LINE_POOL = st.lists(_TEXT, min_size=1, max_size=6)
+_LINE_DOCS = _LINE_POOL.flatmap(
+    lambda pool: st.lists(
+        st.lists(st.sampled_from(pool), min_size=0, max_size=5)
+        .map("\n".join),
+        min_size=1, max_size=8))
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(texts=_LINE_DOCS)
+def test_docs_line_dedup_fuzz(texts):
+    _check("docs_line_dedup", texts)
+
+
+def _run_on_texts(query_name: str, texts) -> pd.DataFrame:
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    tbl = _table(texts)
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        return entrymod.queries()[query_name]("fuzz")
+    finally:
+        q.rel.load = orig
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_docs_line_dedup_removes_boilerplate():
+    """Deterministic: a footer line shared by 2 docs is struck from both,
+    a unique line survives, a fully-boilerplate doc becomes empty."""
+    import hashlib
+
+    texts = ["body one\nCOOKIE FOOTER", "body two\nCOOKIE FOOTER",
+             "COOKIE FOOTER"]
+    df = _run_on_texts("docs_line_dedup", texts)
+    assert df.sort_values("doc_id")["n_removed"].tolist() == [1, 1, 1]
+    fps = df.sort_values("doc_id")["clean_fp"].tolist()
+    assert fps[0] == hashlib.md5(b"body one").hexdigest()
+    assert fps[2] == hashlib.md5(b"").hexdigest()
