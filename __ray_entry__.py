@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bloom_new_docs": q.docs_bloom_new_docs,
         "docs_pii_redact": q.docs_pii_redact,
         "docs_line_dedup": q.docs_line_dedup,
+        "docs_decontaminate": q.docs_decontaminate,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -908,6 +909,33 @@ def oracle_sql() -> dict[str, str]:
                        - coalesce(a.n_kept, 0) AS n_removed,
                    md5(coalesce(a.clean, '')) AS clean_fp
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "docs_decontaminate": r"""
+            -- train docs sharing any word 8-gram with the md5-bucket
+            -- benchmark slice (doc_id md5 prefix '0')
+            WITH bw AS (
+                SELECT regexp_extract_all(text, '\S+') AS w FROM documents
+                WHERE md5(CAST(doc_id AS VARCHAR)) LIKE '0%'
+            ), bg AS (
+                SELECT DISTINCT
+                       w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                       w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS g
+                FROM bw, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+                WHERE len(w) >= 8
+            ), tw AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+                WHERE md5(CAST(doc_id AS VARCHAR)) NOT LIKE '0%'
+            ), tg AS (
+                SELECT DISTINCT doc_id,
+                       w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                       w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS g
+                FROM tw, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+                WHERE len(w) >= 8
+            )
+            SELECT tg.doc_id, count(*) AS n_hits
+            FROM tg JOIN bg USING (g)
+            GROUP BY tg.doc_id
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

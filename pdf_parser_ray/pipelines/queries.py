@@ -1983,3 +1983,75 @@ def docs_line_dedup(sf_dir: str, min_docs: int = 2):
         "doc_id": "int64", "n_lines": "int64", "n_removed": "int64",
         "clean_fp": "object"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+# --- benchmark decontamination (n-gram overlap vs a held-out set) ----------
+
+def docs_decontaminate(sf_dir: str, k: int = 8):
+    """Training-set decontamination: flag every training document that
+    shares at least one word ``k``-gram with the benchmark/eval set, so
+    contaminated docs can be dropped before training (the standard
+    n-gram-overlap decontamination pass, k=8..13 in published recipes).
+
+    The benchmark here is the deterministic md5-bucket slice of the
+    corpus (doc_id md5 starting '0' ~ 1/16) standing in for a real eval
+    suite. Plan: benchmarks are SMALL by definition, so the benchmark
+    k-gram hash set is computed distributed, collected once, and
+    ``ray.put``-broadcast (at 100 TB the training side streams; the
+    broadcast side stays benchmark-sized). One shuffle-free pass then
+    scores every training doc in-batch via a vectorized ``np.isin`` on
+    its distinct gram hashes. Docs with fewer than k words carry no
+    grams (mirrors the oracle's len(w) >= k gate)."""
+    from pdf_parser_ray.functions import sketches
+    from pdf_parser_ray.functions.textstats import fingerprint
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams_of(text: str) -> set[str]:
+        words = sketches.re2_tokens(text)
+        if len(words) < k:
+            return set()
+        return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+    def in_benchmark(doc_id: int) -> bool:
+        return fingerprint(str(doc_id)).startswith("0")
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hs: set[int] = set()
+        for doc_id, text in zip(ids, texts):
+            if in_benchmark(doc_id):
+                hs.update(sketches._md5_64(g) for g in grams_of(text))
+        return pa.table({"g": pa.array(sorted(hs), pa.uint64())})
+
+    bench = rel.collect_column(
+        ds.map_batches(bench_grams, batch_format="pyarrow",
+                       zero_copy_batch=True), "g")
+    bench_np = np.unique(bench.to_numpy(zero_copy_only=False).astype(np.uint64))
+    bench_ref = ray.put(bench_np)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bad = ray.get(bench_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_hits = [], []
+        for doc_id, text in zip(ids, texts):
+            if in_benchmark(doc_id):
+                continue
+            gs = grams_of(text)
+            if not gs:
+                continue
+            hs = np.fromiter((sketches._md5_64(g) for g in gs),
+                             dtype=np.uint64, count=len(gs))
+            n = int(np.isin(hs, bad).sum())
+            if n:
+                out_id.append(doc_id)
+                out_hits.append(n)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_hits": pa.array(out_hits, pa.int64())})
+
+    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"doc_id": "int64", "n_hits": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])

@@ -248,3 +248,55 @@ def test_docs_line_dedup_removes_boilerplate():
     fps = df.sort_values("doc_id")["clean_fp"].tolist()
     assert fps[0] == hashlib.md5(b"body one").hexdigest()
     assert fps[2] == hashlib.md5(b"").hexdigest()
+
+
+# decontamination strategy: doc_id 27 is in the md5-bucket benchmark
+# slice (md5('27') starts with '0'); train docs share (or don't) an
+# 8-word run with it, so real hits occur alongside clean docs.
+_RUN8 = st.lists(_WORD, min_size=8, max_size=12).map(" ".join)
+
+
+def _check_ids(query_name: str, ids, texts) -> None:
+    import duckdb as _dd
+
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["fuzz"] * len(texts), pa.string()),
+    })
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        ray_df = entrymod.queries()[query_name]("fuzz")
+    finally:
+        q.rel.load = orig
+    con = _dd.connect()
+    con.register("documents", tbl)
+    sql_df = con.execute(entrymod.oracle_sql()[query_name]).df()
+    a, b = _canon(ray_df), _canon(sql_df)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{len(a)} != {len(b)}"
+    for col in a.columns:
+        for x, y in zip(a[col], b[col]):
+            assert x == y, f"{query_name}.{col}: {x!r} != {y!r}"
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(bench=_RUN8, extra=st.lists(_WORD, min_size=0, max_size=4),
+       clean=st.lists(_TEXT, min_size=0, max_size=3),
+       contaminated=st.booleans())
+def test_docs_decontaminate_fuzz(bench, extra, clean, contaminated):
+    texts, ids = [bench], [27]          # benchmark doc
+    if contaminated:
+        texts.append(bench + " " + " ".join(extra))  # shares the 8-gram run
+        ids.append(1)
+    texts.extend(clean)
+    ids.extend(range(2, 2 + len(clean)))
+    _check_ids("docs_decontaminate", ids, texts)
