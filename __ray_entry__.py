@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redact": q.docs_pii_redact,
         "docs_line_dedup": q.docs_line_dedup,
         "docs_decontaminate": q.docs_decontaminate,
+        "docs_repetition_stats": q.docs_repetition_stats,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -936,6 +937,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.doc_id, count(*) AS n_hits
             FROM tg JOIN bg USING (g)
             GROUP BY tg.doc_id
+        """,
+        "docs_repetition_stats": r"""
+            WITH L AS (
+                SELECT doc_id,
+                       len(string_split(text, chr(10))) AS n_lines,
+                       len(list_distinct(string_split(text, chr(10))))
+                           AS n_dlines,
+                       regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), M AS (
+                SELECT doc_id, max(c) AS mx FROM (
+                    SELECT doc_id, w[i] || ' ' || w[i+1] AS g,
+                           count(*) AS c
+                    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                          FROM documents),
+                         LATERAL unnest(range(1, len(w))) AS t(i)
+                    WHERE len(w) >= 2
+                    GROUP BY doc_id, g
+                ) GROUP BY doc_id
+            )
+            SELECT L.doc_id, L.n_lines,
+                   round(CAST(L.n_lines - L.n_dlines AS DOUBLE) / L.n_lines,
+                         4) AS dup_line_ratio,
+                   len(L.w) AS n_tokens,
+                   round(CASE WHEN len(L.w) >= 2
+                         THEN CAST(coalesce(M.mx, 0) AS DOUBLE)
+                              / (len(L.w) - 1)
+                         ELSE 0.0 END, 4) AS top_2gram_ratio
+            FROM L LEFT JOIN M USING (doc_id)
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

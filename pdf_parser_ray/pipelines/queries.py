@@ -2055,3 +2055,82 @@ def docs_decontaminate(sf_dir: str, k: int = 8):
     df = rel.ensure_columns(out.to_pandas(),
                             {"doc_id": "int64", "n_hits": "int64"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+# --- repetition stats (Gopher-style quality signals) -----------------------
+
+def docs_repetition_stats(sf_dir: str):
+    """Per-document repetition signals from the Gopher/MassiveText
+    quality recipe: the fraction of duplicate lines within the document
+    and the share of the text taken by its most frequent token 2-gram.
+    Downstream filters drop docs above thresholds (boilerplate-heavy or
+    keyword-stuffed pages).
+
+    One shuffle-free streaming pass; per-batch work is numpy run-length
+    analytics over (doc, hash) arrays (lexsort + reduceat + maximum.at),
+    never a per-line Python loop. Ratios follow the engine-wide rounding
+    discipline (identical doubles, half-away at 4 digits) so the SQL
+    twin is bit-exact."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+    from pdf_parser_ray.functions.sketches import _md5_64, re2_tokens
+    from pdf_parser_ray.stages.text import _safe_ratio
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        _, counts, line_h = _line_table(batch)
+        n_docs = len(counts)
+        doc_idx = np.repeat(np.arange(n_docs), counts)
+        order = np.lexsort((line_h, doc_idx))
+        h, d = line_h[order], doc_idx[order]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        if len(first):
+            n_dlines = np.where(
+                counts == 0, 0,
+                np.add.reduceat(first.astype(np.int64), starts))
+        else:
+            n_dlines = np.zeros(n_docs, dtype=np.int64)
+        dup_ratio = np_round_half_away(
+            _safe_ratio((counts - n_dlines).astype(np.float64),
+                        counts.astype(np.float64)), 4)
+
+        texts = batch.column("text").to_pylist()
+        cache: dict[str, int] = {}
+        g_doc: list[int] = []
+        g_hash: list[int] = []
+        n_tokens = np.zeros(n_docs, dtype=np.int64)
+        for i, t in enumerate(texts):
+            w = re2_tokens(t)
+            n_tokens[i] = len(w)
+            for a, b in zip(w, w[1:]):
+                g = a + " " + b
+                g_hash.append(cache.get(g) or cache.setdefault(g, _md5_64(g)))
+                g_doc.append(i)
+        mx = np.zeros(n_docs, dtype=np.int64)
+        if g_hash:
+            gh = np.array(g_hash, dtype=np.uint64)
+            gd = np.array(g_doc, dtype=np.int64)
+            o = np.lexsort((gh, gd))
+            gh, gd = gh[o], gd[o]
+            boundary = np.ones(len(gh), dtype=bool)
+            boundary[1:] = (gh[1:] != gh[:-1]) | (gd[1:] != gd[:-1])
+            run_len = np.bincount(np.cumsum(boundary) - 1)
+            np.maximum.at(mx, gd[boundary], run_len)
+        top2 = np_round_half_away(
+            _safe_ratio(mx.astype(np.float64),
+                        (n_tokens - 1).astype(np.float64)), 4)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(counts, pa.int64()),
+            "dup_line_ratio": pa.array(dup_ratio, pa.float64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "top_2gram_ratio": pa.array(top2, pa.float64()),
+        })
+
+    out = ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_lines": "int64", "dup_line_ratio": "float64",
+        "n_tokens": "int64", "top_2gram_ratio": "float64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])

@@ -300,3 +300,12 @@ def test_docs_decontaminate_fuzz(bench, extra, clean, contaminated):
     texts.extend(clean)
     ids.extend(range(2, 2 + len(clean)))
     _check_ids("docs_decontaminate", ids, texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_LINE_DOCS)
+def test_docs_repetition_stats_fuzz(texts):
+    # exact kernels (md5, integer run-lengths, identical-double rounding):
+    # fuzz-safe; _LINE_DOCS supplies real duplicate lines and 2-grams
+    _check("docs_repetition_stats", texts)
