@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": q.docs_line_dedup,
         "docs_decontaminate": q.docs_decontaminate,
         "docs_repetition_stats": q.docs_repetition_stats,
+        "docs_length_band": q.docs_length_band,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -966,6 +967,13 @@ def oracle_sql() -> dict[str, str]:
                               / (len(L.w) - 1)
                          ELSE 0.0 END, 4) AS top_2gram_ratio
             FROM L LEFT JOIN M USING (doc_id)
+        """,
+        "docs_length_band": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.05)
+                              FROM documents)
+              AND n_chars <= (SELECT quantile_disc(n_chars, 0.95)
+                              FROM documents)
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -2134,3 +2134,38 @@ def docs_repetition_stats(sf_dir: str):
         "doc_id": "int64", "n_lines": "int64", "dup_line_ratio": "float64",
         "n_tokens": "int64", "top_2gram_ratio": "float64"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+# --- percentile length-band filter (distribution-tail trimming) ------------
+
+def docs_length_band(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
+    """Trim the length-distribution tails: keep documents whose n_chars
+    lies within the corpus's exact [p05, p95] band — the standard
+    pre-training gate against truncated fragments and concatenation
+    monsters. Exactness comes from the distributed value-histogram
+    (grouped count per distinct length; cardinality is bounded by the
+    length domain, never the row count): the driver walks the tiny
+    histogram for the two cut points (quantile_disc semantics,
+    rank ceil(q*n)), then a second streaming pass filters in-batch —
+    no sort, no shuffle of document rows at any point."""
+    docs = rel.load(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    hist = rel.grouped_agg(docs.select_columns(["n_chars"]),
+                           ["n_chars"], [("n", "", "count")])
+    hdf = hist.to_pandas().sort_values("n_chars").reset_index(drop=True)
+    values = hdf["n_chars"].to_numpy()
+    cum = np.cumsum(hdf["n"].to_numpy())
+    n = int(cum[-1])
+    lo = int(values[np.searchsorted(cum, int(np.ceil(lo_q * n)))])
+    hi = int(values[np.searchsorted(cum, int(np.ceil(hi_q * n)))])
+
+    def band(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch.column("n_chars"),
+                                        pa.scalar(lo)),
+                       pc.less_equal(batch.column("n_chars"), pa.scalar(hi)))
+        return batch.filter(keep)
+
+    out = docs.map_batches(band, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"doc_id": "int64", "n_chars": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])

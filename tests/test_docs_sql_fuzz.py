@@ -36,6 +36,7 @@ def _table(texts) -> pa.Table:
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(["en"] * len(texts), pa.string()),
         "source": pa.array(["fuzz"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
 
 
@@ -309,3 +310,11 @@ def test_docs_repetition_stats_fuzz(texts):
     # exact kernels (md5, integer run-lengths, identical-double rounding):
     # fuzz-safe; _LINE_DOCS supplies real duplicate lines and 2-grams
     _check("docs_repetition_stats", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_docs_length_band_fuzz(texts):
+    # tiny corpora stress the quantile_disc rank boundaries (ceil(q*n))
+    _check("docs_length_band", texts)
