@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": q.docs_decontaminate,
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_length_band": q.docs_length_band,
+        "docs_cms_top_tokens": q.docs_cms_top_tokens,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -974,6 +975,34 @@ def oracle_sql() -> dict[str, str]:
                               FROM documents)
               AND n_chars <= (SELECT quantile_disc(n_chars, 0.95)
                               FROM documents)
+        """,
+        "docs_cms_top_tokens": r"""
+            -- replicate the 4x1024 count-min sketch exactly, then read
+            -- the estimate for each exact top-20 token
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), counts AS (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ), cms AS (
+                SELECT t.d,
+                       md5_number_upper(CAST(t.d AS VARCHAR) || ':' || tok)
+                           % 1024 AS bucket,
+                       sum(c) AS bc
+                FROM counts, LATERAL unnest(range(0, 4)) AS t(d)
+                GROUP BY 1, 2
+            ), top AS (
+                SELECT tok, c FROM counts
+                ORDER BY c DESC, tok LIMIT 20
+            )
+            SELECT top.tok, top.c AS n_exact,
+                   CAST(min(cms.bc) AS BIGINT) AS n_est
+            FROM top, LATERAL unnest(range(0, 4)) AS t(d)
+            JOIN cms ON cms.d = t.d
+                    AND cms.bucket =
+                        md5_number_upper(CAST(t.d AS VARCHAR) || ':'
+                                         || top.tok) % 1024
+            GROUP BY 1, 2
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -2169,3 +2169,66 @@ def docs_length_band(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
     df = rel.ensure_columns(out.to_pandas(),
                             {"doc_id": "int64", "n_chars": "int64"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+# --- Count-Min sketch heavy hitters ----------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def docs_cms_top_tokens(sf_dir: str, k: int = 20):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for the corpus's exact top-k tokens, next to their true
+    counts — the constant-size alternative to a full token groupby when
+    only heavy-hitter magnitudes are needed.
+
+    The sketch is a d x w counter matrix (4 x 1024): each batch folds
+    its local value_counts into the matrix and emits only (row, bucket,
+    count) triples, so the exchange is O(d*w) CONSTANT regardless of
+    vocabulary size — at web scale this replaces the token shuffle
+    entirely. Counter merge is elementwise sum (order-invariant), done
+    by one bounded grouped_agg; estimates read min over rows. Bucket
+    hashing is md5-64 of "row:token" (== DuckDB md5_number_upper), so
+    the SQL twin reproduces the exact same sketch, collisions and all.
+    """
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    ds = rel.load(sf_dir, "documents", ["text"])
+
+    def partial_cms(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = pc.value_counts(toks)
+        words = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for w, c in zip(words, counts):
+            for d in range(_CMS_D):
+                mat[d, _md5_64(f"{d}:{w}") % _CMS_W] += int(c)
+        rows, buckets = np.nonzero(mat)
+        return pa.table({
+            "row": pa.array(rows.astype(np.int64), pa.int64()),
+            "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+            "bc": pa.array(mat[rows, buckets], pa.int64()),
+        })
+
+    cms_df = rel.grouped_agg(
+        ds.map_batches(partial_cms, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["row", "bucket"], [("bc", "bc", "sum")], small_result=True)
+    mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    if len(cms_df):  # empty corpus: typed-empty partials are object-dtype
+        mat[cms_df["row"].to_numpy().astype(np.int64),
+            cms_df["bucket"].to_numpy().astype(np.int64)] = \
+            cms_df["bc"].to_numpy().astype(np.int64)
+
+    top = docs_top_tokens(sf_dir, k)
+    ests = [int(min(mat[d, _md5_64(f"{d}:{w}") % _CMS_W]
+                    for d in range(_CMS_D)))
+            for w in top["tok"]]
+    out = pd.DataFrame({"tok": top["tok"].to_numpy(),
+                        "n_exact": top["n_occurrences"].astype("int64").to_numpy(),
+                        "n_est": np.array(ests, dtype=np.int64)})
+    return rel.to_pandas_sorted(out, ["tok"])

@@ -318,3 +318,22 @@ def test_docs_repetition_stats_fuzz(texts):
 def test_docs_length_band_fuzz(texts):
     # tiny corpora stress the quantile_disc rank boundaries (ceil(q*n))
     _check("docs_length_band", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_DOCS)
+def test_docs_cms_top_tokens_fuzz(texts):
+    # the sketch is deterministic (md5 buckets, elementwise-sum merge):
+    # the SQL twin rebuilds the identical matrix, collisions included
+    _check("docs_cms_top_tokens", texts)
+
+
+def test_cms_overestimates_never_underestimate():
+    """CMS guarantee: est >= exact for every queried token (planted
+    collision-heavy corpus: many distinct tokens into 1024 buckets)."""
+    texts = [" ".join(f"tok{i}" for i in range(j, j + 400))
+             for j in range(0, 4000, 37)]
+    df = _run_on_texts("docs_cms_top_tokens", texts)
+    assert (df["n_est"] >= df["n_exact"]).all()
+    assert len(df) == 20
