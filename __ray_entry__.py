@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_length_band": q.docs_length_band,
         "docs_cms_top_tokens": q.docs_cms_top_tokens,
+        "docs_chunk_windows": q.docs_chunk_windows,
         # ---- rows-only pipelines below (no SQL twin by nature) ----
         # extraction flagship (byte-stable fingerprints of extracted text)
         "extract_corpus": q.extract_corpus,
@@ -1003,6 +1004,23 @@ def oracle_sql() -> dict[str, str]:
                         md5_number_upper(CAST(t.d AS VARCHAR) || ':'
                                          || top.tok) % 1024
             GROUP BY 1, 2
+        """,
+        "docs_chunk_windows": r"""
+            WITH W AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), C AS (
+                SELECT doc_id, w,
+                       CASE WHEN len(w) = 0 THEN 0
+                            WHEN len(w) <= 64 THEN 1
+                            ELSE 1 + (len(w) - 64 + 47) // 48 END AS n_chunks
+                FROM W
+            )
+            SELECT doc_id, t.i AS chunk_id,
+                   len(w[t.i*48 + 1 : t.i*48 + 64]) AS n_toks,
+                   md5(array_to_string(w[t.i*48 + 1 : t.i*48 + 64], ' '))
+                       AS chunk_fp
+            FROM C, LATERAL unnest(range(0, n_chunks)) AS t(i)
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -2232,3 +2232,52 @@ def docs_cms_top_tokens(sf_dir: str, k: int = 20):
                         "n_exact": top["n_occurrences"].astype("int64").to_numpy(),
                         "n_est": np.array(ests, dtype=np.int64)})
     return rel.to_pandas_sorted(out, ["tok"])
+
+
+# --- document chunking (RAG / training-window splitter) --------------------
+
+def docs_chunk_windows(sf_dir: str, chunk: int = 64, stride: int = 48):
+    """Split every document into overlapping token windows (chunk=64,
+    stride=48 -> 16-token overlap) — the retrieval/RAG chunker and the
+    window-izer feeding embedding models. Chunk boundaries are pure
+    integer arithmetic on the token count, so the flat-map is exactly
+    SQL-mirrorable; each chunk emits its token count and text md5 (the
+    fingerprint, not the chunk text, leaves the workers).
+
+    Plan: one shuffle-free flat-map pass — the per-doc row explodes to
+    ~n_tokens/stride chunk rows in-batch. Unlike docs_pack_sequences
+    (which packs docs into training rows), this op subdivides docs;
+    both are doc-bounded, so any parallelism yields identical rows."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+    from pdf_parser_ray.functions.textstats import fingerprint
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_ck, out_n, out_fp = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            w = re2_tokens(text)
+            n = len(w)
+            if n == 0:
+                continue
+            n_chunks = 1 if n <= chunk else 1 + (n - chunk + stride - 1) // stride
+            for i in range(n_chunks):
+                piece = w[i * stride:i * stride + chunk]
+                out_id.append(doc_id)
+                out_ck.append(i)
+                out_n.append(len(piece))
+                out_fp.append(fingerprint(" ".join(piece)))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_ck, pa.int64()),
+            "n_toks": pa.array(out_n, pa.int64()),
+            "chunk_fp": pa.array(out_fp, pa.string()),
+        })
+
+    out = ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "chunk_id": "int64", "n_toks": "int64",
+        "chunk_fp": "object"})
+    return rel.to_pandas_sorted(df, ["doc_id", "chunk_id"])

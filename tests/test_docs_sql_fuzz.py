@@ -337,3 +337,20 @@ def test_cms_overestimates_never_underestimate():
     df = _run_on_texts("docs_cms_top_tokens", texts)
     assert (df["n_est"] >= df["n_exact"]).all()
     assert len(df) == 20
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_docs_chunk_windows_fuzz(texts):
+    # integer chunk arithmetic + md5 only: exact; small docs hit the
+    # single-chunk and empty-doc edges, long ones the stride tail
+    _check("docs_chunk_windows", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(n=st.integers(0, 200))
+def test_docs_chunk_windows_boundaries(n):
+    texts = [" ".join(f"w{i}" for i in range(n))]
+    _check("docs_chunk_windows", texts)
