@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_band": q.docs_length_band,
         "docs_cms_top_tokens": q.docs_cms_top_tokens,
         "docs_chunk_windows": q.docs_chunk_windows,
+        "docs_model_score": q.docs_model_score,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1030,6 +1031,28 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(w[t.i*48 + 1 : t.i*48 + 64], ' '))
                        AS chunk_fp
             FROM C, LATERAL unnest(range(0, n_chunks)) AS t(i)
+        """,
+        "docs_model_score": r"""
+            -- hashed-vocabulary linear classifier with integer
+            -- micro-unit weights (exact-sum discipline)
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       CAST(md5_number_upper('b:' || CAST(
+                            md5_number_upper('w:' || tok) % 4096
+                            AS VARCHAR)) % 2001 AS BIGINT) - 1000 AS iw
+                FROM toks
+            ), agg AS (
+                SELECT doc_id, sum(iw) AS s, count(*) AS n
+                FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(CAST(s AS DOUBLE) / (1000.0 * n), 4) AS score,
+                   CASE WHEN s >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+            FROM agg
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

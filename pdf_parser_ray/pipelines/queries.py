@@ -1933,7 +1933,10 @@ def docs_line_dedup(sf_dir: str, min_docs: int = 2):
         h, d = hashes[order], doc_idx[order]
         first = np.ones(len(h), dtype=bool)
         first[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
-        return pa.table({"h": pa.array(h[first], pa.uint64())})
+        # bit-reinterpret uint64 -> int64 BEFORE the shuffle: Ray 2.49's
+        # aggregate mangles uint64 keys above int64-max into pickled-
+        # object blocks (observed at sf0.1); the view keeps all 64 bits
+        return pa.table({"h": pa.array(h[first].view(np.int64), pa.int64())})
 
     per_line = rel.grouped_agg(
         ds.map_batches(pair_hashes, batch_format="pyarrow",
@@ -1947,7 +1950,7 @@ def docs_line_dedup(sf_dir: str, min_docs: int = 2):
     freq = rel.collect_column(
         per_line.map_batches(boilerplate_only, batch_format="pyarrow",
                              zero_copy_batch=True), "h")
-    freq_np = freq.to_numpy(zero_copy_only=False).astype(np.uint64)
+    freq_np = freq.to_numpy(zero_copy_only=False).astype(np.int64)
     freq_ref = ray.put(np.sort(freq_np))
 
     def rebuild(batch: pa.Table) -> pa.Table:
@@ -1955,7 +1958,7 @@ def docs_line_dedup(sf_dir: str, min_docs: int = 2):
 
         flat, counts, hashes = _line_table(batch)
         bad = ray.get(freq_ref)
-        keep = ~np.isin(hashes, bad)
+        keep = ~np.isin(hashes.view(np.int64), bad)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
         if len(keep):
             kept_per_doc = np.where(
@@ -2281,3 +2284,83 @@ def docs_chunk_windows(sf_dir: str, chunk: int = 64, stride: int = 48):
         "doc_id": "int64", "chunk_id": "int64", "n_toks": "int64",
         "chunk_fp": "object"})
     return rel.to_pandas_sorted(df, ["doc_id", "chunk_id"])
+
+
+# --- linear quality-classifier scoring (batched model inference) -----------
+
+_MODEL_BUCKETS = 4096
+
+
+def _model_weight_table() -> np.ndarray:
+    """Deterministic per-bucket integer weights in [-1000, 1000] (md5 of
+    the bucket index), standing in for trained fasttext-style classifier
+    weights. Built once per process; a real model would load in an actor
+    pool's __init__ exactly like stages/extract.ParseDocuments."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    global _MODEL_WEIGHTS
+    try:
+        return _MODEL_WEIGHTS
+    except NameError:
+        _MODEL_WEIGHTS = np.array(
+            [_md5_64(f"b:{b}") % 2001 - 1000 for b in range(_MODEL_BUCKETS)],
+            dtype=np.int64)
+        return _MODEL_WEIGHTS
+
+
+def docs_model_score(sf_dir: str):
+    """Batched 'model inference' over the corpus: a hashed-vocabulary
+    linear classifier (fasttext-shaped) scores every document and emits
+    keep/drop verdicts — the quality-classifier gate of a pre-training
+    pipeline, here with deterministic md5-derived weights so the result
+    is exactly reproducible (and SQL-twinnable).
+
+    Scale shape: one shuffle-free streaming pass; the weight table
+    loads once per worker process; scoring is a vectorized gather
+    (np.take) + segmented integer sum. Per-token weights are INTEGER
+    micro-units summed exactly, so the final double division + rounding
+    is bit-identical on any engine at any parallelism (the engine-wide
+    exact-sum discipline for float metrics)."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        weights = _model_weight_table()
+        lst = pc.split_pattern_regex(
+            pc.fill_null(batch.column("text"), ""), r"\s+")
+        flat = pc.list_flatten(lst).combine_chunks()
+        keep = pc.not_equal(flat, pa.scalar(""))
+        counts_all = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        doc_idx_all = np.repeat(np.arange(len(counts_all)), counts_all)
+        mask = keep.to_numpy(zero_copy_only=False)
+        toks = flat.filter(keep).to_pylist()
+        doc_idx = doc_idx_all[mask]
+        cache: dict[str, int] = {}
+        buckets = np.fromiter(
+            (cache.get(t) if t in cache
+             else cache.setdefault(t, _md5_64(f"w:{t}") % _MODEL_BUCKETS)
+             for t in toks),
+            dtype=np.int64, count=len(toks))
+        iw = weights[buckets]
+        n_docs = len(counts_all)
+        s = np.zeros(n_docs, dtype=np.int64)
+        n = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(s, doc_idx, iw)
+        np.add.at(n, doc_idx, 1)
+        has = n > 0
+        score_f = np_round_half_away(
+            s[has].astype(np.float64) / (1000.0 * n[has].astype(np.float64)),
+            4)
+        verdict = np.where(s[has] >= 0, "keep", "drop")
+        return pa.table({
+            "doc_id": batch.column("doc_id").filter(pa.array(has)),
+            "score": pa.array(score_f, pa.float64()),
+            "verdict": pa.array(verdict.tolist(), pa.string()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "score": "float64", "verdict": "object"})
+    return rel.to_pandas_sorted(df, ["doc_id"])

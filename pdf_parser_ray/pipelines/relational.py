@@ -130,10 +130,16 @@ def collect_column(ds: ray.data.Dataset, col: str) -> pa.Array:
     for ref in refs:
         t = ray.get(ref)
         if col in t.schema.names:  # skip schema-less empty blocks
-            chunks.extend(t.column(col).chunks)
+            # drop EMPTY chunks too: an all-filtered pandas-roundtripped
+            # block can carry a retyped (int64/null) column that would
+            # poison the chunked_array concat (seen at sf0.1 where many
+            # aggregate partitions filter to nothing)
+            chunks.extend(c for c in t.column(col).chunks if len(c))
     if not chunks:
         # typed empty: a mistyped value_set breaks pc.is_in downstream
         return pa.array([], ds.schema().base_schema.field(col).type)
+    t0 = chunks[0].type
+    chunks = [c if c.type == t0 else c.cast(t0) for c in chunks]
     return pa.chunked_array(chunks).combine_chunks()
 
 

@@ -354,3 +354,12 @@ def test_docs_chunk_windows_fuzz(texts):
 def test_docs_chunk_windows_boundaries(n):
     texts = [" ".join(f"w{i}" for i in range(n))]
     _check("docs_chunk_windows", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_docs_model_score_fuzz(texts):
+    # integer micro-unit weights summed exactly -> the double division
+    # and half-away rounding are bit-identical on both engines
+    _check("docs_model_score", texts)
