@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cms_top_tokens": q.docs_cms_top_tokens,
         "docs_chunk_windows": q.docs_chunk_windows,
         "docs_model_score": q.docs_model_score,
+        "docs_dup_spans": q.docs_dup_spans,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1053,6 +1054,40 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s AS DOUBLE) / (1000.0 * n), 4) AS score,
                    CASE WHEN s >= 0 THEN 'keep' ELSE 'drop' END AS verdict
             FROM agg
+        """,
+        "docs_dup_spans": r"""
+            -- maximal token runs covered by word-8-grams appearing in
+            -- >= 2 distinct documents (interval union via islands)
+            WITH W AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), G AS (
+                SELECT doc_id, t.i AS i,
+                       array_to_string(w[t.i : t.i + 7], ' ') AS g
+                FROM W, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+                WHERE len(w) >= 8
+            ), D AS (
+                SELECT g FROM G GROUP BY g
+                HAVING count(DISTINCT doc_id) >= 2
+            ), M AS (
+                SELECT doc_id, i AS s, i + 7 AS e FROM G
+                WHERE g IN (SELECT g FROM D)
+            ), O AS (
+                SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_e
+                FROM M
+            ), I AS (
+                SELECT doc_id, s, e,
+                       sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s) AS island
+                FROM O
+            )
+            SELECT doc_id, min(s) AS s, max(e) AS e,
+                   max(e) - min(s) + 1 AS n_toks
+            FROM I GROUP BY doc_id, island
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

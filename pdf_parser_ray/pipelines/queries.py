@@ -2364,3 +2364,98 @@ def docs_model_score(sf_dir: str):
     df = rel.ensure_columns(out.to_pandas(), {
         "doc_id": "int64", "score": "float64", "verdict": "object"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+# --- duplicated-span detection (ExactSubstr-style dedup) -------------------
+
+def docs_dup_spans(sf_dir: str, k: int = 8):
+    """Cross-document duplicated-span detection, the window-hash
+    approximation of ExactSubstr dedup (suffix-array substring dedup a
+    la Lee et al. 2021): every maximal run of tokens covered by some
+    word ``k``-gram that also appears in ANOTHER document is reported as
+    (doc_id, s, e) token spans — downstream, those spans are cut from
+    the training text.
+
+    Plan mirrors line-dedup's two passes: (1) per-doc-unique gram
+    hashes (int64-viewed) feed ONE grouped count — the only shuffle,
+    8-byte keys; grams in >= 2 distinct docs form the duplicated set,
+    gathered + broadcast (size-gated in spirit: heavily-duplicated
+    corpora should pre-dedup exact copies first, which the suite does).
+    (2) a second shuffle-free pass marks dup windows per doc, takes the
+    coverage union vectorized (+1/-1 diff + cumsum), and emits maximal
+    covered runs. Positions are 1-based token indices, matching the SQL
+    twin's LATERAL range."""
+    from pdf_parser_ray.functions.sketches import _md5_64, re2_tokens
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_hashes(words: list[str], cache: dict) -> np.ndarray:
+        n = len(words) - k + 1
+        if n <= 0:
+            return np.empty(0, dtype=np.int64)
+        return np.fromiter(
+            (cache.get(g) if g in cache
+             else cache.setdefault(g, _md5_64(g) - 0x8000000000000000)
+             for g in (" ".join(words[i:i + k]) for i in range(n))),
+            dtype=np.int64, count=n)
+
+    def doc_grams(batch: pa.Table) -> pa.Table:
+        cache: dict[str, int] = {}
+        hs = [np.unique(gram_hashes(re2_tokens(t), cache))
+              for t in batch.column("text").to_pylist()]
+        flat = (np.concatenate(hs) if hs
+                else np.empty(0, dtype=np.int64))
+        return pa.table({"h": pa.array(flat, pa.int64())})
+
+    per_gram = rel.grouped_agg(
+        ds.map_batches(doc_grams, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["h"], [("nd", "", "count")])
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("nd"),
+                                             pa.scalar(2)))
+
+    dup = rel.collect_column(
+        per_gram.map_batches(dup_only, batch_format="pyarrow",
+                             zero_copy_batch=True), "h")
+    dup_ref = ray.put(np.sort(dup.to_numpy(zero_copy_only=False)
+                              .astype(np.int64)))
+
+    def spans(batch: pa.Table) -> pa.Table:
+        bad = ray.get(dup_ref)
+        cache: dict[str, int] = {}
+        out_id, out_s, out_e = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            words = re2_tokens(text)
+            hs = gram_hashes(words, cache)
+            if not len(hs):
+                continue
+            marked = np.isin(hs, bad)
+            if not marked.any():
+                continue
+            n_tok = len(words)
+            diff = np.zeros(n_tok + 1, dtype=np.int64)
+            idx = np.nonzero(marked)[0]
+            np.add.at(diff, idx, 1)
+            np.add.at(diff, idx + k, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            edges = np.diff(np.concatenate([[0], covered.view(np.int8), [0]]))
+            starts = np.nonzero(edges == 1)[0]
+            ends = np.nonzero(edges == -1)[0] - 1
+            for s, e in zip(starts, ends):
+                out_id.append(doc_id)
+                out_s.append(int(s) + 1)   # 1-based, SQL lockstep
+                out_e.append(int(e) + 1)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "s": pa.array(out_s, pa.int64()),
+            "e": pa.array(out_e, pa.int64()),
+        })
+
+    out = ds.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"doc_id": "int64", "s": "int64", "e": "int64"})
+    df["n_toks"] = df["e"] - df["s"] + 1
+    return rel.to_pandas_sorted(df, ["doc_id", "s"])

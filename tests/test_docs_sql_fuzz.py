@@ -363,3 +363,36 @@ def test_docs_model_score_fuzz(texts):
     # integer micro-unit weights summed exactly -> the double division
     # and half-away rounding are bit-identical on both engines
     _check("docs_model_score", texts)
+
+
+# dup-span strategy: docs share (or don't) 8+-token runs, sometimes at
+# multiple offsets, so marked windows overlap, chain via adjacency, and
+# split into separate islands
+_SPAN_DOCS = st.tuples(_RUN8, _RUN8, st.lists(_WORD, min_size=0, max_size=6),
+                       st.booleans()).map(
+    lambda t: [t[0] + " " + " ".join(t[2]) + " " + t[1],
+               t[0] + (" filler " + t[1] if t[3] else ""),
+               " ".join(t[2])])
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_SPAN_DOCS)
+def test_docs_dup_spans_fuzz(texts):
+    # integer positions + md5 window hashes: exact; islands exercise the
+    # overlap, adjacency-merge and split cases
+    _check("docs_dup_spans", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_docs_dup_spans_islands():
+    """Deterministic: shared prefix+suffix with a unique middle yields
+    two separate spans; a fully-shared doc yields one covering span."""
+    a = " ".join(f"p{i}" for i in range(8))      # shared prefix run
+    b = " ".join(f"s{i}" for i in range(8))      # shared suffix run
+    texts = [a + " unique middle here " + b, a + " " + b]
+    df = _run_on_texts("docs_dup_spans", texts)
+    d0 = df[df.doc_id == 0]
+    assert d0[["s", "e"]].values.tolist() == [[1, 8], [12, 19]]
+    d1 = df[df.doc_id == 1]
+    assert d1[["s", "e"]].values.tolist() == [[1, 16]]
