@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_windows": q.docs_chunk_windows,
         "docs_model_score": q.docs_model_score,
         "docs_dup_spans": q.docs_dup_spans,
+        "events_latest_snapshot": q.events_latest_snapshot,
+        "docs_postings": q.docs_postings,
+        "emb_dedup_keep": q.emb_dedup_keep,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1088,6 +1091,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(s) AS s, max(e) AS e,
                    max(e) - min(s) + 1 AS n_toks
             FROM I GROUP BY doc_id, island
+        """,
+        "events_latest_snapshot": """
+            -- keep-latest-per-key (recrawl/snapshot dedup): newest event
+            -- per (user_id, event_type), ties broken by event_id
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "docs_postings": r"""
+            -- inverted index: df + sorted comma-packed posting list
+            WITH raw AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), toks AS (
+                SELECT DISTINCT doc_id, tok FROM raw
+            )
+            SELECT tok, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM toks GROUP BY tok
+        """,
+        "emb_dedup_keep": """
+            -- SemDeDup-style keep list: no near neighbor with smaller id
+            SELECT e.vec_id, e.label
+            FROM embeddings e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id < e.vec_id
+                  AND list_cosine_similarity(
+                        CAST(b.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) > 0.8)
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

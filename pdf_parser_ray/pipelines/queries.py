@@ -2459,3 +2459,127 @@ def docs_dup_spans(sf_dir: str, k: int = 8):
                             {"doc_id": "int64", "s": "int64", "e": "int64"})
     df["n_toks"] = df["e"] - df["s"] + 1
     return rel.to_pandas_sorted(df, ["doc_id", "s"])
+
+
+# --- keep-latest-per-key dedup (recrawl/snapshot semantics) -----------------
+
+def _latest_rows(batch: pa.Table) -> pa.Table:
+    """Arrow kernel: keep the (ts, event_id)-max row of every
+    (user_id, event_type) key present in ``batch``. Zero-copy sort+filter;
+    value/props pass through untouched (no float arithmetic -> SQL
+    equality is exact)."""
+    if batch.num_rows == 0:
+        return batch
+    idx = pc.sort_indices(batch, sort_keys=[
+        ("user_id", "ascending"), ("event_type", "ascending"),
+        ("ts", "ascending"), ("event_id", "ascending")])
+    t = batch.take(idx)
+    u = t.column("user_id").to_numpy(zero_copy_only=False)
+    et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+    last = np.ones(len(u), dtype=bool)
+    last[:-1] = (u[:-1] != u[1:]) | (et[:-1] != et[1:])
+    return t.filter(pa.array(last))
+
+
+def events_latest_snapshot(sf_dir: str):
+    """Keep-latest-per-key dedup — the recrawl/snapshot primitive. For a
+    Common-Crawl-style corpus this is "one row per url: the newest
+    warc_ts capture"; over the events table: the newest event per
+    (user_id, event_type), ties broken by event_id.
+
+    Two-phase argmax: `_latest_rows` runs first as a map-side combiner
+    (each block reduces to at most one row per key BEFORE the exchange),
+    so the groupby shuffles the combined set, not the corpus; the same
+    kernel is the in-group finisher. Parallelism-invariant by
+    construction (max is associative/commutative; the tie-break total
+    order makes the argmax unique)."""
+    ds = rel.load(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type",
+                   "value", "props"])
+    reduced = ds.map_batches(_latest_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = (reduced.groupby(["user_id", "event_type"])
+           .map_groups(_latest_rows, batch_format="pyarrow"))
+    df = rel.ensure_columns(out.to_pandas(), {
+        "event_id": "int64", "ts": "datetime64[us]", "user_id": "int64",
+        "event_type": "object", "value": "float64", "props": "object"})
+    return rel.to_pandas_sorted(df, ["user_id", "event_type"])
+
+
+# --- inverted index (posting lists) -----------------------------------------
+
+def docs_postings(sf_dir: str):
+    """Inverted-index build: token -> document frequency + the sorted
+    posting list of doc_ids, packed as a comma-joined string (list
+    payloads don't survive Acero exchanges, and the packed form is the
+    SQL-comparable serialization).
+
+    Per-doc-unique tokens are emitted map-side (a token repeated inside a
+    doc costs ONE shuffled row), then a single groupby(tok) exchange
+    builds the lists. At web scale the output is hash-partitioned by
+    token and written as partitioned Parquet, and stopword-grade hot
+    tokens get df-capped or split into blocked postings; here the full
+    list is kept (the synthetic vocabulary is tiny)."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            uniq = set(re2_tokens(text))
+            toks.extend(uniq)
+            ids.extend([doc_id] * len(uniq))
+        return pa.table({"tok": pa.array(toks, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    rows = ds.map_batches(tok_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "tok": [g["tok"].iloc[0]],
+            "df": np.array([len(d)], dtype=np.int64),
+            "postings": [",".join(str(x) for x in d)],
+        })
+
+    out = rows.groupby("tok").map_groups(build, batch_format="pandas")
+    df = rel.ensure_columns(out.to_pandas(), {
+        "tok": "object", "df": "int64", "postings": "object"})
+    return rel.to_pandas_sorted(df, ["tok"])
+
+
+# --- semantic dedup keep-list (SemDeDup-style) -------------------------------
+
+def emb_dedup_keep(sf_dir: str, threshold: float = 0.8):
+    """SemDeDup-style semantic dedup: drop every vector that has a
+    near-neighbor (cosine > threshold) with a SMALLER vec_id; keep the
+    rest. No transitivity — the keep rule is exactly "no smaller near
+    neighbor exists", which the SQL twin states as NOT EXISTS.
+
+    Pairs come from the subquadratic LSH path (`lsh_pairs_above`:
+    hyperplane banding + in-bucket exact scoring — the 100-TB plan); the
+    removed set is bounded by the near-dup volume (tiny relative to the
+    corpus) and is broadcast once for a streaming anti-join filter.
+    Oracle equality holds because in-bucket scoring is exact and LSH
+    recall at the threshold is ~1 (pinned in test_similarity_scale)."""
+    pairs = similarity.lsh_pairs_above(
+        rel.load(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=threshold)
+    removed = (np.unique(pairs["vec_b"].to_numpy(np.int64))
+               if len(pairs) else np.empty(0, np.int64))
+    rref = ray.put(pa.array(removed, pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("vec_id"),
+                                  value_set=ray.get(rref)))
+        return batch.filter(mask)
+
+    ds = rel.load(sf_dir, "embeddings", ["vec_id", "label"])
+    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"vec_id": "int64", "label": "int32"})
+    return rel.to_pandas_sorted(df, ["vec_id"])

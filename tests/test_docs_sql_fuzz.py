@@ -396,3 +396,11 @@ def test_docs_dup_spans_islands():
     assert d0[["s", "e"]].values.tolist() == [[1, 8], [12, 19]]
     d1 = df[df.doc_id == 1]
     assert d1[["s", "e"]].values.tolist() == [[1, 16]]
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(texts=_DOCS)
+def test_docs_postings_fuzz(texts):
+    # inverted index: per-doc-unique tokens, packed sorted posting lists
+    _check("docs_postings", texts)

@@ -125,3 +125,12 @@ def test_salted_sessions_fuzz(rows):
     # arbitrary inputs — midnight-boundary sessions included (the
     # offsets span ~4 days, so slice merges genuinely trigger)
     _check("events_sessions_salted", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_latest_snapshot_fuzz(rows):
+    # keep-latest-per-key: ts ties (same-second events) exercise the
+    # event_id tie-break; single-event users the no-dup path
+    _check("events_latest_snapshot", rows)

@@ -131,3 +131,35 @@ def test_pairs_above_empty_and_single():
     single = pa.table({"vec_id": pa.array([7], pa.int64()),
                        "embedding": pa.array([[1.0] * 8], pa.list_(pa.float64()))})
     assert similarity.pairs_above(ray.data.from_arrow(single)).empty
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_emb_dedup_keep_drops_planted_dups():
+    """SemDeDup keep-list on planted near-dups: exactly the higher-id
+    member of every planted pair is dropped, and the result equals the
+    NOT-EXISTS SQL oracle."""
+    import duckdb
+    import ray.data
+
+    import __ray_entry__ as entrymod
+    from pdf_parser_ray.pipelines import queries as q
+
+    t, planted = _planted_table(n=300, dim=16, n_planted=25, seed=11,
+                                noise=1e-4)
+    t = t.append_column("label", pa.array(
+        (np.arange(len(t)) % 7).astype(np.int32), pa.int32()))
+    orig = q.rel.load
+    q.rel.load = lambda sf, tbl, columns=None: ray.data.from_arrow(
+        t.select(columns) if columns else t).repartition(4)
+    try:
+        kept = q.emb_dedup_keep("planted", threshold=0.9)
+    finally:
+        q.rel.load = orig
+    dropped = {b for _, b in planted}
+    assert set(kept["vec_id"]) == set(range(len(t))) - dropped
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    sql = entrymod.oracle_sql()["emb_dedup_keep"].replace("> 0.8", "> 0.9")
+    want = con.execute(sql).df().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        kept.reset_index(drop=True), want, check_dtype=False)
