@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_windows": q.docs_chunk_windows,
         "docs_model_score": q.docs_model_score,
         "docs_dup_spans": q.docs_dup_spans,
+        "docs_cut_dup_spans": q.docs_cut_dup_spans,
         "events_latest_snapshot": q.events_latest_snapshot,
         "docs_postings": q.docs_postings,
         "emb_dedup_keep": q.emb_dedup_keep,
@@ -1091,6 +1092,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(s) AS s, max(e) AS e,
                    max(e) - min(s) + 1 AS n_toks
             FROM I GROUP BY doc_id, island
+        """,
+        "docs_cut_dup_spans": r"""
+            -- ExactSubstr surgery: drop tokens covered by a word-8-gram
+            -- appearing in >= 2 distinct documents; rejoin survivors
+            WITH W AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), T AS (
+                SELECT doc_id, t.i AS i, w[t.i] AS tok
+                FROM W, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+            ), G AS (
+                SELECT doc_id, t.i AS i,
+                       array_to_string(w[t.i : t.i + 7], ' ') AS g
+                FROM W, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+                WHERE len(w) >= 8
+            ), D AS (
+                SELECT g FROM G GROUP BY g
+                HAVING count(DISTINCT doc_id) >= 2
+            ), M AS (
+                SELECT doc_id, i AS s, i + 7 AS e FROM G
+                WHERE g IN (SELECT g FROM D)
+            ), C AS (
+                SELECT DISTINCT t.doc_id, t.i
+                FROM T t JOIN M m
+                  ON m.doc_id = t.doc_id AND t.i BETWEEN m.s AND m.e
+            ), agg AS (
+                SELECT t.doc_id,
+                       string_agg(tok, ' ' ORDER BY t.i)
+                           FILTER (WHERE c.i IS NULL) AS txt,
+                       count(c.i) AS n_cut
+                FROM T t LEFT JOIN C c
+                  ON c.doc_id = t.doc_id AND c.i = t.i
+                GROUP BY t.doc_id
+            )
+            SELECT w.doc_id,
+                   coalesce(agg.txt, '') AS text_clean,
+                   coalesce(agg.n_cut, 0) AS n_cut
+            FROM W w LEFT JOIN agg USING (doc_id)
         """,
         "events_latest_snapshot": """
             -- keep-latest-per-key (recrawl/snapshot dedup): newest event

@@ -2366,42 +2366,34 @@ def docs_model_score(sf_dir: str):
     return rel.to_pandas_sorted(df, ["doc_id"])
 
 
-# --- duplicated-span detection (ExactSubstr-style dedup) -------------------
+# --- duplicated-span detection + surgery (ExactSubstr-style dedup) ----------
 
-def docs_dup_spans(sf_dir: str, k: int = 8):
-    """Cross-document duplicated-span detection, the window-hash
-    approximation of ExactSubstr dedup (suffix-array substring dedup a
-    la Lee et al. 2021): every maximal run of tokens covered by some
-    word ``k``-gram that also appears in ANOTHER document is reported as
-    (doc_id, s, e) token spans — downstream, those spans are cut from
-    the training text.
+def _gram_hashes(words: list[str], k: int, cache: dict) -> np.ndarray:
+    """md5-based int64 hash per word k-gram window (1 window per token
+    position); ``cache`` amortizes repeated grams inside a batch."""
+    from pdf_parser_ray.functions.sketches import _md5_64
 
-    Plan mirrors line-dedup's two passes: (1) per-doc-unique gram
-    hashes (int64-viewed) feed ONE grouped count — the only shuffle,
-    8-byte keys; grams in >= 2 distinct docs form the duplicated set,
-    gathered + broadcast (size-gated in spirit: heavily-duplicated
-    corpora should pre-dedup exact copies first, which the suite does).
-    (2) a second shuffle-free pass marks dup windows per doc, takes the
-    coverage union vectorized (+1/-1 diff + cumsum), and emits maximal
-    covered runs. Positions are 1-based token indices, matching the SQL
-    twin's LATERAL range."""
-    from pdf_parser_ray.functions.sketches import _md5_64, re2_tokens
+    n = len(words) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    return np.fromiter(
+        (cache.get(g) if g in cache
+         else cache.setdefault(g, _md5_64(g) - 0x8000000000000000)
+         for g in (" ".join(words[i:i + k]) for i in range(n))),
+        dtype=np.int64, count=n)
 
-    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
 
-    def gram_hashes(words: list[str], cache: dict) -> np.ndarray:
-        n = len(words) - k + 1
-        if n <= 0:
-            return np.empty(0, dtype=np.int64)
-        return np.fromiter(
-            (cache.get(g) if g in cache
-             else cache.setdefault(g, _md5_64(g) - 0x8000000000000000)
-             for g in (" ".join(words[i:i + k]) for i in range(n))),
-            dtype=np.int64, count=n)
+def _dup_gram_ref(ds: "ray.data.Dataset", k: int):
+    """The duplicated-gram set: per-doc-unique window hashes feed ONE
+    grouped count (the only shuffle — 8-byte keys); grams in >= 2
+    distinct docs are gathered, sorted, and broadcast via ray.put.
+    Size-gated in spirit: heavily-duplicated corpora should pre-dedup
+    exact copies first, which the suite does."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
 
     def doc_grams(batch: pa.Table) -> pa.Table:
         cache: dict[str, int] = {}
-        hs = [np.unique(gram_hashes(re2_tokens(t), cache))
+        hs = [np.unique(_gram_hashes(re2_tokens(t), k, cache))
               for t in batch.column("text").to_pylist()]
         flat = (np.concatenate(hs) if hs
                 else np.empty(0, dtype=np.int64))
@@ -2419,8 +2411,45 @@ def docs_dup_spans(sf_dir: str, k: int = 8):
     dup = rel.collect_column(
         per_gram.map_batches(dup_only, batch_format="pyarrow",
                              zero_copy_batch=True), "h")
-    dup_ref = ray.put(np.sort(dup.to_numpy(zero_copy_only=False)
-                              .astype(np.int64)))
+    return ray.put(np.sort(dup.to_numpy(zero_copy_only=False)
+                           .astype(np.int64)))
+
+
+def _covered_mask(words: list[str], k: int, bad: np.ndarray,
+                  cache: dict) -> np.ndarray | None:
+    """Boolean per-token coverage union of duplicated k-gram windows
+    (vectorized +1/-1 diff + cumsum); None when nothing is marked."""
+    hs = _gram_hashes(words, k, cache)
+    if not len(hs):
+        return None
+    marked = np.isin(hs, bad)
+    if not marked.any():
+        return None
+    diff = np.zeros(len(words) + 1, dtype=np.int64)
+    idx = np.nonzero(marked)[0]
+    np.add.at(diff, idx, 1)
+    np.add.at(diff, idx + k, -1)
+    return np.cumsum(diff[:-1]) > 0
+
+
+def docs_dup_spans(sf_dir: str, k: int = 8):
+    """Cross-document duplicated-span detection, the window-hash
+    approximation of ExactSubstr dedup (suffix-array substring dedup a
+    la Lee et al. 2021): every maximal run of tokens covered by some
+    word ``k``-gram that also appears in ANOTHER document is reported as
+    (doc_id, s, e) token spans — ``docs_cut_dup_spans`` performs the
+    surgery.
+
+    Plan mirrors line-dedup's two passes: (1) the duplicated-gram set
+    (`_dup_gram_ref` — one 8-byte-key shuffle, broadcast result);
+    (2) a second shuffle-free pass marks dup windows per doc, takes the
+    coverage union vectorized, and emits maximal covered runs.
+    Positions are 1-based token indices, matching the SQL twin's
+    LATERAL range."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    dup_ref = _dup_gram_ref(ds, k)
 
     def spans(batch: pa.Table) -> pa.Table:
         bad = ray.get(dup_ref)
@@ -2428,19 +2457,9 @@ def docs_dup_spans(sf_dir: str, k: int = 8):
         out_id, out_s, out_e = [], [], []
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):
-            words = re2_tokens(text)
-            hs = gram_hashes(words, cache)
-            if not len(hs):
+            covered = _covered_mask(re2_tokens(text), k, bad, cache)
+            if covered is None:
                 continue
-            marked = np.isin(hs, bad)
-            if not marked.any():
-                continue
-            n_tok = len(words)
-            diff = np.zeros(n_tok + 1, dtype=np.int64)
-            idx = np.nonzero(marked)[0]
-            np.add.at(diff, idx, 1)
-            np.add.at(diff, idx + k, -1)
-            covered = np.cumsum(diff[:-1]) > 0
             edges = np.diff(np.concatenate([[0], covered.view(np.int8), [0]]))
             starts = np.nonzero(edges == 1)[0]
             ends = np.nonzero(edges == -1)[0] - 1
@@ -2461,6 +2480,48 @@ def docs_dup_spans(sf_dir: str, k: int = 8):
     return rel.to_pandas_sorted(df, ["doc_id", "s"])
 
 
+def docs_cut_dup_spans(sf_dir: str, k: int = 8):
+    """The surgery half of ExactSubstr dedup: every token covered by a
+    cross-document duplicated ``k``-gram window is CUT from the text;
+    the cleaned corpus (space-rejoined survivors) plus the per-doc cut
+    count is what a training pipeline feeds downstream.
+
+    Same two-pass plan as `docs_dup_spans` (shared duplicated-gram
+    broadcast, shuffle-free second pass); whole-doc text never enters an
+    exchange — the cut runs inside map_batches where the text already
+    lives."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    dup_ref = _dup_gram_ref(ds, k)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        bad = ray.get(dup_ref)
+        cache: dict[str, int] = {}
+        cleaned: list[str] = []
+        n_cut: list[int] = []
+        for text in batch.column("text").to_pylist():
+            words = re2_tokens(text)
+            covered = _covered_mask(words, k, bad, cache)
+            if covered is None:
+                cleaned.append(" ".join(words))
+                n_cut.append(0)
+            else:
+                keep_idx = np.nonzero(~covered)[0]
+                cleaned.append(" ".join(words[i] for i in keep_idx))
+                n_cut.append(int(covered.sum()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_clean": pa.array(cleaned, pa.string()),
+            "n_cut": pa.array(n_cut, pa.int64()),
+        })
+
+    out = ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "text_clean": "object", "n_cut": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
 # --- keep-latest-per-key dedup (recrawl/snapshot semantics) -----------------
 
 def _latest_rows(batch: pa.Table) -> pa.Table:
@@ -2468,6 +2529,7 @@ def _latest_rows(batch: pa.Table) -> pa.Table:
     (user_id, event_type) key present in ``batch``. Zero-copy sort+filter;
     value/props pass through untouched (no float arithmetic -> SQL
     equality is exact)."""
+    batch = batch.replace_schema_metadata(None)  # silence schema-hash noise
     if batch.num_rows == 0:
         return batch
     idx = pc.sort_indices(batch, sort_keys=[

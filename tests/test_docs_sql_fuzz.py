@@ -404,3 +404,12 @@ def test_docs_dup_spans_islands():
 def test_docs_postings_fuzz(texts):
     # inverted index: per-doc-unique tokens, packed sorted posting lists
     _check("docs_postings", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_SPAN_DOCS)
+def test_docs_cut_dup_spans_fuzz(texts):
+    # surgery: cleaned text = space-rejoined uncovered tokens; n_cut =
+    # covered-token count; empty/fully-cut docs still emit a row
+    _check("docs_cut_dup_spans", texts)
