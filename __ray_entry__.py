@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_snapshot": q.events_latest_snapshot,
         "docs_postings": q.docs_postings,
         "emb_dedup_keep": q.emb_dedup_keep,
+        "docs_edit_pairs": q.docs_edit_pairs,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1092,6 +1093,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(s) AS s, max(e) AS e,
                    max(e) - min(s) + 1 AS n_toks
             FROM I GROUP BY doc_id, island
+        """,
+        "docs_edit_pairs": r"""
+            -- edit-distance verification of the exact 3-shingle Jaccard
+            -- candidates: byte-level levenshtein + 1 - d/max(strlen)
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), cand AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+            )
+            SELECT c.doc_a, c.doc_b,
+                   levenshtein(da.text, db.text) AS edit_dist,
+                   round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                             / greatest(strlen(da.text), strlen(db.text)),
+                         4) AS edit_ratio
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
         """,
         "docs_cut_dup_spans": r"""
             -- ExactSubstr surgery: drop tokens covered by a word-8-gram

@@ -2522,6 +2522,96 @@ def docs_cut_dup_spans(sf_dir: str, k: int = 8):
     return rel.to_pandas_sorted(df, ["doc_id"])
 
 
+# --- edit-distance-verified fuzzy dedup --------------------------------------
+
+def _levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Unit-cost edit distance over UTF-8 BYTES — DuckDB's levenshtein()
+    is byte-based (levenshtein('é','e') = 2), so the kernel works on the
+    encoded form to stay in SQL lockstep. Row-vectorized DP: the
+    in-row dependency (cur[j-1] + 1 insertion chain) collapses to a
+    prefix-min via cur[j] = j + min_{k<=j}(t[k] - k)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    av = np.frombuffer(a, dtype=np.uint8)
+    bv = np.frombuffer(b, dtype=np.uint8)
+    offs = np.arange(lb + 1, dtype=np.int64)
+    prev = offs.copy()
+    t = np.empty(lb + 1, dtype=np.int64)
+    for i in range(la):
+        t[0] = i + 1
+        np.minimum(prev[:-1] + (bv != av[i]), prev[1:] + 1, out=t[1:])
+        prev = offs + np.minimum.accumulate(t - offs)
+    return int(prev[-1])
+
+
+def docs_edit_pairs(sf_dir: str, threshold: float = 0.6):
+    """Fuzzy-dedup with edit-distance verification: candidate pairs come
+    from the EXACT n-gram Jaccard plan (word 3-shingles, J >= threshold
+    — `dedup.ngram_jaccard_pairs`, itself SQL-exact), then each pair is
+    verified with byte-level Levenshtein; edit_ratio = 1 - d / max(byte
+    lengths), rounded half-away to 4 (single int/int division — bit-
+    identical on both engines).
+
+    The pair texts are met through two hash joins on doc_id (the
+    co-group pattern from the minhash verify loop) and the DP kernel
+    runs inside map_batches — candidate volume, not corpus size, drives
+    the cost. At web scale, cap candidate text length (dedup policy
+    usually truncates past a few KB) to bound the O(|a|*|b|) DP."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, threshold=threshold).materialize()
+    n_pairs = pairs.count()
+    empty = pd.DataFrame({
+        "doc_a": pd.Series(dtype="int64"),
+        "doc_b": pd.Series(dtype="int64"),
+        "edit_dist": pd.Series(dtype="int64"),
+        "edit_ratio": pd.Series(dtype="float64"),
+    })
+    if n_pairs == 0:
+        return empty
+    n_parts = rel.join_partitions(n_pairs)
+
+    def rename(cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(cols)
+        return fn
+
+    cands = pairs.map_batches(rename(["doc_a", "doc_b", "jaccard"]),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    t_a = ds.map_batches(rename(["doc_id", "text_a"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    t_b = ds.map_batches(rename(["doc_id", "text_b"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    j1 = cands.join(t_a, "inner", n_parts, on=("doc_a",),
+                    right_on=("doc_id",))
+    j2 = j1.join(t_b, "inner", n_parts, on=("doc_b",),
+                 right_on=("doc_id",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts_a = batch.column("text_a").to_pylist()
+        texts_b = batch.column("text_b").to_pylist()
+        dists, ratios = [], []
+        for ta, tb in zip(texts_a, texts_b):
+            ba, bb = ta.encode("utf-8"), tb.encode("utf-8")
+            d = _levenshtein_bytes(ba, bb)
+            m = max(len(ba), len(bb))
+            dists.append(d)
+            ratios.append(round_half_away(1.0 - d / m, 4) if m else 1.0)
+        return pa.table({
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "edit_dist": pa.array(dists, pa.int64()),
+            "edit_ratio": pa.array(ratios, pa.float64()),
+        })
+
+    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    return rel.to_pandas_sorted(out, ["doc_a", "doc_b"])
+
+
 # --- keep-latest-per-key dedup (recrawl/snapshot semantics) -----------------
 
 def _latest_rows(batch: pa.Table) -> pa.Table:

@@ -413,3 +413,21 @@ def test_docs_cut_dup_spans_fuzz(texts):
     # surgery: cleaned text = space-rejoined uncovered tokens; n_cut =
     # covered-token count; empty/fully-cut docs still emit a row
     _check("docs_cut_dup_spans", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_NEAR)
+def test_docs_edit_pairs_fuzz(texts):
+    # candidates are the exact 3-shingle Jaccard pairs; the byte-level
+    # levenshtein kernel and the single int/int ratio division are exact
+    _check("docs_edit_pairs", texts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=st.text(max_size=24), b=st.text(max_size=24))
+def test_levenshtein_kernel_matches_duckdb(a, b):
+    from pdf_parser_ray.pipelines.queries import _levenshtein_bytes
+
+    want = duckdb.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+    assert _levenshtein_bytes(a.encode(), b.encode()) == want
