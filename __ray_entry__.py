@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_postings": q.docs_postings,
         "emb_dedup_keep": q.emb_dedup_keep,
         "docs_edit_pairs": q.docs_edit_pairs,
+        "docs_clean_corpus": q.docs_clean_corpus,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1093,6 +1094,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(s) AS s, max(e) AS e,
                    max(e) - min(s) + 1 AS n_toks
             FROM I GROUP BY doc_id, island
+        """,
+        "docs_clean_corpus": r"""
+            -- composed cleaning pipeline: exact dedup -> quality gate
+            -- (rounded metrics) -> PII redact -> ExactSubstr surgery;
+            -- output = per-doc counters + md5 of the final text
+            WITH dd AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ), base AS (
+                SELECT d.doc_id, d.text FROM documents d JOIN dd USING (doc_id)
+            ), qual AS (
+                SELECT doc_id, text FROM base
+                WHERE length(regexp_extract_all(text, '\S+')) >= 30
+                  AND round(CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text, '[^a-zA-Z ]',
+                                                        '', 'g')) AS DOUBLE)
+                             / length(text) END, 4) >= 0.5
+                  AND round(CASE WHEN length(regexp_extract_all(text, '\S+')) = 0
+                        THEN 0.0
+                        ELSE CAST(length(regexp_extract_all(text,
+                                 '\b(the|and|of|to|in)\b')) AS DOUBLE)
+                             / length(regexp_extract_all(text, '\S+')) END,
+                        4) >= 0.02
+            ), red AS (
+                SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+                           text,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g'),
+                           '\b\d{9,}\b', '<NUM>', 'g') AS text
+                FROM qual
+            ), W AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM red
+            ), T AS (
+                SELECT doc_id, t.i AS i, w[t.i] AS tok
+                FROM W, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+            ), G AS (
+                SELECT doc_id, t.i AS i,
+                       array_to_string(w[t.i : t.i + 7], ' ') AS g
+                FROM W, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+                WHERE len(w) >= 8
+            ), D AS (
+                SELECT g FROM G GROUP BY g
+                HAVING count(DISTINCT doc_id) >= 2
+            ), M AS (
+                SELECT doc_id, i AS s, i + 7 AS e FROM G
+                WHERE g IN (SELECT g FROM D)
+            ), C AS (
+                SELECT DISTINCT t.doc_id, t.i
+                FROM T t JOIN M m
+                  ON m.doc_id = t.doc_id AND t.i BETWEEN m.s AND m.e
+            ), agg AS (
+                SELECT t.doc_id,
+                       string_agg(tok, ' ' ORDER BY t.i)
+                           FILTER (WHERE c.i IS NULL) AS txt,
+                       count(*) FILTER (WHERE c.i IS NULL) AS n_toks,
+                       count(c.i) AS n_cut
+                FROM T t LEFT JOIN C c
+                  ON c.doc_id = t.doc_id AND c.i = t.i
+                GROUP BY t.doc_id
+            )
+            SELECT w.doc_id,
+                   coalesce(agg.n_toks, 0) AS n_toks,
+                   coalesce(agg.n_cut, 0) AS n_cut,
+                   md5(coalesce(agg.txt, '')) AS clean_fp
+            FROM W w LEFT JOIN agg USING (doc_id)
         """,
         "docs_edit_pairs": r"""
             -- edit-distance verification of the exact 3-shingle Jaccard

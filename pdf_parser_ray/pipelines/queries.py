@@ -2522,6 +2522,91 @@ def docs_cut_dup_spans(sf_dir: str, k: int = 8):
     return rel.to_pandas_sorted(df, ["doc_id"])
 
 
+# --- composed end-to-end corpus cleaning -------------------------------------
+
+def docs_clean_corpus(sf_dir: str, k: int = 8, min_tokens: int = 30,
+                      min_alpha: float = 0.5, min_stop: float = 0.02):
+    """The composed training-data cleaning pipeline — the LLM-corpus
+    flagship, chaining four already-oracled stages into ONE streaming
+    plan: exact dedup (keep min doc_id per md5 fingerprint) -> C4-style
+    quality gate -> PII redaction -> ExactSubstr span surgery over the
+    surviving, redacted corpus. Emits per-doc counters plus the md5 of
+    the final cleaned text (the fingerprint, not the text, rides to the
+    driver).
+
+    Scale shape: one fp groupby + one hash join (the dedup), then
+    shuffle-free streaming gate+redact; the survivors are materialized
+    ONCE before the two dup-gram passes (at 100 TB this is the natural
+    checkpoint boundary — write survivors to partitioned Parquet and run
+    the span passes from there). Only 8-byte gram keys and counters ever
+    enter an exchange; document text stays inside map_batches."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+    from pdf_parser_ray.functions.textstats import fingerprint
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    # 1. exact dedup: (fp -> min doc_id) winners, inner-joined back
+    winners = rel.ensure_schema(
+        dedup.exact_dedup(ds).select_columns(["doc_id"]),
+        pa.schema([("doc_id", pa.int64())]))
+    n_parts = rel.join_partitions(max(n_docs, 1))
+    base = ds.join(winners, "inner", n_parts, on=("doc_id",))
+
+    # 2.+3. quality gate on original-text metrics, then PII scrub —
+    # one fused, shuffle-free pass
+    def gate_redact(batch: pa.Table) -> pa.Table:
+        st = textstage.stats_batch(batch)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(st.column("n_tokens"),
+                                 pa.scalar(min_tokens)),
+                pc.greater_equal(st.column("alpha_ratio"),
+                                 pa.scalar(min_alpha))),
+            pc.greater_equal(st.column("stop_ratio"), pa.scalar(min_stop)))
+        kept = batch.filter(keep)
+        red = pii_redact_batch(kept)
+        return pa.table({"doc_id": red.column("doc_id"),
+                         "text": red.column("redacted")})
+
+    survivors = base.map_batches(gate_redact, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    # 4. ExactSubstr surgery over the cleaned corpus (two passes over
+    # the materialized survivors — dup-gram set, then the cut)
+    dup_ref = _dup_gram_ref(survivors, k)
+
+    def cut_fp(batch: pa.Table) -> pa.Table:
+        bad = ray.get(dup_ref)
+        cache: dict[str, int] = {}
+        n_toks, n_cut, fps = [], [], []
+        for text in batch.column("text").to_pylist():
+            words = re2_tokens(text)
+            covered = _covered_mask(words, k, bad, cache)
+            if covered is None:
+                kept_words = words
+                cut = 0
+            else:
+                kept_words = [words[i] for i in np.nonzero(~covered)[0]]
+                cut = int(covered.sum())
+            n_toks.append(len(kept_words))
+            n_cut.append(cut)
+            fps.append(fingerprint(" ".join(kept_words)))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_toks": pa.array(n_toks, pa.int64()),
+            "n_cut": pa.array(n_cut, pa.int64()),
+            "clean_fp": pa.array(fps, pa.string()),
+        })
+
+    out = survivors.map_batches(cut_fp, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_toks": "int64", "n_cut": "int64",
+        "clean_fp": "object"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
 # --- edit-distance-verified fuzzy dedup --------------------------------------
 
 def _levenshtein_bytes(a: bytes, b: bytes) -> int:

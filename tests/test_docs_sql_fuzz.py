@@ -431,3 +431,33 @@ def test_levenshtein_kernel_matches_duckdb(a, b):
 
     want = duckdb.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
     assert _levenshtein_bytes(a.encode(), b.encode()) == want
+
+
+# clean-corpus strategy: letter-word runs (shareable 8-grams) + stopword
+# filler (passes the 30-token/alpha/stopword gate) + optional PII tokens;
+# exact duplicates, span-sharing near-dups, and sub-30-token junk docs
+# exercise all four composed stages
+_LWORD = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+_RUNL = st.lists(_LWORD, min_size=8, max_size=8).map(" ".join)
+_FILL = "the and of to in the and of to in the and of to in"
+
+
+def _clean_doc(run_a, run_b, pii):
+    tail = " a@b.co 123456789" if pii else ""
+    return f"{run_a} {_FILL} {run_b} {_FILL}{tail}"
+
+
+_CLEAN_DOCS = st.tuples(_RUNL, _RUNL, st.booleans(), _LWORD).map(
+    lambda t: [_clean_doc(t[0], t[1], t[2]),
+               _clean_doc(t[0], t[1], t[2]),          # exact duplicate
+               _clean_doc(t[0], "x " * 7 + "y", False),  # shares run_a
+               t[3]])                                  # junk (< 30 tokens)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_CLEAN_DOCS)
+def test_docs_clean_corpus_fuzz(texts):
+    # the composed pipeline: dedup drops the copy, the gate drops the
+    # junk doc, redaction rewrites PII, surgery cuts the shared run
+    _check("docs_clean_corpus", texts)
