@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dedup_keep": q.emb_dedup_keep,
         "docs_edit_pairs": q.docs_edit_pairs,
         "docs_clean_corpus": q.docs_clean_corpus,
+        "docs_token_lift": q.docs_token_lift,
+        "events_type_value_stats": q.events_type_value_stats,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1094,6 +1096,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(s) AS s, max(e) AS e,
                    max(e) - min(s) + 1 AS n_toks
             FROM I GROUP BY doc_id, island
+        """,
+        "docs_token_lift": r"""
+            -- document-level co-occurrence lift for token pairs (exact
+            -- integer counts; one double division -> bit-identical)
+            WITH raw AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), toks AS (
+                SELECT DISTINCT doc_id, tok FROM raw
+            ), singles AS (
+                SELECT tok, count(*) AS df FROM toks GROUP BY tok
+            ), pairs AS (
+                SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND a.tok < b.tok
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            )
+            SELECT p.tok_a, p.tok_b, p.c_ab,
+                   round(CAST((SELECT count(*) FROM documents) * p.c_ab
+                              AS DOUBLE) / (sa.df * sb.df), 4) AS lift
+            FROM pairs p
+            JOIN singles sa ON sa.tok = p.tok_a
+            JOIN singles sb ON sb.tok = p.tok_b
+        """,
+        "events_type_value_stats": """
+            -- exact grouped mean/variance via integer cents moments;
+            -- the float expression matches the engine op-for-op
+            WITH m AS (
+                SELECT event_type, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                       sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT)) AS s2
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round((CAST(s AS DOUBLE) / n) / 100.0, 4) AS avg_value,
+                   round((CAST(s2 AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n)
+                            * (CAST(s AS DOUBLE) / n)) / 10000.0, 4)
+                       AS var_value
+            FROM m
         """,
         "docs_clean_corpus": r"""
             -- composed cleaning pipeline: exact dedup -> quality gate

@@ -2522,6 +2522,106 @@ def docs_cut_dup_spans(sf_dir: str, k: int = 8):
     return rel.to_pandas_sorted(df, ["doc_id"])
 
 
+# --- collocation mining (token-pair lift) ------------------------------------
+
+def docs_token_lift(sf_dir: str, min_pair_docs: int = 2):
+    """Collocation mining: document-level co-occurrence LIFT for token
+    pairs — lift(a,b) = N * df(a,b) / (df(a) * df(b)), the log-free PMI
+    analog (ratios of exact integers; ONE double division keeps both
+    engines bit-identical, the same trick as the cents discipline).
+
+    Per-doc-unique tokens expand to C(u,2) oriented pairs map-side; the
+    pair exchange collapses in grouped_agg's combiner to at most one row
+    per (pair, block) — the wire cost is the PAIR VOCABULARY, not the
+    corpus. At web scale, cap u (keep the top-N tokens per doc) to bound
+    the quadratic expansion; the testdata vocabulary (31 tokens) needs
+    no cap and keeps the SQL twin exact."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for text in batch.column("text").to_pylist():
+            uniq = sorted(set(re2_tokens(text)))
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    a_out.append(uniq[i])
+                    b_out.append(uniq[j])
+        return pa.table({"tok_a": pa.array(a_out, pa.string()),
+                         "tok_b": pa.array(b_out, pa.string())})
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for text in batch.column("text").to_pylist():
+            toks.extend(set(re2_tokens(text)))
+        return pa.table({"tok": pa.array(toks, pa.string())})
+
+    pair_df = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(pair_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["tok_a", "tok_b"], [("c_ab", "", "count")], small_result=True))
+    tok_df = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(tok_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["tok"], [("df", "", "count")], small_result=True))
+
+    out = pair_df[pair_df["c_ab"] >= min_pair_docs].merge(
+        tok_df.rename(columns={"tok": "tok_a", "df": "df_a"}), on="tok_a")
+    out = out.merge(
+        tok_df.rename(columns={"tok": "tok_b", "df": "df_b"}), on="tok_b")
+    lift = (float(n_docs) * out["c_ab"].to_numpy(np.int64)) / (
+        out["df_a"].to_numpy(np.int64) * out["df_b"].to_numpy(np.int64))
+    out = pd.DataFrame({
+        "tok_a": out["tok_a"], "tok_b": out["tok_b"],
+        "c_ab": out["c_ab"].astype("int64"),
+        "lift": series_round_half_away(pd.Series(lift), 4),
+    })
+    df = rel.ensure_columns(out, {
+        "tok_a": "object", "tok_b": "object",
+        "c_ab": "int64", "lift": "float64"})
+    return rel.to_pandas_sorted(df, ["tok_a", "tok_b"])
+
+
+# --- exact grouped variance ---------------------------------------------------
+
+def events_type_value_stats(sf_dir: str):
+    """Per-event-type exact mean and population variance of ``value`` —
+    the integer-sum discipline extended to second moments: per-row cents
+    (int64), distributed Σc and Σc², then the SAME float expression on
+    both engines (s2/n - (s/n)*(s/n), two divisions + one multiply —
+    no accumulation-order dependence, so results are bit-identical at
+    any parallelism). The s2/n form avoids the n*s2 int64 overflow of
+    the textbook (n*s2 - s*s)/n*n at web-scale row counts."""
+    ds = rel.load(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("value"))
+        c2 = pc.multiply(c, c)
+        return pa.table({"event_type": batch.column("event_type"),
+                         "c": c, "c2": c2})
+
+    agg = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("n", "", "count"), ("s", "c", "sum"), ("s2", "c2", "sum")],
+        small_result=True))
+    n = agg["n"].to_numpy(np.int64)
+    s = agg["s"].to_numpy(np.int64)
+    s2 = agg["s2"].to_numpy(np.int64)
+    mean_c = s.astype(np.float64) / n
+    var_c2 = s2.astype(np.float64) / n - mean_c * mean_c
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": n,
+        "avg_value": series_round_half_away(pd.Series(mean_c / 100.0), 4),
+        "var_value": series_round_half_away(pd.Series(var_c2 / 10000.0), 4),
+    })
+    return rel.to_pandas_sorted(out, ["event_type"])
+
+
 # --- composed end-to-end corpus cleaning -------------------------------------
 
 def docs_clean_corpus(sf_dir: str, k: int = 8, min_tokens: int = 30,

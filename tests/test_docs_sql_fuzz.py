@@ -461,3 +461,11 @@ def test_docs_clean_corpus_fuzz(texts):
     # the composed pipeline: dedup drops the copy, the gate drops the
     # junk doc, redaction rewrites PII, surgery cuts the shared run
     _check("docs_clean_corpus", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_docs_token_lift_fuzz(texts):
+    # exact integer co-occurrence counts; one double division per pair
+    _check("docs_token_lift", texts)

@@ -134,3 +134,12 @@ def test_latest_snapshot_fuzz(rows):
     # keep-latest-per-key: ts ties (same-second events) exercise the
     # event_id tie-break; single-event users the no-dup path
     _check("events_latest_snapshot", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_type_value_stats_fuzz(rows):
+    # integer cents moments; the s2/n - (s/n)^2 float expression is
+    # op-for-op identical on both engines
+    _check("events_type_value_stats", rows)
