@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_corpus": q.docs_clean_corpus,
         "docs_token_lift": q.docs_token_lift,
         "events_type_value_stats": q.events_type_value_stats,
+        "events_value_percent_rank": q.events_value_percent_rank,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1121,6 +1122,12 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN singles sa ON sa.tok = p.tok_a
             JOIN singles sb ON sb.tok = p.tok_b
+        """,
+        "events_value_percent_rank": """
+            SELECT event_id, event_type, value,
+                   round(percent_rank() OVER (
+                       PARTITION BY event_type ORDER BY value), 4) AS pr
+            FROM events
         """,
         "events_type_value_stats": """
             -- exact grouped mean/variance via integer cents moments;

@@ -2585,6 +2585,37 @@ def docs_token_lift(sf_dir: str, min_pair_docs: int = 2):
     return rel.to_pandas_sorted(df, ["tok_a", "tok_b"])
 
 
+# --- percent_rank window ------------------------------------------------------
+
+def events_value_percent_rank(sf_dir: str):
+    """SQL percent_rank() as a distributed plan: per event_type, the
+    min-rank of each value -> (rank - 1) / (n - 1). Integer ranks and a
+    single double division keep both engines bit-identical; single-row
+    groups define pr = 0 (SQL lockstep). groupby(event_type) shuffle +
+    in-group vectorized searchsorted."""
+    ds = rel.load(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        order = np.sort(v)
+        rank = np.searchsorted(order, v, side="left") + 1  # min rank, ties
+        n = len(v)
+        pr = ((rank - 1) / (n - 1)) if n > 1 else np.zeros(n)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(object),
+            "value": v,
+            "pr": series_round_half_away(pd.Series(pr), 4),
+        })
+
+    out = ds.groupby("event_type").map_groups(per_type,
+                                              batch_format="pandas")
+    df = rel.ensure_columns(out.to_pandas(), {
+        "event_id": "int64", "event_type": "object",
+        "value": "float64", "pr": "float64"})
+    return rel.to_pandas_sorted(df, ["event_type", "event_id"])
+
+
 # --- exact grouped variance ---------------------------------------------------
 
 def events_type_value_stats(sf_dir: str):

@@ -143,3 +143,12 @@ def test_type_value_stats_fuzz(rows):
     # integer cents moments; the s2/n - (s/n)^2 float expression is
     # op-for-op identical on both engines
     _check("events_type_value_stats", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_percent_rank_fuzz(rows):
+    # min-rank ties + the single (rank-1)/(n-1) division; value-cent
+    # collisions in the strategy produce real tie groups
+    _check("events_value_percent_rank", rows)
