@@ -1,0 +1,100 @@
+"""Cross-parallelism determinism for the session-3 operators: every
+pipeline must return identical frames whether the input arrives as one
+block or many (map-side combiners, broadcast sets and groupby finishers
+must not depend on block boundaries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+_FILL = "the and of to in the and of to in the and of to in"
+
+
+def _docs_table() -> pa.Table:
+    run_a = " ".join(f"p{i}" for i in range(8))
+    run_b = " ".join(f"s{i}" for i in range(8))
+    texts = []
+    for j in range(12):
+        # span-sharing docs that pass the quality gate, plus PII
+        texts.append(f"{run_a} {_FILL} u{j} {run_b} {_FILL} a@b.co 123456789")
+    texts.append(texts[0])            # exact duplicate
+    texts.extend(["tiny junk", "", "x y z"])  # gate-failing docs
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["inv"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def _events_table() -> pa.Table:
+    base = dt.datetime(2024, 3, 1)
+    n = 200
+    rng = np.random.RandomState(3)
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([base + dt.timedelta(seconds=int(s))
+                        for s in rng.randint(0, 5000, n)],
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.randint(1, 6, n), pa.int64()),
+        "event_type": pa.array(
+            [["click", "view", "error"][i % 3] for i in range(n)],
+            pa.string()),
+        "value": pa.array((rng.randint(0, 10000, n) / 100.0), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * n, pa.string()),
+    })
+
+
+def _emb_table() -> pa.Table:
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 8))
+    mat = np.vstack([base, base[:6] + 1e-5 * rng.standard_normal((6, 8))])
+    return pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        "label": pa.array((np.arange(len(mat)) % 3).astype(np.int32),
+                          pa.int32()),
+    })
+
+
+_TABLES = {"documents": _docs_table, "events": _events_table,
+           "embeddings": _emb_table}
+
+_OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
+        "docs_token_lift", "docs_clean_corpus", "events_latest_snapshot",
+        "events_value_percent_rank", "events_type_value_stats",
+        "emb_dedup_keep"]
+
+
+def _run(op: str, n_blocks: int) -> pd.DataFrame:
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    def load(sf, table, columns=None):
+        tbl = _TABLES[table]()
+        ds = ray.data.from_arrow(tbl.select(columns) if columns else tbl)
+        return ds.repartition(n_blocks)
+
+    orig = q.rel.load
+    q.rel.load = load
+    try:
+        out = getattr(q, op)("inv")
+    finally:
+        q.rel.load = orig
+    return out.reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("op", _OPS)
+def test_block_boundary_invariance(op):
+    a = _run(op, 1)
+    b = _run(op, 7)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
