@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_lift": q.docs_token_lift,
         "events_type_value_stats": q.events_type_value_stats,
         "events_value_percent_rank": q.events_value_percent_rank,
+        "docs_bin_pack": q.docs_bin_pack,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1122,6 +1123,23 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN singles sa ON sa.tok = p.tok_a
             JOIN singles sb ON sb.tok = p.tok_b
+        """,
+        "docs_bin_pack": r"""
+            -- token-budget bin packing: bin = exclusive prefix token
+            -- sum (doc_id order) // 256
+            WITH t AS (
+                SELECT doc_id,
+                       length(regexp_extract_all(text, '\S+')) AS n_toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_toks,
+                       coalesce(sum(n_toks) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS excl
+                FROM t
+            )
+            SELECT doc_id, n_toks, CAST(excl // 256 AS BIGINT) AS bin FROM c
         """,
         "events_value_percent_rank": """
             SELECT event_id, event_type, value,

@@ -2585,6 +2585,58 @@ def docs_token_lift(sf_dir: str, min_pair_docs: int = 2):
     return rel.to_pandas_sorted(df, ["tok_a", "tok_b"])
 
 
+# --- token-budget bin packing (distributed prefix scan) ------------------------
+
+def docs_bin_pack(sf_dir: str, budget: int = 256, bucket_w: int = 64):
+    """Token-budget shard packing (GPT-style loader prep): docs are laid
+    out in doc_id order and assigned to consecutive bins of ``budget``
+    tokens — bin = exclusive-prefix-token-sum // budget.
+
+    The global prefix sum is distributed WITHOUT a global sort: doc_id
+    ranges hash to fixed-width buckets computed per row (doc_id //
+    bucket_w), a tiny grouped sum per bucket feeds driver-side exclusive
+    offsets (one row per bucket — bounded, broadcast back), and each
+    bucket finishes its own cumsum in map_groups. Integer arithmetic
+    end-to-end, so the SQL window-cumsum twin is bit-exact, and the plan
+    is parallelism-invariant by construction."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        n = pa.array([len(re2_tokens(t))
+                      for t in batch.column("text").to_pylist()], pa.int64())
+        bucket = pc.divide(ids, pa.scalar(bucket_w, pa.int64()))
+        return pa.table({"doc_id": ids, "n_toks": n, "bucket": bucket})
+
+    rows = ds.map_batches(tok_counts, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    sums = rel.as_pandas(rel.grouped_agg(
+        rows, ["bucket"], [("s", "n_toks", "sum")], small_result=True))
+    sums = sums.sort_values("bucket").reset_index(drop=True)
+    excl = np.concatenate([[0], np.cumsum(sums["s"].to_numpy(np.int64))[:-1]])
+    oref = ray.put(dict(zip(sums["bucket"].astype(np.int64), excl)))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        g = df.sort_values("doc_id", kind="mergesort")
+        n = g["n_toks"].to_numpy(np.int64)
+        local_excl = np.concatenate([[0], np.cumsum(n)[:-1]])
+        start = offs[int(g["bucket"].iloc[0])] + local_excl
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_toks": n,
+            "bin": (start // budget).astype(np.int64),
+        })
+
+    out = rows.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_toks": "int64", "bin": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
 # --- percent_rank window ------------------------------------------------------
 
 def events_value_percent_rank(sf_dir: str):

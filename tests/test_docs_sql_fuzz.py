@@ -469,3 +469,12 @@ def test_docs_clean_corpus_fuzz(texts):
 def test_docs_token_lift_fuzz(texts):
     # exact integer co-occurrence counts; one double division per pair
     _check("docs_token_lift", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_docs_bin_pack_fuzz(texts):
+    # distributed prefix scan vs the SQL window cumsum — empty docs
+    # (0 tokens) and budget-boundary hits included
+    _check("docs_bin_pack", texts)
