@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_value_stats": q.events_type_value_stats,
         "events_value_percent_rank": q.events_value_percent_rank,
         "docs_bin_pack": q.docs_bin_pack,
+        "emb_normalize": q.emb_normalize,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1123,6 +1124,26 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN singles sa ON sa.tok = p.tok_a
             JOIN singles sb ON sb.tok = p.tok_b
+        """,
+        "emb_normalize": """
+            -- unit-norm export; the list sum is sequential on both
+            -- engines, sqrt is IEEE-exact, one division per element
+            SELECT vec_id, u.dim,
+                   round(CASE WHEN n.norm = 0.0 THEN 0.0
+                              ELSE u.val / n.norm END, 4) AS val_n
+            FROM (
+                SELECT vec_id,
+                       sqrt(list_aggregate(list_transform(
+                           CAST(embedding AS DOUBLE[]), v -> v * v),
+                           'sum')) AS norm
+                FROM embeddings
+            ) n
+            JOIN (
+                SELECT vec_id,
+                       unnest(CAST(embedding AS DOUBLE[])) AS val,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM embeddings
+            ) u USING (vec_id)
         """,
         "docs_bin_pack": r"""
             -- token-budget bin packing: bin = exclusive prefix token

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from pdf_parser_ray.functions.num import (
+    np_round_half_away,
     np_round_half_away_int,
     round_half_away,
     series_round_half_away,
@@ -2583,6 +2584,43 @@ def docs_token_lift(sf_dir: str, min_pair_docs: int = 2):
         "tok_a": "object", "tok_b": "object",
         "c_ab": "int64", "lift": "float64"})
     return rel.to_pandas_sorted(df, ["tok_a", "tok_b"])
+
+
+# --- vector normalization (unit-norm export) -----------------------------------
+
+def emb_normalize(sf_dir: str):
+    """Unit-norm embedding export — the standard prep before cosine ANN
+    indexing, value-exact vs SQL: DuckDB's list sum accumulates strictly
+    left-to-right (probe-verified), numpy's cumsum tail reproduces the
+    same sequential float64 order, IEEE sqrt is correctly rounded, and
+    each element/norm is one division — so the rounded outputs are
+    bit-identical. Shuffle-free streaming pass over the zero-copy
+    `_matrix` reshape; zero vectors export 0.0 (SQL CASE lockstep)."""
+    ds = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norm_rows(batch: pa.Table) -> pa.Table:
+        m = similarity._matrix(batch)
+        n, dim = m.shape if m.size else (0, 0)
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "val_n": pa.array([], pa.float64())})
+        norms = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(norms[:, None] == 0.0, 0.0, m / norms[:, None])
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1), n), pa.int64()),
+            "val_n": pa.array(np_round_half_away(out, 4).ravel(),
+                              pa.float64()),
+        })
+
+    out = ds.map_batches(norm_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "vec_id": "int64", "dim": "int64", "val_n": "float64"})
+    return rel.to_pandas_sorted(df, ["vec_id", "dim"])
 
 
 # --- token-budget bin packing (distributed prefix scan) ------------------------

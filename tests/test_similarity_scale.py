@@ -163,3 +163,38 @@ def test_emb_dedup_keep_drops_planted_dups():
     want = con.execute(sql).df().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         kept.reset_index(drop=True), want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_emb_normalize_matches_duckdb_bitwise():
+    """Unit-norm export vs DuckDB on random float32 vectors including a
+    zero vector: sequential sum order + IEEE sqrt + one division =>
+    bit-identical rounded values."""
+    import duckdb
+    import ray.data
+
+    import __ray_entry__ as entrymod
+    from pdf_parser_ray.pipelines import queries as q
+
+    rng = np.random.RandomState(17)
+    mat = rng.standard_normal((50, 13)).astype(np.float32)
+    mat[7] = 0.0  # zero vector exercises the CASE branch
+    t = pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(r) for r in mat],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(len(mat), dtype=np.int32), pa.int32()),
+    })
+    orig = q.rel.load
+    q.rel.load = lambda sf, tbl, columns=None: ray.data.from_arrow(
+        t.select(columns) if columns else t).repartition(3)
+    try:
+        got = q.emb_normalize("probe")
+    finally:
+        q.rel.load = orig
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    want = (con.execute(entrymod.oracle_sql()["emb_normalize"]).df()
+            .sort_values(["vec_id", "dim"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
