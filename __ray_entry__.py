@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percent_rank": q.events_value_percent_rank,
         "docs_bin_pack": q.docs_bin_pack,
         "emb_normalize": q.emb_normalize,
+        "events_interarrival": q.events_interarrival,
+        "docs_anchor_positive": q.docs_anchor_positive,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1124,6 +1126,36 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN singles sa ON sa.tok = p.tok_a
             JOIN singles sb ON sb.tok = p.tok_b
+        """,
+        "events_interarrival": """
+            -- lag window: microseconds since the user's previous event
+            -- (-1 sentinel for the first event; NULL-free output)
+            SELECT event_id, user_id,
+                   coalesce(date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts), -1) AS delta_us
+            FROM events
+        """,
+        "docs_anchor_positive": r"""
+            -- deterministic (anchor, positive) 16-token chunk pairs;
+            -- the positive index replays md5_number_upper(doc_id)
+            WITH W AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w,
+                       len(regexp_extract_all(text, '\S+')) // 16
+                           AS n_chunks
+                FROM documents
+            ), P AS (
+                SELECT doc_id, w, n_chunks,
+                       CAST(1 + md5_number_upper(CAST(doc_id AS VARCHAR))
+                            % (n_chunks - 1) AS BIGINT) AS pos_idx
+                FROM W WHERE n_chunks >= 2
+            )
+            SELECT doc_id, pos_idx,
+                   md5(array_to_string(w[1:16], ' ')) AS anchor_fp,
+                   md5(array_to_string(w[pos_idx * 16 + 1 : pos_idx * 16 + 16],
+                                       ' ')) AS pos_fp
+            FROM P
         """,
         "emb_normalize": """
             -- unit-norm export; the list sum is sequential on both

@@ -2586,6 +2586,77 @@ def docs_token_lift(sf_dir: str, min_pair_docs: int = 2):
     return rel.to_pandas_sorted(df, ["tok_a", "tok_b"])
 
 
+# --- inter-arrival deltas (lag window) ------------------------------------------
+
+def events_interarrival(sf_dir: str):
+    """Per-user inter-arrival time — the lag() window: microseconds since
+    the user's previous event (ordered by ts, event_id); the first event
+    gets -1 (a NULL-free sentinel keeps the driver hash compare away from
+    NaN semantics). Integer microsecond subtraction is exact; the
+    groupby(user_id) shuffle + in-group vectorized diff is the standard
+    Ray expression of a partitioned window."""
+    ds = rel.load(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        delta = np.empty(len(us), dtype=np.int64)
+        delta[0] = -1
+        delta[1:] = us[1:] - us[:-1]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "delta_us": delta,
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    df = rel.ensure_columns(out.to_pandas(), {
+        "event_id": "int64", "user_id": "int64", "delta_us": "int64"})
+    return rel.to_pandas_sorted(df, ["user_id", "event_id"])
+
+
+# --- contrastive anchor/positive chunk mining ------------------------------------
+
+def docs_anchor_positive(sf_dir: str, w: int = 16):
+    """Self-supervised pair mining (SimCSE/contrastive prep): each doc
+    with >= 2 non-overlapping ``w``-token chunks emits (anchor, positive)
+    chunk fingerprints — anchor is chunk 0, the positive is chosen
+    deterministically by md5(doc_id) among the remaining chunks (RNG-free,
+    so the sample is parallelism- and rerun-invariant; the md5 kernel is
+    DuckDB's md5_number_upper). Shuffle-free streaming pass; fingerprints,
+    never chunk text, leave the workers."""
+    from pdf_parser_ray.functions.sketches import _md5_64, re2_tokens
+    from pdf_parser_ray.functions.textstats import fingerprint
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def mine(batch: pa.Table) -> pa.Table:
+        ids, pidx, afp, pfp = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            words = re2_tokens(text)
+            n_chunks = len(words) // w
+            if n_chunks < 2:
+                continue
+            pos = 1 + _md5_64(str(doc_id)) % (n_chunks - 1)
+            ids.append(doc_id)
+            pidx.append(pos)
+            afp.append(fingerprint(" ".join(words[:w])))
+            pfp.append(fingerprint(" ".join(words[pos * w:(pos + 1) * w])))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos_idx": pa.array(pidx, pa.int64()),
+            "anchor_fp": pa.array(afp, pa.string()),
+            "pos_fp": pa.array(pfp, pa.string()),
+        })
+
+    out = ds.map_batches(mine, batch_format="pyarrow", zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "pos_idx": "int64",
+        "anchor_fp": "object", "pos_fp": "object"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
 # --- vector normalization (unit-norm export) -----------------------------------
 
 def emb_normalize(sf_dir: str):

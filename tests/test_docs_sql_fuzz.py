@@ -478,3 +478,14 @@ def test_docs_bin_pack_fuzz(texts):
     # distributed prefix scan vs the SQL window cumsum — empty docs
     # (0 tokens) and budget-boundary hits included
     _check("docs_bin_pack", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=st.lists(st.lists(st.one_of(_WORD, _MARKER),
+                               min_size=0, max_size=70).map(" ".join),
+                      min_size=1, max_size=6))
+def test_docs_anchor_positive_fuzz(texts):
+    # chunk-boundary docs (exactly 2 chunks, 1 chunk, empty) and the
+    # md5(doc_id) positive choice vs md5_number_upper
+    _check("docs_anchor_positive", texts)

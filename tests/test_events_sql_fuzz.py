@@ -152,3 +152,12 @@ def test_percent_rank_fuzz(rows):
     # min-rank ties + the single (rank-1)/(n-1) division; value-cent
     # collisions in the strategy produce real tie groups
     _check("events_value_percent_rank", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_interarrival_fuzz(rows):
+    # lag window: same-second ties resolved by event_id; single-event
+    # users yield one NULL delta
+    _check("events_interarrival", rows)
