@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_normalize": q.emb_normalize,
         "events_interarrival": q.events_interarrival,
         "docs_anchor_positive": q.docs_anchor_positive,
+        "docs_charclass_profile": q.docs_charclass_profile,
+        "events_debounce": q.events_debounce,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
@@ -1126,6 +1128,36 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN singles sa ON sa.tok = p.tok_a
             JOIN singles sb ON sb.tok = p.tok_b
+        """,
+        "docs_charclass_profile": r"""
+            SELECT doc_id, length(text) AS n_chars,
+                   length(regexp_extract_all(text, '[A-Za-z]'))
+                       AS n_letters,
+                   length(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                   length(regexp_extract_all(text, '[\t\n\f\r ]'))
+                       AS n_spaces,
+                   length(text)
+                       - length(regexp_extract_all(text, '[A-Za-z]'))
+                       - length(regexp_extract_all(text, '[0-9]'))
+                       - length(regexp_extract_all(text, '[\t\n\f\r ]'))
+                       AS n_other,
+                   round(CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_extract_all(text, '[A-Za-z]'))
+                            AS DOUBLE) / length(text)
+                       ELSE 0.0 END, 4) AS letter_ratio
+            FROM documents
+        """,
+        "events_debounce": """
+            -- lag-based suppression: drop same-key repeats within 300 s
+            SELECT event_id, user_id, event_type FROM (
+                SELECT event_id, user_id, event_type,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id,
+                                                            event_type
+                                               ORDER BY ts, event_id),
+                                 ts) AS d
+                FROM events
+            ) WHERE d IS NULL OR d > 300 * 1000000
         """,
         "events_interarrival": """
             -- lag window: microseconds since the user's previous event

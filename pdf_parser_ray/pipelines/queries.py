@@ -2586,6 +2586,82 @@ def docs_token_lift(sf_dir: str, min_pair_docs: int = 2):
     return rel.to_pandas_sorted(df, ["tok_a", "tok_b"])
 
 
+# --- character-class profiling ---------------------------------------------------
+
+def docs_charclass_profile(sf_dir: str):
+    """Character-class mix per document — the script/noise profile a
+    corpus triage step feeds to routing decisions (OCR artifacts, code
+    blobs, digit tables): counts of ASCII letters / digits / whitespace /
+    other, plus exact 4-digit ratios. One shuffle-free pc-regex pass;
+    both engines run RE2, so counts and the single-division ratios are
+    bit-identical."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def profile(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        n = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def cnt(rx: str) -> np.ndarray:
+            return pc.count_substring_regex(col, rx).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+
+        letters = cnt("[A-Za-z]")
+        digits = cnt("[0-9]")
+        spaces = cnt(r"[\t\n\f\r ]")
+        other = n - letters - digits - spaces
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(n > 0, letters / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n, pa.int64()),
+            "n_letters": pa.array(letters, pa.int64()),
+            "n_digits": pa.array(digits, pa.int64()),
+            "n_spaces": pa.array(spaces, pa.int64()),
+            "n_other": pa.array(other, pa.int64()),
+            "letter_ratio": pa.array(np_round_half_away(ratio, 4),
+                                     pa.float64()),
+        })
+
+    out = ds.map_batches(profile, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_chars": "int64", "n_letters": "int64",
+        "n_digits": "int64", "n_spaces": "int64", "n_other": "int64",
+        "letter_ratio": "float64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+# --- debounce suppression (lag-based) ---------------------------------------------
+
+def events_debounce(sf_dir: str, window_s: int = 300):
+    """Telemetry debounce: drop an event when the SAME (user_id,
+    event_type) fired within the previous ``window_s`` seconds (lag-based
+    suppression — each event compares to its raw predecessor, the
+    SQL-replicable variant; chained debounce needs a sequential scan and
+    has no window-SQL twin). groupby shuffle + vectorized int64
+    microsecond diff, exact at any parallelism."""
+    ds = rel.load(sf_dir, "events",
+                  ["event_id", "user_id", "event_type", "ts"])
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        keep = np.ones(len(us), dtype=bool)
+        keep[1:] = (us[1:] - us[:-1]) > window_s * 1_000_000
+        out = g[keep]
+        return pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(np.int64),
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "event_type": out["event_type"].to_numpy(object),
+        })
+
+    out = (ds.groupby(["user_id", "event_type"])
+           .map_groups(per_key, batch_format="pandas"))
+    df = rel.ensure_columns(out.to_pandas(), {
+        "event_id": "int64", "user_id": "int64", "event_type": "object"})
+    return rel.to_pandas_sorted(df, ["user_id", "event_type", "event_id"])
+
+
 # --- inter-arrival deltas (lag window) ------------------------------------------
 
 def events_interarrival(sf_dir: str):

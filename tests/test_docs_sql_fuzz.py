@@ -489,3 +489,12 @@ def test_docs_anchor_positive_fuzz(texts):
     # chunk-boundary docs (exactly 2 chunks, 1 chunk, empty) and the
     # md5(doc_id) positive choice vs md5_number_upper
     _check("docs_anchor_positive", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(texts=_DOCS)
+def test_docs_charclass_profile_fuzz(texts):
+    # RE2 char-class counts + one division; unicode beyond the ASCII
+    # classes lands in n_other identically on both engines
+    _check("docs_charclass_profile", texts)

@@ -161,3 +161,12 @@ def test_interarrival_fuzz(rows):
     # lag window: same-second ties resolved by event_id; single-event
     # users yield one NULL delta
     _check("events_interarrival", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_debounce_fuzz(rows):
+    # lag-based suppression with same-second ties and window-boundary
+    # hits (d == 300s must be DROPPED on both engines: strict >)
+    _check("events_debounce", rows)

@@ -70,7 +70,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_token_lift", "docs_clean_corpus", "events_latest_snapshot",
         "events_value_percent_rank", "events_type_value_stats",
         "emb_dedup_keep", "docs_bin_pack", "emb_normalize",
-        "events_interarrival", "docs_anchor_positive"]
+        "events_interarrival", "docs_anchor_positive",
+        "docs_charclass_profile", "events_debounce"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:
