@@ -1391,8 +1391,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_latest_snapshot": """
             -- keep-latest-per-key (recrawl/snapshot dedup): newest event
-            -- per (user_id, event_type), ties broken by event_id
-            SELECT event_id, ts, user_id, event_type, value, props
+            -- per (user_id, event_type), ties broken by event_id;
+            -- timestamp exported as epoch microseconds
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                   value, props
             FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id, event_type

@@ -3097,7 +3097,9 @@ def events_latest_snapshot(sf_dir: str):
     so the groupby shuffles the combined set, not the corpus; the same
     kernel is the in-group finisher. Parallelism-invariant by
     construction (max is associative/commutative; the tie-break total
-    order makes the argmax unique)."""
+    order makes the argmax unique). The timestamp exports as epoch
+    microseconds (int64) — no engine-dependent datetime unit reaches the
+    value-hash compare."""
     ds = rel.load(sf_dir, "events",
                   ["event_id", "ts", "user_id", "event_type",
                    "value", "props"])
@@ -3105,9 +3107,17 @@ def events_latest_snapshot(sf_dir: str):
                              zero_copy_batch=True)
     out = (reduced.groupby(["user_id", "event_type"])
            .map_groups(_latest_rows, batch_format="pyarrow"))
+
+    def epoch_us(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        return batch.drop_columns(["ts"]).append_column(
+            "ts_us", pc.cast(ts_us, pa.int64()))
+
+    out = out.map_batches(epoch_us, batch_format="pyarrow",
+                          zero_copy_batch=True)
     df = rel.ensure_columns(out.to_pandas(), {
-        "event_id": "int64", "ts": "datetime64[us]", "user_id": "int64",
-        "event_type": "object", "value": "float64", "props": "object"})
+        "event_id": "int64", "user_id": "int64", "event_type": "object",
+        "value": "float64", "props": "object", "ts_us": "int64"})
     return rel.to_pandas_sorted(df, ["user_id", "event_type"])
 
 
