@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": q.events_interarrival,
         "docs_anchor_positive": q.docs_anchor_positive,
         "docs_charclass_profile": q.docs_charclass_profile,
+        "docs_bpe_pretokens": q.docs_bpe_pretokens,
         "events_debounce": q.events_debounce,
         # ---- tier 2: rows-only, never recorded ----
         "extract_corpus": q.extract_corpus,
@@ -1130,6 +1131,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN singles sa ON sa.tok = p.tok_a
             JOIN singles sb ON sb.tok = p.tok_b
+        """,
+        "docs_bpe_pretokens": r"""
+            -- GPT-2-style pretokenizer counts (lookahead-free RE2 form)
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+                   length(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                       AS n_bpe_tokens,
+                   round(CASE WHEN length(regexp_extract_all(text, '\S+')) > 0
+                         THEN CAST(length(regexp_extract_all(text,
+                             '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                             AS DOUBLE)
+                             / length(regexp_extract_all(text, '\S+'))
+                         ELSE 0.0 END, 4) AS bpe_per_word
+            FROM documents
         """,
         "docs_charclass_profile": r"""
             SELECT doc_id, length(text) AS n_chars,

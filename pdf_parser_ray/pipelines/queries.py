@@ -2586,6 +2586,45 @@ def docs_token_lift(sf_dir: str, min_pair_docs: int = 2):
     return rel.to_pandas_sorted(df, ["tok_a", "tok_b"])
 
 
+# --- BPE-style pretokenization counts --------------------------------------------
+
+_BPE_RX = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def docs_bpe_pretokens(sf_dir: str):
+    """Token counting under a GPT-2-style BPE pretokenizer (contraction
+    suffixes, letter runs, digit runs, punctuation runs, whitespace) —
+    the budget estimate a training pipeline uses before real BPE. RE2
+    has no lookahead, so the canonical `\\s+(?!\\S)` tail is folded into
+    plain `\\s+` (counts only; the split points BPE cares about are
+    unchanged). One shuffle-free RE2 pass; DuckDB runs the identical
+    pattern, so counts and the tokens-per-whitespace-word ratio are
+    bit-identical."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        bpe = pc.count_substring_regex(col, _BPE_RX).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ws = pc.count_substring_regex(col, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ratio = np.where(ws > 0, bpe / np.maximum(ws, 1), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_ws_tokens": pa.array(ws, pa.int64()),
+            "n_bpe_tokens": pa.array(bpe, pa.int64()),
+            "bpe_per_word": pa.array(np_round_half_away(ratio, 4),
+                                     pa.float64()),
+        })
+
+    out = ds.map_batches(count, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_ws_tokens": "int64",
+        "n_bpe_tokens": "int64", "bpe_per_word": "float64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
 # --- character-class profiling ---------------------------------------------------
 
 def docs_charclass_profile(sf_dir: str):

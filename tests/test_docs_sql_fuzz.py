@@ -498,3 +498,12 @@ def test_docs_charclass_profile_fuzz(texts):
     # RE2 char-class counts + one division; unicode beyond the ASCII
     # classes lands in n_other identically on both engines
     _check("docs_charclass_profile", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(texts=_DOCS)
+def test_docs_bpe_pretokens_fuzz(texts):
+    # the GPT-2-ish pretokenizer regex runs on RE2 on both engines;
+    # contractions, unicode letters and digit runs all split identically
+    _check("docs_bpe_pretokens", texts)
