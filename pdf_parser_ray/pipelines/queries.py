@@ -2384,12 +2384,23 @@ def _gram_hashes(words: list[str], k: int, cache: dict) -> np.ndarray:
         dtype=np.int64, count=n)
 
 
-def _dup_gram_ref(ds: "ray.data.Dataset", k: int):
-    """The duplicated-gram set: per-doc-unique window hashes feed ONE
-    grouped count (the only shuffle — 8-byte keys); grams in >= 2
-    distinct docs are gathered, sorted, and broadcast via ray.put.
-    Size-gated in spirit: heavily-duplicated corpora should pre-dedup
-    exact copies first, which the suite does."""
+_DUP_BROADCAST_MAX = 5_000_000  # ~40 MB of int64 hashes, the r3 gate size
+
+
+def _dup_marks(ds: "ray.data.Dataset", k: int,
+               broadcast_max: int = _DUP_BROADCAST_MAX):
+    """Duplicated-gram marking, size-gated like the anti-join build side.
+
+    Pass 1 (always): per-doc-unique window hashes feed ONE grouped count
+    (8-byte keys); grams in >= 2 distinct docs form the duplicated set.
+
+    Under ``broadcast_max`` dup grams, the set is gathered + broadcast
+    (``("broadcast", ref)``) and the second pass re-hashes windows
+    locally — zero extra exchange. Above the gate (boilerplate-heavy
+    web corpora), nothing corpus-shaped touches the driver: positioned
+    gram rows (h, doc_id, i) hash-join the dup set and a groupby(doc_id)
+    packs each doc's marked window starts into a comma string —
+    ``("joined", marks_ds)`` with one row per AFFECTED doc."""
     from pdf_parser_ray.functions.sketches import re2_tokens
 
     def doc_grams(batch: pa.Table) -> pa.Table:
@@ -2407,13 +2418,58 @@ def _dup_gram_ref(ds: "ray.data.Dataset", k: int):
 
     def dup_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch.column("nd"),
-                                             pa.scalar(2)))
+                                             pa.scalar(2))).select(["h"])
 
-    dup = rel.collect_column(
+    dup_ds = rel.ensure_schema(
         per_gram.map_batches(dup_only, batch_format="pyarrow",
-                             zero_copy_batch=True), "h")
-    return ray.put(np.sort(dup.to_numpy(zero_copy_only=False)
-                           .astype(np.int64)))
+                             zero_copy_batch=True),
+        pa.schema([("h", pa.int64())])).materialize()
+    n_dup = dup_ds.count()
+
+    if n_dup <= broadcast_max:
+        dup = rel.collect_column(dup_ds, "h")
+        return "broadcast", ray.put(
+            np.sort(dup.to_numpy(zero_copy_only=False).astype(np.int64)))
+
+    def gram_pos(batch: pa.Table) -> pa.Table:
+        cache: dict[str, int] = {}
+        out_h, out_id, out_i = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            hs = _gram_hashes(re2_tokens(text), k, cache)
+            out_h.append(hs)
+            out_id.append(np.full(len(hs), doc_id, dtype=np.int64))
+            out_i.append(np.arange(len(hs), dtype=np.int64))
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.empty(0, np.int64))
+        return pa.table({"h": pa.array(cat(out_h), pa.int64()),
+                         "doc_id": pa.array(cat(out_id), pa.int64()),
+                         "i": pa.array(cat(out_i), pa.int64())})
+
+    pos = ds.map_batches(gram_pos, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    n_parts = rel.join_partitions(max(n_dup, 1))
+    marked = pos.join(dup_ds, "inner", n_parts, on=("h",))
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        starts = np.unique(df["i"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[:1],
+            "starts": [",".join(str(s) for s in starts)],
+        })
+
+    marks = marked.groupby("doc_id").map_groups(pack,
+                                                batch_format="pandas")
+    return "joined", rel.ensure_schema(
+        marks, pa.schema([("doc_id", pa.int64()), ("starts", pa.string())]))
+
+
+def _starts_to_mask(starts: np.ndarray, n_tok: int, k: int) -> np.ndarray:
+    """Marked window starts -> boolean per-token coverage union."""
+    diff = np.zeros(n_tok + 1, dtype=np.int64)
+    np.add.at(diff, starts, 1)
+    np.add.at(diff, np.minimum(starts + k, n_tok), -1)
+    return np.cumsum(diff[:-1]) > 0
 
 
 def _covered_mask(words: list[str], k: int, bad: np.ndarray,
@@ -2433,7 +2489,8 @@ def _covered_mask(words: list[str], k: int, bad: np.ndarray,
     return np.cumsum(diff[:-1]) > 0
 
 
-def docs_dup_spans(sf_dir: str, k: int = 8):
+def docs_dup_spans(sf_dir: str, k: int = 8,
+                   broadcast_max: int = _DUP_BROADCAST_MAX):
     """Cross-document duplicated-span detection, the window-hash
     approximation of ExactSubstr dedup (suffix-array substring dedup a
     la Lee et al. 2021): every maximal run of tokens covered by some
@@ -2442,85 +2499,162 @@ def docs_dup_spans(sf_dir: str, k: int = 8):
     surgery.
 
     Plan mirrors line-dedup's two passes: (1) the duplicated-gram set
-    (`_dup_gram_ref` — one 8-byte-key shuffle, broadcast result);
-    (2) a second shuffle-free pass marks dup windows per doc, takes the
-    coverage union vectorized, and emits maximal covered runs.
-    Positions are 1-based token indices, matching the SQL twin's
-    LATERAL range."""
+    (`_dup_marks` — one 8-byte-key shuffle; broadcast under the size
+    gate, else a fully-distributed position join); (2) the second pass
+    takes the coverage union vectorized and emits maximal covered runs
+    (in join mode the islands come straight off the packed window
+    starts — the text is never re-read). Positions are 1-based token
+    indices, matching the SQL twin's LATERAL range."""
     from pdf_parser_ray.functions.sketches import re2_tokens
 
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
-    dup_ref = _dup_gram_ref(ds, k)
+    mode, marks = _dup_marks(ds, k, broadcast_max=broadcast_max)
 
-    def spans(batch: pa.Table) -> pa.Table:
-        bad = ray.get(dup_ref)
-        cache: dict[str, int] = {}
-        out_id, out_s, out_e = [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            covered = _covered_mask(re2_tokens(text), k, bad, cache)
-            if covered is None:
-                continue
-            edges = np.diff(np.concatenate([[0], covered.view(np.int8), [0]]))
-            starts = np.nonzero(edges == 1)[0]
-            ends = np.nonzero(edges == -1)[0] - 1
-            for s, e in zip(starts, ends):
-                out_id.append(doc_id)
-                out_s.append(int(s) + 1)   # 1-based, SQL lockstep
-                out_e.append(int(e) + 1)
-        return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "s": pa.array(out_s, pa.int64()),
-            "e": pa.array(out_e, pa.int64()),
-        })
+    if mode == "broadcast":
+        def spans(batch: pa.Table) -> pa.Table:
+            bad = ray.get(marks)
+            cache: dict[str, int] = {}
+            out_id, out_s, out_e = [], [], []
+            for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                    batch.column("text").to_pylist()):
+                covered = _covered_mask(re2_tokens(text), k, bad, cache)
+                if covered is None:
+                    continue
+                edges = np.diff(np.concatenate([[0], covered.view(np.int8),
+                                                [0]]))
+                starts = np.nonzero(edges == 1)[0]
+                ends = np.nonzero(edges == -1)[0] - 1
+                for s, e in zip(starts, ends):
+                    out_id.append(doc_id)
+                    out_s.append(int(s) + 1)   # 1-based, SQL lockstep
+                    out_e.append(int(e) + 1)
+            return pa.table({
+                "doc_id": pa.array(out_id, pa.int64()),
+                "s": pa.array(out_s, pa.int64()),
+                "e": pa.array(out_e, pa.int64()),
+            })
 
-    out = ds.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)
+        out = ds.map_batches(spans, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    else:
+        def islands(batch: pa.Table) -> pa.Table:
+            out_id, out_s, out_e = [], [], []
+            for doc_id, packed in zip(batch.column("doc_id").to_pylist(),
+                                      batch.column("starts").to_pylist()):
+                st = np.fromiter((int(x) for x in packed.split(",")),
+                                 dtype=np.int64)
+                ends = st + k - 1
+                brk = np.nonzero(st[1:] > ends[:-1] + 1)[0]
+                s_idx = np.concatenate([[0], brk + 1])
+                e_idx = np.concatenate([brk, [len(st) - 1]])
+                for a, b in zip(s_idx, e_idx):
+                    out_id.append(doc_id)
+                    out_s.append(int(st[a]) + 1)
+                    out_e.append(int(ends[b]) + 1)
+            return pa.table({
+                "doc_id": pa.array(out_id, pa.int64()),
+                "s": pa.array(out_s, pa.int64()),
+                "e": pa.array(out_e, pa.int64()),
+            })
+
+        out = marks.map_batches(islands, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
     df = rel.ensure_columns(out.to_pandas(),
                             {"doc_id": "int64", "s": "int64", "e": "int64"})
     df["n_toks"] = df["e"] - df["s"] + 1
     return rel.to_pandas_sorted(df, ["doc_id", "s"])
 
 
-def docs_cut_dup_spans(sf_dir: str, k: int = 8):
+def docs_cut_dup_spans(sf_dir: str, k: int = 8,
+                       broadcast_max: int = _DUP_BROADCAST_MAX):
     """The surgery half of ExactSubstr dedup: every token covered by a
     cross-document duplicated ``k``-gram window is CUT from the text;
     the cleaned corpus (space-rejoined survivors) plus the per-doc cut
     count is what a training pipeline feeds downstream.
 
-    Same two-pass plan as `docs_dup_spans` (shared duplicated-gram
-    broadcast, shuffle-free second pass); whole-doc text never enters an
-    exchange — the cut runs inside map_batches where the text already
-    lives."""
-    from pdf_parser_ray.functions.sketches import re2_tokens
-
+    Same two-pass plan as `docs_dup_spans` (shared size-gated dup-gram
+    marking); whole-doc text never enters an exchange in broadcast mode
+    — the cut runs inside map_batches where the text already lives. In
+    join mode (dup set past the gate) the packed per-doc window starts
+    LEFT-join back onto the docs (keyed rows bounded by the affected-doc
+    count) and the same cut kernel consumes them."""
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
-    dup_ref = _dup_gram_ref(ds, k)
-
-    def cut(batch: pa.Table) -> pa.Table:
-        bad = ray.get(dup_ref)
-        cache: dict[str, int] = {}
-        cleaned: list[str] = []
-        n_cut: list[int] = []
-        for text in batch.column("text").to_pylist():
-            words = re2_tokens(text)
-            covered = _covered_mask(words, k, bad, cache)
-            if covered is None:
-                cleaned.append(" ".join(words))
-                n_cut.append(0)
-            else:
-                keep_idx = np.nonzero(~covered)[0]
-                cleaned.append(" ".join(words[i] for i in keep_idx))
-                n_cut.append(int(covered.sum()))
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "text_clean": pa.array(cleaned, pa.string()),
-            "n_cut": pa.array(n_cut, pa.int64()),
-        })
-
-    out = ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+    out = _cut_covered(ds, k, broadcast_max)
     df = rel.ensure_columns(out.to_pandas(), {
         "doc_id": "int64", "text_clean": "object", "n_cut": "int64"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def _cut_covered(ds: "ray.data.Dataset", k: int,
+                 broadcast_max: int = _DUP_BROADCAST_MAX,
+                 with_fp: bool = False) -> "ray.data.Dataset":
+    """Shared surgery stage: (doc_id, text) -> (doc_id, text_clean/
+    clean_fp, n_cut[, n_toks]) with duplicated-gram coverage removed.
+    Both `_dup_marks` modes are handled; `with_fp=True` emits the md5
+    fingerprint + kept-token count instead of the cleaned text (the
+    clean-corpus flagship's driver-safe shape)."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+    from pdf_parser_ray.functions.textstats import fingerprint
+
+    mode, marks = _dup_marks(ds, k, broadcast_max=broadcast_max)
+
+    def emit(doc_ids, words_list, covered_list) -> pa.Table:
+        cleaned, n_cut, n_keep = [], [], []
+        for words, covered in zip(words_list, covered_list):
+            if covered is None:
+                kept = words
+                cut = 0
+            else:
+                kept = [words[i] for i in np.nonzero(~covered)[0]]
+                cut = int(covered.sum())
+            joined = " ".join(kept)
+            cleaned.append(fingerprint(joined) if with_fp else joined)
+            n_cut.append(cut)
+            n_keep.append(len(kept))
+        cols = {"doc_id": pa.array(doc_ids, pa.int64())}
+        if with_fp:
+            cols["n_toks"] = pa.array(n_keep, pa.int64())
+            cols["n_cut"] = pa.array(n_cut, pa.int64())
+            cols["clean_fp"] = pa.array(cleaned, pa.string())
+        else:
+            cols["text_clean"] = pa.array(cleaned, pa.string())
+            cols["n_cut"] = pa.array(n_cut, pa.int64())
+        return pa.table(cols)
+
+    if mode == "broadcast":
+        def cut(batch: pa.Table) -> pa.Table:
+            bad = ray.get(marks)
+            cache: dict[str, int] = {}
+            ids = batch.column("doc_id").to_pylist()
+            words_list = [re2_tokens(t)
+                          for t in batch.column("text").to_pylist()]
+            covered = [_covered_mask(w, k, bad, cache) for w in words_list]
+            return emit(ids, words_list, covered)
+
+        return ds.map_batches(cut, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    n_docs = max(ds.count(), 1)
+    joined = ds.join(marks, "left_outer", rel.join_partitions(n_docs),
+                     on=("doc_id",))
+
+    def cut_joined(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        words_list = [re2_tokens(t)
+                      for t in batch.column("text").to_pylist()]
+        covered = []
+        for words, packed in zip(words_list,
+                                 batch.column("starts").to_pylist()):
+            if packed is None:
+                covered.append(None)
+                continue
+            st = np.fromiter((int(x) for x in packed.split(",")),
+                             dtype=np.int64)
+            covered.append(_starts_to_mask(st, len(words), k))
+        return emit(ids, words_list, covered)
+
+    return joined.map_batches(cut_joined, batch_format="pyarrow")
 
 
 # --- collocation mining (token-pair lift) ------------------------------------
@@ -2947,9 +3081,6 @@ def docs_clean_corpus(sf_dir: str, k: int = 8, min_tokens: int = 30,
     checkpoint boundary — write survivors to partitioned Parquet and run
     the span passes from there). Only 8-byte gram keys and counters ever
     enter an exchange; document text stays inside map_batches."""
-    from pdf_parser_ray.functions.sketches import re2_tokens
-    from pdf_parser_ray.functions.textstats import fingerprint
-
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
 
@@ -2980,34 +3111,9 @@ def docs_clean_corpus(sf_dir: str, k: int = 8, min_tokens: int = 30,
                                  zero_copy_batch=True).materialize()
 
     # 4. ExactSubstr surgery over the cleaned corpus (two passes over
-    # the materialized survivors — dup-gram set, then the cut)
-    dup_ref = _dup_gram_ref(survivors, k)
-
-    def cut_fp(batch: pa.Table) -> pa.Table:
-        bad = ray.get(dup_ref)
-        cache: dict[str, int] = {}
-        n_toks, n_cut, fps = [], [], []
-        for text in batch.column("text").to_pylist():
-            words = re2_tokens(text)
-            covered = _covered_mask(words, k, bad, cache)
-            if covered is None:
-                kept_words = words
-                cut = 0
-            else:
-                kept_words = [words[i] for i in np.nonzero(~covered)[0]]
-                cut = int(covered.sum())
-            n_toks.append(len(kept_words))
-            n_cut.append(cut)
-            fps.append(fingerprint(" ".join(kept_words)))
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "n_toks": pa.array(n_toks, pa.int64()),
-            "n_cut": pa.array(n_cut, pa.int64()),
-            "clean_fp": pa.array(fps, pa.string()),
-        })
-
-    out = survivors.map_batches(cut_fp, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    # the materialized survivors — size-gated dup-gram marking, then
+    # the shared cut kernel emitting fingerprints)
+    out = _cut_covered(survivors, k, with_fp=True)
     df = rel.ensure_columns(out.to_pandas(), {
         "doc_id": "int64", "n_toks": "int64", "n_cut": "int64",
         "clean_fp": "object"})

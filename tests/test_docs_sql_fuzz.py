@@ -507,3 +507,28 @@ def test_docs_bpe_pretokens_fuzz(texts):
     # the GPT-2-ish pretokenizer regex runs on RE2 on both engines;
     # contractions, unicode letters and digit runs all split identically
     _check("docs_bpe_pretokens", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(texts=_SPAN_DOCS)
+def test_dup_spans_join_path_matches_broadcast(texts):
+    """The size-gate fallback (positioned gram join, no driver set) must
+    reproduce the broadcast path exactly — forced via broadcast_max=0."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    tbl = _table(texts)
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl).repartition(3)
+    try:
+        spans_b = q.docs_dup_spans("fuzz")
+        spans_j = q.docs_dup_spans("fuzz", broadcast_max=0)
+        cut_b = q.docs_cut_dup_spans("fuzz")
+        cut_j = q.docs_cut_dup_spans("fuzz", broadcast_max=0)
+    finally:
+        q.rel.load = orig
+    pd.testing.assert_frame_equal(spans_b, spans_j)
+    pd.testing.assert_frame_equal(cut_b, cut_j)
