@@ -47,6 +47,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "docs_pagerank": q.docs_pagerank,
+        "docs_triangles": q.docs_triangles,
+        "events_users_kmv": q.events_users_kmv,
+        "docs_bigram_fluency": q.docs_bigram_fluency,
+        "docs_dsir_weights": q.docs_dsir_weights,
         "emb_near_pairs_lsh": q.emb_near_pairs_lsh,
         "docs_quality_filter": q.docs_quality_filter,
         "events_error_click_window": q.events_error_click_window,
@@ -150,6 +155,164 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_pagerank": r"""
+            -- integer-exact PageRank, 4 power iterations over the
+            -- derived link graph (md5-derived fixed out-degree 3);
+            -- every term is positive floor division so sums commute
+            WITH meta AS (SELECT count(*) AS n FROM documents),
+            edges AS (
+                SELECT d.doc_id AS src,
+                       CAST(md5_number_upper(
+                                CAST(d.doc_id AS VARCHAR) || '#pr'
+                                || CAST(t.j AS VARCHAR))
+                            % (SELECT n FROM meta) AS BIGINT) AS dst
+                FROM documents d, LATERAL unnest([0, 1, 2]) AS t(j)
+            ),
+            s0 AS (SELECT doc_id, CAST(1000000 AS HUGEINT) AS score
+                   FROM documents),
+            s1 AS (
+                SELECT d.doc_id,
+                       150000 + coalesce(sum((85 * s.score) // 300), 0)
+                           AS score
+                FROM documents d
+                LEFT JOIN edges e ON e.dst = d.doc_id
+                LEFT JOIN s0 s ON s.doc_id = e.src
+                GROUP BY d.doc_id
+            ),
+            s2 AS (
+                SELECT d.doc_id,
+                       150000 + coalesce(sum((85 * s.score) // 300), 0)
+                           AS score
+                FROM documents d
+                LEFT JOIN edges e ON e.dst = d.doc_id
+                LEFT JOIN s1 s ON s.doc_id = e.src
+                GROUP BY d.doc_id
+            ),
+            s3 AS (
+                SELECT d.doc_id,
+                       150000 + coalesce(sum((85 * s.score) // 300), 0)
+                           AS score
+                FROM documents d
+                LEFT JOIN edges e ON e.dst = d.doc_id
+                LEFT JOIN s2 s ON s.doc_id = e.src
+                GROUP BY d.doc_id
+            ),
+            s4 AS (
+                SELECT d.doc_id,
+                       150000 + coalesce(sum((85 * s.score) // 300), 0)
+                           AS score
+                FROM documents d
+                LEFT JOIN edges e ON e.dst = d.doc_id
+                LEFT JOIN s3 s ON s.doc_id = e.src
+                GROUP BY d.doc_id
+            )
+            SELECT doc_id, CAST(score AS BIGINT) AS pr_micro
+            FROM s4
+        """,
+        "docs_triangles": r"""
+            -- triangle count over the same derived graph, undirected
+            -- distinct edges lo < hi, each triangle counted once a<b<c
+            WITH meta AS (SELECT count(*) AS n FROM documents),
+            raw AS (
+                SELECT d.doc_id AS u,
+                       CAST(md5_number_upper(
+                                CAST(d.doc_id AS VARCHAR) || '#pr'
+                                || CAST(t.j AS VARCHAR))
+                            % (SELECT n FROM meta) AS BIGINT) AS v
+                FROM documents d, LATERAL unnest([0, 1, 2]) AS t(j)
+            ),
+            e AS (
+                SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                FROM raw WHERE u <> v
+            )
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "events_users_kmv": r"""
+            -- KMV bottom-k distinct sketch, exact integer estimate over
+            -- the same md5-64 hash space as the engine (k = 256)
+            WITH h AS (
+                SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR))
+                           AS hv
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            ranked AS (
+                SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM h
+            ),
+            agg AS (SELECT count(*) AS n FROM h)
+            SELECT CASE WHEN (SELECT n FROM agg) < 256
+                        THEN (SELECT n FROM agg)
+                        ELSE CAST((CAST(255 AS HUGEINT)
+                                   * CAST('18446744073709551616' AS HUGEINT))
+                                  // (SELECT CAST(hv AS HUGEINT)
+                                      FROM ranked WHERE r = 256)
+                                  AS BIGINT)
+                   END AS est_users
+        """,
+        "docs_bigram_fluency": r"""
+            -- integer-exact bigram-LM fluency: mean conditional bigram
+            -- probability in micro-units; counts key on md5-64 hashes
+            -- exactly like the engine (collisions replicate identically)
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ),
+            uni AS (
+                SELECT md5_number_upper(w[i]) AS h1, count(*) AS c1
+                FROM words, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+                GROUP BY h1
+            ),
+            big AS (
+                SELECT doc_id,
+                       md5_number_upper(w[i] || ' ' || w[i + 1]) AS h2,
+                       md5_number_upper(w[i]) AS h1
+                FROM words, LATERAL unnest(range(1, len(w))) AS t(i)
+                WHERE len(w) >= 2
+            ),
+            c2 AS (SELECT h2, count(*) AS c2 FROM big GROUP BY h2),
+            scored AS (
+                SELECT b.doc_id, (1000000 * c2.c2) // uni.c1 AS p
+                FROM big b
+                JOIN c2 ON c2.h2 = b.h2
+                JOIN uni ON uni.h1 = b.h1
+            ),
+            agg AS (
+                SELECT doc_id, sum(p) AS s, count(*) AS n
+                FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(s // n AS BIGINT) AS fluency_micro
+            FROM agg
+        """,
+        "docs_dsir_weights": r"""
+            -- DSIR-style hashed-unigram importance weights, integer-exact
+            -- (target = lang 'en', raw = whole corpus, 1024 buckets)
+            WITH words AS (
+                SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, lang,
+                       CAST(md5_number_upper(w[i]) % 1024 AS BIGINT) AS b
+                FROM words, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+            ),
+            cnts AS (
+                SELECT b, count(*) AS call,
+                       count(*) FILTER (WHERE lang = 'en') AS cen
+                FROM tok GROUP BY b
+            ),
+            wt AS (
+                SELECT b, (1000000 * (cen + 1)) // (call + 1) AS w
+                FROM cnts
+            ),
+            agg AS (
+                SELECT tok.doc_id, sum(wt.w) AS s, count(*) AS n
+                FROM tok JOIN wt USING (b)
+                GROUP BY tok.doc_id
+            )
+            SELECT doc_id, CAST(s // n AS BIGINT) AS dsir_micro FROM agg
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -3343,3 +3343,430 @@ def emb_dedup_keep(sf_dir: str, threshold: float = 0.8):
     df = rel.ensure_columns(out.to_pandas(),
                             {"vec_id": "int64", "label": "int32"})
     return rel.to_pandas_sorted(df, ["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# graph analytics over a derived link graph
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000          # score micro-units
+_PR_TELEPORT = 150_000         # (1 - 0.85) * scale
+_PR_OUT_DEG = 3                # fixed out-degree of the derived graph
+
+
+def _derived_edges(sf_dir: str):
+    """Deterministic synthetic link graph over the documents table: doc
+    ``u`` links to ``md5_64(f"{u}#pr{j}") % N`` for j in 0..OUT_DEG-1
+    (doc_ids are contiguous 0..N-1 by the testdata contract — asserted).
+    At real web scale the edge list comes from the href-extraction stage
+    of the pages corpus instead; everything downstream (PageRank,
+    triangles) consumes only the (src, dst) Dataset. Edges are built
+    inside ``map_batches`` — the edge list never gathers on the driver.
+    Returns (edges Dataset, n_docs)."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    docs = rel.load(sf_dir, "documents", ["doc_id"])
+    n_docs = docs.count()
+
+    def mk(batch: pa.Table) -> pa.Table:
+        src = batch.column("doc_id").to_numpy()
+        srcs = np.repeat(src, _PR_OUT_DEG)
+        dst = np.fromiter(
+            (_md5_64(f"{u}#pr{j}") % n_docs
+             for u in src for j in range(_PR_OUT_DEG)),
+            dtype=np.int64, count=len(srcs))
+        return pa.table({"src": pa.array(srcs, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return (docs.map_batches(mk, batch_format="pyarrow",
+                             zero_copy_batch=True), n_docs)
+
+
+def docs_pagerank(sf_dir: str, n_iters: int = 4):
+    """Distributed PageRank (power iteration) over the derived link
+    graph — the iterative-graph-analytics operator (host ranking /
+    crawl prioritization in a web pipeline).
+
+    Integer-exact spec (damping 0.85, all positive int64 floor math, so
+    every term is exact and sums are order-insensitive — identical at
+    any parallelism and bit-for-bit SQL-replicable):
+
+        score_0(v)    = 1_000_000
+        score_k+1(v)  = 150_000 + sum over in-edges (u, v) of
+                          (85 * score_k(u)) // (100 * OUT_DEG)
+
+    Plan: the classic vertex-partitioned power iteration — per round ONE
+    hash join (scores onto edges by src) + ONE grouped int64 sum by dst,
+    seeded with a zero row per node so sinks keep the teleport mass.
+    Edges materialize once and are reused across rounds; scores
+    materialize per round so the lazy graph doesn't recompute the whole
+    chain each iteration (same discipline as docs_dup_clusters). At web
+    scale in-degree skew (hot pages) gets a salted pre-combine on dst
+    before the global sum (SCALE.md)."""
+    from ray.data.aggregate import Sum
+
+    edges, n_docs = _derived_edges(sf_dir)
+    edges = edges.materialize()
+    docs = rel.load(sf_dir, "documents", ["doc_id"])
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "dst": batch.column("doc_id"),
+            "contrib": pa.array(np.zeros(batch.num_rows, np.int64),
+                                pa.int64()),
+        })
+
+    zeros = docs.map_batches(zero_rows, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    score_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64())])
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("dst"),
+            "score": pa.array(np.full(batch.num_rows, _PR_SCALE, np.int64),
+                              pa.int64()),
+        })
+
+    scores = zeros.map_batches(init_scores,
+                               batch_format="pyarrow").materialize()
+    n_parts = rel.join_partitions(n_docs * _PR_OUT_DEG)
+    div = 100 * _PR_OUT_DEG
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        s = batch.column("score").to_numpy()
+        return pa.table({
+            "dst": batch.column("dst"),
+            "contrib": pa.array((85 * s) // div, pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if "dst" not in batch.schema.names:
+            return score_schema.empty_table()
+        return pa.table({
+            "doc_id": batch.column("dst"),
+            "score": pc.add(pc.cast(batch.column("s"), pa.int64()),
+                            pa.scalar(_PR_TELEPORT, pa.int64())),
+        })
+
+    for _ in range(n_iters):
+        joined = edges.join(scores, "inner", n_parts,
+                            on=("src",), right_on=("doc_id",))
+        cands = joined.map_batches(
+            contrib, batch_format="pyarrow").union(zeros)
+        agg = cands.groupby("dst").aggregate(Sum("contrib", alias_name="s"))
+        scores = rel.ensure_schema(
+            agg.map_batches(finish, batch_format="pyarrow"),
+            score_schema).materialize()
+
+    df = scores.to_pandas().rename(columns={"score": "pr_micro"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def docs_triangles(sf_dir: str):
+    """Global triangle count over the derived link graph (undirected,
+    deduplicated, self-loops dropped) — the classic two-join distributed
+    plan: wedges via an edge-edge hash join on the middle vertex, closed
+    by a second join against the (lo, hi) edge-key set. Edges are
+    ordered lo < hi so every triangle is generated exactly once as
+    a < b < c. Pair keys pack into one int64 (lo << 32 | hi — doc_ids
+    fit 32 bits by the contiguity contract; wider ids would key on the
+    two-column tuple instead). Output: one row (n_triangles)."""
+    from ray.data.aggregate import Count
+
+    edges, n_docs = _derived_edges(sf_dir)
+    if n_docs >= (1 << 31):
+        raise NotImplementedError("packed pair keys need doc_id < 2^31")
+
+    def packed(batch: pa.Table) -> pa.Table:
+        u = batch.column("src").to_numpy()
+        v = batch.column("dst").to_numpy()
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        m = lo != hi
+        return pa.table({"k": pa.array((lo[m] << 32) | hi[m], pa.int64())})
+
+    uniq = rel.grouped_agg(
+        edges.map_batches(packed, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["k"], [("n", "", "count")])
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("k", pa.int64())])
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        if "k" not in batch.schema.names:
+            return pair_schema.empty_table()
+        k = batch.column("k").to_numpy()
+        return pa.table({"a": pa.array(k >> 32, pa.int64()),
+                         "b": pa.array(k & 0xFFFFFFFF, pa.int64()),
+                         "k": batch.column("k")})
+
+    e = rel.ensure_schema(
+        uniq.map_batches(unpack, batch_format="pyarrow"),
+        pair_schema).materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        return pd.DataFrame({"n_triangles": pd.Series([0], dtype="int64")})
+    n_parts = rel.join_partitions(n_edges)
+
+    def as_mid(batch: pa.Table) -> pa.Table:
+        # wedge legs keyed by their lower endpoint (the middle vertex b)
+        return pa.table({"mb": batch.column("a"), "c": batch.column("b")})
+
+    legs = e.map_batches(as_mid, batch_format="pyarrow")
+    wedges = e.join(legs, "inner", n_parts, on=("b",), right_on=("mb",))
+
+    def close_key(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        c = batch.column("c").to_numpy()
+        return pa.table({"k2": pa.array((a << 32) | c, pa.int64())})
+
+    keyed = wedges.map_batches(close_key, batch_format="pyarrow")
+    closed = keyed.join(e, "inner", n_parts, on=("k2",), right_on=("k",))
+    n_tri = closed.count()
+    return pd.DataFrame({"n_triangles": pd.Series([n_tri], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketch / LM-based corpus scoring
+# ---------------------------------------------------------------------------
+
+
+def events_users_kmv(sf_dir: str, k: int = 256):
+    """KMV (bottom-k minimum values) distinct-count sketch over
+    ``events.user_id`` — the oracled complement to the HLL sketch: the
+    estimate ((k-1) << 64) // h_k is computed in EXACT integer
+    arithmetic over md5-64 hashes, so the DuckDB twin (HUGEINT math on
+    the same ``md5_number_upper`` values) matches bit-for-bit, hash
+    collisions and all. When fewer than k distinct hashes exist the
+    sketch degenerates to the exact distinct count.
+
+    Mergeable: each batch emits its bottom-k hash set (<= k rows of
+    8 bytes); union + keep-k-smallest is associative and commutative,
+    so the driver merge is a tiny constant-size fold (same shape as the
+    HLL register merge). NULL user_ids are dropped (count(DISTINCT)
+    semantics)."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    ds = rel.load(sf_dir, "events", ["user_id"])
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        uids = pc.drop_null(batch.column("user_id")).unique().to_numpy(
+            zero_copy_only=False)
+        hs = np.fromiter((_md5_64(str(int(u))) for u in uids),
+                         dtype=np.uint64, count=len(uids))
+        hs = np.unique(hs)[:k]
+        # bit-reinterpret for the exchange (Ray 2.49 mangles uint64)
+        return pa.table({"h": pa.array(hs.view(np.int64), pa.int64())})
+
+    parts = ds.map_batches(bottom_k, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    hs = np.unique(parts["h"].to_numpy(np.int64).view(np.uint64)) \
+        if len(parts) else np.empty(0, np.uint64)
+    hs = np.sort(hs)[:k]
+    if len(hs) < k:
+        est = len(hs)
+    else:
+        est = ((k - 1) << 64) // int(hs[-1])   # exact python-int math
+    return pd.DataFrame({"est_users": pd.Series([est], dtype="int64")})
+
+
+def docs_bigram_fluency(sf_dir: str):
+    """Bigram-LM fluency scoring — the CCNet/KenLM perplexity-filter
+    analog in exact integer arithmetic: train corpus bigram/unigram
+    occurrence counts distributed, then score every document by its mean
+    conditional-bigram probability in micro-units:
+
+        p_i            = (1_000_000 * cnt2(w_i, w_i+1)) // cnt1(w_i)
+        fluency_micro  = sum(p_i) // n_bigrams      (docs with >= 2 tokens)
+
+    (cnt1 = total corpus occurrences of the token at ANY position.)
+
+    Scale discipline (the TF-IDF fix generalized): the model is never a
+    driver-side structure — cnt2 and cnt1 are Datasets keyed on md5-64
+    gram hashes (8-byte shuffle keys; token text never enters an
+    exchange) and the per-doc bigram stream meets them via two hash
+    joins, then one grouped int64 sum per doc. Unbounded vocabulary is
+    therefore fine; hot-token skew pre-combines map-side in
+    grouped_agg."""
+    from pdf_parser_ray.functions.sketches import _md5_64, re2_tokens
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    _SCALE = 1_000_000
+
+    def gram_stream(batch: pa.Table) -> pa.Table:
+        """One row per bigram occurrence: (doc_id, h2, h1)."""
+        cache: dict[str, int] = {}
+
+        def h(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = cache[s] = _md5_64(s)
+            return v
+
+        doc_ids, h2s, h1s = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            w = re2_tokens(text or "")
+            for i in range(len(w) - 1):
+                doc_ids.append(did)
+                h2s.append(h(w[i] + " " + w[i + 1]))
+                h1s.append(h(w[i]))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "h2": pa.array(np.array(h2s, dtype=np.uint64).view(np.int64),
+                           pa.int64()),
+            "h1": pa.array(np.array(h1s, dtype=np.uint64).view(np.int64),
+                           pa.int64()),
+        })
+
+    grams = ds.map_batches(gram_stream, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    n_grams = grams.count()
+    if n_grams == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "fluency_micro": pd.Series(dtype="int64")})
+
+    def uni_stream(batch: pa.Table) -> pa.Table:
+        return pa.table({"h1": batch.column("h1")})
+
+    cnt2 = rel.ensure_schema(
+        rel.grouped_agg(grams, ["h2"], [("c2", "", "count")]),
+        pa.schema([("h2", pa.int64()), ("c2", pa.int64())]))
+    # unigram counts over bigram HEADS would miss each doc's final token;
+    # count every token position: re-emit h1 per token via the last-token
+    # fix below. The gram stream has one h1 per bigram (positions
+    # 0..n-2); add the final token of each doc in a second tiny stream.
+    def tail_tokens(batch: pa.Table) -> pa.Table:
+        cache: dict[str, int] = {}
+        hs = []
+        for text in batch.column("text").to_pylist():
+            w = re2_tokens(text or "")
+            if w:
+                t = w[-1]
+                hs.append(cache.get(t) or cache.setdefault(t, _md5_64(t)))
+        return pa.table({
+            "h1": pa.array(np.array(hs, dtype=np.uint64).view(np.int64),
+                           pa.int64())})
+
+    all_tokens = grams.map_batches(
+        uni_stream, batch_format="pyarrow").union(
+        ds.map_batches(tail_tokens, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    cnt1 = rel.ensure_schema(
+        rel.grouped_agg(all_tokens, ["h1"], [("c1", "", "count")]),
+        pa.schema([("h1", pa.int64()), ("c1", pa.int64())]))
+
+    n_parts = rel.join_partitions(n_grams)
+    j2 = grams.join(cnt2, "inner", n_parts, on=("h2",))
+    j1 = j2.join(cnt1, "inner", n_parts, on=("h1",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        c2 = batch.column("c2").to_numpy()
+        c1 = batch.column("c1").to_numpy()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "p": pa.array((_SCALE * c2) // c1, pa.int64()),
+        })
+
+    per_doc = rel.grouped_agg(
+        j1.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"], [("s", "p", "sum"), ("n", "", "count")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column("s"), pa.int64()).to_numpy()
+        n = pc.cast(batch.column("n"), pa.int64()).to_numpy()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fluency_micro": pa.array(s // n, pa.int64()),
+        })
+
+    out = rel.ensure_schema(per_doc, pa.schema(
+        [("doc_id", pa.int64()), ("s", pa.int64()), ("n", pa.int64())])
+    ).map_batches(finish, batch_format="pyarrow")
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"doc_id": "int64", "fluency_micro": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def docs_dsir_weights(sf_dir: str, n_buckets: int = 1024):
+    """DSIR-style importance weights (Xie et al.: data selection via
+    hashed-n-gram importance resampling), integer-exact: target
+    distribution = ``lang = 'en'`` documents, raw = the whole corpus,
+    features = unigrams hashed into ``n_buckets`` buckets:
+
+        bucket(t)       = md5_64(t) % n_buckets
+        w[b]            = (1_000_000 * (cnt_en[b] + 1)) // (cnt_all[b] + 1)
+        dsir_micro(doc) = sum over tokens w[bucket(t)] // n_tokens
+
+    Unlike a vocabulary map, the weight table is BOUNDED (n_buckets
+    rows) regardless of corpus size — collect + ``ray.put`` broadcast is
+    the correct plan at 100 TB. One distributed counting pass (map-side
+    bincount partials, one tiny grouped sum), one shuffle-free scoring
+    pass. Docs with zero tokens are excluded (no defined mean)."""
+    from pdf_parser_ray.functions.sketches import _md5_64, re2_tokens
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text", "lang"])
+    _SCALE = 1_000_000
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        cache: dict[str, int] = {}
+        all_c = np.zeros(n_buckets, dtype=np.int64)
+        en_c = np.zeros(n_buckets, dtype=np.int64)
+        for text, lang in zip(batch.column("text").to_pylist(),
+                              batch.column("lang").to_pylist()):
+            for t in re2_tokens(text or ""):
+                b = cache.get(t)
+                if b is None:
+                    b = cache[t] = _md5_64(t) % n_buckets
+                all_c[b] += 1
+                if lang == "en":
+                    en_c[b] += 1
+        nz = np.nonzero(all_c)[0]
+        return pa.table({
+            "b": pa.array(nz, pa.int64()),
+            "call": pa.array(all_c[nz], pa.int64()),
+            "cen": pa.array(en_c[nz], pa.int64()),
+        })
+
+    counts = rel.grouped_agg(
+        ds.map_batches(bucket_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["b"], [("call", "call", "sum"), ("cen", "cen", "sum")],
+        small_result=True)
+    wt = np.zeros(n_buckets, dtype=np.int64)
+    b_idx = counts["b"].to_numpy(np.int64)
+    wt_vals = (_SCALE * (counts["cen"].to_numpy(np.int64) + 1)) // (
+        counts["call"].to_numpy(np.int64) + 1)
+    wt[b_idx] = wt_vals
+    # empty buckets: w = (SCALE * 1) // 1 = SCALE (cnt 0 both sides)
+    empty = np.ones(n_buckets, dtype=bool)
+    empty[b_idx] = False
+    wt[empty] = _SCALE
+    wref = ray.put(wt)
+
+    def score_docs(batch: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        cache: dict[str, int] = {}
+        ids, scores = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = re2_tokens(text or "")
+            if not toks:
+                continue
+            s = 0
+            for t in toks:
+                b = cache.get(t)
+                if b is None:
+                    b = cache[t] = _md5_64(t) % n_buckets
+                s += int(w[b])
+            ids.append(did)
+            scores.append(s // len(toks))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "dsir_micro": pa.array(scores, pa.int64())})
+
+    out = ds.map_batches(score_docs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"doc_id": "int64", "dsir_micro": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])

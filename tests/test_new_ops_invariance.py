@@ -71,7 +71,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_value_percent_rank", "events_type_value_stats",
         "emb_dedup_keep", "docs_bin_pack", "emb_normalize",
         "events_interarrival", "docs_anchor_positive",
-        "docs_charclass_profile", "events_debounce", "docs_bpe_pretokens"]
+        "docs_charclass_profile", "events_debounce", "docs_bpe_pretokens",
+        "docs_pagerank", "docs_triangles", "events_users_kmv",
+        "docs_bigram_fluency", "docs_dsir_weights"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:
