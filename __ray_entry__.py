@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pagerank": q.docs_pagerank,
         "docs_triangles": q.docs_triangles,
         "events_users_kmv": q.events_users_kmv,
+        "emb_gram_matrix": q.emb_gram_matrix,
         "docs_bigram_fluency": q.docs_bigram_fluency,
         "docs_dsir_weights": q.docs_dsir_weights,
         "emb_near_pairs_lsh": q.emb_near_pairs_lsh,
@@ -229,6 +230,21 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "emb_gram_matrix": r"""
+            -- quantize-then-sum Gram matrix: per-row double products
+            -- rounded to integer micro-units before the (exact) sum
+            WITH x AS (
+                SELECT vec_id, t.i AS i,
+                       CAST(embedding[t.i] AS DOUBLE) AS xi
+                FROM embeddings,
+                     LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)
+            )
+            SELECT a.i - 1 AS i, b.i - 1 AS j,
+                   CAST(sum(CAST(round(a.xi * b.xi * 1000000) AS BIGINT))
+                        AS BIGINT) AS gram_micro
+            FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
+            GROUP BY 1, 2
         """,
         "events_users_kmv": r"""
             -- KMV bottom-k distinct sketch, exact integer estimate over

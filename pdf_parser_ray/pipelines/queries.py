@@ -3770,3 +3770,45 @@ def docs_dsir_weights(sf_dir: str, n_buckets: int = 1024):
     df = rel.ensure_columns(out.to_pandas(),
                             {"doc_id": "int64", "dsir_micro": "int64"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def emb_gram_matrix(sf_dir: str):
+    """Distributed Gram matrix over the embedding column — the reduction
+    behind PCA / whitening / covariance shrinkage at corpus scale. Exact
+    integer discipline: each row's pairwise product is quantized to
+    micro-units FIRST (half-away round of x_i * x_j * 1e6 on float64 —
+    the identical double expression DuckDB evaluates), then summed as
+    int64, so the result is bit-identical at any parallelism and vs SQL
+    regardless of accumulation order.
+
+    Plan: one shuffle-free pass — each batch reduces its (N, d) slab to
+    a d x d int64 partial via a single einsum-shaped vectorized round
+    (zero-copy Arrow -> numpy reshape, stages/similarity._matrix), then
+    the d*(d+1)/2 upper-triangle cells flow through the small_result
+    grouped-sum (the exchange is O(d^2) CONSTANT rows per block, never
+    O(rows)). Output: (i, j, gram_micro) for i <= j."""
+    from pdf_parser_ray.stages.similarity import _matrix
+
+    ds = rel.load(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        if x.size == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64())})
+        d = x.shape[1]
+        iu, ju = np.triu_indices(d)
+        # quantize per-row products, THEN sum (order-insensitive int64)
+        prods = x[:, iu] * x[:, ju]                    # (N, d*(d+1)/2)
+        q = np_round_half_away_int(prods * 1_000_000).sum(axis=0)
+        return pa.table({"i": pa.array(iu, pa.int64()),
+                         "j": pa.array(ju, pa.int64()),
+                         "g": pa.array(q, pa.int64())})
+
+    out = rel.grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["i", "j"], [("gram_micro", "g", "sum")], small_result=True)
+    out["gram_micro"] = out["gram_micro"].astype("int64")
+    return rel.to_pandas_sorted(out, ["i", "j"])

@@ -215,3 +215,32 @@ def test_dsir_weights_match_reference_and_separate_langs():
     got = dict(zip(out["doc_id"], out["dsir_micro"]))
     # english docs score higher than non-target-language docs
     assert min(got[0], got[1], got[4]) > max(got[2], got[3])
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix vs pure-python reference
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gram_matrix_matches_reference():
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+
+    rng = np.random.RandomState(11)
+    mat = rng.standard_normal((30, 5)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(30, np.int32), pa.int32()),
+    })
+    out = _patched(tbl, "emb_gram_matrix")
+    x = mat.astype(np.float64)
+    got = {(i, j): g for i, j, g in
+           zip(out["i"], out["j"], out["gram_micro"])}
+    for i in range(5):
+        for j in range(i, 5):
+            ref = int(np_round_half_away_int(
+                (x[:, i] * x[:, j]) * 1_000_000).sum())
+            assert got[(i, j)] == ref
+    # symmetric reduction emits exactly the upper triangle
+    assert len(out) == 5 * 6 // 2
