@@ -3430,7 +3430,11 @@ def docs_pagerank(sf_dir: str, n_iters: int = 4):
 
     scores = zeros.map_batches(init_scores,
                                batch_format="pyarrow").materialize()
-    n_parts = rel.join_partitions(n_docs * _PR_OUT_DEG)
+    # join-key cardinality is n_docs (src/doc_id), and every partition is
+    # a pool of join-aggregator ACTORS paid per round — size by keys,
+    # not edge rows (15-partition joins x 4 rounds measured 67 s of pure
+    # actor churn at 32 CPUs vs ~15 s at key-sized counts)
+    n_parts = rel.join_partitions(n_docs)
     div = 100 * _PR_OUT_DEG
 
     def contrib(batch: pa.Table) -> pa.Table:
@@ -3507,7 +3511,8 @@ def docs_triangles(sf_dir: str):
     n_edges = e.count()
     if n_edges == 0:
         return pd.DataFrame({"n_triangles": pd.Series([0], dtype="int64")})
-    n_parts = rel.join_partitions(n_edges)
+    # wedge-join key cardinality is bounded by n_docs (middle vertex)
+    n_parts = rel.join_partitions(min(n_docs, n_edges))
 
     def as_mid(batch: pa.Table) -> pa.Table:
         # wedge legs keyed by their lower endpoint (the middle vertex b)
@@ -3657,9 +3662,16 @@ def docs_bigram_fluency(sf_dir: str):
         rel.grouped_agg(all_tokens, ["h1"], [("c1", "", "count")]),
         pa.schema([("h1", pa.int64()), ("c1", pa.int64())]))
 
-    n_parts = rel.join_partitions(n_grams)
-    j2 = grams.join(cnt2, "inner", n_parts, on=("h2",))
-    j1 = j2.join(cnt1, "inner", n_parts, on=("h1",))
+    # partition counts key on DISTINCT-KEY cardinality, not the gram-row
+    # count (cnt1/cnt2 have one row per key, so .count() IS the key
+    # count) — a tiny vocabulary over many partitions leaves hash
+    # partitions empty and crashes the Ray 2.49 Acero join
+    cnt2 = cnt2.materialize()
+    cnt1 = cnt1.materialize()
+    j2 = grams.join(cnt2, "inner", rel.join_partitions(cnt2.count()),
+                    on=("h2",))
+    j1 = j2.join(cnt1, "inner", rel.join_partitions(cnt1.count()),
+                 on=("h1",))
 
     def score(batch: pa.Table) -> pa.Table:
         c2 = batch.column("c2").to_numpy()
