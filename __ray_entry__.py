@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": q.q10_returned_items,
         "top_parts": q.top_parts,
         "segment_price_quartiles": q.segment_price_quartiles,
+        # --- driver cap (50) falls here; every entry below carries a
+        #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
+        #     no_oracle rows-only check) and stays covered by the local
+        #     gate each round
         "events_sessions": q.events_sessions,
         "events_rolling": q.events_rolling,
         "events_asof_click": q.events_asof_click,
@@ -106,10 +110,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "customers_without_orders": q.customers_without_orders,
         "docs_lang_source_rollup": q.docs_lang_source_rollup,
-        # --- driver cap (50) falls here; every entry below carries a
-        #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
-        #     no_oracle rows-only check) and stays covered by the local
-        #     gate each round
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_simhash": q.docs_simhash,
