@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_triangles": q.docs_triangles,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
+        "emb_knn_graph": q.emb_knn_graph,
         "docs_bigram_fluency": q.docs_bigram_fluency,
         "docs_dsir_weights": q.docs_dsir_weights,
         "emb_near_pairs_lsh": q.emb_near_pairs_lsh,
@@ -230,6 +231,26 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "emb_knn_graph": r"""
+            -- exact cosine kNN graph, k = 5, self excluded; rank on the
+            -- ROUNDED similarity then neighbor id (the engine's total
+            -- order)
+            WITH scored AS (
+                SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid
+                    ORDER BY cos_sim DESC, vec_id) AS rn
+                FROM scored
+            )
+            SELECT qid, vec_id, cos_sim FROM ranked WHERE rn <= 5
         """,
         "emb_gram_matrix": r"""
             -- quantize-then-sum Gram matrix: per-row double products

@@ -3824,3 +3824,12 @@ def emb_gram_matrix(sf_dir: str):
         ["i", "j"], [("gram_micro", "g", "sum")], small_result=True)
     out["gram_micro"] = out["gram_micro"].astype("int64")
     return rel.to_pandas_sorted(out, ["i", "j"])
+
+
+def emb_knn_graph(sf_dir: str, k: int = 5):
+    """Exact cosine k-NN graph over the embeddings table (self excluded)
+    — see stages/similarity.knn_graph for the block-pair local-top-k
+    plan and its total-order tie discipline (rounded sim desc, then
+    neighbor id asc, matching the SQL row_number twin)."""
+    ds = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.knn_graph(ds, k=k)

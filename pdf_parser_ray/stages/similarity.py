@@ -461,3 +461,120 @@ def ivf_topk(embs: ray.data.Dataset, queries: dict[int, list[float]],
     return (cand.sort_values(["qid", "cos_sim", "vec_id"],
                              ascending=[True, False, True], kind="mergesort")
             .groupby("qid", sort=True).head(k).reset_index(drop=True))
+
+
+def knn_graph(embs: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
+    """Exact k-nearest-neighbor graph by cosine, self excluded — the
+    candidate-graph primitive under SNN clustering and graph-based
+    semantic dedup. Returns (qid, vec_id, cos_sim) with at most k
+    neighbors per vector.
+
+    Plan: the ``pairs_above`` block-pair fan-out generalized to per-ROW
+    local top-k. Each task scores one super-block pair in both
+    directions and keeps each row's k+1 best candidates under the total
+    order (-rounded_sim, neighbor_id) — an int64 composite key, so
+    selection is exact and deterministic. The only exchange is the
+    candidate stream, O(n x G x k) rows (G = super-block count); a
+    grouped per-qid top-k under the SAME total order merges it (top-k of
+    a union == top-k of per-part top-ks under a total order). Exact kNN
+    is inherently O(n^2) compute; at corpus scale the same kernel runs
+    per IVF/LSH bucket (see ``ivf_topk`` / ``lsh_pairs_above``).
+
+    Ids must fit 33 bits for the packed key (testdata contract; wider
+    ids would rank on a structured sort instead)."""
+    _SENTINEL = np.iinfo(np.int64).max
+
+    refs = embs.select_columns(["vec_id", "embedding"]).to_arrow_refs()
+    nbytes_of = ray.remote(num_cpus=0)(lambda t: t.nbytes)
+    sizes = ray.get([nbytes_of.remote(r) for r in refs])
+    target_group_bytes = 64 * 1024 * 1024
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for i, sz in enumerate(sizes):
+        if cur and cur_bytes + sz > target_group_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(i)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+
+    refs_ref = ray.put(refs)
+    groups_ref = ray.put(groups)
+    ngroups = len(groups)
+    pairs_idx = [{"i": i, "j": j}
+                 for i in range(ngroups) for j in range(i, ngroups)]
+
+    empty = {
+        "qid": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "cos_sim": pa.array([], pa.float64()),
+    }
+
+    def _local(ids_q, mat_q, ids_c, mat_c, same) -> pa.Table:
+        sims = mat_q @ mat_c.T
+        r = np_round_half_away(sims, 4)
+        score_i = np.rint(r * 1e4).astype(np.int64)
+        keys = (-score_i) * (1 << 33) + ids_c[None, :]
+        if same:
+            keys[ids_q[:, None] == ids_c[None, :]] = _SENTINEL
+        kk = min(k + (1 if same else 0), keys.shape[1])
+        part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(keys.shape[0]), kk)
+        cols = part.ravel()
+        valid = keys[rows, cols] != _SENTINEL
+        if not valid.any():
+            return pa.table(empty)
+        return pa.table({
+            "qid": pa.array(np.repeat(ids_q, kk)[valid], pa.int64()),
+            "vec_id": pa.array(ids_c[cols][valid], pa.int64()),
+            "cos_sim": pa.array(r[rows, cols][valid], pa.float64()),
+        })
+
+    def _fetch(all_refs, group) -> pa.Table:
+        return pa.concat_tables([ray.get(all_refs[g]) for g in group])
+
+    def score(batch: pa.Table) -> pa.Table:
+        all_refs = ray.get(refs_ref)
+        all_groups = ray.get(groups_ref)
+        tables = []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            ta = _fetch(all_refs, all_groups[i])
+            if ta.num_rows == 0:
+                continue
+            ids_a, mat_a = _id_array(ta), _unit(_matrix(ta))
+            if j == i:
+                tables.append(_local(ids_a, mat_a, ids_a, mat_a, True))
+                continue
+            tb = _fetch(all_refs, all_groups[j])
+            if tb.num_rows == 0:
+                continue
+            ids_b, mat_b = _id_array(tb), _unit(_matrix(tb))
+            tables.append(_local(ids_a, mat_a, ids_b, mat_b, False))
+            tables.append(_local(ids_b, mat_b, ids_a, mat_a, False))
+        return pa.concat_tables(tables) if tables else pa.table(empty)
+
+    from pdf_parser_ray.runtime import cluster_cpus
+
+    n_tasks = max(1, min(len(pairs_idx), cluster_cpus() * 2))
+    idx = ray.data.from_items(pairs_idx, override_num_blocks=n_tasks)
+    cands = idx.map_batches(score, batch_format="pyarrow")
+
+    def per_q(df: pd.DataFrame) -> pd.DataFrame:
+        key = ((-np.rint(df["cos_sim"].to_numpy() * 1e4).astype(np.int64))
+               * (1 << 33) + df["vec_id"].to_numpy(np.int64))
+        order = np.argsort(key, kind="stable")[:k]
+        return df.iloc[order]
+
+    out = cands.groupby("qid").map_groups(
+        per_q, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({
+            "qid": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        })
+    return (out.sort_values(["qid", "vec_id"], kind="mergesort")
+            .reset_index(drop=True))

@@ -143,3 +143,24 @@ def test_gram_matrix_fuzz(mat):
         "label": pa.array(np.zeros(len(m), np.int32), pa.int32()),
     })
     _check("emb_gram_matrix", "embeddings", tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(mat=st.lists(
+    st.lists(st.floats(min_value=-3, max_value=3, allow_nan=False,
+                       width=32),
+             min_size=4, max_size=4),
+    min_size=2, max_size=25))
+def test_knn_graph_fuzz(mat):
+    # duplicate rows force rounded-sim ties; the total order (sim desc,
+    # vec_id asc) must agree with the SQL row_number twin exactly
+    m = np.array(mat + mat[:2], dtype=np.float32)
+    norms = np.linalg.norm(m.astype(np.float64), axis=1)
+    m[norms == 0] = np.float32(1.0)   # cosine undefined on zero vectors
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(len(m), np.int32), pa.int32()),
+    })
+    _check("emb_knn_graph", "embeddings", tbl)
