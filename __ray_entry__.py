@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
+        "emb_snn_keep": q.emb_snn_keep,
         "docs_bigram_fluency": q.docs_bigram_fluency,
         "docs_dsir_weights": q.docs_dsir_weights,
         "emb_near_pairs_lsh": q.emb_near_pairs_lsh,
@@ -251,6 +252,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT qid, vec_id, cos_sim FROM ranked WHERE rn <= 5
+        """,
+        "emb_snn_keep": r"""
+            -- SNN semantic dedup: mutual-kNN edges at rounded cos >= 0.5,
+            -- connected components, keep each component's min-id rep
+            WITH RECURSIVE scored AS (
+                SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid
+                    ORDER BY cos_sim DESC, vec_id) AS rn
+                FROM scored
+            ),
+            knn AS (SELECT qid, vec_id, cos_sim FROM ranked WHERE rn <= 5),
+            mut AS (
+                SELECT a.qid AS u, a.vec_id AS v
+                FROM knn a
+                JOIN knn b ON b.qid = a.vec_id AND b.vec_id = a.qid
+                WHERE a.qid < a.vec_id AND a.cos_sim >= 0.5
+            ),
+            edges AS (
+                SELECT u, v FROM mut UNION ALL SELECT v, u FROM mut
+            ),
+            reach(src, node) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+            ),
+            cc AS (SELECT src AS vec_id, min(node) AS label
+                   FROM reach GROUP BY src)
+            SELECT e.vec_id
+            FROM embeddings e
+            LEFT JOIN cc ON cc.vec_id = e.vec_id
+            WHERE cc.label IS NULL OR cc.label = e.vec_id
         """,
         "emb_gram_matrix": r"""
             -- quantize-then-sum Gram matrix: per-row double products

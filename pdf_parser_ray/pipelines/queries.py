@@ -1420,10 +1420,10 @@ def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
     """Dedup clustering: connected components over the verified near-dup
     pair graph, as iterative distributed min-label propagation (converges
     in O(component diameter) rounds; dup components are tiny, so 2-3
-    rounds). Output: (doc_id, cluster_id=min doc_id in component) for
-    every doc in at least one pair. Oracle: recursive CTE reachability."""
-    from ray.data.aggregate import Min
-
+    rounds — the fixpoint loop lives in rel.cc_min_labels, shared with
+    emb_snn_keep). Output: (doc_id, cluster_id=min doc_id in component)
+    for every doc in at least one pair. Oracle: recursive CTE
+    reachability."""
     edges = _verified_pairs(sf_dir, threshold)
     if edges.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -1441,41 +1441,7 @@ def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
 
     edge_ds = edges.map_batches(both_dirs, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
-    label_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
-
-    def init_labels(b: pa.Table) -> pa.Table:
-        if "u" not in b.schema.names:  # schema-less empty shuffle block
-            return label_schema.empty_table()
-        return pa.table({"doc_id": b.column("u"), "label": b.column("u")})
-
-    labels = (rel.grouped_agg(edge_ds, ["u"], [("n", "", "count")])
-              .map_batches(init_labels, batch_format="pyarrow")
-              .materialize())
-
-    # join partition count from the known edge count (Ray 2.49 joins
-    # fail on empty hash partitions — see dedup.minhash_verified_pairs)
-    n_parts = rel.join_partitions(edge_ds.count())
-
-    for _ in range(64):  # diameter bound; real loop exits on fixpoint
-        # candidate labels: every node keeps its own and receives each
-        # neighbor's current label
-        prop = edge_ds.join(labels, "inner", n_parts, on=("u",),
-                            right_on=("doc_id",))
-
-        def as_cand(batch: pa.Table) -> pa.Table:
-            return pa.table({"doc_id": batch.column("v"),
-                             "label": batch.column("label")})
-
-        cands = prop.map_batches(as_cand, batch_format="pyarrow").union(labels)
-        new_labels = rel.ensure_schema(
-            cands.groupby("doc_id").aggregate(Min("label", alias_name="label")),
-            label_schema).materialize()
-        # fixpoint check: total label sum strictly decreases until stable
-        if new_labels.sum("label") == labels.sum("label"):
-            labels = new_labels
-            break
-        labels = new_labels
-
+    labels = rel.cc_min_labels(edge_ds)
     df = labels.to_pandas().rename(columns={"label": "cluster_id"})
     return rel.to_pandas_sorted(df, ["doc_id"])
 
@@ -3833,3 +3799,75 @@ def emb_knn_graph(sf_dir: str, k: int = 5):
     neighbor id asc, matching the SQL row_number twin)."""
     ds = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
     return similarity.knn_graph(ds, k=k)
+
+
+def emb_snn_keep(sf_dir: str, k: int = 5, threshold: float = 0.5):
+    """Graph-based semantic dedup through the exact kNN graph (the SNN /
+    shared-nearest-neighbor flavor of SemDeDup): mutual-kNN pairs at
+    rounded cosine >= ``threshold`` become undirected edges, connected
+    components assign cluster labels (rel.cc_min_labels — the same
+    fixpoint loop as the text near-dup clustering), and only each
+    component's min-id representative survives. Returns the keep-list
+    (vec_id).
+
+    Scale discipline: the kNN graph stays a Dataset (knn_graph
+    as_dataset=True); mutual edges come from ONE packed-pair-key groupby
+    (count == 2 <=> both directions present); the removed set is bounded
+    by near-dup cluster volume, so the final filter is a broadcast
+    anti-join — the docs_dedup_keep plan over an embedding graph."""
+    knn = similarity.knn_graph(
+        rel.load(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=k, as_dataset=True)
+
+    pair_schema = pa.schema([("pk", pa.int64())])
+
+    def to_pair_keys(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["cos_sim"].to_numpy()
+        q = df["qid"].to_numpy(np.int64)
+        v = df["vec_id"].to_numpy(np.int64)
+        m = s >= threshold
+        lo = np.minimum(q[m], v[m])
+        hi = np.maximum(q[m], v[m])
+        return pd.DataFrame({"pk": lo * (1 << 33) + hi})
+
+    keys = knn.map_batches(to_pair_keys, batch_format="pandas")
+    counted = rel.grouped_agg(keys, ["pk"], [("n", "", "count")])
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def mutual_edges(batch: pa.Table) -> pa.Table:
+        if "pk" not in batch.schema.names:
+            return edge_schema.empty_table()
+        # count == 2 <=> the pair appears in BOTH directions' top-k
+        b = batch.filter(pc.equal(batch.column("n"), pa.scalar(2)))
+        pk = b.column("pk").to_numpy()
+        u = pk >> 33
+        v = pk & ((1 << 33) - 1)
+        return pa.table({
+            "u": pa.array(np.concatenate([u, v]), pa.int64()),
+            "v": pa.array(np.concatenate([v, u]), pa.int64()),
+        })
+
+    edge_ds = rel.ensure_schema(
+        counted.map_batches(mutual_edges, batch_format="pyarrow"),
+        edge_schema).materialize()
+
+    ids = rel.load(sf_dir, "embeddings", ["vec_id"])
+    if edge_ds.count() == 0:
+        df = rel.ensure_columns(ids.to_pandas(), {"vec_id": "int64"})
+        return rel.to_pandas_sorted(df, ["vec_id"])
+
+    labels = rel.cc_min_labels(edge_ds).to_pandas()
+    removed = labels.loc[labels["doc_id"] != labels["label"], "doc_id"]
+    rref = ray.put(pa.array(np.sort(removed.to_numpy(np.int64)),
+                            pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("vec_id"),
+                                  value_set=ray.get(rref)))
+        return batch.filter(mask)
+
+    out = ids.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {"vec_id": "int64"})
+    return rel.to_pandas_sorted(df, ["vec_id"])

@@ -249,3 +249,50 @@ def to_pandas_sorted(ds_or_df, by: list[str]) -> pd.DataFrame:
     """Small-result helper: stable deterministic ordering for comparisons."""
     df = ds_or_df.to_pandas() if hasattr(ds_or_df, "to_pandas") else ds_or_df
     return df.sort_values(by, kind="mergesort").reset_index(drop=True)
+
+
+def cc_min_labels(edge_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Connected components by iterative distributed min-label
+    propagation over an undirected edge Dataset with columns (u, v)
+    (BOTH directions present). Returns a Dataset (doc_id, label) with
+    label = min node id in the component; converges in O(component
+    diameter) rounds with a fixpoint exit on the (strictly decreasing)
+    total label sum. Edges never gather on the driver. Shared by the
+    near-dup text clustering (docs_dup_clusters) and the SNN-graph
+    embedding dedup (emb_snn_keep)."""
+    from ray.data.aggregate import Min
+
+    label_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        if "u" not in b.schema.names:  # schema-less empty shuffle block
+            return label_schema.empty_table()
+        return pa.table({"doc_id": b.column("u"), "label": b.column("u")})
+
+    labels = (grouped_agg(edge_ds, ["u"], [("n", "", "count")])
+              .map_batches(init_labels, batch_format="pyarrow")
+              .materialize())
+
+    # join partition count from the known edge count (Ray 2.49 joins
+    # fail on empty hash partitions — see dedup.minhash_verified_pairs)
+    n_parts = join_partitions(edge_ds.count())
+
+    def as_cand(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("v"),
+                         "label": batch.column("label")})
+
+    for _ in range(64):  # diameter bound; real loop exits on fixpoint
+        # candidate labels: every node keeps its own and receives each
+        # neighbor's current label
+        prop = edge_ds.join(labels, "inner", n_parts, on=("u",),
+                            right_on=("doc_id",))
+        cands = prop.map_batches(as_cand, batch_format="pyarrow").union(labels)
+        new_labels = ensure_schema(
+            cands.groupby("doc_id").aggregate(Min("label", alias_name="label")),
+            label_schema).materialize()
+        # fixpoint check: total label sum strictly decreases until stable
+        if new_labels.sum("label") == labels.sum("label"):
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels

@@ -463,7 +463,8 @@ def ivf_topk(embs: ray.data.Dataset, queries: dict[int, list[float]],
             .groupby("qid", sort=True).head(k).reset_index(drop=True))
 
 
-def knn_graph(embs: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
+def knn_graph(embs: ray.data.Dataset, k: int = 5,
+              as_dataset: bool = False):
     """Exact k-nearest-neighbor graph by cosine, self excluded — the
     candidate-graph primitive under SNN clustering and graph-based
     semantic dedup. Returns (qid, vec_id, cos_sim) with at most k
@@ -568,8 +569,12 @@ def knn_graph(embs: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
         order = np.argsort(key, kind="stable")[:k]
         return df.iloc[order]
 
-    out = cands.groupby("qid").map_groups(
-        per_q, batch_format="pandas").to_pandas()
+    knn = cands.groupby("qid").map_groups(per_q, batch_format="pandas")
+    if as_dataset:
+        # downstream consumers (SNN dedup) keep the n x k graph
+        # distributed; the pandas return below is the comparison sink
+        return knn
+    out = knn.to_pandas()
     if out.empty:
         out = pd.DataFrame({
             "qid": pd.Series(dtype="int64"),

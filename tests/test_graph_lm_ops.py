@@ -244,3 +244,33 @@ def test_gram_matrix_matches_reference():
             assert got[(i, j)] == ref
     # symmetric reduction emits exactly the upper triangle
     assert len(out) == 5 * 6 // 2
+
+
+# ---------------------------------------------------------------------------
+# SNN mutual-kNN dedup
+# ---------------------------------------------------------------------------
+
+
+def _emb_with_planted_dups() -> pa.Table:
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 8))
+    mat = np.vstack([base, base[:6] + 1e-5 * rng.standard_normal((6, 8))])
+    return pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        "label": pa.array((np.arange(len(mat)) % 3).astype(np.int32),
+                          pa.int32()),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snn_keep_removes_planted_duplicates():
+    tbl = _emb_with_planted_dups()
+    out = _patched(tbl, "emb_snn_keep")
+    kept = set(out["vec_id"])
+    # every planted duplicate (rows 40..45, cos ~ 1 with its original)
+    # is a non-representative member of its component -> removed
+    assert kept.isdisjoint(range(40, 46))
+    # a removed vector's component representative survives
+    assert len(kept) < tbl.num_rows
+    assert min(kept) == 0

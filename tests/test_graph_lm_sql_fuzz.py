@@ -164,3 +164,24 @@ def test_knn_graph_fuzz(mat):
         "label": pa.array(np.zeros(len(m), np.int32), pa.int32()),
     })
     _check("emb_knn_graph", "embeddings", tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=8, deadline=None)
+@given(mat=st.lists(
+    st.lists(st.floats(min_value=-3, max_value=3, allow_nan=False,
+                       width=32),
+             min_size=4, max_size=4),
+    min_size=2, max_size=18))
+def test_snn_keep_fuzz(mat):
+    # duplicated rows guarantee mutual-kNN clusters; the keep-list must
+    # match the SQL recursive-component twin exactly
+    m = np.array(mat + mat[:3], dtype=np.float32)
+    norms = np.linalg.norm(m.astype(np.float64), axis=1)
+    m[norms == 0] = np.float32(1.0)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(len(m), np.int32), pa.int32()),
+    })
+    _check("emb_snn_keep", "embeddings", tbl)
