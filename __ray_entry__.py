@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
         "emb_snn_keep": q.emb_snn_keep,
+        "orders_range_partition": q.orders_range_partition,
         "docs_bigram_fluency": q.docs_bigram_fluency,
         "docs_dsir_weights": q.docs_dsir_weights,
         "emb_near_pairs_lsh": q.emb_near_pairs_lsh,
@@ -252,6 +253,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT qid, vec_id, cos_sim FROM ranked WHERE rn <= 5
+        """,
+        "orders_range_partition": r"""
+            -- balanced range partitioner: pid = #exact-quantile bounds
+            -- strictly below the cents value (8 partitions, ties low)
+            WITH c AS (
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                FROM orders
+            ),
+            b AS (
+                SELECT quantile_disc(pc, [0.125, 0.25, 0.375, 0.5,
+                                          0.625, 0.75, 0.875]) AS bs
+                FROM c
+            )
+            SELECT c.o_orderkey,
+                   (SELECT count(*)
+                    FROM unnest((SELECT bs FROM b)) AS t(bv)
+                    WHERE t.bv < c.pc) AS pid
+            FROM c
         """,
         "emb_snn_keep": r"""
             -- SNN semantic dedup: mutual-kNN edges at rounded cos >= 0.5,

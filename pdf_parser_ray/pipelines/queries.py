@@ -3871,3 +3871,47 @@ def emb_snn_keep(sf_dir: str, k: int = 5, threshold: float = 0.5):
                           zero_copy_batch=True)
     df = rel.ensure_columns(out.to_pandas(), {"vec_id": "int64"})
     return rel.to_pandas_sorted(df, ["vec_id"])
+
+
+def orders_range_partition(sf_dir: str, n_parts: int = 8):
+    """Sort-free balanced RANGE PARTITIONER — the primitive behind
+    writing range-partitioned output (or feeding a merge-sorted
+    consumer) without a global sort shuffle: exact quantile bounds from
+    the distributed cents histogram (cardinality-bounded, same machinery
+    as orders_price_quantiles), then ONE shuffle-free pass assigns
+    pid = #bounds strictly below the value (ties go low). Balanced up to
+    value ties by construction. Output: (o_orderkey, pid)."""
+    orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"price_c": _cents(batch.column("o_totalprice"))})
+
+    hist = rel.grouped_agg(
+        orders.map_batches(cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["price_c"], [("n", "", "count")])
+    hdf = hist.to_pandas().sort_values("price_c").reset_index(drop=True)
+    counts = hdf["n"].to_numpy()
+    values = hdf["price_c"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    qs = [i / n_parts for i in range(1, n_parts)]
+    bounds = np.array(
+        [values[np.searchsorted(cum, int(np.ceil(q * n)))] for q in qs],
+        dtype=np.int64)                      # quantile_disc semantics
+    bref = ray.put(bounds)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        pc_ = _cents(batch.column("o_totalprice")).to_numpy()
+        pid = np.searchsorted(bs, pc_, side="left")  # #bounds < value
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "pid": pa.array(pid.astype(np.int64), pa.int64()),
+        })
+
+    out = orders.map_batches(assign, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"o_orderkey": "int64", "pid": "int64"})
+    return rel.to_pandas_sorted(df, ["o_orderkey"])

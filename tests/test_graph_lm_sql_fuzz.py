@@ -185,3 +185,25 @@ def test_snn_keep_fuzz(mat):
         "label": pa.array(np.zeros(len(m), np.int32), pa.int32()),
     })
     _check("emb_snn_keep", "embeddings", tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(prices=st.lists(
+    st.floats(min_value=0, max_value=500, allow_nan=False),
+    min_size=1, max_size=300))
+def test_range_partition_fuzz(prices):
+    # heavy ties (quantized prices) stress the ties-go-low rule and
+    # duplicate quantile bounds
+    prices = [round(p, 1) for p in prices]
+    n = len(prices)
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array([1] * n, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n, pa.string()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array([dt.datetime(2024, 1, 1)] * n,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+    })
+    _check("orders_range_partition", "orders", tbl)
