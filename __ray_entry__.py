@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pretokens": q.docs_bpe_pretokens,
         "events_debounce": q.events_debounce,
         # ---- tier 2: rows-only, never recorded ----
+        "docs_bpe_merges": q.docs_bpe_merges,
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
         "media_features": q.media_features,

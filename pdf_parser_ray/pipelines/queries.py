@@ -3915,3 +3915,103 @@ def orders_range_partition(sf_dir: str, n_parts: int = 8):
     df = rel.ensure_columns(out.to_pandas(),
                             {"o_orderkey": "int64", "pid": "int64"})
     return rel.to_pandas_sorted(df, ["o_orderkey"])
+
+
+def docs_bpe_merges(sf_dir: str, n_merges: int = 6):
+    """Distributed BPE tokenizer TRAINING (the byte-pair-merge learner
+    behind GPT-2/RoBERTa vocabularies): learn ``n_merges`` merges from
+    the corpus word vocabulary.
+
+    Round structure (the standard trainer, distributed the Ray-Data
+    way):
+      * one distributed pass builds the (word, count) vocabulary —
+        map-side value_counts, ONE grouped sum keyed on the word (the
+        only corpus-sized exchange, one row per DISTINCT word);
+      * each merge round is a map_batches pair-count over the vocab
+        Dataset (count x adjacent-pair occurrences under the CURRENT
+        segmentation, pairs weighted by word frequency) + a tiny grouped
+        sum — the vocab stays distributed, only the bounded per-block
+        pair partials move;
+      * the argmax merge decision (max count, then lexicographically
+        smallest pair — a total order, so parallelism-invariant) is
+        driver-side on the small aggregated pair table, exactly like
+        every production trainer; the chosen merge broadcasts to the
+        next round's segmentation.
+    Output: (round, left, right, pair_count) for the learned merges.
+    No SQL twin (the segmentation state evolves per round); correctness
+    is pinned by a pure-python reference trainer + block-boundary
+    invariance + determinism (the driver records rows-only)."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+
+    ds = rel.load(sf_dir, "documents", ["text"])
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for w in re2_tokens(text or ""):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({
+            "w": pa.array(list(counts), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    vocab = rel.ensure_schema(
+        rel.grouped_agg(
+            ds.map_batches(word_counts, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["w"], [("n", "n", "sum")]),
+        pa.schema([("w", pa.string()), ("n", pa.int64())])).materialize()
+
+    merges: list[tuple[str, str, int]] = []
+
+    def seg_of(word: str, merge_list) -> list[str]:
+        seg = list(word)
+        for a, b in merge_list:
+            out = []
+            i = 0
+            while i < len(seg):
+                if (i + 1 < len(seg) and seg[i] == a and seg[i + 1] == b):
+                    out.append(a + b)    # greedy leftmost application
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            seg = out
+        return seg
+
+    for _ in range(n_merges):
+        done = tuple((a, b) for a, b, _ in merges)
+
+        def pair_counts(batch: pa.Table, _done=done) -> pa.Table:
+            acc: dict[tuple[str, str], int] = {}
+            for w, n in zip(batch.column("w").to_pylist(),
+                            batch.column("n").to_pylist()):
+                seg = seg_of(w, _done)
+                for i in range(len(seg) - 1):
+                    p = (seg[i], seg[i + 1])
+                    acc[p] = acc.get(p, 0) + n
+            return pa.table({
+                "a": pa.array([p[0] for p in acc], pa.string()),
+                "b": pa.array([p[1] for p in acc], pa.string()),
+                "c": pa.array(list(acc.values()), pa.int64()),
+            })
+
+        pairs = rel.as_pandas(rel.grouped_agg(
+            vocab.map_batches(pair_counts, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            ["a", "b"], [("c", "c", "sum")]))
+        if pairs.empty:
+            break
+        # total order: count desc, then (a, b) lexicographic asc
+        pairs = pairs.sort_values(["c", "a", "b"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort")
+        top = pairs.iloc[0]
+        merges.append((str(top["a"]), str(top["b"]), int(top["c"])))
+
+    return pd.DataFrame({
+        "round": pd.Series(range(len(merges)), dtype="int64"),
+        "left": pd.Series([m[0] for m in merges], dtype="object"),
+        "right": pd.Series([m[1] for m in merges], dtype="object"),
+        "pair_count": pd.Series([m[2] for m in merges], dtype="int64"),
+    })

@@ -274,3 +274,63 @@ def test_snn_keep_removes_planted_duplicates():
     # a removed vector's component representative survives
     assert len(kept) < tbl.num_rows
     assert min(kept) == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning vs pure-python reference trainer
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(texts, n_merges=6):
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in re2_tokens(t):
+            counts[w] = counts.get(w, 0) + 1
+    segs = {w: list(w) for w in counts}
+    merges = []
+    for _ in range(n_merges):
+        acc: dict[tuple, int] = {}
+        for w, n in counts.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                acc[(s[i], s[i + 1])] = acc.get((s[i], s[i + 1]), 0) + n
+        if not acc:
+            break
+        best = min(acc, key=lambda p: (-acc[p], p[0], p[1]))
+        merges.append((best[0], best[1], acc[best]))
+        a, b = best
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_merges_match_reference_trainer():
+    texts = ["low lower lowest low low",
+             "new newer newest new",
+             "wide wider widest wide wide wide",
+             ""]
+    out = _patched(_docs(texts), "docs_bpe_merges")
+    ref = _ref_bpe(texts)
+    got = list(zip(out["left"], out["right"], out["pair_count"]))
+    assert got == ref
+    assert list(out["round"]) == list(range(len(ref)))
+    # the dominant pattern ("lo"/"wi"-style frequent pairs) merges first
+    assert out["pair_count"].is_monotonic_decreasing or len(ref) <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_merges_chain_builds_longer_symbols():
+    # enough repetition that merges compose into a multi-char symbol
+    texts = ["abab abab abab abab"] * 3
+    out = _patched(_docs(texts), "docs_bpe_merges")
+    syms = [l + r for l, r in zip(out["left"], out["right"])]
+    assert any(len(s) >= 3 for s in syms)
