@@ -99,14 +99,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": q.q1_pricing_summary,
         "q3_top_revenue_orders": q.q3_top_revenue_orders,
         "q4_late_orders": q.q4_late_orders,
-        "q5_nation_revenue": q.q5_nation_revenue,
-        "q10_returned_items": q.q10_returned_items,
-        "top_parts": q.top_parts,
-        "segment_price_quartiles": q.segment_price_quartiles,
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check) and stays covered by the local
         #     gate each round
+        "q5_nation_revenue": q.q5_nation_revenue,
+        "q10_returned_items": q.q10_returned_items,
+        "top_parts": q.top_parts,
+        "segment_price_quartiles": q.segment_price_quartiles,
         "events_sessions": q.events_sessions,
         "events_rolling": q.events_rolling,
         "events_asof_click": q.events_asof_click,
