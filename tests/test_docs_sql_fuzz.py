@@ -52,6 +52,8 @@ def _check(query_name: str, texts) -> None:
     from pdf_parser_ray.pipelines import queries as q
 
     tbl = _table(texts)
+    q.clear_session_caches()  # fake sf_dir keys must not hit stale memos
+
     orig = q.rel.load
     q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
         tbl.select(columns) if columns else tbl)
@@ -263,6 +265,8 @@ def _check_ids(query_name: str, ids, texts) -> None:
     import ray.data
 
     from pdf_parser_ray.pipelines import queries as q
+
+    q.clear_session_caches()  # fake sf_dir keys must not hit stale memos
 
     tbl = pa.table({
         "doc_id": pa.array(ids, pa.int64()),

@@ -40,6 +40,8 @@ def _check(query_name: str, view: str, tbl: pa.Table) -> None:
 
     from pdf_parser_ray.pipelines import queries as q
 
+    q.clear_session_caches()  # fake sf_dir keys must not hit stale memos
+
     orig = q.rel.load
     q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
         tbl.select(columns) if columns else tbl)
