@@ -3363,6 +3363,9 @@ def _derived_edges(sf_dir: str):
 
     def mk(batch: pa.Table) -> pa.Table:
         src = batch.column("doc_id").to_numpy()
+        if len(src) and (src.min() < 0 or src.max() >= n_docs):
+            raise ValueError("derived link graph requires contiguous "
+                             "doc_id 0..N-1 (testdata contract)")
         srcs = np.repeat(src, _PR_OUT_DEG)
         dst = np.fromiter(
             (_md5_64(f"{u}#pr{j}") % n_docs
@@ -3375,7 +3378,8 @@ def _derived_edges(sf_dir: str):
                              zero_copy_batch=True), n_docs)
 
 
-def docs_pagerank(sf_dir: str, n_iters: int = 4):
+def docs_pagerank(sf_dir: str, n_iters: int = 4,
+                  broadcast_max: int = 5_000_000):
     """Distributed PageRank (power iteration) over the derived link
     graph — the iterative-graph-analytics operator (host ranking /
     crawl prioritization in a web pipeline).
@@ -3388,18 +3392,59 @@ def docs_pagerank(sf_dir: str, n_iters: int = 4):
         score_k+1(v)  = 150_000 + sum over in-edges (u, v) of
                           (85 * score_k(u)) // (100 * OUT_DEG)
 
-    Plan: the classic vertex-partitioned power iteration — per round ONE
-    hash join (scores onto edges by src) + ONE grouped int64 sum by dst,
-    seeded with a zero row per node so sinks keep the teleport mass.
-    Edges materialize once and are reused across rounds; scores
-    materialize per round so the lazy graph doesn't recompute the whole
-    chain each iteration (same discipline as docs_dup_clusters). At web
-    scale in-degree skew (hot pages) gets a salted pre-combine on dst
-    before the global sum (SCALE.md)."""
+    SIZE-GATED like the anti-join build side: while the score vector
+    fits one broadcast object (n_docs <= broadcast_max, 8 B/node =
+    40 MB at the gate) each round is ONE shuffle-free map over edges
+    (broadcast gather + in-block sort/reduceat combine) with a driver
+    merge of the bounded sparse partials — no join, no sort-shuffle.
+    Past the gate, the classic vertex-partitioned plan: per round ONE
+    hash join (scores onto edges by src) + ONE grouped int64 sum by
+    dst, seeded with a zero row per node so sinks keep the teleport
+    mass; scores materialize per round so the lazy graph doesn't
+    recompute the chain (docs_dup_clusters discipline). Both paths are
+    the same integer spec — pinned equal in tests. At web scale
+    in-degree skew (hot pages) gets a salted pre-combine on dst before
+    the global sum (SCALE.md)."""
     from ray.data.aggregate import Sum
 
     edges, n_docs = _derived_edges(sf_dir)
     edges = edges.materialize()
+
+    if n_docs <= broadcast_max:
+        div = 100 * _PR_OUT_DEG
+        scores_np = np.full(n_docs, _PR_SCALE, np.int64)
+        for _ in range(n_iters):
+            sref = ray.put(scores_np)
+
+            def part(batch: pa.Table) -> pa.Table:
+                s = ray.get(sref)
+                src = batch.column("src").to_numpy()
+                dst = batch.column("dst").to_numpy()
+                c = (85 * s[src]) // div
+                order = np.argsort(dst, kind="stable")
+                d, cc = dst[order], c[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, d[1:] != d[:-1]]) if len(d) else np.array([], np.int64)
+                return pa.table({
+                    "dst": pa.array(d[bounds], pa.int64()),
+                    "s": pa.array(np.add.reduceat(cc, bounds)
+                                  if len(d) else np.array([], np.int64),
+                                  pa.int64()),
+                })
+
+            parts = edges.map_batches(
+                part, batch_format="pyarrow",
+                zero_copy_batch=True).to_pandas()
+            nxt = np.full(n_docs, _PR_TELEPORT, np.int64)
+            if len(parts):
+                agg = parts.groupby("dst")["s"].sum()
+                nxt[agg.index.to_numpy(np.int64)] += agg.to_numpy(np.int64)
+            scores_np = nxt
+        return pd.DataFrame({
+            "doc_id": pd.Series(np.arange(n_docs), dtype="int64"),
+            "pr_micro": pd.Series(scores_np, dtype="int64"),
+        })
+
     docs = rel.load(sf_dir, "documents", ["doc_id"])
 
     def zero_rows(batch: pa.Table) -> pa.Table:

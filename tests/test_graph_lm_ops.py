@@ -334,3 +334,28 @@ def test_bpe_merges_chain_builds_longer_symbols():
     out = _patched(_docs(texts), "docs_bpe_merges")
     syms = [l + r for l, r in zip(out["left"], out["right"])]
     assert any(len(s) >= 3 for s in syms)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_broadcast_and_join_paths_identical():
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    n = 60
+    tbl = _docs([f"doc {i}" for i in range(n)])
+
+    def load(sf, name, columns=None):
+        return ray.data.from_arrow(
+            tbl.select(columns) if columns else tbl).repartition(4)
+
+    orig = q.rel.load
+    q.rel.load = load
+    try:
+        fast = q.docs_pagerank("t")                      # broadcast path
+        slow = q.docs_pagerank("t", broadcast_max=0)     # forced join path
+    finally:
+        q.rel.load = orig
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True))
+    assert dict(zip(fast["doc_id"], fast["pr_micro"])) == _ref_pagerank(n)

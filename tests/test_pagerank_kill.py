@@ -41,7 +41,7 @@ def killer():
 
 {kill_line}
 from pdf_parser_ray.pipelines.queries import docs_pagerank
-df = docs_pagerank({sf_dir!r})
+df = docs_pagerank({sf_dir!r}, broadcast_max=0)  # force the join path
 import json
 print("RESULT", json.dumps(df.values.tolist(), default=str))
 ray.shutdown()
