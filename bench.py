@@ -138,6 +138,14 @@ def run_queries(sf_dir: str, slow_reps: int = 2,
            if n != "extract_corpus"}  # headline covers this path at scale
 
     def timed(fn):
+        # each measurement is the pipeline's STANDALONE cost: the
+        # session memos (shared pair artifacts) would otherwise let a
+        # best-of-2 re-run report a cache hit (observed: the n-gram pair
+        # stage timing 0.03 s on its warm rep), breaking the
+        # round-over-round comparability this rep policy exists for
+        from pdf_parser_ray.pipelines import queries as qmod
+
+        qmod.clear_session_caches()
         t0 = time.time()
         result = fn(sf_dir)
         if hasattr(result, "to_pandas") and not hasattr(result, "columns"):

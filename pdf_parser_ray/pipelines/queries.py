@@ -3505,15 +3505,21 @@ def docs_pagerank(sf_dir: str, n_iters: int = 4,
     return rel.to_pandas_sorted(df, ["doc_id"])
 
 
-def docs_triangles(sf_dir: str):
+def docs_triangles(sf_dir: str, broadcast_max: int = 5_000_000):
     """Global triangle count over the derived link graph (undirected,
-    deduplicated, self-loops dropped) — the classic two-join distributed
-    plan: wedges via an edge-edge hash join on the middle vertex, closed
-    by a second join against the (lo, hi) edge-key set. Edges are
-    ordered lo < hi so every triangle is generated exactly once as
-    a < b < c. Pair keys pack into one int64 (lo << 32 | hi — doc_ids
-    fit 32 bits by the contiguity contract; wider ids would key on the
-    two-column tuple instead). Output: one row (n_triangles)."""
+    deduplicated, self-loops dropped). Edges are ordered lo < hi so
+    every triangle is generated exactly once as a < b < c; pair keys
+    pack into one int64 (lo << 32 | hi — doc_ids fit 32 bits by the
+    contiguity contract; wider ids would key on the two-column tuple).
+
+    SIZE-GATED: while the distinct edge-key array fits one broadcast
+    object (n_edges <= broadcast_max, 8 B/edge = 40 MB at the gate)
+    counting is ONE shuffle-free map over edge blocks — wedges close
+    against the broadcast sorted key array with searchsorted membership,
+    and only per-block counts reach the driver. Past the gate, the
+    classic two-join plan: wedges via an edge-edge hash join on the
+    middle vertex, closed by a second join against the edge-key set.
+    Both paths pinned equal in tests. Output: one row (n_triangles)."""
     from ray.data.aggregate import Count
 
     edges, n_docs = _derived_edges(sf_dir)
@@ -3549,6 +3555,40 @@ def docs_triangles(sf_dir: str):
     n_edges = e.count()
     if n_edges == 0:
         return pd.DataFrame({"n_triangles": pd.Series([0], dtype="int64")})
+
+    if n_edges <= broadcast_max:
+        # broadcast the sorted key array once; each block closes its own
+        # wedges with searchsorted range-scan + membership — shuffle-free
+        keys = np.sort(rel.collect_column(e, "k")
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+        kref = ray.put(keys)
+
+        def count_block(batch: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            a = batch.column("a").to_numpy()
+            b = batch.column("b").to_numpy()
+            total = 0
+            # successors of b: keys in [b<<32, (b+1)<<32)
+            lo_i = np.searchsorted(ks, b << 32, side="left")
+            hi_i = np.searchsorted(ks, (b + 1) << 32, side="left")
+            cnt = hi_i - lo_i
+            if cnt.sum():
+                rows = np.repeat(np.arange(len(a)), cnt)
+                flat = np.concatenate(
+                    [ks[s:t] for s, t in zip(lo_i, hi_i)]) if len(a) else np.array([], np.int64)
+                c = flat & 0xFFFFFFFF
+                close = (a[rows] << 32) | c
+                idx = np.searchsorted(ks, close)
+                hit = (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)]
+                                         == close)
+                total = int(hit.sum())
+            return pa.table({"t": pa.array([total], pa.int64())})
+
+        parts = e.map_batches(count_block, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+        return pd.DataFrame({"n_triangles": pd.Series(
+            [int(parts["t"].sum())], dtype="int64")})
+
     # wedge-join key cardinality is bounded by n_docs (middle vertex)
     n_parts = rel.join_partitions(min(n_docs, n_edges))
 

@@ -359,3 +359,26 @@ def test_pagerank_broadcast_and_join_paths_identical():
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True), slow.reset_index(drop=True))
     assert dict(zip(fast["doc_id"], fast["pr_micro"])) == _ref_pagerank(n)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangles_broadcast_and_join_paths_identical():
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    n = 80
+    tbl = _docs([f"doc {i}" for i in range(n)])
+
+    def load(sf, name, columns=None):
+        return ray.data.from_arrow(
+            tbl.select(columns) if columns else tbl).repartition(4)
+
+    orig = q.rel.load
+    q.rel.load = load
+    try:
+        fast = q.docs_triangles("t")                      # broadcast path
+        slow = q.docs_triangles("t", broadcast_max=0)     # forced join path
+    finally:
+        q.rel.load = orig
+    assert fast["n_triangles"].tolist() == slow["n_triangles"].tolist()
