@@ -726,11 +726,21 @@ def docs_lang_summary(sf_dir: str):
 # (corpus, threshold) that three pipelines consume (pairs, clustering,
 # keep-list). A production job would persist it once; here a per-session
 # memo of the MATERIALIZED (small, LSH-bounded) dataset plays that role.
-_VERIFIED_PAIRS_CACHE: dict[tuple[str, float], ray.data.Dataset] = {}
+_VERIFIED_PAIRS_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
+def _memo_key(sf_dir: str, threshold: float) -> tuple:
+    """Session-memo key: includes the CURRENT ``rel.load`` binding so a
+    harness that re-binds the loader to a different table (the SQL-parity
+    fuzzers' fake-sf_dir pattern) can never hit a stale artifact — the
+    dict holds the binding object, so its identity stays unique for the
+    cache's lifetime. Production keeps one stable loader, so the memo
+    still hits."""
+    return (rel.load, sf_dir, threshold)
 
 
 def _verified_pairs(sf_dir: str, threshold: float) -> ray.data.Dataset:
-    key = (sf_dir, threshold)
+    key = _memo_key(sf_dir, threshold)
     if key not in _VERIFIED_PAIRS_CACHE:
         ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
         _VERIFIED_PAIRS_CACHE[key] = dedup.minhash_verified_pairs(
@@ -741,11 +751,11 @@ def _verified_pairs(sf_dir: str, threshold: float) -> ray.data.Dataset:
 # Same artifact discipline for the exact n-gram Jaccard candidates —
 # the shared (and most expensive) stage of docs_ngram_jaccard_pairs and
 # docs_edit_pairs: ~18 s of the suite's wall per consumer at sf0.1.
-_NGRAM_PAIRS_CACHE: dict[tuple[str, float], ray.data.Dataset] = {}
+_NGRAM_PAIRS_CACHE: dict[tuple, ray.data.Dataset] = {}
 
 
 def _ngram_pairs(sf_dir: str, threshold: float) -> ray.data.Dataset:
-    key = (sf_dir, threshold)
+    key = _memo_key(sf_dir, threshold)
     if key not in _NGRAM_PAIRS_CACHE:
         ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
         _NGRAM_PAIRS_CACHE[key] = dedup.ngram_jaccard_pairs(
@@ -1471,7 +1481,7 @@ def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
     return rel.to_pandas_sorted(df, ["doc_id"])
 
 
-_CLUSTER_CACHE: dict[tuple[str, float], pd.DataFrame] = {}
+_CLUSTER_CACHE: dict[tuple, pd.DataFrame] = {}
 
 
 def docs_dedup_keep(sf_dir: str, threshold: float = 0.8):
@@ -1480,7 +1490,7 @@ def docs_dedup_keep(sf_dir: str, threshold: float = 0.8):
     min doc_id in the connected component). Non-representatives are
     removed via a broadcast anti-join (the removed set is bounded by the
     near-dup pair volume, tiny relative to the corpus)."""
-    key = (sf_dir, threshold)
+    key = _memo_key(sf_dir, threshold)
     if key not in _CLUSTER_CACHE:
         _CLUSTER_CACHE[key] = docs_dup_clusters(sf_dir, threshold=threshold)
     clusters = _CLUSTER_CACHE[key]
@@ -3678,7 +3688,10 @@ def docs_bigram_fluency(sf_dir: str):
     _SCALE = 1_000_000
 
     def gram_stream(batch: pa.Table) -> pa.Table:
-        """One row per bigram occurrence: (doc_id, h2, h1)."""
+        """ONE tokenization pass per document: a row per bigram
+        occurrence (doc_id, h2, h1, tail=False) plus one tail row per
+        non-empty doc (h1 of the final token, tail=True) so unigram
+        counts cover every position without a second corpus scan."""
         cache: dict[str, int] = {}
 
         def h(s: str) -> int:
@@ -3687,7 +3700,7 @@ def docs_bigram_fluency(sf_dir: str):
                 v = cache[s] = _md5_64(s)
             return v
 
-        doc_ids, h2s, h1s = [], [], []
+        doc_ids, h2s, h1s, tails = [], [], [], []
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
             w = re2_tokens(text or "")
@@ -3695,20 +3708,30 @@ def docs_bigram_fluency(sf_dir: str):
                 doc_ids.append(did)
                 h2s.append(h(w[i] + " " + w[i + 1]))
                 h1s.append(h(w[i]))
+                tails.append(False)
+            if w:
+                doc_ids.append(did)
+                h2s.append(0)
+                h1s.append(h(w[-1]))
+                tails.append(True)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "h2": pa.array(np.array(h2s, dtype=np.uint64).view(np.int64),
                            pa.int64()),
             "h1": pa.array(np.array(h1s, dtype=np.uint64).view(np.int64),
                            pa.int64()),
+            "tail": pa.array(tails, pa.bool_()),
         })
 
-    grams = ds.map_batches(gram_stream, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
-    n_grams = grams.count()
-    if n_grams == 0:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "fluency_micro": pd.Series(dtype="int64")})
+    stream = ds.map_batches(gram_stream, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def bigrams_only(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.invert(batch.column("tail")))
+        return b.select(["doc_id", "h2", "h1"])
+
+    grams = stream.map_batches(bigrams_only, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
 
     def uni_stream(batch: pa.Table) -> pa.Table:
         return pa.table({"h1": batch.column("h1")})
@@ -3716,28 +3739,12 @@ def docs_bigram_fluency(sf_dir: str):
     cnt2 = rel.ensure_schema(
         rel.grouped_agg(grams, ["h2"], [("c2", "", "count")]),
         pa.schema([("h2", pa.int64()), ("c2", pa.int64())]))
-    # unigram counts over bigram HEADS would miss each doc's final token;
-    # count every token position: re-emit h1 per token via the last-token
-    # fix below. The gram stream has one h1 per bigram (positions
-    # 0..n-2); add the final token of each doc in a second tiny stream.
-    def tail_tokens(batch: pa.Table) -> pa.Table:
-        cache: dict[str, int] = {}
-        hs = []
-        for text in batch.column("text").to_pylist():
-            w = re2_tokens(text or "")
-            if w:
-                t = w[-1]
-                hs.append(cache.get(t) or cache.setdefault(t, _md5_64(t)))
-        return pa.table({
-            "h1": pa.array(np.array(hs, dtype=np.uint64).view(np.int64),
-                           pa.int64())})
-
-    all_tokens = grams.map_batches(
-        uni_stream, batch_format="pyarrow").union(
-        ds.map_batches(tail_tokens, batch_format="pyarrow",
-                       zero_copy_batch=True))
+    # unigram counts cover every token position: bigram heads + the tail
+    # rows (all in the single-pass stream above)
     cnt1 = rel.ensure_schema(
-        rel.grouped_agg(all_tokens, ["h1"], [("c1", "", "count")]),
+        rel.grouped_agg(stream.map_batches(uni_stream,
+                                           batch_format="pyarrow"),
+                        ["h1"], [("c1", "", "count")]),
         pa.schema([("h1", pa.int64()), ("c1", pa.int64())]))
 
     # partition counts key on DISTINCT-KEY cardinality, not the gram-row
@@ -3746,6 +3753,9 @@ def docs_bigram_fluency(sf_dir: str):
     # partitions empty and crashes the Ray 2.49 Acero join
     cnt2 = cnt2.materialize()
     cnt1 = cnt1.materialize()
+    if cnt2.count() == 0:     # no doc has two tokens -> no bigrams
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "fluency_micro": pd.Series(dtype="int64")})
     j2 = grams.join(cnt2, "inner", rel.join_partitions(cnt2.count()),
                     on=("h2",))
     j1 = j2.join(cnt1, "inner", rel.join_partitions(cnt1.count()),
@@ -3889,9 +3899,15 @@ def emb_gram_matrix(sf_dir: str):
                              "g": pa.array([], pa.int64())})
         d = x.shape[1]
         iu, ju = np.triu_indices(d)
-        # quantize per-row products, THEN sum (order-insensitive int64)
-        prods = x[:, iu] * x[:, ju]                    # (N, d*(d+1)/2)
-        q = np_round_half_away_int(prods * 1_000_000).sum(axis=0)
+        # quantize per-row products, THEN sum (order-insensitive int64);
+        # row-slab the expansion so the (slab, d*(d+1)/2) float temporary
+        # stays bounded at any embedding dimension
+        slab = max(1, 4_194_304 // (len(iu) * 8))   # ~32 MB of doubles
+        q = np.zeros(len(iu), dtype=np.int64)
+        for s in range(0, x.shape[0], slab):
+            xs = x[s:s + slab]
+            q += np_round_half_away_int(
+                (xs[:, iu] * xs[:, ju]) * 1_000_000).sum(axis=0)
         return pa.table({"i": pa.array(iu, pa.int64()),
                          "j": pa.array(ju, pa.int64()),
                          "g": pa.array(q, pa.int64())})
@@ -3937,6 +3953,11 @@ def emb_snn_keep(sf_dir: str, k: int = 5, threshold: float = 0.5):
         s = df["cos_sim"].to_numpy()
         q = df["qid"].to_numpy(np.int64)
         v = df["vec_id"].to_numpy(np.int64)
+        if len(v) and (max(q.max(), v.max()) >= (1 << 30)):
+            # lo * 2^33 + hi overflows int64 past 30-bit ids — wider ids
+            # would key the mutual-count groupby on the (lo, hi) tuple
+            raise NotImplementedError(
+                "packed mutual-pair keys need vec_id < 2^30")
         m = s >= threshold
         lo = np.minimum(q[m], v[m])
         hi = np.maximum(q[m], v[m])
@@ -4002,7 +4023,11 @@ def orders_range_partition(sf_dir: str, n_parts: int = 8):
         orders.map_batches(cents, batch_format="pyarrow",
                            zero_copy_batch=True),
         ["price_c"], [("n", "", "count")])
-    hdf = hist.to_pandas().sort_values("price_c").reset_index(drop=True)
+    hdf = hist.to_pandas()
+    if hdf.empty:
+        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                             "pid": pd.Series(dtype="int64")})
+    hdf = hdf.sort_values("price_c").reset_index(drop=True)
     counts = hdf["n"].to_numpy()
     values = hdf["price_c"].to_numpy()
     cum = np.cumsum(counts)

@@ -143,26 +143,15 @@ def _exact_pairs_tables(ids_a, mat_a, ids_b, mat_b, threshold: float,
     })
 
 
-def pairs_above(embs: ray.data.Dataset, threshold: float = 0.95,
-                chunk_rows: int = 4096) -> pd.DataFrame:
-    """-> (vec_a, vec_b, cos_sim) for ALL pairs above threshold (a < b) —
-    exact, via a distributed block-pair plan.
-
-    The driver never materializes vectors: ``to_arrow_refs`` leaves every
-    block in the object store; a tiny (i, j) block-index dataset fans out
-    one task per block pair, and each task fetches exactly its two blocks
-    and scores them with a chunked matmul (peak sims buffer
-    chunk_rows^2 x 8 B). Only matching pairs ever reach the driver.
-    Cost is inherently O(B^2/2) tasks — the exact-search model; the
-    subquadratic scale path is ``lsh_pairs_above`` (same kernel per LSH
-    bucket)."""
+def _superblock_plan(embs: ray.data.Dataset):
+    """Shared scaffolding of the block-pair fan-outs (pairs_above,
+    knn_graph): leave every block in the object store (to_arrow_refs),
+    coalesce small blocks into ~64 MB super-block groups — pair-plan
+    cost is O(G^2) in the group count; sizes are probed by tiny remote
+    tasks so the driver never touches block data; a block larger than
+    the target stays its own group — and build the (i, j) upper-triangle
+    index list. Returns (refs_ref, groups_ref, pairs_idx)."""
     refs = embs.select_columns(["vec_id", "embedding"]).to_arrow_refs()
-
-    # size-aware super-blocks: pair-plan cost is O(G^2) in the group
-    # count, so coalesce small blocks into ~64 MB groups (sizes probed by
-    # tiny remote tasks — the driver never touches block data). A block
-    # larger than the target stays its own group; the chunked kernel
-    # bounds task memory regardless.
     nbytes_of = ray.remote(num_cpus=0)(lambda t: t.nbytes)
     sizes = ray.get([nbytes_of.remote(r) for r in refs])
     target_group_bytes = 64 * 1024 * 1024
@@ -177,15 +166,30 @@ def pairs_above(embs: ray.data.Dataset, threshold: float = 0.95,
         cur_bytes += sz
     if cur:
         groups.append(cur)
-
-    refs_ref = ray.put(refs)
-    groups_ref = ray.put(groups)
     ngroups = len(groups)
     pairs_idx = [{"i": i, "j": j}
                  for i in range(ngroups) for j in range(i, ngroups)]
+    return ray.put(refs), ray.put(groups), pairs_idx
 
-    def _fetch_group(all_refs, group) -> pa.Table:
-        return pa.concat_tables([ray.get(all_refs[k]) for k in group])
+
+def _fetch_group(all_refs, group) -> pa.Table:
+    return pa.concat_tables([ray.get(all_refs[k]) for k in group])
+
+
+def pairs_above(embs: ray.data.Dataset, threshold: float = 0.95,
+                chunk_rows: int = 4096) -> pd.DataFrame:
+    """-> (vec_a, vec_b, cos_sim) for ALL pairs above threshold (a < b) —
+    exact, via a distributed block-pair plan.
+
+    The driver never materializes vectors: ``to_arrow_refs`` leaves every
+    block in the object store; a tiny (i, j) block-index dataset fans out
+    one task per block pair, and each task fetches exactly its two blocks
+    and scores them with a chunked matmul (peak sims buffer
+    chunk_rows^2 x 8 B). Only matching pairs ever reach the driver.
+    Cost is inherently O(B^2/2) tasks — the exact-search model; the
+    subquadratic scale path is ``lsh_pairs_above`` (same kernel per LSH
+    bucket)."""
+    refs_ref, groups_ref, pairs_idx = _superblock_plan(embs)
 
     def score(batch: pa.Table) -> pa.Table:
         all_refs = ray.get(refs_ref)
@@ -482,30 +486,13 @@ def knn_graph(embs: ray.data.Dataset, k: int = 5,
     per IVF/LSH bucket (see ``ivf_topk`` / ``lsh_pairs_above``).
 
     Ids must fit 33 bits for the packed key (testdata contract; wider
-    ids would rank on a structured sort instead)."""
+    ids would rank on a structured sort instead). Domain contract shared
+    with the SQL twin: no zero vectors (cosine is undefined there — the
+    oracle's list_cosine_similarity yields NaN while _unit substitutes
+    norm 1; both engines exclude them upstream)."""
     _SENTINEL = np.iinfo(np.int64).max
 
-    refs = embs.select_columns(["vec_id", "embedding"]).to_arrow_refs()
-    nbytes_of = ray.remote(num_cpus=0)(lambda t: t.nbytes)
-    sizes = ray.get([nbytes_of.remote(r) for r in refs])
-    target_group_bytes = 64 * 1024 * 1024
-    groups: list[list[int]] = []
-    cur: list[int] = []
-    cur_bytes = 0
-    for i, sz in enumerate(sizes):
-        if cur and cur_bytes + sz > target_group_bytes:
-            groups.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append(i)
-        cur_bytes += sz
-    if cur:
-        groups.append(cur)
-
-    refs_ref = ray.put(refs)
-    groups_ref = ray.put(groups)
-    ngroups = len(groups)
-    pairs_idx = [{"i": i, "j": j}
-                 for i in range(ngroups) for j in range(i, ngroups)]
+    refs_ref, groups_ref, pairs_idx = _superblock_plan(embs)
 
     empty = {
         "qid": pa.array([], pa.int64()),
@@ -533,23 +520,20 @@ def knn_graph(embs: ray.data.Dataset, k: int = 5,
             "cos_sim": pa.array(r[rows, cols][valid], pa.float64()),
         })
 
-    def _fetch(all_refs, group) -> pa.Table:
-        return pa.concat_tables([ray.get(all_refs[g]) for g in group])
-
     def score(batch: pa.Table) -> pa.Table:
         all_refs = ray.get(refs_ref)
         all_groups = ray.get(groups_ref)
         tables = []
         for i, j in zip(batch.column("i").to_pylist(),
                         batch.column("j").to_pylist()):
-            ta = _fetch(all_refs, all_groups[i])
+            ta = _fetch_group(all_refs, all_groups[i])
             if ta.num_rows == 0:
                 continue
             ids_a, mat_a = _id_array(ta), _unit(_matrix(ta))
             if j == i:
                 tables.append(_local(ids_a, mat_a, ids_a, mat_a, True))
                 continue
-            tb = _fetch(all_refs, all_groups[j])
+            tb = _fetch_group(all_refs, all_groups[j])
             if tb.num_rows == 0:
                 continue
             ids_b, mat_b = _id_array(tb), _unit(_matrix(tb))
