@@ -4152,3 +4152,98 @@ def docs_bpe_merges(sf_dir: str, n_merges: int = 6):
         "right": pd.Series([m[1] for m in merges], dtype="object"),
         "pair_count": pd.Series([m[2] for m in merges], dtype="int64"),
     })
+
+
+def emb_label_prop(sf_dir: str, k: int = 5, n_rounds: int = 2,
+                   seed_mod: int = 3):
+    """Semi-supervised LABEL PROPAGATION over the exact kNN graph: seed
+    vectors (vec_id % seed_mod == 0) keep their true label; every other
+    vector synchronously adopts, per round, the majority label among its
+    k nearest neighbors' current labels (labeled neighbors only; ties
+    break to the SMALLEST label — a total order, so parallelism-
+    invariant; no labeled neighbor -> unchanged, -1 = unlabeled).
+
+    Fully distributed rounds: edges ⋈ labels (hash join on the neighbor
+    id) -> grouped (qid, lab) count -> per-qid argmax under the total
+    order (map_groups) -> seeds/fallback reconciled by ONE left join
+    back onto the label table. The kNN graph materializes once and is
+    reused across rounds. Output: (vec_id, label_out)."""
+    knn = similarity.knn_graph(
+        rel.load(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=k, as_dataset=True)
+
+    edge_schema = pa.schema([("qid", pa.int64()), ("nb", pa.int64())])
+
+    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"qid": df["qid"].to_numpy(np.int64),
+                             "nb": df["vec_id"].to_numpy(np.int64)})
+
+    edges = rel.ensure_schema(
+        knn.map_batches(as_edges, batch_format="pandas"),
+        edge_schema).materialize()
+    n_edges = edges.count()
+
+    lab_schema = pa.schema([("vec_id", pa.int64()), ("lab", pa.int64())])
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").to_numpy()
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        lab = np.where(v % seed_mod == 0, lab, -1)
+        return pa.table({"vec_id": pa.array(v, pa.int64()),
+                         "lab": pa.array(lab, pa.int64())})
+
+    ids = rel.load(sf_dir, "embeddings", ["vec_id", "label"])
+    labels = ids.map_batches(init_labels, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    if n_edges == 0:
+        df = labels.to_pandas().rename(columns={"lab": "label_out"})
+        return rel.to_pandas_sorted(
+            rel.ensure_columns(df, {"vec_id": "int64",
+                                    "label_out": "int64"}), ["vec_id"])
+    n_parts = rel.join_partitions(n_edges)
+
+    best_schema = pa.schema([("qid", pa.int64()), ("blab", pa.int64())])
+
+    def labeled_only(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch.column("lab"),
+                                          pa.scalar(0)))
+        return pa.table({"qid": b.column("qid"), "lab": b.column("lab")})
+
+    def argmax_lab(df: pd.DataFrame) -> pd.DataFrame:
+        # total order: count desc, then label asc
+        o = df.sort_values(["n", "lab"], ascending=[False, True],
+                           kind="mergesort")
+        return o.iloc[:1][["qid", "lab"]].rename(columns={"lab": "blab"})
+
+    for _ in range(n_rounds):
+        nb_labs = edges.join(labels, "inner", n_parts,
+                             on=("nb",), right_on=("vec_id",))
+        votes = rel.grouped_agg(
+            nb_labs.map_batches(labeled_only, batch_format="pyarrow"),
+            ["qid", "lab"], [("n", "", "count")])
+        best = rel.ensure_schema(
+            votes.groupby("qid").map_groups(argmax_lab,
+                                            batch_format="pandas"),
+            best_schema).materialize()
+        joined = labels.join(best, "left_outer", n_parts,
+                             on=("vec_id",), right_on=("qid",))
+
+        def reconcile(batch: pa.Table) -> pa.Table:
+            v = batch.column("vec_id").to_numpy()
+            lab = batch.column("lab").to_numpy()
+            blab = batch.column("blab").to_numpy(zero_copy_only=False)
+            blab = np.where(pd.isna(blab), -1, blab).astype(np.int64)
+            seed = (v % seed_mod) == 0
+            out = np.where(seed, lab, np.where(blab >= 0, blab, lab))
+            return pa.table({"vec_id": pa.array(v, pa.int64()),
+                             "lab": pa.array(out, pa.int64())})
+
+        labels = rel.ensure_schema(
+            joined.map_batches(reconcile, batch_format="pyarrow"),
+            lab_schema).materialize()
+
+    df = labels.to_pandas().rename(columns={"lab": "label_out"})
+    return rel.to_pandas_sorted(
+        rel.ensure_columns(df, {"vec_id": "int64", "label_out": "int64"}),
+        ["vec_id"])

@@ -382,3 +382,31 @@ def test_triangles_broadcast_and_join_paths_identical():
     finally:
         q.rel.load = orig
     assert fast["n_triangles"].tolist() == slow["n_triangles"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# label propagation semantics
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_prop_spreads_cluster_labels_and_fixes_seeds():
+    rng = np.random.RandomState(9)
+    centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]],
+                       dtype=np.float64)
+    mat = np.vstack([c + 0.05 * rng.standard_normal((12, 4))
+                     for c in centers])
+    true_lab = np.repeat([0, 1, 2], 12).astype(np.int32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        "label": pa.array(true_lab, pa.int32()),
+    })
+    out = _patched(tbl, "emb_label_prop")
+    got = dict(zip(out["vec_id"], out["label_out"]))
+    # seeds keep their exact label
+    for v in range(len(mat)):
+        if v % 3 == 0:
+            assert got[v] == true_lab[v]
+    # tight clusters: every member adopts its cluster's label
+    assert all(got[v] == true_lab[v] for v in range(len(mat)))

@@ -209,3 +209,25 @@ def test_range_partition_fuzz(prices):
         "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
     })
     _check("orders_range_partition", "orders", tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=8, deadline=None)
+@given(mat=st.lists(
+    st.lists(st.floats(min_value=-3, max_value=3, allow_nan=False,
+                       width=32),
+             min_size=4, max_size=4),
+    min_size=2, max_size=20),
+    data=st.data())
+def test_label_prop_fuzz(mat, data):
+    m = np.array(mat + mat[:2], dtype=np.float32)
+    norms = np.linalg.norm(m.astype(np.float64), axis=1)
+    m[norms == 0] = np.float32(1.0)
+    labs = np.array([data.draw(st.integers(min_value=0, max_value=3))
+                     for _ in range(len(m))], dtype=np.int32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float32())),
+        "label": pa.array(labs, pa.int32()),
+    })
+    _check("emb_label_prop", "embeddings", tbl)
