@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_snn_keep": q.emb_snn_keep,
         "orders_range_partition": q.orders_range_partition,
         "emb_label_prop": q.emb_label_prop,
+        "docs_weighted_sample": q.docs_weighted_sample,
         "docs_bigram_fluency": q.docs_bigram_fluency,
         "docs_dsir_weights": q.docs_dsir_weights,
         "emb_near_pairs_lsh": q.emb_near_pairs_lsh,
@@ -98,11 +99,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.media_features,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         "q1_pricing_summary": q.q1_pricing_summary,
-        "q3_top_revenue_orders": q.q3_top_revenue_orders,
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check) and stays covered by the local
         #     gate each round
+        "q3_top_revenue_orders": q.q3_top_revenue_orders,
         "q4_late_orders": q.q4_late_orders,
         "q5_nation_revenue": q.q5_nation_revenue,
         "q10_returned_items": q.q10_returned_items,
@@ -255,6 +256,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT qid, vec_id, cos_sim FROM ranked WHERE rn <= 5
+        """,
+        "docs_weighted_sample": r"""
+            -- A-ES weighted sample: top-50 by u^(1/(w+1)) with md5
+            -- uniforms (pow is bit-identical libm on both engines)
+            WITH p AS (
+                SELECT doc_id,
+                       pow(CAST(md5_number_upper(CAST(doc_id AS VARCHAR))
+                                AS DOUBLE) / 18446744073709551616.0,
+                           1.0 / (n_chars + 1)) AS pri
+                FROM documents
+            )
+            SELECT doc_id, pri FROM p
+            ORDER BY pri DESC, doc_id
+            LIMIT 50
         """,
         "emb_label_prop": r"""
             -- 2-round synchronous label propagation over the exact kNN

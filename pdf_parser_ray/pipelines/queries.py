@@ -4247,3 +4247,40 @@ def emb_label_prop(sf_dir: str, k: int = 5, n_rounds: int = 2,
     return rel.to_pandas_sorted(
         rel.ensure_columns(df, {"vec_id": "int64", "label_out": "int64"}),
         ["vec_id"])
+
+
+def docs_weighted_sample(sf_dir: str, k: int = 50):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    the training-mix primitive for importance-weighted corpus draws):
+    priority = u ** (1 / (n_chars + 1)) with u = md5_64(doc_id) / 2^64,
+    keep the k highest priorities. Deterministic (md5 uniforms, no RNG
+    state), parallelism-invariant, and the A-ES guarantee holds: the
+    inclusion probability of each doc is proportional to its weight.
+
+    Float discipline: DuckDB's pow and C libm's scalar pow are
+    bit-identical on this box (pinned by fuzz); numpy's VECTORIZED
+    np.power is NOT (different SIMD ULPs — measured), so the kernel
+    computes priorities with scalar pow inside the per-row md5 loop the
+    stage already pays. Plan: one shuffle-free pass + per-block local
+    top-k + tiny driver merge (rel.local_topk)."""
+    import math
+
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def pri(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ws = batch.column("n_chars").to_pylist()
+        ps = [math.pow(_md5_64(str(d)) / 18446744073709551616.0,
+                       1.0 / (w + 1))
+              for d, w in zip(ids, ws)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pri": pa.array(ps, pa.float64())})
+
+    cand = ds.map_batches(pri, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = rel.local_topk(cand, [("pri", "descending"),
+                                ("doc_id", "ascending")], k)
+    return rel.ensure_columns(out.reset_index(drop=True),
+                              {"doc_id": "int64", "pri": "float64"})

@@ -231,3 +231,35 @@ def test_label_prop_fuzz(mat, data):
         "label": pa.array(labs, pa.int32()),
     })
     _check("emb_label_prop", "embeddings", tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=12, deadline=None)
+@given(nchars=st.lists(st.integers(min_value=0, max_value=100000),
+                       min_size=1, max_size=300))
+def test_weighted_sample_fuzz(nchars):
+    # arbitrary weights incl. 0 (w+1 smoothing) — the pow parity claim
+    # must hold across the whole (u, exponent) surface
+    texts = ["x" * min(n, 50) for n in nchars]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(nchars)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(nchars), pa.string()),
+        "source": pa.array(["fuzz"] * len(nchars), pa.string()),
+        "n_chars": pa.array(nchars, pa.int64()),
+    })
+    _check("docs_weighted_sample", "documents", tbl)
+
+
+def test_weighted_sample_inclusion_tracks_weight():
+    # A-ES property: with one heavy doc vs many light docs, the heavy
+    # doc is (deterministically, via md5 uniforms) overwhelmingly likely
+    # in the sample — sanity-check the weighting direction
+    import math
+
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    pris = {d: math.pow(_md5_64(str(d)) / 2**64, 1.0 / (w + 1))
+            for d, w in [(0, 10_000_000)] + [(i, 1) for i in range(1, 500)]}
+    top = sorted(pris, key=lambda d: (-pris[d], d))[:50]
+    assert 0 in top
