@@ -4284,3 +4284,26 @@ def docs_weighted_sample(sf_dir: str, k: int = 50):
                                 ("doc_id", "ascending")], k)
     return rel.ensure_columns(out.reset_index(drop=True),
                               {"doc_id": "int64", "pri": "float64"})
+
+
+def orders_price_histogram(sf_dir: str, bucket_cents: int = 50_000):
+    """Equi-width histogram of o_totalprice ($500 buckets) — the bucket
+    statistic behind skew detection and the range partitioner's gate
+    decisions. One map-side combine pass (bucket = cents // width, exact
+    integer), one tiny grouped sum: the exchange carries one row per
+    (block, bucket). Output: (bucket, n)."""
+    orders = rel.load(sf_dir, "orders", ["o_totalprice"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pc_ = _cents(batch.column("o_totalprice")).to_numpy()
+        b = pc_ // bucket_cents
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    out = rel.grouped_agg(
+        orders.map_batches(bucketize, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["bucket"], [("n", "n", "sum")], small_result=True)
+    out["n"] = out["n"].astype("int64")
+    return rel.to_pandas_sorted(out, ["bucket"])
