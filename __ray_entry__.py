@@ -31,9 +31,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
       tier 1 — oracled pipelines with NO driver-green row yet (new this
                round): they must land inside the checked window;
-      tier 2 — rows-only pipelines never yet recorded (extract_corpus,
-               emb_topk_ivf, media_features) so they at least get a
-               rows/schema row;
+      tier 2 — rows-only pipelines never yet recorded, so they at
+               least get a rows/schema row (slots permitting — in r3
+               the three new oracled ops displaced extract_corpus /
+               emb_topk_ivf / media_features past the cap; see tier 5);
       tier 3 — pipelines already hash-green in CORRECTNESS_r01/r02:
                re-checked as slots allow, spilling the most battle-
                tested (green in BOTH prior rounds, simplest plans) past
@@ -47,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "events_hourly_pivot": q.events_hourly_pivot,
+        "events_user_top_type": q.events_user_top_type,
+        "events_type_affinity": q.events_type_affinity,
         "docs_pagerank": q.docs_pagerank,
         "docs_triangles": q.docs_triangles,
         "events_users_kmv": q.events_users_kmv,
@@ -95,9 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q.events_debounce,
         # ---- tier 2: rows-only, never recorded ----
         "docs_bpe_merges": q.docs_bpe_merges,
-        "extract_corpus": q.extract_corpus,
-        "emb_topk_ivf": q.emb_topk_ivf,
-        "media_features": q.media_features,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
@@ -154,6 +155,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tier 4: rows-only, recorded no_oracle in r02 ----
         "events_users_hll": q.events_users_hll,
         "docs_minhash_candidates": q.docs_minhash_candidates,
+        # ---- tier 5: rows-only, displaced past the cap this round by
+        #      the three new oracled ops (tier 1 outranks rows-only per
+        #      the rotation policy above); all three stay pinned by the
+        #      local gate and their dedicated tests every round
+        "extract_corpus": q.extract_corpus,
+        "emb_topk_ivf": q.emb_topk_ivf,
+        "media_features": q.media_features,
     }
 
 
@@ -163,6 +171,44 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_hourly_pivot": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view,
+                   count(*) AS n_total
+            FROM events GROUP BY 1
+        """,
+        "events_user_top_type": """
+            SELECT user_id, event_type AS top_type, n AS n_top
+            FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC,
+                                                   event_type ASC) AS rk
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rk = 1
+        """,
+        "events_type_affinity": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+                        WHERE user_id IS NOT NULL),
+            per AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+            pairs AS (
+                SELECT a.event_type AS t1, b.event_type AS t2,
+                       count(*) AS n_both
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT t1, t2, n_both, pa.n AS n_a, pb.n AS n_b,
+                   CAST(n_both * 1000000 // (pa.n + pb.n - n_both)
+                        AS BIGINT) AS jaccard_ppm
+            FROM pairs
+            JOIN per pa ON pa.event_type = t1
+            JOIN per pb ON pb.event_type = t2
+        """,
         "docs_pagerank": r"""
             -- integer-exact PageRank, 4 power iterations over the
             -- derived link graph (md5-derived fixed out-degree 3);

@@ -4307,3 +4307,135 @@ def orders_price_histogram(sf_dir: str, bucket_cents: int = 50_000):
         ["bucket"], [("n", "n", "sum")], small_result=True)
     out["n"] = out["n"].astype("int64")
     return rel.to_pandas_sorted(out, ["bucket"])
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_hourly_pivot(sf_dir: str):
+    """Pivot (conditional aggregation): one row per hour with one count
+    column per event type plus the total — the wide layout dashboards
+    and joins want, without a post-hoc reshape.
+
+    Plan: map-side combine pivots INSIDE each batch (dictionary-encode
+    event_type against the fixed domain, 2-D bincount over
+    hour x type), so the exchange carries one already-wide row per
+    (block, hour); a tiny grouped sum finishes. No row-per-(hour,type)
+    intermediate ever shuffles, which at 100 TB is a 5x row reduction
+    over pivot-after-aggregate. Unknown types would land in a spill
+    column and fail loudly (index_in -> null -> assert)."""
+    ds = rel.load(sf_dir, "events", ["ts", "event_type"])
+    n_t = len(_EVENT_TYPES)
+    type_arr = pa.array(_EVENT_TYPES)
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(pc.floor_temporal(batch.column("ts"),
+                                                   unit="hour"),
+                                 pa.int64()), 1_000_000).to_numpy()
+        idx = pc.index_in(batch.column("event_type"),
+                          value_set=type_arr)
+        assert idx.null_count == 0, "event_type outside the fixed domain"
+        idx = idx.to_numpy().astype(np.int64)
+        hours, inv = np.unique(hour, return_inverse=True)
+        counts = np.bincount(inv * n_t + idx,
+                             minlength=len(hours) * n_t).reshape(-1, n_t)
+        cols = {"hour": pa.array(hours, pa.int64())}
+        for j, t in enumerate(_EVENT_TYPES):
+            cols[f"n_{t}"] = pa.array(counts[:, j], pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(pivot, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = rel.grouped_agg(
+        partials, ["hour"],
+        [(f"n_{t}", f"n_{t}", "sum") for t in _EVENT_TYPES],
+        small_result=True)
+    df = rel.as_pandas(agg)
+    for t in _EVENT_TYPES:
+        df[f"n_{t}"] = df[f"n_{t}"].astype("int64")
+    df["n_total"] = sum(df[f"n_{t}"] for t in _EVENT_TYPES).astype("int64")
+    return rel.to_pandas_sorted(df, ["hour"])
+
+
+def events_user_top_type(sf_dir: str):
+    """Grouped mode: each user's most frequent event type (argmax by
+    count; ties broken by event_type ascending, deterministically).
+
+    ONE shuffle, keyed by user_id: per-batch Arrow group_by pre-counts
+    (user, type) pairs map-side (bounding what moves at ~|type domain|
+    rows per user per block), then groupby(user_id).map_groups sums the
+    partials and takes the argmax in-group. SQL twin: row_number()
+    window over the grouped counts."""
+    ds = rel.load(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "event_type": g.column("event_type"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        tot = (group.groupby("event_type", sort=True)["n"].sum()
+               .reset_index()
+               .sort_values(["n", "event_type"],
+                            ascending=[False, True], kind="mergesort"))
+        return pd.DataFrame({
+            "user_id": [int(group["user_id"].iloc[0])],
+            "top_type": [tot["event_type"].iloc[0]],
+            "n_top": [int(tot["n"].iloc[0])],
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+    return rel.to_pandas_sorted(out.to_pandas(), ["user_id"])
+
+
+def events_type_affinity(sf_dir: str):
+    """Pairwise association mining: Jaccard overlap between the DISTINCT
+    user sets of every event-type pair (t1 < t2) — the co-occurrence
+    statistic behind "users who X also Y".
+
+    Plan: map-side distinct on (user_id, type) per batch, one shuffle
+    keyed by user_id; each per-user group is bounded by the type-domain
+    size (<= 5 rows), so the pair explosion is O(k^2) per user with
+    tiny k. Per-type distinct-user counts ride the same pass as
+    sentinel rows (t2 = ''). The final exchange carries <= k + k(k-1)/2
+    keys total. jaccard_ppm is exact integer floor division
+    (|A&B| * 1e6 // |A|B|) so the SQL twin matches bit-for-bit."""
+    ds = rel.load(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        # NULL is not a user: SQL's equi-join would drop it from pairs
+        # but count it in the per-type sets — exclude it outright.
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        g = batch.group_by(["user_id", "event_type"]).aggregate([])
+        return g.select(["user_id", "event_type"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        types = sorted(group["event_type"].unique())
+        t1 = [t for t in types]
+        t2 = ["" for _ in types]
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                t1.append(types[i])
+                t2.append(types[j])
+        return pd.DataFrame({"t1": t1, "t2": t2})
+
+    marks = (ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+    counts = rel.as_pandas(rel.grouped_agg(
+        marks, ["t1", "t2"], [("n", "", "count")], small_result=True))
+    singles = {r.t1: int(r.n) for r in counts.itertuples() if r.t2 == ""}
+    pairs = counts[counts["t2"] != ""].copy()
+    n_a = pairs["t1"].map(singles).astype("int64")
+    n_b = pairs["t2"].map(singles).astype("int64")
+    n_both = pairs["n"].astype("int64")
+    pairs = pd.DataFrame({
+        "t1": pairs["t1"], "t2": pairs["t2"],
+        "n_both": n_both, "n_a": n_a, "n_b": n_b,
+        "jaccard_ppm": (n_both * 1_000_000 // (n_a + n_b - n_both)
+                        ).astype("int64"),
+    })
+    return rel.to_pandas_sorted(pairs, ["t1", "t2"])

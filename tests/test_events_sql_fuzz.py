@@ -170,3 +170,24 @@ def test_debounce_fuzz(rows):
     # lag-based suppression with same-second ties and window-boundary
     # hits (d == 300s must be DROPPED on both engines: strict >)
     _check("events_debounce", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_hourly_pivot_fuzz(rows):
+    _check("events_hourly_pivot", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_user_top_type_fuzz(rows):
+    _check("events_user_top_type", rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_type_affinity_fuzz(rows):
+    _check("events_type_affinity", rows)

@@ -75,7 +75,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_pagerank", "docs_triangles", "events_users_kmv",
         "docs_bigram_fluency", "docs_dsir_weights", "emb_gram_matrix",
         "emb_knn_graph", "emb_snn_keep", "docs_bpe_merges",
-        "emb_label_prop", "docs_weighted_sample"]
+        "emb_label_prop", "docs_weighted_sample",
+        "events_hourly_pivot", "events_user_top_type",
+        "events_type_affinity"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:
