@@ -51,8 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_pivot": q.events_hourly_pivot,
         "events_user_top_type": q.events_user_top_type,
         "events_type_affinity": q.events_type_affinity,
-        "docs_pagerank": q.docs_pagerank,
-        "docs_triangles": q.docs_triangles,
+        "lineitem_qty_discount_corr": q.lineitem_qty_discount_corr,
+        "docs_token_entropy": q.docs_token_entropy,
+        "events_dau_wau": q.events_dau_wau,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,8 +98,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_charclass_profile": q.docs_charclass_profile,
         "docs_bpe_pretokens": q.docs_bpe_pretokens,
         "events_debounce": q.events_debounce,
-        # ---- tier 2: rows-only, never recorded ----
-        "docs_bpe_merges": q.docs_bpe_merges,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
@@ -155,10 +154,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tier 4: rows-only, recorded no_oracle in r02 ----
         "events_users_hll": q.events_users_hll,
         "docs_minhash_candidates": q.docs_minhash_candidates,
-        # ---- tier 5: rows-only, displaced past the cap this round by
-        #      the three new oracled ops (tier 1 outranks rows-only per
-        #      the rotation policy above); all three stay pinned by the
-        #      local gate and their dedicated tests every round
+        # ---- tier 5: displaced past the cap this round by the six
+        #      new oracled ops (tier 1 outranks rows-only per the
+        #      rotation policy above; docs_pagerank / docs_triangles
+        #      are the oracled spills — each carries its own kill-test
+        #      or SQL-fuzz harness and a hash-green local-gate row).
+        #      All stay pinned by the local gate and their dedicated
+        #      tests every round.
+        "docs_pagerank": q.docs_pagerank,
+        "docs_triangles": q.docs_triangles,
+        "docs_bpe_merges": q.docs_bpe_merges,
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
         "media_features": q.media_features,
@@ -171,6 +176,68 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_dau_wau": """
+            WITH du AS (
+                SELECT DISTINCT
+                       CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                           // 86400 AS day,
+                       user_id
+                FROM events WHERE user_id IS NOT NULL),
+            days AS (SELECT DISTINCT day FROM du),
+            dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+            wau AS (
+                SELECT d.day, count(DISTINCT u.user_id) AS wau
+                FROM days d JOIN du u
+                  ON u.day BETWEEN d.day - 6 AND d.day
+                GROUP BY 1)
+            SELECT d.day, dau.dau, wau.wau,
+                   CAST(dau.dau * 1000000 // wau.wau AS BIGINT)
+                       AS stickiness_ppm
+            FROM days d
+            JOIN dau ON dau.day = d.day
+            JOIN wau ON wau.day = d.day
+        """,
+        "lineitem_qty_discount_corr": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_discount * 100) AS BIGINT) AS y
+                FROM lineitem),
+            s AS (
+                SELECT l_returnflag, count(*) AS n_rows,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                       sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM t GROUP BY 1)
+            SELECT l_returnflag, n_rows,
+                   round((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                         6) AS corr_qty_disc
+            FROM s
+        """,
+        "docs_token_entropy": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+                FROM documents),
+            cnt AS (
+                SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS c
+                FROM tok GROUP BY 1, 2),
+            agg AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       count(*) AS n_types,
+                       sum(CAST(round(c * ln(c) * 1000000) AS BIGINT))
+                           AS s_micro
+                FROM cnt GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_types,
+                   round(ln(CAST(n_tokens AS DOUBLE))
+                         - (CAST(s_micro AS DOUBLE) / 1000000.0)
+                           / CAST(n_tokens AS DOUBLE), 4) AS entropy
+            FROM agg
+        """,
         "events_hourly_pivot": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
                    count(*) FILTER (event_type = 'click')    AS n_click,

@@ -4439,3 +4439,191 @@ def events_type_affinity(sf_dir: str):
                         ).astype("int64"),
     })
     return rel.to_pandas_sorted(pairs, ["t1", "t2"])
+
+
+def lineitem_qty_discount_corr(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs discount per return
+    flag) via the distributed-moments combine: each block contributes
+    one exact-int64 row (n, sx, sy, sxx, syy, sxy) per group — the
+    classic one-pass parallel covariance/correlation plan, so the
+    exchange is O(blocks x groups) regardless of data size.
+
+    Exactness: x = round(quantity), y = round(discount*100) are small
+    integers, so every moment sum is exact int64 (sum |x*y| fits int64
+    past 10^15 rows) and the final r is computed from identical doubles
+    on both engines (each summed moment is exactly representable), then
+    rounded half-away at 6 digits."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+
+    ds = rel.load(sf_dir, "lineitem",
+                  ["l_returnflag", "l_quantity", "l_discount"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        flags = batch.column("l_returnflag")
+        x = np_round_half_away_int(
+            batch.column("l_quantity").to_numpy()).astype(np.int64)
+        y = np_round_half_away_int(
+            batch.column("l_discount").to_numpy() * 100.0).astype(np.int64)
+        codes, uniq = pd.factorize(flags.to_pandas(), sort=True)
+        k = len(uniq)
+        out = {"l_returnflag": pa.array(list(uniq), pa.string())}
+        ones = np.ones(len(x), dtype=np.int64)
+        for name, v in (("n_rows", ones), ("sx", x), ("sy", y),
+                        ("sxx", x * x), ("syy", y * y), ("sxy", x * y)):
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, codes, v)
+            out[name] = pa.array(acc, pa.int64())
+        return pa.table(out)
+
+    agg = rel.grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_returnflag"],
+        [(c, c, "sum") for c in ("n_rows", "sx", "sy", "sxx", "syy",
+                                 "sxy")],
+        small_result=True)
+    n = agg["n_rows"].to_numpy().astype(np.float64)
+    sx = agg["sx"].to_numpy().astype(np.float64)
+    sy = agg["sy"].to_numpy().astype(np.float64)
+    sxx = agg["sxx"].to_numpy().astype(np.float64)
+    syy = agg["syy"].to_numpy().astype(np.float64)
+    sxy = agg["sxy"].to_numpy().astype(np.float64)
+    r = np_round_half_away(
+        (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy)), 6)
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n_rows": agg["n_rows"].astype("int64"),
+        "corr_qty_disc": r,
+    })
+    return rel.to_pandas_sorted(out, ["l_returnflag"])
+
+
+def docs_token_entropy(sf_dir: str):
+    """Per-document unigram Shannon entropy (nats) + type/token counts —
+    the lexical-diversity quality signal (low entropy = keyword
+    stuffing / boilerplate; pairs with docs_repetition_stats in a
+    cleaning gate).
+
+    Shuffle-free streaming pass; per-batch work is an Arrow regex
+    split + factorize + run-length counts (no per-token Python). Float
+    discipline: each c*ln(c) term is rounded half-away to integer
+    MICRO-NATS before summing, so the per-doc accumulation is exact
+    integer arithmetic (order-free under any parallelism) and the SQL
+    twin sums the identical BIGINT terms:
+
+        entropy = round(ln(n) - (sum_micro / 1e6) / n, 4)
+
+    Docs with zero tokens are excluded (entropy undefined; the SQL
+    unnest drops them naturally)."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def entropy(batch: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(
+            pc.fill_null(batch.column("text"), ""), r"\s+")
+        flat = pc.list_flatten(lst).combine_chunks()
+        keep = pc.not_equal(flat, pa.scalar(""))
+        counts_all = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(counts_all)),
+                            counts_all)[keep.to_numpy(zero_copy_only=False)]
+        codes, _ = pd.factorize(flat.filter(keep).to_pandas())
+        n_docs = len(counts_all)
+        n_tok = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        # run-length token counts per (doc, token)
+        order = np.lexsort((codes, doc_idx))
+        d, t = doc_idx[order], codes[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (t[1:] != t[:-1])
+        run_id = np.cumsum(first) - 1
+        c = np.bincount(run_id).astype(np.float64)
+        term_micro = np_round_half_away_int(c * np.log(c) * 1_000_000)
+        s_micro = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(s_micro, d[first], term_micro)
+        n_types = np.bincount(d[first], minlength=n_docs).astype(np.int64)
+        has = n_tok > 0
+        nf = n_tok[has].astype(np.float64)
+        ent = np_round_half_away(
+            np.log(nf) - (s_micro[has].astype(np.float64) / 1e6) / nf, 4)
+        return pa.table({
+            "doc_id": batch.column("doc_id").filter(pa.array(has)),
+            "n_tokens": pa.array(n_tok[has], pa.int64()),
+            "n_types": pa.array(n_types[has], pa.int64()),
+            "entropy": pa.array(ent, pa.float64()),
+        })
+
+    out = ds.map_batches(entropy, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_tokens": "int64", "n_types": "int64",
+        "entropy": "float64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def events_dau_wau(sf_dir: str):
+    """Rolling distinct count: daily active users (DAU), trailing-7-day
+    active users (WAU) and the DAU/WAU stickiness ratio per observed
+    day — the canonical engagement metric that needs COUNT(DISTINCT)
+    over a sliding window, which no plain groupby expresses.
+
+    Plan (exact, two bounded shuffles):
+      1. map-side distinct (day, user) per batch, then one grouped
+         exchange -> the global distinct activity set ``du`` (the only
+         structure that scales with data, and it shuffles ONCE).
+      2. DAU: map-side counts per day over ``du`` + tiny grouped sum.
+      3. WAU: each (day, user) row fans out to the <= 7 trailing target
+         days it covers (vectorized repeat/arange, filtered to observed
+         days), distinct again on (target, user), then per-day counts.
+         The x7 amplification is of the DISTINCT set, not the raw
+         events, and collapses right back in the same exchange.
+    stickiness_ppm is exact integer floor division, SQL-replicable."""
+    ds = rel.load(sf_dir, "events", ["ts", "user_id"])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        day = pc.divide(pc.cast(pc.floor_temporal(batch.column("ts"),
+                                                  unit="day"),
+                                pa.int64()), 86_400_000_000)
+        t = pa.table({"day": day, "user_id": batch.column("user_id")})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    du = rel.grouped_agg(
+        ds.map_batches(day_user, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day", "user_id"], [("n", "", "count")])
+
+    def count_per_day(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("day"))
+        return pa.table({"day": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    dau = rel.as_pandas(rel.grouped_agg(
+        du.map_batches(count_per_day, batch_format="pyarrow"),
+        ["day"], [("dau", "n", "sum")], small_result=True))
+    observed = np.sort(dau["day"].to_numpy().astype(np.int64))
+    day_set = pa.array(observed, pa.int64())
+
+    def expand(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy().astype(np.int64)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        tgt = (np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64),
+                                         len(d)))
+        t = pa.table({"day": pa.array(tgt, pa.int64()),
+                      "user_id": pa.array(np.repeat(u, 7), pa.int64())})
+        t = t.filter(pc.is_in(t.column("day"), value_set=day_set))
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    wau_pairs = rel.grouped_agg(
+        du.map_batches(expand, batch_format="pyarrow"),
+        ["day", "user_id"], [("n", "", "count")])
+    wau = rel.as_pandas(rel.grouped_agg(
+        wau_pairs.map_batches(count_per_day, batch_format="pyarrow"),
+        ["day"], [("wau", "n", "sum")], small_result=True))
+
+    out = dau.merge(wau, on="day")
+    out["dau"] = out["dau"].astype("int64")
+    out["wau"] = out["wau"].astype("int64")
+    out["stickiness_ppm"] = (out["dau"] * 1_000_000
+                             // out["wau"]).astype("int64")
+    return rel.to_pandas_sorted(out, ["day"])

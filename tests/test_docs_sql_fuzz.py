@@ -536,3 +536,12 @@ def test_dup_spans_join_path_matches_broadcast(texts):
         q.rel.load = orig
     pd.testing.assert_frame_equal(spans_b, spans_j)
     pd.testing.assert_frame_equal(cut_b, cut_j)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_token_entropy_fuzz(texts):
+    # micro-nat integer terms make the per-doc sum order-free; empty
+    # docs drop on both engines (undefined entropy)
+    _check("docs_token_entropy", texts)

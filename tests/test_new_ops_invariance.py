@@ -77,7 +77,7 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "emb_knn_graph", "emb_snn_keep", "docs_bpe_merges",
         "emb_label_prop", "docs_weighted_sample",
         "events_hourly_pivot", "events_user_top_type",
-        "events_type_affinity"]
+        "events_type_affinity", "docs_token_entropy"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

@@ -152,3 +152,12 @@ def test_grouped_median_cents_fuzz(bals, nkeys):
     })
     _check("nation_acctbal_median",
            {"nation": nation, "customer": customer})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(rows=_LINES)
+def test_grouped_corr_moments_fuzz(rows):
+    # distributed moment sums: zero-variance groups (constant qty or
+    # discount) must yield NaN on BOTH engines (0/0), n=1 groups too
+    _check("lineitem_qty_discount_corr", {"lineitem": _lineitem(rows)})
