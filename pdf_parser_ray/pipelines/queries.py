@@ -4627,3 +4627,111 @@ def events_dau_wau(sf_dir: str):
     out["stickiness_ppm"] = (out["dau"] * 1_000_000
                              // out["wau"]).astype("int64")
     return rel.to_pandas_sorted(out, ["day"])
+
+
+def orders_running_revenue(sf_dir: str):
+    """Global running total — the SQL cumulative window
+    ``sum(c) OVER (ORDER BY o_orderdate, o_orderkey)`` — as a
+    distributed two-level prefix scan (the textbook parallel-scan
+    decomposition):
+
+      1. a tiny exact pass: per-DAY totals via the two-phase grouped
+         agg (day cardinality is bounded — ~2.4k in TPC-H — so the
+         driver holds only the day -> exclusive-prefix offset map,
+         never row data);
+      2. ONE groupby(day) exchange; inside each day group rows are
+         sorted by o_orderkey, cumsum'ed locally, and shifted by the
+         broadcast exclusive day offset.
+
+    Each row crosses the wire once, keyed by day; driver state is
+    O(#days). Skew bound: a group is one day's orders — if a single
+    day outgrows a worker, split the scan key to (day, orderkey-range)
+    with bounds from a per-day orderkey histogram (the
+    orders_range_partition machinery) and offset at that finer
+    granularity; day-level is the right default for date-keyed fact
+    tables. Cents int64 arithmetic end-to-end -> exact, order-free
+    partials (same discipline as q1)."""
+    orders = rel.load(sf_dir, "orders",
+                      ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.floor_temporal(batch.column("o_orderdate"),
+                                      unit="day"), pa.int64()),
+            86_400_000_000)
+        return pa.table({
+            "day": day,
+            "o_orderkey": batch.column("o_orderkey"),
+            "c": _cents(batch.column("o_totalprice")),
+        })
+
+    rows = orders.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    day_tot = rel.grouped_agg(rows, ["day"], [("tot", "c", "sum")],
+                              small_result=True)
+    if day_tot.empty:
+        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                             "running_c": pd.Series(dtype="int64")})
+    day_tot = day_tot.sort_values("day").reset_index(drop=True)
+    days = day_tot["day"].to_numpy(np.int64)
+    offs = np.concatenate(
+        ([0], np.cumsum(day_tot["tot"].to_numpy(np.int64))[:-1]))
+    oref = ray.put((days, offs))
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        ds_, os_ = ray.get(oref)
+        g = df.sort_values("o_orderkey", kind="mergesort")
+        run = np.cumsum(g["c"].to_numpy(np.int64))
+        off = os_[np.searchsorted(ds_, np.int64(g["day"].iloc[0]))]
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "running_c": run + off,
+        })
+
+    out = rows.groupby("day").map_groups(per_day, batch_format="pandas")
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"o_orderkey": "int64", "running_c": "int64"})
+    return rel.to_pandas_sorted(df, ["o_orderkey"])
+
+
+def events_markov(sf_dir: str):
+    """First-order Markov transition matrix over per-user event
+    streams: counts and exact ppm probabilities of event_type -> next
+    event_type (the lead() window per user, ordered by ts, event_id) —
+    the behavioural model behind next-action prediction and
+    improbable-chain bot detection.
+
+    Same one-exchange shape as events_interarrival: groupby(user_id)
+    moves each event once; pair counting is an in-group vectorized
+    shift + factorized count, and only (prev, nxt, n) triples — at
+    most |types|^2 rows per group — reach the second (driver-side,
+    |types|^2-bounded) merge. p_ppm is exact integer floor division,
+    so the probability column is SQL-replicable bit-for-bit."""
+    ds = rel.load(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("user_id"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"prev": pd.Series(dtype=object),
+                                 "nxt": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        sub = pd.DataFrame({"prev": et[:-1], "nxt": et[1:]})
+        cnt = (sub.groupby(["prev", "nxt"], as_index=False, sort=False,
+                           dropna=False).size()
+               .rename(columns={"size": "n"}))
+        cnt["n"] = cnt["n"].astype("int64")
+        return cnt
+
+    pairs = ds.groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas")
+    agg = rel.as_pandas(rel.grouped_agg(
+        pairs, ["prev", "nxt"], [("n", "n", "sum")], small_result=True))
+    agg["n"] = agg["n"].astype("int64")
+    tot = agg.groupby("prev")["n"].transform("sum")
+    agg["p_ppm"] = (agg["n"] * 1_000_000 // tot).astype("int64")
+    return rel.to_pandas_sorted(agg, ["prev", "nxt"])

@@ -63,8 +63,22 @@ def _emb_table() -> pa.Table:
     })
 
 
+def _orders_table() -> pa.Table:
+    base = dt.datetime(2024, 3, 1)
+    n = 120
+    rng = np.random.RandomState(7)
+    return pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_orderdate": pa.array(
+            [base + dt.timedelta(days=int(d)) for d in rng.randint(0, 9, n)],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array(rng.randint(100, 900000, n) / 100.0,
+                                 pa.float64()),
+    })
+
+
 _TABLES = {"documents": _docs_table, "events": _events_table,
-           "embeddings": _emb_table}
+           "embeddings": _emb_table, "orders": _orders_table}
 
 _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_token_lift", "docs_clean_corpus", "events_latest_snapshot",
@@ -77,7 +91,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "emb_knn_graph", "emb_snn_keep", "docs_bpe_merges",
         "emb_label_prop", "docs_weighted_sample",
         "events_hourly_pivot", "events_user_top_type",
-        "events_type_affinity", "docs_token_entropy"]
+        "events_type_affinity", "docs_token_entropy",
+        "orders_running_revenue", "events_markov"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

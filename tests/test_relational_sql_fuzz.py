@@ -161,3 +161,42 @@ def test_grouped_corr_moments_fuzz(rows):
     # distributed moment sums: zero-variance groups (constant qty or
     # discount) must yield NaN on BOTH engines (0/0), n=1 groups too
     _check("lineitem_qty_discount_corr", {"lineitem": _lineitem(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12), _MONEY),
+    min_size=1, max_size=30))
+def test_running_revenue_scan_fuzz(rows):
+    # distributed prefix scan: duplicate days force multi-row groups;
+    # the exclusive day offsets + in-group cumsum must reproduce the
+    # SQL cumulative window bit-exactly (cents discipline)
+    orders = pa.table({
+        "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=r[0]) for r in rows],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("orders_running_revenue", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),   # ts: force ties
+              st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+              st.sampled_from(["view", "click", "purchase"])),
+    min_size=1, max_size=30))
+def test_markov_transitions_fuzz(rows):
+    # lead() parity: ties on ts break by event_id on both engines;
+    # null users drop before sequencing on both engines
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[0]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    _check("events_markov", {"events": events})
