@@ -4735,3 +4735,57 @@ def events_markov(sf_dir: str):
     tot = agg.groupby("prev")["n"].transform("sum")
     agg["p_ppm"] = (agg["n"] * 1_000_000 // tot).astype("int64")
     return rel.to_pandas_sorted(agg, ["prev", "nxt"])
+
+
+def docs_split_leakage_safe(sf_dir: str, threshold: float = 0.8,
+                            val_mod: int = 10):
+    """Leakage-safe train/val split: the split hash is keyed by the
+    near-dup CLUSTER representative (min doc_id in the verified-pair
+    connected component), not the document id, so near-duplicates can
+    never straddle the train/val boundary — the classic eval-
+    contamination bug in web-corpus training (a val doc whose twin sits
+    in train). Docs outside any cluster key on their own id.
+
+    Plan: the cluster map is the docs_dup_clusters output (bounded by
+    dup-pair volume, tiny vs the corpus — the same broadcast argument
+    as docs_dedup_keep); assignment is then ONE shuffle-free streaming
+    pass (sorted-array lookup + md5 bucket). Deterministic and
+    parallelism-invariant: md5(group_key) % val_mod == 0 -> 'val'
+    (DuckDB lockstep via md5_number_upper)."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    key = _memo_key(sf_dir, threshold)
+    if key not in _CLUSTER_CACHE:
+        _CLUSTER_CACHE[key] = docs_dup_clusters(sf_dir, threshold=threshold)
+    clusters = _CLUSTER_CACHE[key]
+    cids = clusters["doc_id"].to_numpy(np.int64)
+    order = np.argsort(cids)
+    cref = ray.put((cids[order],
+                    clusters["cluster_id"].to_numpy(np.int64)[order]))
+
+    docs = rel.load(sf_dir, "documents", ["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids_s, reps = ray.get(cref)
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        gk = d.copy()
+        if len(ids_s):
+            pos = np.clip(np.searchsorted(ids_s, d), 0, len(ids_s) - 1)
+            hit = ids_s[pos] == d
+            gk[hit] = reps[pos[hit]]
+        # short-string md5 per row; the bucket count is val_mod so the
+        # loop body is one digest — vectorize via a hashed int column if
+        # this stage ever dominates (it is I/O-bound today)
+        split = ["val" if _md5_64(str(g)) % val_mod == 0 else "train"
+                 for g in gk.tolist()]
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "group_key": pa.array(gk, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    out = docs.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "group_key": "int64", "split": "object"})
+    return rel.to_pandas_sorted(df, ["doc_id"])

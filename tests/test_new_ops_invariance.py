@@ -92,7 +92,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "emb_label_prop", "docs_weighted_sample",
         "events_hourly_pivot", "events_user_top_type",
         "events_type_affinity", "docs_token_entropy",
-        "orders_running_revenue", "events_markov"]
+        "orders_running_revenue", "events_markov",
+        "docs_split_leakage_safe"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:
@@ -121,3 +122,15 @@ def test_block_boundary_invariance(op):
     b = _run(op, 7)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_leakage_safe_split_keeps_twins_together():
+    # docs 0 and 12 are exact duplicates (same text) -> same near-dup
+    # cluster -> MUST share group_key and split; that is the whole
+    # point of keying the split hash on the cluster representative
+    df = _run("docs_split_leakage_safe", 5).set_index("doc_id")
+    assert df.loc[0, "group_key"] == df.loc[12, "group_key"]
+    assert df.loc[0, "split"] == df.loc[12, "split"]
+    # and both split labels actually occur over the corpus domain
+    assert set(df["split"]) <= {"train", "val"}
