@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_revenue": q.orders_running_revenue,
         "events_markov": q.events_markov,
         "docs_split_leakage_safe": q.docs_split_leakage_safe,
+        "events_user_gini": q.events_user_gini,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,16 +98,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bin_pack": q.docs_bin_pack,
         "emb_normalize": q.emb_normalize,
         "events_interarrival": q.events_interarrival,
-        "docs_anchor_positive": q.docs_anchor_positive,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     53 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_charclass_profile / docs_bpe_pretokens /
-        #     events_debounce) and stays covered by the local gate each
-        #     round
+        #     54 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_anchor_positive / docs_charclass_profile /
+        #     docs_bpe_pretokens / events_debounce) and stays covered by
+        #     the local gate each round
+        "docs_anchor_positive": q.docs_anchor_positive,
         "docs_charclass_profile": q.docs_charclass_profile,
         "docs_bpe_pretokens": q.docs_bpe_pretokens,
         "events_debounce": q.events_debounce,
@@ -211,6 +212,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "events_user_gini": """
+            WITH c AS (
+                SELECT user_id, count(*) AS n
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+            r AS (
+                SELECT n, row_number() OVER (ORDER BY n) AS i FROM c)
+            SELECT count(*) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST((2 * sum(CAST(i AS HUGEINT) * n)
+                         - (count(*) + 1) * CAST(sum(n) AS HUGEINT))
+                        * 1000000
+                        // (CAST(count(*) AS HUGEINT) * sum(n))
+                        AS BIGINT) AS gini_ppm
+            FROM r
         """,
         "docs_split_leakage_safe": r"""
             -- leakage-safe split: hash the near-dup cluster rep (the

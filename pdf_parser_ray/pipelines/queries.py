@@ -4789,3 +4789,57 @@ def docs_split_leakage_safe(sf_dir: str, threshold: float = 0.8,
     df = rel.ensure_columns(out.to_pandas(), {
         "doc_id": "int64", "group_key": "int64", "split": "object"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def events_user_gini(sf_dir: str):
+    """Activity-concentration diagnostic: the exact Gini coefficient of
+    per-user event volume (0 = uniform, ->1 = one user dominates) — the
+    skew profiler you run BEFORE picking partition keys, since a high
+    Gini on a candidate key predicts hot-partition stragglers in any
+    keyed exchange.
+
+    Exact order statistics WITHOUT a global sort: user counts collapse
+    to a count-of-counts histogram (distinct activity LEVELS are
+    bounded — thousands — even when users are billions; the same
+    bounded-domain argument as the cents-histogram quantiles). The
+    driver walks the tiny histogram: a value v occupying ranks
+    r+1..r+m contributes v*(m*r + m(m+1)/2) to the rank-weighted sum,
+    so ties never need intra-tie order. Python big-ints make the ppm
+    formula exact at any scale; the SQL twin uses HUGEINT."""
+    ds = rel.load(sf_dir, "events", ["user_id"])
+
+    def per_user_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.drop_null(batch.column("user_id")))
+        return pa.table({"user_id": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    per_user = rel.grouped_agg(
+        ds.map_batches(per_user_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("n", "n", "sum")])
+
+    def count_of_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("n"))
+        return pa.table({"n": vc.field("values"),
+                         "m": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = rel.grouped_agg(
+        per_user.map_batches(count_of_counts, batch_format="pyarrow"),
+        ["n"], [("m", "m", "sum")], small_result=True)
+    if hist.empty:
+        return pd.DataFrame({"n_users": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "gini_ppm": pd.Series(dtype="int64")})
+    h = hist.sort_values("n").reset_index(drop=True)
+    vs = [int(x) for x in h["n"]]
+    ms = [int(x) for x in h["m"]]
+    n_users = sum(ms)
+    s0 = sum(v * m for v, m in zip(vs, ms))
+    s1, r = 0, 0
+    for v, m in zip(vs, ms):
+        s1 += v * (m * r + m * (m + 1) // 2)
+        r += m
+    gini_ppm = (2 * s1 - (n_users + 1) * s0) * 1_000_000 // (n_users * s0)
+    return pd.DataFrame({"n_users": pd.Series([n_users], dtype="int64"),
+                         "n_events": pd.Series([s0], dtype="int64"),
+                         "gini_ppm": pd.Series([gini_ppm], dtype="int64")})

@@ -200,3 +200,21 @@ def test_markov_transitions_fuzz(rows):
         "event_type": pa.array([r[2] for r in rows], pa.string()),
     })
     _check("events_markov", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(users=st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+    min_size=1, max_size=60))
+def test_user_gini_fuzz(users):
+    # exact Gini from the count-of-counts histogram must equal the SQL
+    # rank formula on arbitrary (skewed, tied, null-bearing) user
+    # multisets; all-null inputs yield the typed empty frame vs SQL's
+    # zero-user division guard
+    import hypothesis
+    hypothesis.assume(any(u is not None for u in users))
+    events = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+    })
+    _check("events_user_gini", {"events": events})
