@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": q.events_markov,
         "docs_split_leakage_safe": q.docs_split_leakage_safe,
         "events_user_gini": q.events_user_gini,
+        "docs_shuffle_shards": q.docs_shuffle_shards,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,16 +98,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percent_rank": q.events_value_percent_rank,
         "docs_bin_pack": q.docs_bin_pack,
         "emb_normalize": q.emb_normalize,
-        "events_interarrival": q.events_interarrival,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     54 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_anchor_positive / docs_charclass_profile /
-        #     docs_bpe_pretokens / events_debounce) and stays covered by
-        #     the local gate each round
+        #     55 new oracled ops outgrew the 50-slot window, spilling
+        #     events_interarrival / docs_anchor_positive /
+        #     docs_charclass_profile / docs_bpe_pretokens /
+        #     events_debounce) and stays covered by the local gate each
+        #     round
+        "events_interarrival": q.events_interarrival,
         "docs_anchor_positive": q.docs_anchor_positive,
         "docs_charclass_profile": q.docs_charclass_profile,
         "docs_bpe_pretokens": q.docs_bpe_pretokens,
@@ -212,6 +214,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "docs_shuffle_shards": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5_number_upper(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents)
+            SELECT doc_id,
+                   CAST(h % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                        PARTITION BY h % 8
+                        ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM h
         """,
         "events_user_gini": """
             WITH c AS (

@@ -4843,3 +4843,48 @@ def events_user_gini(sf_dir: str):
     return pd.DataFrame({"n_users": pd.Series([n_users], dtype="int64"),
                          "n_events": pd.Series([s0], dtype="int64"),
                          "gini_ppm": pd.Series([gini_ppm], dtype="int64")})
+
+
+def docs_shuffle_shards(sf_dir: str, n_shards: int = 8):
+    """Deterministic global shuffle for training export: every doc gets
+    (shard, pos) — shard = md5(doc_id) % n_shards, pos = md5-rank
+    within the shard — so training order is reproducible and
+    parallelism-invariant (no RNG state), uniformly mixed across
+    sources/time, and each shard is an independently writable/consumable
+    resume unit.
+
+    Plan: shuffle-free shard assignment, then ONE groupby(shard)
+    exchange whose in-group sort is bounded by shard size — pick
+    n_shards so a shard fits a worker (thousands at 100 TB); rows move
+    once either way. The md5 kernel is DuckDB's md5_number_upper, so
+    the order is SQL-replicable bit-for-bit."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    docs = rel.load(sf_dir, "documents", ["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        h = np.array([_md5_64(str(x)) for x in d.to_pylist()],
+                     dtype=np.uint64)
+        return pa.table({
+            "doc_id": d,
+            "h": pa.array(h, pa.uint64()),
+            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64),
+                              pa.int64()),
+        })
+
+    def rank_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["h", "doc_id"], kind="mergesort")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "shard": g["shard"].to_numpy(np.int64),
+            "pos": np.arange(len(g), dtype=np.int64),
+        })
+
+    ranked = (docs.map_batches(assign, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("shard").map_groups(rank_shard,
+                                           batch_format="pandas"))
+    df = rel.ensure_columns(ranked.to_pandas(), {
+        "doc_id": "int64", "shard": "int64", "pos": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
