@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_leakage_safe": q.docs_split_leakage_safe,
         "events_user_gini": q.events_user_gini,
         "docs_shuffle_shards": q.docs_shuffle_shards,
+        "docs_quality_buckets": q.docs_quality_buckets,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,17 +98,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_value_stats": q.events_type_value_stats,
         "events_value_percent_rank": q.events_value_percent_rank,
         "docs_bin_pack": q.docs_bin_pack,
-        "emb_normalize": q.emb_normalize,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     55 new oracled ops outgrew the 50-slot window, spilling
-        #     events_interarrival / docs_anchor_positive /
-        #     docs_charclass_profile / docs_bpe_pretokens /
+        #     56 new oracled ops outgrew the 50-slot window, spilling
+        #     emb_normalize / events_interarrival / docs_anchor_positive
+        #     / docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "emb_normalize": q.emb_normalize,
         "events_interarrival": q.events_interarrival,
         "docs_anchor_positive": q.docs_anchor_positive,
         "docs_charclass_profile": q.docs_charclass_profile,
@@ -214,6 +215,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "docs_quality_buckets": r"""
+            -- CCNet-style head/middle/tail by model-score tertiles
+            -- (same hashed-vocab scorer as docs_model_score; bucket
+            -- bounds via quantile_disc on the score-micro ints)
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       CAST(md5_number_upper('b:' || CAST(
+                            md5_number_upper('w:' || tok) % 4096
+                            AS VARCHAR)) % 2001 AS BIGINT) - 1000 AS iw
+                FROM toks
+            ), agg AS (
+                SELECT doc_id, sum(iw) AS s, count(*) AS n
+                FROM w GROUP BY doc_id
+            ), sc AS (
+                SELECT doc_id,
+                       round(CAST(s AS DOUBLE) / (1000.0 * n), 4) AS score
+                FROM agg
+            ), m AS (
+                SELECT doc_id, score,
+                       CAST(round(score * 10000) AS BIGINT) AS sm
+                FROM sc
+            ), b AS (
+                SELECT quantile_disc(sm, 1.0/3.0) AS b1,
+                       quantile_disc(sm, 2.0/3.0) AS b2
+                FROM m
+            )
+            SELECT doc_id, score,
+                   CASE WHEN sm <= b.b1 THEN 'tail'
+                        WHEN sm <= b.b2 THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM m, b
         """,
         "docs_shuffle_shards": """
             WITH h AS (

@@ -2310,6 +2310,48 @@ def _model_weight_table() -> np.ndarray:
         return _MODEL_WEIGHTS
 
 
+def _score_batch(batch: pa.Table) -> pa.Table:
+    """Shared hashed-vocab linear scorer batch kernel (docs_model_score
+    and docs_quality_buckets): vectorized token gather + segmented
+    integer micro-unit sums; returns (doc_id, score, verdict), zero-
+    token docs excluded (no score is defined)."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    weights = _model_weight_table()
+    lst = pc.split_pattern_regex(
+        pc.fill_null(batch.column("text"), ""), r"\s+")
+    flat = pc.list_flatten(lst).combine_chunks()
+    keep = pc.not_equal(flat, pa.scalar(""))
+    counts_all = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    doc_idx_all = np.repeat(np.arange(len(counts_all)), counts_all)
+    mask = keep.to_numpy(zero_copy_only=False)
+    toks = flat.filter(keep).to_pylist()
+    doc_idx = doc_idx_all[mask]
+    cache: dict[str, int] = {}
+    buckets = np.fromiter(
+        (cache.get(t) if t in cache
+         else cache.setdefault(t, _md5_64(f"w:{t}") % _MODEL_BUCKETS)
+         for t in toks),
+        dtype=np.int64, count=len(toks))
+    iw = weights[buckets]
+    n_docs = len(counts_all)
+    s = np.zeros(n_docs, dtype=np.int64)
+    n = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(s, doc_idx, iw)
+    np.add.at(n, doc_idx, 1)
+    has = n > 0
+    score_f = np_round_half_away(
+        s[has].astype(np.float64) / (1000.0 * n[has].astype(np.float64)),
+        4)
+    verdict = np.where(s[has] >= 0, "keep", "drop")
+    return pa.table({
+        "doc_id": batch.column("doc_id").filter(pa.array(has)),
+        "score": pa.array(score_f, pa.float64()),
+        "verdict": pa.array(verdict.tolist(), pa.string()),
+    })
+
+
 def docs_model_score(sf_dir: str):
     """Batched 'model inference' over the corpus: a hashed-vocabulary
     linear classifier (fasttext-shaped) scores every document and emits
@@ -2327,42 +2369,8 @@ def docs_model_score(sf_dir: str):
     from pdf_parser_ray.functions.sketches import _md5_64
 
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
-
-    def score(batch: pa.Table) -> pa.Table:
-        weights = _model_weight_table()
-        lst = pc.split_pattern_regex(
-            pc.fill_null(batch.column("text"), ""), r"\s+")
-        flat = pc.list_flatten(lst).combine_chunks()
-        keep = pc.not_equal(flat, pa.scalar(""))
-        counts_all = pc.list_value_length(lst).to_numpy().astype(np.int64)
-        doc_idx_all = np.repeat(np.arange(len(counts_all)), counts_all)
-        mask = keep.to_numpy(zero_copy_only=False)
-        toks = flat.filter(keep).to_pylist()
-        doc_idx = doc_idx_all[mask]
-        cache: dict[str, int] = {}
-        buckets = np.fromiter(
-            (cache.get(t) if t in cache
-             else cache.setdefault(t, _md5_64(f"w:{t}") % _MODEL_BUCKETS)
-             for t in toks),
-            dtype=np.int64, count=len(toks))
-        iw = weights[buckets]
-        n_docs = len(counts_all)
-        s = np.zeros(n_docs, dtype=np.int64)
-        n = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(s, doc_idx, iw)
-        np.add.at(n, doc_idx, 1)
-        has = n > 0
-        score_f = np_round_half_away(
-            s[has].astype(np.float64) / (1000.0 * n[has].astype(np.float64)),
-            4)
-        verdict = np.where(s[has] >= 0, "keep", "drop")
-        return pa.table({
-            "doc_id": batch.column("doc_id").filter(pa.array(has)),
-            "score": pa.array(score_f, pa.float64()),
-            "verdict": pa.array(verdict.tolist(), pa.string()),
-        })
-
-    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(_score_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
     df = rel.ensure_columns(out.to_pandas(), {
         "doc_id": "int64", "score": "float64", "verdict": "object"})
     return rel.to_pandas_sorted(df, ["doc_id"])
@@ -4887,4 +4895,59 @@ def docs_shuffle_shards(sf_dir: str, n_shards: int = 8):
                                            batch_format="pandas"))
     df = rel.ensure_columns(ranked.to_pandas(), {
         "doc_id": "int64", "shard": "int64", "pos": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def docs_quality_buckets(sf_dir: str):
+    """CCNet-style corpus split: head / middle / tail by model-score
+    TERTILES (head = best third) — the standard quality-stratification
+    step before mixing pre-training data (sample head at full rate,
+    middle reduced, tail mostly dropped).
+
+    Plan: score once (shared hashed-vocab scorer kernel) and
+    materialize only the compact (doc_id, score) projection — ~16
+    bytes/row, spillable — so the corpus text streams exactly once;
+    tertile bounds come from the bounded-domain score-micro histogram
+    (same quantile_disc lockstep as orders_price_quantiles: value at
+    1-indexed rank ceil(q*n)); the final pass assigns buckets with the
+    two bound ints closed over (no shuffle). Zero-token docs have no
+    score and are excluded on both engines."""
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    scored = ds.map_batches(
+        _score_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "score"]).materialize()
+
+    def micro(batch: pa.Table) -> pa.Table:
+        sm = np_round_half_away_int(
+            batch.column("score").to_numpy() * 10_000.0)
+        return pa.table({"sm": pa.array(sm.astype(np.int64), pa.int64())})
+
+    hist = rel.grouped_agg(
+        scored.map_batches(micro, batch_format="pyarrow"),
+        ["sm"], [("n", "", "count")], small_result=True)
+    if hist.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64"),
+                             "bucket": pd.Series(dtype="object")})
+    hdf = hist.sort_values("sm").reset_index(drop=True)
+    values = hdf["sm"].to_numpy(np.int64)
+    cum = np.cumsum(hdf["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+    b1 = int(values[np.searchsorted(cum, int(np.ceil((1.0 / 3.0) * n)))])
+    b2 = int(values[np.searchsorted(cum, int(np.ceil((2.0 / 3.0) * n)))])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        sm = np_round_half_away_int(
+            batch.column("score").to_numpy() * 10_000.0)
+        lab = np.where(sm <= b1, "tail",
+                       np.where(sm <= b2, "middle", "head"))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "score": batch.column("score"),
+                         "bucket": pa.array(lab.tolist(), pa.string())})
+
+    out = scored.map_batches(bucket, batch_format="pyarrow")
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "score": "float64", "bucket": "object"})
     return rel.to_pandas_sorted(df, ["doc_id"])

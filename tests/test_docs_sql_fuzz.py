@@ -545,3 +545,13 @@ def test_token_entropy_fuzz(texts):
     # micro-nat integer terms make the per-doc sum order-free; empty
     # docs drop on both engines (undefined entropy)
     _check("docs_token_entropy", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_quality_buckets_fuzz(texts):
+    # tertile bounds on the score-micro histogram must replicate
+    # quantile_disc under heavy ties (few docs -> many equal scores);
+    # zero-token docs drop on both engines
+    _check("docs_quality_buckets", texts)

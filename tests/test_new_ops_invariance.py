@@ -94,7 +94,7 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_type_affinity", "docs_token_entropy",
         "orders_running_revenue", "events_markov",
         "docs_split_leakage_safe", "events_user_gini",
-        "docs_shuffle_shards"]
+        "docs_shuffle_shards", "docs_quality_buckets"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:
