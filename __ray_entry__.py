@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gini": q.events_user_gini,
         "docs_shuffle_shards": q.docs_shuffle_shards,
         "docs_quality_buckets": q.docs_quality_buckets,
+        "customer_rfm": q.customer_rfm,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,17 +98,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_lift": q.docs_token_lift,
         "events_type_value_stats": q.events_type_value_stats,
         "events_value_percent_rank": q.events_value_percent_rank,
-        "docs_bin_pack": q.docs_bin_pack,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     56 new oracled ops outgrew the 50-slot window, spilling
-        #     emb_normalize / events_interarrival / docs_anchor_positive
-        #     / docs_charclass_profile / docs_bpe_pretokens /
-        #     events_debounce) and stays covered by the local gate each
-        #     round
+        #     57 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_bin_pack / emb_normalize / events_interarrival /
+        #     docs_anchor_positive / docs_charclass_profile /
+        #     docs_bpe_pretokens / events_debounce) and stays covered by
+        #     the local gate each round
+        "docs_bin_pack": q.docs_bin_pack,
         "emb_normalize": q.emb_normalize,
         "events_interarrival": q.events_interarrival,
         "docs_anchor_positive": q.docs_anchor_positive,
@@ -215,6 +216,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "customer_rfm": """
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(epoch(date_trunc('day', o_orderdate))
+                            AS BIGINT) // 86400 AS day,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders),
+            per AS (
+                SELECT o_custkey, max(day) AS last_day,
+                       count(*) AS frequency, sum(c) AS m_c
+                FROM o GROUP BY 1),
+            base AS (
+                SELECT o_custkey,
+                       (SELECT max(last_day) FROM per) - last_day
+                           AS recency_days,
+                       frequency, m_c, m_c // 100 AS m_d
+                FROM per),
+            b AS (
+                SELECT quantile_disc(recency_days, 0.2) AS r1,
+                       quantile_disc(recency_days, 0.4) AS r2,
+                       quantile_disc(recency_days, 0.6) AS r3,
+                       quantile_disc(recency_days, 0.8) AS r4,
+                       quantile_disc(frequency, 0.2) AS f1,
+                       quantile_disc(frequency, 0.4) AS f2,
+                       quantile_disc(frequency, 0.6) AS f3,
+                       quantile_disc(frequency, 0.8) AS f4,
+                       quantile_disc(m_d, 0.2) AS m1,
+                       quantile_disc(m_d, 0.4) AS m2,
+                       quantile_disc(m_d, 0.6) AS m3,
+                       quantile_disc(m_d, 0.8) AS m4
+                FROM base),
+            s AS (
+                SELECT o_custkey, recency_days,
+                       CAST(frequency AS BIGINT) AS frequency,
+                       m_c AS monetary_c,
+                       CAST(6 - (CASE WHEN recency_days <= b.r1 THEN 1
+                                      WHEN recency_days <= b.r2 THEN 2
+                                      WHEN recency_days <= b.r3 THEN 3
+                                      WHEN recency_days <= b.r4 THEN 4
+                                      ELSE 5 END) AS BIGINT) AS r_score,
+                       CAST(CASE WHEN frequency <= b.f1 THEN 1
+                                 WHEN frequency <= b.f2 THEN 2
+                                 WHEN frequency <= b.f3 THEN 3
+                                 WHEN frequency <= b.f4 THEN 4
+                                 ELSE 5 END AS BIGINT) AS f_score,
+                       CAST(CASE WHEN m_d <= b.m1 THEN 1
+                                 WHEN m_d <= b.m2 THEN 2
+                                 WHEN m_d <= b.m3 THEN 3
+                                 WHEN m_d <= b.m4 THEN 4
+                                 ELSE 5 END AS BIGINT) AS m_score
+                FROM base, b)
+            SELECT o_custkey, recency_days, frequency, monetary_c,
+                   r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                       || CAST(m_score AS VARCHAR) AS rfm
+            FROM s
         """,
         "docs_quality_buckets": r"""
             -- CCNet-style head/middle/tail by model-score tertiles

@@ -4951,3 +4951,110 @@ def docs_quality_buckets(sf_dir: str):
     df = rel.ensure_columns(out.to_pandas(), {
         "doc_id": "int64", "score": "float64", "bucket": "object"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def customer_rfm(sf_dir: str):
+    """RFM segmentation — the classic customer-value triage (recency /
+    frequency / monetary quintile scores, '555' = best): one grouped
+    exchange builds per-customer (last day, order count, cents sum);
+    quintile bounds then come from three BOUNDED-domain histograms
+    (days and order counts are naturally bounded; monetary is bucketed
+    to whole DOLLARS so its domain is bounded by the price range, not
+    the customer count — the cents-histogram discipline), so the
+    driver never holds per-customer state. Scoring is a shuffle-free
+    closure pass. Bound semantics are the proven quantile_disc
+    lockstep (value at 1-indexed rank ceil(q*n)); ties score low on
+    both engines (<= bound)."""
+    orders = rel.load(sf_dir, "orders",
+                      ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.floor_temporal(batch.column("o_orderdate"),
+                                      unit="day"), pa.int64()),
+            86_400_000_000)
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "day": day,
+                         "c": _cents(batch.column("o_totalprice"))})
+
+    per = rel.grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"],
+        [("last_day", "day", "max"), ("frequency", "", "count"),
+         ("m_c", "c", "sum")])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "last_day": batch.column("last_day"),
+            "frequency": pc.cast(batch.column("frequency"), pa.int64()),
+            "m_c": batch.column("m_c"),
+            "m_d": pc.divide(batch.column("m_c"), 100),
+        })
+
+    per = per.map_batches(derive, batch_format="pyarrow").materialize()
+
+    def hist_of(col: str) -> pd.DataFrame:
+        def vc(batch: pa.Table) -> pa.Table:
+            v = pc.value_counts(batch.column(col))
+            return pa.table({"v": v.field("values"),
+                             "n": pc.cast(v.field("counts"), pa.int64())})
+        return rel.grouped_agg(per.map_batches(vc, batch_format="pyarrow"),
+                               ["v"], [("n", "n", "sum")],
+                               small_result=True)
+
+    def bounds_of(hdf: pd.DataFrame) -> list[int]:
+        h = hdf.sort_values("v").reset_index(drop=True)
+        values = h["v"].to_numpy(np.int64)
+        cum = np.cumsum(h["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        return [int(values[np.searchsorted(cum, int(np.ceil(q * n)))])
+                for q in (0.2, 0.4, 0.6, 0.8)]
+
+    h_day = hist_of("last_day")
+    if h_day.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in (
+            ("o_custkey", "int64"), ("recency_days", "int64"),
+            ("frequency", "int64"), ("monetary_c", "int64"),
+            ("r_score", "int64"), ("f_score", "int64"),
+            ("m_score", "int64"), ("rfm", "object"))})
+    ref_day = int(h_day["v"].max())
+    # recency bounds derive from the same day histogram (rec = ref - day)
+    h_rec = pd.DataFrame({"v": ref_day - h_day["v"], "n": h_day["n"]})
+    rb = bounds_of(h_rec)
+    fb = bounds_of(hist_of("frequency"))
+    mb = bounds_of(hist_of("m_d"))
+
+    def score(vals: np.ndarray, bs: list[int],
+              invert: bool) -> np.ndarray:
+        s = 1 + np.searchsorted(np.array(bs, dtype=np.int64), vals,
+                                side="left")
+        return (6 - s if invert else s).astype(np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        rec = ref_day - batch.column("last_day").to_numpy()
+        f = batch.column("frequency").to_numpy()
+        md = batch.column("m_d").to_numpy()
+        rs = score(rec, rb, invert=True)    # fresher = higher score
+        fs = score(f, fb, invert=False)
+        ms = score(md, mb, invert=False)
+        rfm = np.char.add(np.char.add(rs.astype(str), fs.astype(str)),
+                          ms.astype(str))
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "recency_days": pa.array(rec.astype(np.int64), pa.int64()),
+            "frequency": batch.column("frequency"),
+            "monetary_c": batch.column("m_c"),
+            "r_score": pa.array(rs, pa.int64()),
+            "f_score": pa.array(fs, pa.int64()),
+            "m_score": pa.array(ms, pa.int64()),
+            "rfm": pa.array(rfm.tolist(), pa.string()),
+        })
+
+    out = per.map_batches(assign, batch_format="pyarrow")
+    df = rel.ensure_columns(out.to_pandas(), {
+        "o_custkey": "int64", "recency_days": "int64",
+        "frequency": "int64", "monetary_c": "int64", "r_score": "int64",
+        "f_score": "int64", "m_score": "int64", "rfm": "object"})
+    return rel.to_pandas_sorted(df, ["o_custkey"])

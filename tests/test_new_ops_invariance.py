@@ -69,6 +69,7 @@ def _orders_table() -> pa.Table:
     rng = np.random.RandomState(7)
     return pa.table({
         "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array(rng.randint(0, 15, n), pa.int64()),
         "o_orderdate": pa.array(
             [base + dt.timedelta(days=int(d)) for d in rng.randint(0, 9, n)],
             pa.timestamp("us")),
@@ -94,7 +95,7 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_type_affinity", "docs_token_entropy",
         "orders_running_revenue", "events_markov",
         "docs_split_leakage_safe", "events_user_gini",
-        "docs_shuffle_shards", "docs_quality_buckets"]
+        "docs_shuffle_shards", "docs_quality_buckets", "customer_rfm"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

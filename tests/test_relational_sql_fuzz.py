@@ -218,3 +218,24 @@ def test_user_gini_fuzz(users):
         "user_id": pa.array(users, pa.int64()),
     })
     _check("events_user_gini", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),   # custkey: few -> ties
+              st.integers(min_value=0, max_value=10),  # day offset
+              _MONEY.filter(lambda x: x >= 0)),
+    min_size=1, max_size=30))
+def test_customer_rfm_fuzz(rows):
+    # quintile bounds under heavy ties (few customers, duplicate
+    # recency/frequency values) must replicate quantile_disc + the
+    # CASE-chain tie semantics on both engines
+    orders = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=r[1]) for r in rows],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    _check("customer_rfm", {"orders": orders})
