@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle_shards": q.docs_shuffle_shards,
         "docs_quality_buckets": q.docs_quality_buckets,
         "customer_rfm": q.customer_rfm,
+        "orders_open_backlog": q.orders_open_backlog,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,17 +98,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_corpus": q.docs_clean_corpus,
         "docs_token_lift": q.docs_token_lift,
         "events_type_value_stats": q.events_type_value_stats,
-        "events_value_percent_rank": q.events_value_percent_rank,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     57 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_bin_pack / emb_normalize / events_interarrival /
-        #     docs_anchor_positive / docs_charclass_profile /
-        #     docs_bpe_pretokens / events_debounce) and stays covered by
-        #     the local gate each round
+        #     58 new oracled ops outgrew the 50-slot window, spilling
+        #     events_value_percent_rank / docs_bin_pack / emb_normalize
+        #     / events_interarrival / docs_anchor_positive /
+        #     docs_charclass_profile / docs_bpe_pretokens /
+        #     events_debounce) and stays covered by the local gate each
+        #     round
+        "events_value_percent_rank": q.events_value_percent_rank,
         "docs_bin_pack": q.docs_bin_pack,
         "emb_normalize": q.emb_normalize,
         "events_interarrival": q.events_interarrival,
@@ -216,6 +218,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "orders_open_backlog": """
+            WITH lm AS (
+                SELECT l_orderkey,
+                       max(CAST(epoch(date_trunc('day', l_shipdate))
+                                AS BIGINT) // 86400) AS close_day
+                FROM lineitem GROUP BY 1),
+            o AS (
+                SELECT o_orderkey,
+                       CAST(epoch(date_trunc('day', o_orderdate))
+                            AS BIGINT) // 86400 AS open_day
+                FROM orders),
+            iv AS (
+                SELECT open_day, close_day
+                FROM o JOIN lm ON o_orderkey = l_orderkey),
+            d AS (
+                SELECT open_day AS day, 1 AS delta FROM iv
+                UNION ALL
+                SELECT close_day, -1 FROM iv),
+            g AS (SELECT day, sum(delta) AS delta FROM d GROUP BY 1)
+            SELECT day,
+                   CAST(sum(delta) OVER (
+                        ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS backlog
+            FROM g
         """,
         "customer_rfm": """
             WITH o AS (

@@ -5058,3 +5058,68 @@ def customer_rfm(sf_dir: str):
         "frequency": "int64", "monetary_c": "int64", "r_score": "int64",
         "f_score": "int64", "m_score": "int64", "rfm": "object"})
     return rel.to_pandas_sorted(df, ["o_custkey"])
+
+
+def orders_open_backlog(sf_dir: str):
+    """Open-order backlog over time — how many orders are placed but
+    not yet fully shipped on each day the gauge changes: the classic
+    interval-count, computed as +1/-1 boundary deltas + prefix cumsum
+    (never a per-day interval join).
+
+    Plan: map-side per-order max(shipdate) on lineitem, ONE grouped
+    exchange to finish it (the q4 pattern), one hash join to attach the
+    order's open day, then each interval emits exactly two delta rows;
+    the delta aggregation is day-bounded (small), and the driver
+    cumsums the tiny (day, delta) series — O(#days) state, rows move
+    twice total regardless of scale. Interval is [open_day, close_day):
+    an order fully shipped the day it was placed never counts."""
+    line = rel.load(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def _day(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.divide(
+            pc.cast(pc.floor_temporal(col, unit="day"), pa.int64()),
+            86_400_000_000)
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "d": _day(batch.column("l_shipdate"))})
+        return t.group_by(["l_orderkey"]).aggregate([("d", "max")]) \
+                .rename_columns(["l_orderkey", "close_day"])
+
+    line_max = rel.grouped_agg(
+        line.map_batches(line_prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["l_orderkey"], [("close_day", "close_day", "max")])
+
+    def order_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "open_day": _day(batch.column("o_orderdate"))})
+
+    joined = rel.hash_join(
+        orders.map_batches(order_prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        line_max, on="o_orderkey", right_on="l_orderkey",
+        num_partitions=16)
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        opens = batch.column("open_day").to_numpy()
+        closes = batch.column("close_day").to_numpy()
+        return pa.table({
+            "day": pa.array(np.concatenate([opens, closes]), pa.int64()),
+            "delta": pa.array(
+                np.concatenate([np.ones(len(opens), np.int64),
+                                -np.ones(len(closes), np.int64)]),
+                pa.int64()),
+        })
+
+    agg = rel.grouped_agg(
+        joined.map_batches(deltas, batch_format="pyarrow"),
+        ["day"], [("delta", "delta", "sum")], small_result=True)
+    if agg.empty:
+        return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                             "backlog": pd.Series(dtype="int64")})
+    agg = agg.sort_values("day").reset_index(drop=True)
+    agg["delta"] = agg["delta"].astype("int64")
+    agg["backlog"] = agg["delta"].cumsum().astype("int64")
+    return rel.to_pandas_sorted(agg[["day", "backlog"]], ["day"])

@@ -78,8 +78,22 @@ def _orders_table() -> pa.Table:
     })
 
 
+def _lineitem_table() -> pa.Table:
+    base = dt.datetime(2024, 3, 1)
+    n = 300
+    rng = np.random.RandomState(11)
+    return pa.table({
+        "l_orderkey": pa.array(rng.randint(0, 120, n), pa.int64()),
+        "l_shipdate": pa.array(
+            [base + dt.timedelta(days=int(d))
+             for d in rng.randint(0, 20, n)],
+            pa.timestamp("us")),
+    })
+
+
 _TABLES = {"documents": _docs_table, "events": _events_table,
-           "embeddings": _emb_table, "orders": _orders_table}
+           "embeddings": _emb_table, "orders": _orders_table,
+           "lineitem": _lineitem_table}
 
 _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_token_lift", "docs_clean_corpus", "events_latest_snapshot",
@@ -95,7 +109,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_type_affinity", "docs_token_entropy",
         "orders_running_revenue", "events_markov",
         "docs_split_leakage_safe", "events_user_gini",
-        "docs_shuffle_shards", "docs_quality_buckets", "customer_rfm"]
+        "docs_shuffle_shards", "docs_quality_buckets", "customer_rfm",
+        "orders_open_backlog"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

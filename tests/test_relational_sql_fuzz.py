@@ -239,3 +239,30 @@ def test_customer_rfm_fuzz(rows):
         "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
     })
     _check("customer_rfm", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(okeys=st.lists(st.integers(min_value=0, max_value=8),
+                      min_size=1, max_size=20),
+       ldays=st.lists(st.tuples(st.integers(min_value=0, max_value=8),
+                                st.integers(min_value=0, max_value=15)),
+                      min_size=1, max_size=30))
+def test_open_backlog_fuzz(okeys, ldays):
+    # interval deltas + cumsum must match the SQL windowed sum under
+    # same-day open/close, orders without lineitems (inner-join drop),
+    # and lineitems pointing at absent orders
+    orders = pa.table({
+        "o_orderkey": pa.array(sorted(set(okeys)), pa.int64()),
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=k) for k in sorted(set(okeys))],
+            pa.timestamp("us")),
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array([k for k, _ in ldays], pa.int64()),
+        "l_shipdate": pa.array(
+            [_BASE + dt.timedelta(days=d) for _, d in ldays],
+            pa.timestamp("us")),
+    })
+    _check("orders_open_backlog", {"orders": orders,
+                                   "lineitem": lineitem})
