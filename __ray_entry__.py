@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_buckets": q.docs_quality_buckets,
         "customer_rfm": q.customer_rfm,
         "orders_open_backlog": q.orders_open_backlog,
+        "docs_dup_rate_by_source": q.docs_dup_rate_by_source,
+        "events_hour_profile_z": q.events_hour_profile_z,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -96,19 +98,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dedup_keep": q.emb_dedup_keep,
         "docs_edit_pairs": q.docs_edit_pairs,
         "docs_clean_corpus": q.docs_clean_corpus,
-        "docs_token_lift": q.docs_token_lift,
-        "events_type_value_stats": q.events_type_value_stats,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     58 new oracled ops outgrew the 50-slot window, spilling
+        #     60 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_token_lift / events_type_value_stats /
         #     events_value_percent_rank / docs_bin_pack / emb_normalize
         #     / events_interarrival / docs_anchor_positive /
         #     docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "docs_token_lift": q.docs_token_lift,
+        "events_type_value_stats": q.events_type_value_stats,
         "events_value_percent_rank": q.events_value_percent_rank,
         "docs_bin_pack": q.docs_bin_pack,
         "emb_normalize": q.emb_normalize,
@@ -218,6 +221,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "docs_dup_rate_by_source": r"""
+            -- near-dup incidence per source: membership = any doc in a
+            -- verified near-dup pair (the docs_dup_clusters CC nodes)
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+            ), member AS (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION
+                SELECT doc_b FROM pairs
+            )
+            SELECT d.source,
+                   count(*) AS n_docs,
+                   CAST(count(*) FILTER (m.doc_id IS NOT NULL)
+                        AS BIGINT) AS n_dup,
+                   CAST(count(*) FILTER (m.doc_id IS NOT NULL) * 1000000
+                        // count(*) AS BIGINT) AS dup_ppm
+            FROM documents d LEFT JOIN member m ON m.doc_id = d.doc_id
+            GROUP BY 1
+        """,
+        "events_hour_profile_z": """
+            WITH c AS (
+                SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            s AS (
+                SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+                       avg(CAST(n AS DOUBLE)) OVER (
+                           PARTITION BY event_type) AS mu,
+                       avg(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER (
+                           PARTITION BY event_type) AS m2
+                FROM c)
+            SELECT event_type, hour, n,
+                   CASE WHEN m2 - mu * mu = 0 THEN 0.0
+                        ELSE round((CAST(n AS DOUBLE) - mu)
+                                   / sqrt(m2 - mu * mu), 4)
+                   END AS z
+            FROM s
         """,
         "orders_open_backlog": """
             WITH lm AS (

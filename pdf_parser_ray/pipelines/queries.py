@@ -5123,3 +5123,86 @@ def orders_open_backlog(sf_dir: str):
     agg["delta"] = agg["delta"].astype("int64")
     agg["backlog"] = agg["delta"].cumsum().astype("int64")
     return rel.to_pandas_sorted(agg[["day", "backlog"]], ["day"])
+
+
+def docs_dup_rate_by_source(sf_dir: str, threshold: float = 0.8):
+    """Near-duplication incidence per source — the corpus-health
+    dashboard metric that tells you WHICH feed is flooding the corpus
+    with copies (a crawl gone wrong shows up here first). A doc is
+    'dup-involved' if it sits in any verified near-dup cluster.
+
+    Plan: the (tiny, dup-pair-bounded) cluster membership set broadcasts
+    once (the dedup_keep argument); the per-source tally is then one
+    shuffle-free marking pass + a source-bounded grouped agg. Rate is
+    exact integer ppm."""
+    key = _memo_key(sf_dir, threshold)
+    if key not in _CLUSTER_CACHE:
+        _CLUSTER_CACHE[key] = docs_dup_clusters(sf_dir, threshold=threshold)
+    member = _CLUSTER_CACHE[key]["doc_id"]
+    mref = ray.put(pa.array(sorted(member.tolist()), pa.int64()))
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "source"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.is_in(batch.column("doc_id"),
+                               value_set=ray.get(mref)), pa.int64())
+        return pa.table({"source": batch.column("source"),
+                         "is_dup": dup})
+
+    agg = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("n_docs", "", "count"), ("n_dup", "is_dup", "sum")],
+        small_result=True))
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["n_dup"] = agg["n_dup"].astype("int64")
+    agg["dup_ppm"] = (agg["n_dup"] * 1_000_000
+                      // agg["n_docs"]).astype("int64")
+    return rel.to_pandas_sorted(agg, ["source"])
+
+
+def events_hour_profile_z(sf_dir: str):
+    """Hour-of-day activity profile with anomaly z-scores: per
+    (event_type, hour-of-day) counts and how many standard deviations
+    each cell sits from its type's mean across the 24 cells — the
+    profile check behind bot detection (uniform hour profiles) and
+    pipeline-gap alerts (a missing-hour dip). One bounded grouped
+    exchange (|types| x 24 cells); counts are exact ints, so mean/std
+    derive from identical doubles on both engines (population std);
+    z rounded half-away at 4 digits."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+
+    ds = rel.load(sf_dir, "events", ["ts", "event_type"])
+
+    def cell(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "hour": pc.cast(pc.hour(batch.column("ts")),
+                                      pa.int64())})
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["event_type", "hour", "n"])
+
+    agg = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(cell, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"], [("n", "n", "sum")], small_result=True))
+    if agg.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "hour": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "z": pd.Series(dtype="float64")})
+    agg["n"] = agg["n"].astype("int64")
+    g = agg.groupby("event_type")["n"]
+    mean = g.transform("mean")
+    # population std from exact integer moments: E[x^2] - E[x]^2
+    m2 = agg.groupby("event_type")["n"].transform(
+        lambda s: (s.astype("float64") ** 2).mean())
+    var = m2.to_numpy() - mean.to_numpy() ** 2
+    std = np.sqrt(var)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = np_round_half_away(
+            (agg["n"].to_numpy() - mean.to_numpy()) / std, 4)
+    # constant profile (single cell / all-equal counts): z := 0 on both
+    # engines, a deterministic sentinel instead of engine-NaN semantics
+    agg["z"] = np.where(var == 0.0, 0.0, z)
+    return rel.to_pandas_sorted(agg[["event_type", "hour", "n", "z"]],
+                                ["event_type", "hour"])

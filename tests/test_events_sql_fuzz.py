@@ -191,3 +191,4 @@ def test_user_top_type_fuzz(rows):
 @given(rows=_EVENTS)
 def test_type_affinity_fuzz(rows):
     _check("events_type_affinity", rows)
+

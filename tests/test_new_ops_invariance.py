@@ -110,7 +110,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "orders_running_revenue", "events_markov",
         "docs_split_leakage_safe", "events_user_gini",
         "docs_shuffle_shards", "docs_quality_buckets", "customer_rfm",
-        "orders_open_backlog"]
+        "orders_open_backlog", "docs_dup_rate_by_source",
+        "events_hour_profile_z"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

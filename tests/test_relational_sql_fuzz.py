@@ -266,3 +266,21 @@ def test_open_backlog_fuzz(okeys, ldays):
     })
     _check("orders_open_backlog", {"orders": orders,
                                    "lineitem": lineitem})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=72 * 3600 - 1),
+              st.sampled_from(["view", "click"])),
+    min_size=1, max_size=40))
+def test_hour_profile_z_fuzz(rows):
+    # z-scores derive from exact integer cell counts via identical
+    # double formulas; constant profiles (single cell) pin z = 0 on
+    # both engines instead of NaN semantics
+    events = pa.table({
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[0]) for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+    })
+    _check("events_hour_profile_z", {"events": events})
