@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_open_backlog": q.orders_open_backlog,
         "docs_dup_rate_by_source": q.docs_dup_rate_by_source,
         "events_hour_profile_z": q.events_hour_profile_z,
+        "nation_supplier_hhi": q.nation_supplier_hhi,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,19 +98,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_postings": q.docs_postings,
         "emb_dedup_keep": q.emb_dedup_keep,
         "docs_edit_pairs": q.docs_edit_pairs,
-        "docs_clean_corpus": q.docs_clean_corpus,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     60 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_token_lift / events_type_value_stats /
+        #     61 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_clean_corpus / docs_token_lift /
+        #     events_type_value_stats /
         #     events_value_percent_rank / docs_bin_pack / emb_normalize
         #     / events_interarrival / docs_anchor_positive /
         #     docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "docs_clean_corpus": q.docs_clean_corpus,
         "docs_token_lift": q.docs_token_lift,
         "events_type_value_stats": q.events_type_value_stats,
         "events_value_percent_rank": q.events_value_percent_rank,
@@ -221,6 +223,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "nation_supplier_hhi": """
+            WITH rev AS (
+                SELECT s.s_nationkey, l.l_suppkey,
+                       sum(CAST(round(l.l_extendedprice
+                                      * (1 - l.l_discount) * 100)
+                                AS BIGINT)) AS rev_c
+                FROM lineitem l JOIN supplier s
+                  ON l.l_suppkey = s.s_suppkey
+                GROUP BY 1, 2),
+            d AS (
+                SELECT n.n_name, rev.l_suppkey,
+                       rev.rev_c // 100 AS d
+                FROM rev JOIN nation n
+                  ON rev.s_nationkey = n.n_nationkey)
+            SELECT n_name,
+                   count(*) AS n_suppliers,
+                   CAST(CASE WHEN sum(d) = 0 THEN 0
+                        ELSE sum(CAST(d AS HUGEINT) * d) * 1000000
+                             // (CAST(sum(d) AS HUGEINT) * sum(d))
+                        END AS BIGINT) AS hhi_ppm
+            FROM d GROUP BY 1
         """,
         "docs_dup_rate_by_source": r"""
             -- near-dup incidence per source: membership = any doc in a

@@ -5206,3 +5206,59 @@ def events_hour_profile_z(sf_dir: str):
     agg["z"] = np.where(var == 0.0, 0.0, z)
     return rel.to_pandas_sorted(agg[["event_type", "hour", "n", "z"]],
                                 ["event_type", "hour"])
+
+
+def nation_supplier_hhi(sf_dir: str):
+    """Market-concentration diagnostic: the Herfindahl–Hirschman index
+    of supplier revenue share per nation (10^6 = monopoly, 10^6/n =
+    perfectly even) — the metric that flags a nation whose supply
+    depends on one vendor.
+
+    Plan: supplier->nation is a broadcast dimension merge (tiny); ONE
+    grouped exchange builds per-(nation, supplier) revenue — the only
+    data-scaled structure, and it is dimension-bounded; shares square
+    in whole DOLLARS (headroom: d^2 stays in int64 up to $3B/supplier,
+    documented bound — use $k units past that) and the final ratio is
+    Python big-int exact on the nation-sized frame. SQL twin uses
+    HUGEINT for the same arithmetic."""
+    nation = rel.load(sf_dir, "nation", ["n_nationkey", "n_name"]
+                      ).to_pandas()
+    supp = rel.load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+                    ).to_pandas()
+    supp = supp.merge(nation, left_on="s_nationkey",
+                      right_on="n_nationkey")[["s_suppkey", "n_name"]]
+
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.table({"l_suppkey": batch.column("l_suppkey"),
+                         "rev_c": _cents(rev)})
+
+    line_r = line.map_batches(line_prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = rel.broadcast_merge(
+        line_r, supp.rename(columns={"s_suppkey": "l_suppkey"}),
+        on="l_suppkey")
+    per_supp = rel.as_pandas(rel.grouped_agg(
+        joined, ["n_name", "l_suppkey"], [("rev_c", "rev_c", "sum")],
+        small_result=True))
+    if per_supp.empty:
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "n_suppliers": pd.Series(dtype="int64"),
+                             "hhi_ppm": pd.Series(dtype="int64")})
+    per_supp["d"] = per_supp["rev_c"].astype("int64") // 100
+    rows = []
+    for name, g in per_supp.groupby("n_name", sort=True):
+        ds_ = [int(x) for x in g["d"]]
+        s = sum(ds_)
+        sq = sum(x * x for x in ds_)
+        rows.append({"n_name": name, "n_suppliers": len(ds_),
+                     "hhi_ppm": (sq * 1_000_000 // (s * s)) if s else 0})
+    out = pd.DataFrame(rows)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["hhi_ppm"] = out["hhi_ppm"].astype("int64")
+    return rel.to_pandas_sorted(out, ["n_name"])

@@ -284,3 +284,32 @@ def test_hour_profile_z_fuzz(rows):
         "event_type": pa.array([r[1] for r in rows], pa.string()),
     })
     _check("events_hour_profile_z", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),   # suppkey
+              _MONEY.filter(lambda x: x >= 0),          # extendedprice
+              st.integers(min_value=0, max_value=10).map(lambda k: k / 100.0)),
+    min_size=1, max_size=30))
+def test_nation_hhi_fuzz(rows):
+    # share squares in whole dollars must replicate the HUGEINT SQL
+    # exactly, incl. single-supplier monopolies (hhi = 1e6) and
+    # zero-revenue nations (guarded 0)
+    supplier = pa.table({
+        "s_suppkey": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "s_nationkey": pa.array([0, 0, 1, 1, 2, 2], pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": pa.array(["AA", "BB", "CC"], pa.string()),
+    })
+    lineitem = pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    _check("nation_supplier_hhi", {"lineitem": lineitem,
+                                   "supplier": supplier,
+                                   "nation": nation})
