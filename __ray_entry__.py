@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_rate_by_source": q.docs_dup_rate_by_source,
         "events_hour_profile_z": q.events_hour_profile_z,
         "nation_supplier_hhi": q.nation_supplier_hhi,
+        "emb_quantize_error": q.emb_quantize_error,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,20 +98,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_snapshot": q.events_latest_snapshot,
         "docs_postings": q.docs_postings,
         "emb_dedup_keep": q.emb_dedup_keep,
-        "docs_edit_pairs": q.docs_edit_pairs,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     61 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_clean_corpus / docs_token_lift /
+        #     62 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_edit_pairs / docs_clean_corpus / docs_token_lift /
         #     events_type_value_stats /
         #     events_value_percent_rank / docs_bin_pack / emb_normalize
         #     / events_interarrival / docs_anchor_positive /
         #     docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "docs_edit_pairs": q.docs_edit_pairs,
         "docs_clean_corpus": q.docs_clean_corpus,
         "docs_token_lift": q.docs_token_lift,
         "events_type_value_stats": q.events_type_value_stats,
@@ -223,6 +224,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "emb_quantize_error": """
+            WITH u AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+            sc AS (
+                SELECT CAST(max(abs(x)) AS DOUBLE) / 127 AS s FROM u),
+            r AS (
+                SELECT u.vec_id,
+                       u.x - round(u.x / sc.s) * sc.s AS d
+                FROM u, sc WHERE sc.s <> 0),
+            e AS (
+                SELECT vec_id,
+                       CAST(round(d * d * 1e12) AS BIGINT) AS se
+                FROM r)
+            SELECT vec_id,
+                   CAST(coalesce(sum(se), 0) AS BIGINT) AS err_e12
+            FROM (SELECT DISTINCT vec_id FROM u) v
+            LEFT JOIN e USING (vec_id)
+            GROUP BY vec_id
         """,
         "nation_supplier_hhi": """
             WITH rev AS (

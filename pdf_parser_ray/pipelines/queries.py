@@ -5262,3 +5262,49 @@ def nation_supplier_hhi(sf_dir: str):
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     out["hhi_ppm"] = out["hhi_ppm"].astype("int64")
     return rel.to_pandas_sorted(out, ["n_name"])
+
+
+def emb_quantize_error(sf_dir: str):
+    """Int8 scalar-quantization diagnostic: per-vector squared
+    reconstruction error under symmetric int8 quantization
+    (q = round(x/s), s = global max|x|/127) — the go/no-go check before
+    shipping a compressed ANN index (4x memory cut vs recall risk).
+
+    Two passes, both cheap: a distributed max-abs reduction (one tiny
+    scalar per block) fixes the scale, then a shuffle-free streaming
+    pass quantizes, reconstructs, and sums per-element squared errors
+    as integer PICO-units (round half-away at 1e12) — so the per-vector
+    sum is exact integer math and bit-identical to the SQL twin, which
+    promotes the float32 storage to double exactly like numpy does.
+    All-zero corpora pin err = 0 (s = 0 guard) on both engines."""
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+    from pdf_parser_ray.stages.similarity import _matrix
+
+    embs = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        v = float(np.abs(m).max()) if m.size else 0.0
+        return pa.table({"m": pa.array([v], pa.float64())})
+
+    mx = embs.map_batches(block_max, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    s = (float(mx["m"].max()) / 127.0) if len(mx) else 0.0
+
+    def err(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        if s == 0.0:
+            e = np.zeros(len(x), dtype=np.int64)
+        else:
+            q = np_round_half_away_int(x / s).astype(np.float64)
+            d = x - q * s
+            se = np_round_half_away_int(d * d * 1e12)
+            e = se.sum(axis=1).astype(np.int64)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "err_e12": pa.array(e, pa.int64())})
+
+    out = embs.map_batches(err, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"vec_id": "int64", "err_e12": "int64"})
+    return rel.to_pandas_sorted(df, ["vec_id"])

@@ -313,3 +313,21 @@ def test_nation_hhi_fuzz(rows):
     _check("nation_supplier_hhi", {"lineitem": lineitem,
                                    "supplier": supplier,
                                    "nation": nation})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
+                       width=32),
+             min_size=4, max_size=4),
+    min_size=1, max_size=12))
+def test_quantize_error_fuzz(vals):
+    # float32 storage promotes to double identically on both engines;
+    # pico-unit integer error terms keep the per-vector sum exact;
+    # all-zero corpora pin err = 0 (s = 0 guard)
+    embeddings = pa.table({
+        "vec_id": pa.array(range(len(vals)), pa.int64()),
+        "embedding": pa.array(vals, pa.list_(pa.float32())),
+    })
+    _check("emb_quantize_error", {"embeddings": embeddings})
