@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_profile_z": q.events_hour_profile_z,
         "nation_supplier_hhi": q.nation_supplier_hhi,
         "emb_quantize_error": q.emb_quantize_error,
+        "events_user_lifespan": q.events_user_lifespan,
+        "orders_fanout_profile": q.orders_fanout_profile,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -96,21 +98,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans": q.docs_dup_spans,
         "docs_cut_dup_spans": q.docs_cut_dup_spans,
         "events_latest_snapshot": q.events_latest_snapshot,
-        "docs_postings": q.docs_postings,
-        "emb_dedup_keep": q.emb_dedup_keep,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     62 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_edit_pairs / docs_clean_corpus / docs_token_lift /
+        #     64 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_postings / emb_dedup_keep / docs_edit_pairs /
+        #     docs_clean_corpus / docs_token_lift /
         #     events_type_value_stats /
         #     events_value_percent_rank / docs_bin_pack / emb_normalize
         #     / events_interarrival / docs_anchor_positive /
         #     docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "docs_postings": q.docs_postings,
+        "emb_dedup_keep": q.emb_dedup_keep,
         "docs_edit_pairs": q.docs_edit_pairs,
         "docs_clean_corpus": q.docs_clean_corpus,
         "docs_token_lift": q.docs_token_lift,
@@ -224,6 +227,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "events_user_lifespan": """
+            WITH du AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                           // 86400 AS day
+                FROM events WHERE user_id IS NOT NULL)
+            SELECT user_id, min(day) AS first_day, max(day) AS last_day,
+                   count(*) AS active_days,
+                   CAST(count(*) * 1000000
+                        // (max(day) - min(day) + 1) AS BIGINT)
+                       AS regularity_ppm
+            FROM du GROUP BY 1
+        """,
+        "orders_fanout_profile": """
+            WITH per AS (
+                SELECT l_orderkey, count(*) AS n
+                FROM lineitem GROUP BY 1)
+            SELECT n AS n_items, count(*) AS n_orders
+            FROM per GROUP BY 1
         """,
         "emb_quantize_error": """
             WITH u AS (

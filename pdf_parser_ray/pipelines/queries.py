@@ -5308,3 +5308,72 @@ def emb_quantize_error(sf_dir: str):
     df = rel.ensure_columns(out.to_pandas(),
                             {"vec_id": "int64", "err_e12": "int64"})
     return rel.to_pandas_sorted(df, ["vec_id"])
+
+
+def events_user_lifespan(sf_dir: str):
+    """Per-user lifecycle table — first/last active day, distinct
+    active days, and regularity (active/span ppm): the churn-analytics
+    base every retention model starts from. Two exchanges, both on
+    already-collapsed data: the distinct (user, day) set first (the
+    dau_wau discipline — map-side distinct, one grouped exchange),
+    then a user-keyed min/max/count over it. Exact integer ppm."""
+    ds = rel.load(sf_dir, "events", ["ts", "user_id"])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        day = pc.divide(pc.cast(pc.floor_temporal(batch.column("ts"),
+                                                  unit="day"),
+                                pa.int64()), 86_400_000_000)
+        t = pa.table({"user_id": batch.column("user_id"), "day": day})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    du = rel.grouped_agg(
+        ds.map_batches(day_user, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "day"], [("n", "", "count")])
+    agg = rel.grouped_agg(
+        du, ["user_id"],
+        [("first_day", "day", "min"), ("last_day", "day", "max"),
+         ("active_days", "", "count")])
+    df = rel.ensure_columns(agg.to_pandas(), {
+        "user_id": "int64", "first_day": "int64", "last_day": "int64",
+        "active_days": "int64"})
+    span = df["last_day"] - df["first_day"] + 1
+    df["regularity_ppm"] = (df["active_days"] * 1_000_000
+                            // span).astype("int64")
+    return rel.to_pandas_sorted(df, ["user_id"])
+
+
+def orders_fanout_profile(sf_dir: str):
+    """Join fan-out profiler: the distribution of lineitems per order
+    (n_items -> n_orders) — the histogram you read BEFORE sizing a
+    fact-fact join, since the max fan-out bounds per-key amplification
+    and the tail shape predicts skewed-partition stragglers.
+
+    Count-of-counts again: one orderkey exchange collapses rows to
+    per-order counts (map-side partial counts first), then the
+    count-of-counts is value-bounded (distinct order SIZES, a few
+    hundred at most) — driver state never scales with orders."""
+    line = rel.load(sf_dir, "lineitem", ["l_orderkey"])
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("l_orderkey"))
+        return pa.table({"l_orderkey": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    per = rel.grouped_agg(
+        line.map_batches(per_order, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["l_orderkey"], [("n", "n", "sum")])
+
+    def coc(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("n"))
+        return pa.table({"n_items": vc.field("values"),
+                         "m": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = rel.as_pandas(rel.grouped_agg(
+        per.map_batches(coc, batch_format="pyarrow"),
+        ["n_items"], [("n_orders", "m", "sum")], small_result=True))
+    hist = rel.ensure_columns(hist, {"n_items": "int64",
+                                     "n_orders": "int64"})
+    return rel.to_pandas_sorted(hist, ["n_items"])
