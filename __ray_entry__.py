@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize_error": q.emb_quantize_error,
         "events_user_lifespan": q.events_user_lifespan,
         "orders_fanout_profile": q.orders_fanout_profile,
+        "docs_ngram_diversity": q.docs_ngram_diversity,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,14 +98,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_model_score": q.docs_model_score,
         "docs_dup_spans": q.docs_dup_spans,
         "docs_cut_dup_spans": q.docs_cut_dup_spans,
-        "events_latest_snapshot": q.events_latest_snapshot,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     64 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_postings / emb_dedup_keep / docs_edit_pairs /
+        #     65 new oracled ops outgrew the 50-slot window, spilling
+        #     events_latest_snapshot / docs_postings / emb_dedup_keep /
+        #     docs_edit_pairs /
         #     docs_clean_corpus / docs_token_lift /
         #     events_type_value_stats /
         #     events_value_percent_rank / docs_bin_pack / emb_normalize
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "events_latest_snapshot": q.events_latest_snapshot,
         "docs_postings": q.docs_postings,
         "emb_dedup_keep": q.emb_dedup_keep,
         "docs_edit_pairs": q.docs_edit_pairs,
@@ -227,6 +229,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "docs_ngram_diversity": r"""
+            WITH words AS (
+                SELECT source, regexp_extract_all(text, '\S+') AS w
+                FROM documents),
+            g AS (
+                SELECT source,
+                       md5_number_upper(w[i] || ' ' || w[i+1] || ' '
+                                        || w[i+2]) AS h
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3),
+            agg AS (
+                SELECT source, count(*) AS total_grams,
+                       count(DISTINCT h) AS distinct_grams
+                FROM g GROUP BY 1)
+            SELECT source, total_grams, distinct_grams,
+                   CAST(distinct_grams * 1000000 // total_grams
+                        AS BIGINT) AS diversity_ppm
+            FROM agg
         """,
         "events_user_lifespan": """
             WITH du AS (

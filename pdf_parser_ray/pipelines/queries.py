@@ -5377,3 +5377,77 @@ def orders_fanout_profile(sf_dir: str):
     hist = rel.ensure_columns(hist, {"n_items": "int64",
                                      "n_orders": "int64"})
     return rel.to_pandas_sorted(hist, ["n_items"])
+
+
+def docs_ngram_diversity(sf_dir: str):
+    """Corpus n-gram diversity per source: distinct / total word-3-gram
+    ratio — the mode-collapse detector for synthetic or templated
+    feeds (a source whose generator loops emits few distinct grams per
+    emitted gram; fresh human text stays near 10^6 ppm).
+
+    Totals are a map-side counted small agg; the distinct side hashes
+    grams with the DuckDB-lockstep md5 kernel so BOTH engines count
+    distinct over the identical hash domain (collisions, if any, hit
+    both sides equally — parity by construction) and only fixed-width
+    ints enter the one (source, hash)-keyed exchange, never gram
+    strings. Sources whose docs are all shorter than 3 tokens have no
+    grams and drop on both engines."""
+    from pdf_parser_ray.functions.sketches import _md5_64, re2_tokens
+
+    ds = rel.load(sf_dir, "documents", ["source", "text"])
+
+    def totals(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            n = len(re2_tokens(t or "")) - 2
+            if n > 0:
+                cnt[s] = cnt.get(s, 0) + n
+        return pa.table({"source": pa.array(list(cnt), pa.string()),
+                         "t": pa.array(list(cnt.values()), pa.int64())})
+
+    tot = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(totals, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source"], [("total_grams", "t", "sum")], small_result=True))
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        srcs, hs = [], []
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            words = re2_tokens(t or "")
+            if len(words) < 3:
+                continue
+            for g in {" ".join(words[i:i + 3])
+                      for i in range(len(words) - 2)}:
+                srcs.append(s)
+                hs.append(_md5_64(g))
+        # signed reinterpretation of the 64-bit hash: distinctness is
+        # preserved and the value itself never crosses engines (both
+        # sides only COUNT DISTINCT), while int64 keeps Ray's shuffle
+        # and pandas groupby on the fast fixed-width path
+        h64 = np.array(hs, dtype=np.uint64).view(np.int64)
+        tt = pa.table({"source": pa.array(srcs, pa.string()),
+                       "h": pa.array(h64, pa.int64())})
+        return tt.group_by(["source", "h"]).aggregate([])
+
+    dd = rel.grouped_agg(
+        ds.map_batches(gram_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source", "h"], [("n", "", "count")])
+
+    def per_source(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("source"))
+        return pa.table({"source": vc.field("values"),
+                         "d": pc.cast(vc.field("counts"), pa.int64())})
+
+    dcount = rel.as_pandas(rel.grouped_agg(
+        dd.map_batches(per_source, batch_format="pyarrow"),
+        ["source"], [("distinct_grams", "d", "sum")], small_result=True))
+
+    out = tot.merge(dcount, on="source")
+    out["total_grams"] = out["total_grams"].astype("int64")
+    out["distinct_grams"] = out["distinct_grams"].astype("int64")
+    out["diversity_ppm"] = (out["distinct_grams"] * 1_000_000
+                            // out["total_grams"]).astype("int64")
+    return rel.to_pandas_sorted(out, ["source"])

@@ -555,3 +555,12 @@ def test_quality_buckets_fuzz(texts):
     # quantile_disc under heavy ties (few docs -> many equal scores);
     # zero-token docs drop on both engines
     _check("docs_quality_buckets", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_ngram_diversity_fuzz(texts):
+    # both engines count DISTINCT over the identical md5 hash domain,
+    # so collisions cannot diverge; sub-3-token docs contribute nothing
+    _check("docs_ngram_diversity", texts)
