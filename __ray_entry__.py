@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lifespan": q.events_user_lifespan,
         "orders_fanout_profile": q.orders_fanout_profile,
         "docs_ngram_diversity": q.docs_ngram_diversity,
+        "docs_prefix_families": q.docs_prefix_families,
+        "emb_half_drift": q.emb_half_drift,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -96,16 +98,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cms_top_tokens": q.docs_cms_top_tokens,
         "docs_chunk_windows": q.docs_chunk_windows,
         "docs_model_score": q.docs_model_score,
-        "docs_dup_spans": q.docs_dup_spans,
-        "docs_cut_dup_spans": q.docs_cut_dup_spans,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     65 new oracled ops outgrew the 50-slot window, spilling
-        #     events_latest_snapshot / docs_postings / emb_dedup_keep /
-        #     docs_edit_pairs /
+        #     67 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_dup_spans / docs_cut_dup_spans /
+        #     events_latest_snapshot /
+        #     docs_postings / emb_dedup_keep / docs_edit_pairs /
         #     docs_clean_corpus / docs_token_lift /
         #     events_type_value_stats /
         #     events_value_percent_rank / docs_bin_pack / emb_normalize
@@ -113,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "docs_dup_spans": q.docs_dup_spans,
+        "docs_cut_dup_spans": q.docs_cut_dup_spans,
         "events_latest_snapshot": q.events_latest_snapshot,
         "docs_postings": q.docs_postings,
         "emb_dedup_keep": q.emb_dedup_keep,
@@ -229,6 +232,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "emb_half_drift": """
+            WITH u AS (
+                SELECT vec_id % 2 AS half, t.i AS dim,
+                       CAST(round(CAST(embedding[t.i] AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS m
+                FROM embeddings,
+                     LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)),
+            s AS (SELECT half, dim, sum(m) AS s FROM u GROUP BY 1, 2),
+            n AS (SELECT vec_id % 2 AS half, count(*) AS n
+                  FROM embeddings GROUP BY 1),
+            c AS (SELECT s.half, s.dim,
+                         CAST(s.s AS DOUBLE) / (n.n * 1000000.0) AS c
+                  FROM s JOIN n USING (half)),
+            d AS (SELECT a.dim, a.c - b.c AS dc
+                  FROM c a JOIN c b ON a.dim = b.dim
+                  WHERE a.half = 0 AND b.half = 1)
+            SELECT (SELECT n FROM n WHERE half = 0) AS n0,
+                   (SELECT n FROM n WHERE half = 1) AS n1,
+                   CAST(sum(CAST(round(dc * dc * 1e12) AS BIGINT))
+                        AS BIGINT) AS drift_e12
+            FROM d
+        """,
+        "docs_prefix_families": r"""
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents),
+            p AS (
+                SELECT doc_id,
+                       md5(array_to_string(w[1:8], ' ')) AS prefix_fp
+                FROM words WHERE len(w) >= 8)
+            SELECT prefix_fp, count(*) AS n_docs,
+                   min(doc_id) AS rep_doc
+            FROM p GROUP BY 1 HAVING count(*) >= 2
         """,
         "docs_ngram_diversity": r"""
             WITH words AS (

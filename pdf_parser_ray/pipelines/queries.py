@@ -5451,3 +5451,107 @@ def docs_ngram_diversity(sf_dir: str):
     out["diversity_ppm"] = (out["distinct_grams"] * 1_000_000
                             // out["total_grams"]).astype("int64")
     return rel.to_pandas_sorted(out, ["source"])
+
+
+def docs_prefix_families(sf_dir: str, k: int = 8):
+    """Template/boilerplate detector: documents sharing an identical
+    first-``k``-token prefix form a family — scraped sites emit
+    thousands of pages behind one boilerplate header, and a family
+    count spike per source is the signal to strip it. Output: one row
+    per family with >= 2 members (prefix fingerprint, member count,
+    representative min doc_id).
+
+    Shape: exact-dedup on a PREFIX key — fingerprints (never text)
+    enter one grouped exchange; family filtering is in-group. Docs
+    shorter than k tokens are skipped (no meaningful template)."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+    from pdf_parser_ray.functions.textstats import fingerprint
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            words = re2_tokens(text or "")
+            if len(words) < k:
+                continue
+            ids.append(doc_id)
+            fps.append(fingerprint(" ".join(words[:k])))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "prefix_fp": pa.array(fps, pa.string())})
+
+    fam = rel.grouped_agg(
+        ds.map_batches(prefix_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["prefix_fp"],
+        [("n_docs", "", "count"), ("rep_doc", "doc_id", "min")])
+
+    def keep_families(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_docs"),
+                                             pa.scalar(2)))
+
+    out = fam.map_batches(keep_families, batch_format="pyarrow")
+    df = rel.ensure_columns(out.to_pandas(), {
+        "prefix_fp": "object", "n_docs": "int64", "rep_doc": "int64"})
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return rel.to_pandas_sorted(df[["prefix_fp", "n_docs", "rep_doc"]],
+                                ["prefix_fp"])
+
+
+def emb_half_drift(sf_dir: str):
+    """Embedding-distribution drift check: squared L2 distance between
+    the centroids of two deterministic corpus halves (vec_id % 2) —
+    the canary you run when a new embedding-model version or a new
+    ingest batch lands (drift ~ 0 for same-distribution halves; a jump
+    means the space moved and ANN indexes need rebuilding).
+
+    Exactness chain: per-element micro-unit int sums per (half, dim)
+    (the emb_label_coherence discipline, one 2x-dims-bounded exchange),
+    centroids as identical doubles from identical ints, and the final
+    distance as summed PICO-unit integer terms — order-free, so the
+    result is bit-identical to the SQL twin at any parallelism."""
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+    from pdf_parser_ray.stages.similarity import _matrix
+
+    embs = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        half = (batch.column("vec_id").to_numpy() % 2).astype(np.int64)
+        micro = np_round_half_away_int(x * 1e6)
+        halves, dims, sums, ns = [], [], [], []
+        for h in (0, 1):
+            rows = micro[half == h]
+            if not len(rows):
+                continue
+            s = rows.sum(axis=0)
+            halves.extend([h] * x.shape[1])
+            dims.extend(range(x.shape[1]))
+            sums.extend(int(v) for v in s)
+            ns.extend([len(rows)] * x.shape[1])
+        return pa.table({"half": pa.array(halves, pa.int64()),
+                         "dim": pa.array(dims, pa.int64()),
+                         "s": pa.array(sums, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = rel.as_pandas(rel.grouped_agg(
+        embs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["half", "dim"], [("s", "s", "sum"), ("n", "n", "sum")],
+        small_result=True))
+    empty = pd.DataFrame({"n0": pd.Series(dtype="int64"),
+                          "n1": pd.Series(dtype="int64"),
+                          "drift_e12": pd.Series(dtype="int64")})
+    if agg.empty or agg["half"].nunique() < 2:
+        return empty
+    piv = agg.pivot(index="dim", columns="half", values="s").sort_index()
+    n0 = int(agg.loc[agg["half"] == 0, "n"].iloc[0])
+    n1 = int(agg.loc[agg["half"] == 1, "n"].iloc[0])
+    c0 = piv[0].to_numpy(np.float64) / (n0 * 1e6)
+    c1 = piv[1].to_numpy(np.float64) / (n1 * 1e6)
+    dc = c0 - c1
+    drift = int(np_round_half_away_int(dc * dc * 1e12).sum())
+    return pd.DataFrame({"n0": pd.Series([n0], dtype="int64"),
+                         "n1": pd.Series([n1], dtype="int64"),
+                         "drift_e12": pd.Series([drift], dtype="int64")})

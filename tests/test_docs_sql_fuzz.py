@@ -564,3 +564,12 @@ def test_ngram_diversity_fuzz(texts):
     # both engines count DISTINCT over the identical md5 hash domain,
     # so collisions cannot diverge; sub-3-token docs contribute nothing
     _check("docs_ngram_diversity", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_prefix_families_fuzz(texts):
+    # md5 prefix fingerprints (DuckDB md5 lockstep over the joined
+    # first-8 tokens); sub-8-token docs skip on both engines
+    _check("docs_prefix_families", texts)

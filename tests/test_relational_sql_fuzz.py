@@ -331,3 +331,20 @@ def test_quantize_error_fuzz(vals):
         "embedding": pa.array(vals, pa.list_(pa.float32())),
     })
     _check("emb_quantize_error", {"embeddings": embeddings})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(
+    st.lists(st.floats(min_value=-5, max_value=5, allow_nan=False,
+                       width=32),
+             min_size=3, max_size=3),
+    min_size=2, max_size=16))
+def test_half_drift_fuzz(vals):
+    # micro-int centroid sums + pico-int distance terms: bit-identical
+    # at any parallelism and vs SQL; needs both halves present
+    embeddings = pa.table({
+        "vec_id": pa.array(range(len(vals)), pa.int64()),
+        "embedding": pa.array(vals, pa.list_(pa.float32())),
+    })
+    _check("emb_half_drift", {"embeddings": embeddings})
