@@ -4637,7 +4637,7 @@ def events_dau_wau(sf_dir: str):
     return rel.to_pandas_sorted(out, ["day"])
 
 
-def orders_running_revenue(sf_dir: str):
+def orders_running_revenue(sf_dir: str, split_cap: int = 1_000_000):
     """Global running total — the SQL cumulative window
     ``sum(c) OVER (ORDER BY o_orderdate, o_orderkey)`` — as a
     distributed two-level prefix scan (the textbook parallel-scan
@@ -4652,13 +4652,15 @@ def orders_running_revenue(sf_dir: str):
          broadcast exclusive day offset.
 
     Each row crosses the wire once, keyed by day; driver state is
-    O(#days). Skew bound: a group is one day's orders — if a single
-    day outgrows a worker, split the scan key to (day, orderkey-range)
-    with bounds from a per-day orderkey histogram (the
-    orders_range_partition machinery) and offset at that finer
-    granularity; day-level is the right default for date-keyed fact
-    tables. Cents int64 arithmetic end-to-end -> exact, order-free
-    partials (same discipline as q1)."""
+    O(#days + hot-day sub-parts). Skew defense: a day whose row count
+    exceeds ``split_cap`` is SUB-SPLIT into orderkey ranges (bounds
+    from a deterministic md5 sample of that day's keys — bounds only
+    affect partition balance, never values), the scan key becomes
+    (day, range) packed into one int, and offsets come from the exact
+    per-part sums — so no group ever outgrows a worker while results
+    stay bit-identical for ANY bounds. Days under the cap keep the
+    zero-overhead single-part path. Cents int64 arithmetic end-to-end
+    -> exact, order-free partials (same discipline as q1)."""
     orders = rel.load(sf_dir, "orders",
                       ["o_orderkey", "o_orderdate", "o_totalprice"])
 
@@ -4675,28 +4677,94 @@ def orders_running_revenue(sf_dir: str):
 
     rows = orders.map_batches(prep, batch_format="pyarrow",
                               zero_copy_batch=True)
-    day_tot = rel.grouped_agg(rows, ["day"], [("tot", "c", "sum")],
-                              small_result=True)
+    day_tot = rel.grouped_agg(
+        rows, ["day"], [("tot", "c", "sum"), ("n_rows", "", "count")],
+        small_result=True)
     if day_tot.empty:
         return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
                              "running_c": pd.Series(dtype="int64")})
     day_tot = day_tot.sort_values("day").reset_index(drop=True)
-    days = day_tot["day"].to_numpy(np.int64)
-    offs = np.concatenate(
-        ([0], np.cumsum(day_tot["tot"].to_numpy(np.int64))[:-1]))
-    oref = ray.put((days, offs))
 
-    def per_day(df: pd.DataFrame) -> pd.DataFrame:
-        ds_, os_ = ray.get(oref)
+    # hot-day sub-split: orderkey-range bounds per day over the cap,
+    # from a deterministic md5 sample (bounds affect balance only)
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    hot = day_tot[day_tot["n_rows"].astype("int64") > split_cap]
+    bounds_map: dict[int, np.ndarray] = {}
+    if len(hot):
+        hot_set = pa.array(hot["day"].to_numpy(np.int64), pa.int64())
+
+        def sample_keys(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.is_in(batch.column("day"),
+                                      value_set=hot_set))
+            ok = t.column("o_orderkey").to_numpy()
+            keep = np.fromiter(
+                (_md5_64(f"scan:{k}") % 100 < 5 for k in ok.tolist()),
+                dtype=bool, count=len(ok))
+            return pa.table({
+                "day": pa.array(t.column("day").to_numpy()[keep],
+                                pa.int64()),
+                "k": pa.array(ok[keep], pa.int64())})
+
+        samp = rows.map_batches(sample_keys, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+        n_by_day = dict(zip(day_tot["day"].astype("int64"),
+                            day_tot["n_rows"].astype("int64")))
+        for day, g in samp.groupby("day"):
+            kparts = int(np.ceil(n_by_day[int(day)] / split_cap))
+            ks = np.sort(g["k"].to_numpy(np.int64))
+            if kparts > 1 and len(ks) >= kparts:
+                idx = [min(len(ks) - 1,
+                           max(0, int(np.ceil(i * len(ks) / kparts)) - 1))
+                       for i in range(1, kparts)]
+                bounds_map[int(day)] = np.unique(ks[idx])
+    bref = ray.put(bounds_map)
+    _PACK = 1_000_000  # sub-parts per day bound (cap rows/cap parts)
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        d = batch.column("day").to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        pid = np.zeros(len(d), dtype=np.int64)
+        for day, bs in bm.items():
+            m = d == day
+            if m.any():
+                pid[m] = np.searchsorted(bs, okey[m], side="left")
+        return pa.table({
+            "scan_key": pa.array(d * _PACK + pid, pa.int64()),
+            "o_orderkey": batch.column("o_orderkey"),
+            "c": batch.column("c"),
+        })
+
+    keyed = rows.map_batches(key_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    if bounds_map:
+        # exact per-part sums -> exclusive offsets at part granularity
+        part_tot = rel.grouped_agg(keyed, ["scan_key"],
+                                   [("tot", "c", "sum")],
+                                   small_result=True)
+        part_tot = part_tot.sort_values("scan_key").reset_index(drop=True)
+        skeys = part_tot["scan_key"].to_numpy(np.int64)
+        offs = np.concatenate(
+            ([0], np.cumsum(part_tot["tot"].to_numpy(np.int64))[:-1]))
+    else:
+        skeys = day_tot["day"].to_numpy(np.int64) * _PACK
+        offs = np.concatenate(
+            ([0], np.cumsum(day_tot["tot"].to_numpy(np.int64))[:-1]))
+    oref = ray.put((skeys, offs))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        ks_, os_ = ray.get(oref)
         g = df.sort_values("o_orderkey", kind="mergesort")
         run = np.cumsum(g["c"].to_numpy(np.int64))
-        off = os_[np.searchsorted(ds_, np.int64(g["day"].iloc[0]))]
+        off = os_[np.searchsorted(ks_, np.int64(g["scan_key"].iloc[0]))]
         return pd.DataFrame({
             "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
             "running_c": run + off,
         })
 
-    out = rows.groupby("day").map_groups(per_day, batch_format="pandas")
+    out = keyed.groupby("scan_key").map_groups(per_part,
+                                               batch_format="pandas")
     df = rel.ensure_columns(out.to_pandas(),
                             {"o_orderkey": "int64", "running_c": "int64"})
     return rel.to_pandas_sorted(df, ["o_orderkey"])

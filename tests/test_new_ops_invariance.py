@@ -155,3 +155,27 @@ def test_leakage_safe_split_keeps_twins_together():
     assert df.loc[0, "split"] == df.loc[12, "split"]
     # and both split labels actually occur over the corpus domain
     assert set(df["split"]) <= {"train", "val"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_running_revenue_hot_day_split_exact():
+    # force the hot-day sub-split path (split_cap=4 -> every day splits
+    # into orderkey ranges): results must be IDENTICAL to the default
+    # single-part-per-day plan for any bounds, at any parallelism
+    from pdf_parser_ray.pipelines import queries as q
+
+    base = _run("orders_running_revenue", 5)
+    import ray.data
+
+    def load(sf, table, columns=None):
+        tbl = _TABLES[table]()
+        return ray.data.from_arrow(
+            tbl.select(columns) if columns else tbl).repartition(5)
+
+    orig = q.rel.load
+    q.rel.load = load
+    try:
+        split = q.orders_running_revenue("inv", split_cap=4)
+    finally:
+        q.rel.load = orig
+    pd.testing.assert_frame_equal(base, split.reset_index(drop=True))
