@@ -179,7 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct_pairs": q.docs_distinct_pairs,
         "docs_hash_sample": q.docs_hash_sample,
         "docs_top_by_lang": q.docs_top_by_lang,
-        # ---- tier 4: rows-only, recorded no_oracle in r02 ----
+        # ---- tier 4: rows-only, recorded no_oracle in r02 (plus the
+        #      session-5 WAU sketch, rows-only by nature) ----
+        "events_wau_hll": q.events_wau_hll,
         "events_users_hll": q.events_users_hll,
         "docs_minhash_candidates": q.docs_minhash_candidates,
         # ---- tier 5: displaced past the cap this round by the six

@@ -179,3 +179,21 @@ def test_running_revenue_hot_day_split_exact():
     finally:
         q.rel.load = orig
     pd.testing.assert_frame_equal(base, split.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wau_hll_accuracy_and_invariance():
+    # the sketch path must (a) be block-boundary invariant (registers
+    # are value-set functions) and (b) track the exact WAU within the
+    # p=12 HLL error envelope on the harness events table
+    from pdf_parser_ray.pipelines import queries as q
+
+    a = _run("events_wau_hll", 1)
+    b = _run("events_wau_hll", 7)
+    pd.testing.assert_frame_equal(a, b)
+    exact = _run("events_dau_wau", 3).set_index("day")["wau"]
+    est = a.set_index("day")["wau_est"]
+    assert set(est.index) == set(exact.index)
+    for d in exact.index:
+        rel_err = abs(est[d] - exact[d]) / max(1, exact[d])
+        assert rel_err <= 0.1, (d, est[d], exact[d])
