@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_diversity": q.docs_ngram_diversity,
         "docs_prefix_families": q.docs_prefix_families,
         "emb_half_drift": q.emb_half_drift,
+        "events_user_burstiness": q.events_user_burstiness,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,14 +98,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_band": q.docs_length_band,
         "docs_cms_top_tokens": q.docs_cms_top_tokens,
         "docs_chunk_windows": q.docs_chunk_windows,
-        "docs_model_score": q.docs_model_score,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     67 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_dup_spans / docs_cut_dup_spans /
+        #     68 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_model_score / docs_dup_spans / docs_cut_dup_spans /
         #     events_latest_snapshot /
         #     docs_postings / emb_dedup_keep / docs_edit_pairs /
         #     docs_clean_corpus / docs_token_lift /
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "docs_model_score": q.docs_model_score,
         "docs_dup_spans": q.docs_dup_spans,
         "docs_cut_dup_spans": q.docs_cut_dup_spans,
         "events_latest_snapshot": q.events_latest_snapshot,
@@ -234,6 +235,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "events_user_burstiness": """
+            WITH s AS (
+                SELECT user_id,
+                       (CAST(epoch_us(ts) AS BIGINT)
+                        - CAST(epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id)) AS BIGINT))
+                           // 1000000 AS gap
+                FROM events WHERE user_id IS NOT NULL),
+            g AS (
+                SELECT user_id, count(*) AS n_gaps,
+                       sum(gap) AS s, sum(gap * gap) AS ss
+                FROM s WHERE gap IS NOT NULL GROUP BY 1),
+            m AS (
+                SELECT user_id, n_gaps, s,
+                       CAST(s AS DOUBLE) / n_gaps AS mu,
+                       CAST(ss AS DOUBLE) / n_gaps AS m2
+                FROM g)
+            SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+                   round(mu, 4) AS mean_gap_s,
+                   CAST(CASE WHEN s = 0 THEN 0
+                        ELSE round(sqrt(greatest(m2 - mu * mu, 0)) / mu
+                                   * 1000000, 0)
+                        END AS BIGINT) AS cv_ppm
+            FROM m
         """,
         "emb_half_drift": """
             WITH u AS (

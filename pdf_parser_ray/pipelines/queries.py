@@ -5682,3 +5682,64 @@ def events_wau_hll(sf_dir: str, window: int = 7):
     df = pd.DataFrame(out)
     df["wau_est"] = df["wau_est"].astype("int64")
     return rel.to_pandas_sorted(df, ["day"])
+
+
+def events_user_burstiness(sf_dir: str):
+    """Inter-event cadence profile per user: mean gap, coefficient of
+    variation (CV ppm), and gap count — the bot-cadence signal (CV ~ 0
+    = metronome automation; humans are bursty, CV >~ 1). One
+    user-keyed exchange (the interarrival shape); in-group work is a
+    vectorized sorted diff plus exact int64 moment sums over
+    whole-SECOND gaps (floor of the microsecond diff — seconds keep
+    gap^2 sums in int64 headroom through ~10^8 events/user), and the
+    CV derives from identical doubles on both engines, rounded
+    half-away at the ppm scale. Users with < 2 events have no gaps and
+    drop; all-zero-gap users pin cv_ppm = 0 (division guard)."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+
+    ds = rel.load(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("user_id"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        if len(us) < 2:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_gaps": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="int64"),
+                                 "ss": pd.Series(dtype="int64")})
+        gap = (us[1:] - us[:-1]) // 1_000_000
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_gaps": [np.int64(len(gap))],
+            "s": [np.int64(gap.sum())],
+            "ss": [np.int64((gap * gap).sum())],
+        })
+
+    agg = (ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+           .to_pandas())
+    agg = rel.ensure_columns(agg, {"user_id": "int64", "n_gaps": "int64",
+                                   "s": "int64", "ss": "int64"})
+    if agg.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "n_gaps": pd.Series(dtype="int64"),
+                             "mean_gap_s": pd.Series(dtype="float64"),
+                             "cv_ppm": pd.Series(dtype="int64")})
+    n = agg["n_gaps"].to_numpy(np.float64)
+    s = agg["s"].to_numpy(np.float64)
+    ss = agg["ss"].to_numpy(np.float64)
+    mean = s / n
+    var = ss / n - mean * mean
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cv = np_round_half_away(np.sqrt(np.maximum(var, 0.0)) / mean
+                                * 1_000_000, 0)
+    out = pd.DataFrame({
+        "user_id": agg["user_id"],
+        "n_gaps": agg["n_gaps"],
+        "mean_gap_s": np_round_half_away(mean, 4),
+        "cv_ppm": np.where(s == 0, 0, cv).astype(np.int64),
+    })
+    return rel.to_pandas_sorted(out, ["user_id"])

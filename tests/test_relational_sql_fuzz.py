@@ -348,3 +348,22 @@ def test_half_drift_fuzz(vals):
         "embedding": pa.array(vals, pa.list_(pa.float32())),
     })
     _check("emb_half_drift", {"embeddings": embeddings})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),       # user
+              st.integers(min_value=0, max_value=7200)),   # sec offset
+    min_size=1, max_size=30))
+def test_user_burstiness_fuzz(rows):
+    # exact int gap moments -> identical double CV; ts ties (gap 0),
+    # metronome users (all-equal gaps, cv 0 after var clamp), and
+    # single-event users (no gaps, dropped) all pinned
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+    })
+    _check("events_user_burstiness", {"events": events})
