@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_prefix_families": q.docs_prefix_families,
         "emb_half_drift": q.emb_half_drift,
         "events_user_burstiness": q.events_user_burstiness,
+        "events_type_drift": q.events_type_drift,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,15 +98,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_length_band": q.docs_length_band,
         "docs_cms_top_tokens": q.docs_cms_top_tokens,
-        "docs_chunk_windows": q.docs_chunk_windows,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     68 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_model_score / docs_dup_spans / docs_cut_dup_spans /
-        #     events_latest_snapshot /
+        #     69 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_chunk_windows / docs_model_score / docs_dup_spans /
+        #     docs_cut_dup_spans / events_latest_snapshot /
         #     docs_postings / emb_dedup_keep / docs_edit_pairs /
         #     docs_clean_corpus / docs_token_lift /
         #     events_type_value_stats /
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "docs_chunk_windows": q.docs_chunk_windows,
         "docs_model_score": q.docs_model_score,
         "docs_dup_spans": q.docs_dup_spans,
         "docs_cut_dup_spans": q.docs_cut_dup_spans,
@@ -235,6 +236,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "events_type_drift": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                           // 86400 AS day
+                FROM events),
+            b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d),
+            c AS (
+                SELECT event_type,
+                       count(*) FILTER (day < b.mid) AS n_first,
+                       count(*) FILTER (day >= b.mid) AS n_second
+                FROM d, b GROUP BY 1),
+            t AS (SELECT greatest(1, sum(n_first)) AS t0,
+                         greatest(1, sum(n_second)) AS t1 FROM c)
+            SELECT event_type,
+                   CAST(n_first AS BIGINT) AS n_first,
+                   CAST(n_second AS BIGINT) AS n_second,
+                   CAST(n_first * 1000000 // t.t0 AS BIGINT)
+                       AS share_first_ppm,
+                   CAST(n_second * 1000000 // t.t1 AS BIGINT)
+                       AS share_second_ppm,
+                   CAST(abs(n_first * 1000000 // t.t0
+                            - n_second * 1000000 // t.t1) AS BIGINT)
+                       AS drift_ppm
+            FROM c, t
         """,
         "events_user_burstiness": """
             WITH s AS (

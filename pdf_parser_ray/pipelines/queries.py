@@ -5743,3 +5743,57 @@ def events_user_burstiness(sf_dir: str):
         "cv_ppm": np.where(s == 0, 0, cv).astype(np.int64),
     })
     return rel.to_pandas_sorted(out, ["user_id"])
+
+
+def events_type_drift(sf_dir: str):
+    """Categorical distribution drift: event-type shares in the first
+    vs second half of the observed time range, with per-type ppm
+    deltas — the pipeline-health check that catches a logger dropping
+    a type or a product change shifting the mix (the categorical
+    sibling of emb_half_drift).
+
+    The split day is derived from the bounded day histogram (driver
+    O(#days)); cell counts are ONE |types|x2-bounded exchange; shares
+    and deltas are exact integer ppm, so the twin is bit-equal."""
+    ds = rel.load(sf_dir, "events", ["ts", "event_type"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.floor_temporal(batch.column("ts"),
+                                                  unit="day"),
+                                pa.int64()), 86_400_000_000)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": day})
+        return t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["event_type", "day", "n"])
+
+    cell = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(cells, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "day"], [("n", "n", "sum")], small_result=True))
+    if cell.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in (
+            ("event_type", "object"), ("n_first", "int64"),
+            ("n_second", "int64"), ("share_first_ppm", "int64"),
+            ("share_second_ppm", "int64"), ("drift_ppm", "int64"))})
+    cell["n"] = cell["n"].astype("int64")
+    lo, hi = int(cell["day"].min()), int(cell["day"].max())
+    mid = (lo + hi + 1) // 2  # first half = [lo, mid), second = [mid, hi]
+    cell["half"] = np.where(cell["day"] < mid, 0, 1)
+    piv = (cell.groupby(["event_type", "half"])["n"].sum()
+           .unstack(fill_value=0).reindex(columns=[0, 1], fill_value=0))
+    n0 = piv[0].astype("int64")
+    n1 = piv[1].astype("int64")
+    t0, t1 = max(1, int(n0.sum())), max(1, int(n1.sum()))
+    s0 = (n0 * 1_000_000 // t0).astype("int64")
+    s1 = (n1 * 1_000_000 // t1).astype("int64")
+    out = pd.DataFrame({
+        "event_type": piv.index,
+        "n_first": n0.to_numpy(),
+        "n_second": n1.to_numpy(),
+        "share_first_ppm": s0.to_numpy(),
+        "share_second_ppm": s1.to_numpy(),
+        "drift_ppm": np.abs(s0.to_numpy() - s1.to_numpy()),
+    })
+    out["drift_ppm"] = out["drift_ppm"].astype("int64")
+    return rel.to_pandas_sorted(out, ["event_type"])

@@ -114,7 +114,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_hour_profile_z", "emb_quantize_error",
         "events_user_lifespan", "orders_fanout_profile",
         "docs_ngram_diversity", "docs_prefix_families",
-        "emb_half_drift", "events_user_burstiness"]
+        "emb_half_drift", "events_user_burstiness",
+        "events_type_drift"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

@@ -367,3 +367,21 @@ def test_user_burstiness_fuzz(rows):
         "user_id": pa.array([r[0] for r in rows], pa.int64()),
     })
     _check("events_user_burstiness", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),        # day offset
+              st.sampled_from(["view", "click", "purchase"])),
+    min_size=1, max_size=30))
+def test_type_drift_fuzz(rows):
+    # split-day derivation, one-sided types (zero cells), and
+    # single-day ranges (empty first half, greatest(1,..) guard) must
+    # match the SQL twin exactly
+    events = pa.table({
+        "ts": pa.array([_BASE + dt.timedelta(days=r[0]) for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+    })
+    _check("events_type_drift", {"events": events})
