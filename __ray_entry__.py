@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_half_drift": q.emb_half_drift,
         "events_user_burstiness": q.events_user_burstiness,
         "events_type_drift": q.events_type_drift,
+        "docs_source_kl": q.docs_source_kl,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,14 +98,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": q.docs_decontaminate,
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_length_band": q.docs_length_band,
-        "docs_cms_top_tokens": q.docs_cms_top_tokens,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     69 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_chunk_windows / docs_model_score / docs_dup_spans /
+        #     70 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_cms_top_tokens / docs_chunk_windows /
+        #     docs_model_score / docs_dup_spans /
         #     docs_cut_dup_spans / events_latest_snapshot /
         #     docs_postings / emb_dedup_keep / docs_edit_pairs /
         #     docs_clean_corpus / docs_token_lift /
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "docs_cms_top_tokens": q.docs_cms_top_tokens,
         "docs_chunk_windows": q.docs_chunk_windows,
         "docs_model_score": q.docs_model_score,
         "docs_dup_spans": q.docs_dup_spans,
@@ -236,6 +238,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "docs_source_kl": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents),
+            b AS (
+                SELECT source,
+                       CAST(md5_number_upper('w:' || tok) % 4096
+                            AS BIGINT) AS bkt,
+                       count(*) AS c
+                FROM toks GROUP BY 1, 2),
+            n AS (SELECT source, sum(c) AS n FROM b GROUP BY 1),
+            grid AS (
+                SELECT s.source, g.bkt
+                FROM (SELECT DISTINCT source FROM b) s,
+                     (SELECT unnest(range(0, 4096)) AS bkt) g),
+            d AS (
+                SELECT grid.source, grid.bkt, coalesce(b.c, 0) AS c
+                FROM grid LEFT JOIN b USING (source, bkt)),
+            pq AS (
+                SELECT a.source AS src_a, bb.source AS src_b,
+                       CAST(a.c + 1 AS DOUBLE) / (na.n + 4096) AS p,
+                       CAST(bb.c + 1 AS DOUBLE) / (nb.n + 4096) AS q
+                FROM d a
+                JOIN d bb ON a.bkt = bb.bkt AND a.source < bb.source
+                JOIN n na ON na.source = a.source
+                JOIN n nb ON nb.source = bb.source)
+            SELECT src_a, src_b,
+                   CAST(sum(CAST(round(p * ln(p / q) * 1e9) AS BIGINT))
+                        AS BIGINT) AS kl_ab_nano,
+                   CAST(sum(CAST(round(q * ln(q / p) * 1e9) AS BIGINT))
+                        AS BIGINT) AS kl_ba_nano
+            FROM pq GROUP BY 1, 2
         """,
         "events_type_drift": """
             WITH d AS (

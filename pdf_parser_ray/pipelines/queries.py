@@ -5797,3 +5797,68 @@ def events_type_drift(sf_dir: str):
     })
     out["drift_ppm"] = out["drift_ppm"].astype("int64")
     return rel.to_pandas_sorted(out, ["event_type"])
+
+
+def docs_source_kl(sf_dir: str):
+    """Pairwise source-similarity for data mixing: symmetric-direction
+    KL divergences between the hashed-unigram distributions of every
+    source pair (add-1 smoothed over the 4096-bucket vocab, the DSIR /
+    model-score hash) — near-zero KL means two feeds are statistically
+    the same corpus (merge their mixing weights); a large asymmetry
+    flags a subset relationship.
+
+    ONE |sources|x4096-bounded exchange builds the count grid; the
+    driver holds only that dimension-sized matrix. Each KL term is
+    rounded half-away to integer NANO-nats before summing, so the pair
+    sums are exact integer math and bit-equal to the SQL twin (which
+    sums the identical BIGINT terms over a dense LEFT-JOIN grid)."""
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+    from pdf_parser_ray.functions.sketches import _md5_64, re2_tokens
+
+    B = _MODEL_BUCKETS  # 4096, md5-lockstep with the scorer/DSIR hash
+    ds = rel.load(sf_dir, "documents", ["source", "text"])
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok in re2_tokens(t or ""):
+                k = (s, _md5_64(f"w:{tok}") % B)
+                cnt[k] = cnt.get(k, 0) + 1
+        return pa.table({
+            "source": pa.array([k[0] for k in cnt], pa.string()),
+            "bkt": pa.array([k[1] for k in cnt], pa.int64()),
+            "c": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    grid = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(bucket_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source", "bkt"], [("c", "c", "sum")], small_result=True))
+    empty = pd.DataFrame({"src_a": pd.Series(dtype="object"),
+                          "src_b": pd.Series(dtype="object"),
+                          "kl_ab_nano": pd.Series(dtype="int64"),
+                          "kl_ba_nano": pd.Series(dtype="int64")})
+    if grid.empty:
+        return empty
+    sources = sorted(grid["source"].unique())
+    mat = np.zeros((len(sources), B), dtype=np.int64)
+    sidx = {s: i for i, s in enumerate(sources)}
+    mat[grid["source"].map(sidx).to_numpy(),
+        grid["bkt"].to_numpy(np.int64)] = grid["c"].to_numpy(np.int64)
+    ns = mat.sum(axis=1)
+    rows = []
+    for i in range(len(sources)):
+        p = (mat[i] + 1.0) / (ns[i] + B)
+        for j in range(i + 1, len(sources)):
+            q = (mat[j] + 1.0) / (ns[j] + B)
+            ab = int(np_round_half_away_int(p * np.log(p / q) * 1e9).sum())
+            ba = int(np_round_half_away_int(q * np.log(q / p) * 1e9).sum())
+            rows.append({"src_a": sources[i], "src_b": sources[j],
+                         "kl_ab_nano": ab, "kl_ba_nano": ba})
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows)
+    out["kl_ab_nano"] = out["kl_ab_nano"].astype("int64")
+    out["kl_ba_nano"] = out["kl_ba_nano"].astype("int64")
+    return rel.to_pandas_sorted(out, ["src_a", "src_b"])

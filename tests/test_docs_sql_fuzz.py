@@ -573,3 +573,44 @@ def test_prefix_families_fuzz(texts):
     # md5 prefix fingerprints (DuckDB md5 lockstep over the joined
     # first-8 tokens); sub-8-token docs skip on both engines
     _check("docs_prefix_families", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts_a=_DOCS, texts_b=_DOCS)
+def test_source_kl_fuzz(texts_a, texts_b):
+    # nano-nat integer KL terms over the dense smoothed grid must match
+    # the SQL twin for arbitrary two-source corpora (incl. empty-token
+    # sources, which still smooth to the uniform distribution)
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    texts = list(texts_a) + list(texts_b)
+    srcs = ["sa"] * len(texts_a) + ["sb"] * len(texts_b)
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    q.clear_session_caches()
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        ray_df = entrymod.queries()["docs_source_kl"]("fuzz")
+        a7 = q.docs_source_kl("fuzz")  # second run: determinism
+    finally:
+        q.rel.load = orig
+    pd.testing.assert_frame_equal(ray_df.reset_index(drop=True),
+                                  a7.reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    sql_df = con.execute(
+        entrymod.oracle_sql()["docs_source_kl"]).df()
+    sql_df = sql_df[list(ray_df.columns)].astype(ray_df.dtypes.to_dict())
+    pd.testing.assert_frame_equal(
+        ray_df.sort_values(["src_a", "src_b"]).reset_index(drop=True),
+        sql_df.sort_values(["src_a", "src_b"]).reset_index(drop=True))
