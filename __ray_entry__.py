@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_burstiness": q.events_user_burstiness,
         "events_type_drift": q.events_type_drift,
         "docs_source_kl": q.docs_source_kl,
+        "docs_zipf_slope": q.docs_zipf_slope,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -97,14 +98,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": q.docs_line_dedup,
         "docs_decontaminate": q.docs_decontaminate,
         "docs_repetition_stats": q.docs_repetition_stats,
-        "docs_length_band": q.docs_length_band,
         # ---- tier 3: hash-green in r01/r02, re-checked as slots allow ----
         # --- driver cap (50) falls here; every entry below carries a
         #     hash-green row in CORRECTNESS_r01/r02 (or is a recorded
         #     no_oracle rows-only check or a tier-1 spill pinned by the
         #     local gate + its own fuzz/invariance tests: this round the
-        #     70 new oracled ops outgrew the 50-slot window, spilling
-        #     docs_cms_top_tokens / docs_chunk_windows /
+        #     71 new oracled ops outgrew the 50-slot window, spilling
+        #     docs_length_band / docs_cms_top_tokens / docs_chunk_windows /
         #     docs_model_score / docs_dup_spans /
         #     docs_cut_dup_spans / events_latest_snapshot /
         #     docs_postings / emb_dedup_keep / docs_edit_pairs /
@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     docs_charclass_profile / docs_bpe_pretokens /
         #     events_debounce) and stays covered by the local gate each
         #     round
+        "docs_length_band": q.docs_length_band,
         "docs_cms_top_tokens": q.docs_cms_top_tokens,
         "docs_chunk_windows": q.docs_chunk_windows,
         "docs_model_score": q.docs_model_score,
@@ -238,6 +239,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
                    CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
             FROM c JOIN t USING (prev)
+        """,
+        "docs_zipf_slope": r"""
+            WITH c AS (
+                SELECT tok, count(*) AS n
+                FROM (SELECT unnest(regexp_extract_all(text, '\S+'))
+                          AS tok FROM documents)
+                GROUP BY tok
+                ORDER BY n DESC, tok
+                LIMIT 100),
+            r AS (
+                SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok)
+                               AS DOUBLE)) AS x,
+                       ln(CAST(n AS DOUBLE)) AS y
+                FROM c),
+            m AS (
+                SELECT count(*) AS k,
+                       sum(CAST(round(x * 1e9) AS BIGINT)) AS sx,
+                       sum(CAST(round(y * 1e9) AS BIGINT)) AS sy,
+                       sum(CAST(round(x * y * 1e9) AS BIGINT)) AS sxy,
+                       sum(CAST(round(x * x * 1e9) AS BIGINT)) AS sxx
+                FROM r)
+            SELECT CAST(k AS BIGINT) AS n_tokens,
+                   round((k * (CAST(sxy AS DOUBLE) / 1e9)
+                          - (CAST(sx AS DOUBLE) / 1e9)
+                            * (CAST(sy AS DOUBLE) / 1e9))
+                         / (k * (CAST(sxx AS DOUBLE) / 1e9)
+                            - (CAST(sx AS DOUBLE) / 1e9)
+                              * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
+            FROM m
         """,
         "docs_source_kl": r"""
             WITH toks AS (

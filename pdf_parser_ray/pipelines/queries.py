@@ -5862,3 +5862,43 @@ def docs_source_kl(sf_dir: str):
     out["kl_ab_nano"] = out["kl_ab_nano"].astype("int64")
     out["kl_ba_nano"] = out["kl_ba_nano"].astype("int64")
     return rel.to_pandas_sorted(out, ["src_a", "src_b"])
+
+
+def docs_zipf_slope(sf_dir: str, k: int = 100):
+    """Zipf-law fit: the OLS slope of ln(frequency) on ln(rank) over
+    the corpus's top-``k`` tokens (natural text sits near -1; templated
+    or synthetic corpora flatten toward 0, keyword-stuffed spam
+    steepens past -1.3) — the one-number lexical-naturalness check.
+
+    The distributed part is exactly docs_top_tokens (counts never
+    leave the cluster; only k rows reach the driver); rank breaks ties
+    by token so the x vector is engine-identical, and every regression
+    moment (x, y, xy, xx) is rounded half-away to integer NANO-units
+    per term before summing — identical BIGINT sums on both engines,
+    one final identical-double division, slope rounded at 6 digits."""
+    from pdf_parser_ray.functions.num import (np_round_half_away,
+                                              np_round_half_away_int)
+
+    top = docs_top_tokens(sf_dir, k=k)
+    if top.empty:
+        return pd.DataFrame({"n_tokens": pd.Series(dtype="int64"),
+                             "slope": pd.Series(dtype="float64")})
+    n = len(top)
+    # top is already sorted (n desc, tok asc) == the SQL row_number order
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(top["n_occurrences"].to_numpy(np.int64)
+               .astype(np.float64))
+    sx = int(np_round_half_away_int(x * 1e9).sum())
+    sy = int(np_round_half_away_int(y * 1e9).sum())
+    sxy = int(np_round_half_away_int(x * y * 1e9).sum())
+    sxx = int(np_round_half_away_int(x * x * 1e9).sum())
+    num = n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9)
+    den = n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)
+    if den == 0.0:
+        # single distinct token: no rank spread, slope undefined —
+        # NaN on both engines (DuckDB's x/0 double division is NULL)
+        slope = float("nan")
+    else:
+        slope = float(np_round_half_away(np.array([num / den]), 6)[0])
+    return pd.DataFrame({"n_tokens": pd.Series([n], dtype="int64"),
+                         "slope": pd.Series([slope], dtype="float64")})

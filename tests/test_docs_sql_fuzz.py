@@ -67,8 +67,13 @@ def _check(query_name: str, texts) -> None:
     a, b = _canon(ray_df), _canon(sql_df)
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b), f"{len(a)} != {len(b)}"
+    import math
+
     for col in a.columns:
         for i, (x, y) in enumerate(zip(a[col], b[col])):
+            if (isinstance(x, float) and isinstance(y, float)
+                    and math.isnan(x) and math.isnan(y)):
+                continue  # engine-agreed undefined (e.g. zipf 1-token)
             assert x == y, f"{query_name}.{col}[{i}]: {x!r} != {y!r}"
 
 
@@ -614,3 +619,16 @@ def test_source_kl_fuzz(texts_a, texts_b):
     pd.testing.assert_frame_equal(
         ray_df.sort_values(["src_a", "src_b"]).reset_index(drop=True),
         sql_df.sort_values(["src_a", "src_b"]).reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_zipf_slope_fuzz(texts):
+    # rank tie-break by token + nano-unit integer regression moments
+    # must match the SQL row_number formulation; all-empty corpora
+    # yield the typed empty frame vs SQL's zero-row LIMIT
+    import hypothesis
+    hypothesis.assume(any(t.split() for t in texts))
+    # degenerate single-token corpora divide 0/0 on both engines (NaN)
+    _check("docs_zipf_slope", texts)
