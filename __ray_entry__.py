@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_drift": q.events_type_drift,
         "docs_source_kl": q.docs_source_kl,
         "docs_zipf_slope": q.docs_zipf_slope,
+        "docs_containment_pairs": q.docs_containment_pairs,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -268,6 +269,34 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "docs_containment_pairs": r"""
+            -- exact word-3-shingle CONTAINMENT >= 0.8 over all pairs:
+            -- i / least(|A|,|B|) (subset-inclusion dedup; same
+            -- inverted-index CTEs as docs_ngram_jaccard_pairs, no
+            -- length bound — it is lossy for containment)
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / least(ca.n, cb.n), 4)
+                       AS containment
+            FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / least(ca.n, cb.n) >= 0.8
         """,
         "docs_source_kl": r"""
             WITH toks AS (

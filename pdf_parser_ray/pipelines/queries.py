@@ -1523,6 +1523,24 @@ def docs_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
     return rel.to_pandas_sorted(out, ["doc_a", "doc_b"])
 
 
+def docs_containment_pairs(sf_dir: str, threshold: float = 0.8):
+    """Subset-inclusion (containment) dedup pairs — the near-dup class
+    Jaccard misses: C = |A∩B| / min(|A|,|B|) ~ 1 for a small doc quoted
+    inside a large wrapper page even though their Jaccard is tiny, so a
+    quote-heavy web crawl deduped on J alone keeps every wrapped copy.
+    Exact word-3-shingle containment >= 0.8 over all pairs via the
+    shared distributed inverted-index plan (stages/dedup.
+    ngram_containment_pairs) — same ONE-shuffle self-join as the
+    Jaccard path, minus its (containment-lossy) PPJoin length filter."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.ngram_containment_pairs(ds, threshold=threshold).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                            "doc_b": pd.Series(dtype="int64"),
+                            "containment": pd.Series(dtype="float64")})
+    return rel.to_pandas_sorted(out, ["doc_a", "doc_b"])
+
+
 def events_error_click_window(sf_dir: str, window_s: int = 300):
     """Interval (range) join — an operator Ray Data lacks natively,
     composed from groupby(user_id) + in-group vectorized searchsorted:

@@ -430,6 +430,37 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
     CPUs), not this plan — the length filter and the map-side combine
     are the available levers. Oracle: the inverted-index SQL at the
     same threshold."""
+    return _ngram_metric_pairs(docs, threshold, num_partitions,
+                               metric="jaccard")
+
+
+def ngram_containment_pairs(docs: ray.data.Dataset, threshold: float = 0.8,
+                            num_partitions: int | None = None,
+                            ) -> ray.data.Dataset:
+    """EXACT n-gram (word 3-shingle) CONTAINMENT pairs — the
+    subset-inclusion dedup Jaccard cannot see: C = |A∩B| / min(|A|,|B|)
+    is ~1 whenever the smaller doc's shingles are (almost) all inside
+    the larger one — a quoted article inside a wrapper page, a snippet
+    inside its full post — while the same pair's Jaccard shrinks with
+    the size ratio and slips under any dedup threshold.
+
+    Same inverted-index plan as ngram_jaccard_pairs with two deltas:
+      * NO length filter — the PPJoin size bound (min/max >= t) is a
+        Jaccard-specific necessary condition and is LOSSY here (a tiny
+        doc fully contained in a huge page has min/max ~ 0 but C = 1),
+        so every co-occurring pair reaches the pair groupby;
+      * score = i / min(n_a, n_b), rounded half-away to 4.
+    Cost therefore scales with raw shingle document frequency; at web
+    scale drop stop-shingles above a df cap first (the same standard
+    trade the Jaccard docstring describes). Oracle: the inverted-index
+    SQL with least(n_a, n_b) as the denominator."""
+    return _ngram_metric_pairs(docs, threshold, num_partitions,
+                               metric="containment")
+
+
+def _ngram_metric_pairs(docs: ray.data.Dataset, threshold: float,
+                        num_partitions: int | None,
+                        metric: str) -> ray.data.Dataset:
     from ray.data.aggregate import Min, Sum
 
     from pdf_parser_ray.pipelines.relational import (
@@ -452,6 +483,7 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
             "n": pa.array(out_n, pa.int64()),
         })
 
+    score_col = "jaccard" if metric == "jaccard" else "containment"
     sh = docs.map_batches(sh_rows, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
     n_rows = sh.count()
@@ -459,7 +491,7 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
         return ray.data.from_arrow(pa.table({
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
+            score_col: pa.array([], pa.float64()),
         }))
     # partition count: bounded by rows AND by cluster CPUs — join
     # aggregator pools sized past the core count deadlock on small
@@ -491,9 +523,11 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
         b = kept.column("doc_b").to_numpy(zero_copy_only=False)
         na = kept.column("n").to_numpy(zero_copy_only=False)
         nb = kept.column("n_b").to_numpy(zero_copy_only=False)
-        ok = (np.minimum(na, nb).astype(np.float64)
-              >= threshold * np.maximum(na, nb))
-        a, b, na, nb = a[ok], b[ok], na[ok], nb[ok]
+        if metric == "jaccard":
+            # PPJoin length bound — lossless for Jaccard only
+            ok = (np.minimum(na, nb).astype(np.float64)
+                  >= threshold * np.maximum(na, nb))
+            a, b, na, nb = a[ok], b[ok], na[ok], nb[ok]
         if packable:
             pk = (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
             keys, idx, cnts = np.unique(pk, return_index=True,
@@ -527,7 +561,7 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
     def score(batch: pa.Table) -> pa.Table:
         empty = pa.table({"doc_a": pa.array([], pa.int64()),
                           "doc_b": pa.array([], pa.int64()),
-                          "jaccard": pa.array([], pa.float64())})
+                          score_col: pa.array([], pa.float64())})
         names = batch.schema.names
         if "i" not in names:  # schema-less empty shuffle block
             return empty
@@ -541,14 +575,17 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
         i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
         na = batch.column("n_a").to_numpy(zero_copy_only=False)
         nb = batch.column("n_b").to_numpy(zero_copy_only=False)
-        jac = i / (na + nb - i)
-        keep = jac >= threshold
+        if metric == "jaccard":
+            sim = i / (na + nb - i)
+        else:
+            sim = i / np.minimum(na, nb)
+        keep = sim >= threshold
         from pdf_parser_ray.functions.num import np_round_half_away
 
         return pa.table({
             "doc_a": pa.array(a[keep], pa.int64()),
             "doc_b": pa.array(b[keep], pa.int64()),
-            "jaccard": pa.array(np_round_half_away(jac[keep], 4),
+            score_col: pa.array(np_round_half_away(sim[keep], 4),
                                 pa.float64()),
         })
 
@@ -556,7 +593,7 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
                             zero_copy_batch=True)
     return ensure_schema(out, pa.schema([
         ("doc_a", pa.int64()), ("doc_b", pa.int64()),
-        ("jaccard", pa.float64())]))
+        (score_col, pa.float64())]))
 
 
 def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:

@@ -125,6 +125,16 @@ def test_docs_ngram_jaccard_pairs_fuzz(texts):
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=15, deadline=None)
 @given(texts=_NEAR)
+def test_docs_containment_pairs_fuzz(texts):
+    # the _NEAR strategy's "base doc + appended word" edits are exactly
+    # the subset-inclusion shape containment exists for: the base's
+    # shingles are all inside the extension, C = 1 at any length ratio
+    _check("docs_containment_pairs", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_NEAR)
 def test_docs_simhash_pairs_fuzz(texts):
     # chunk banding is EXACT for hamming <= 3 (pigeonhole): fuzz-safe
     _check("docs_simhash_pairs", texts)

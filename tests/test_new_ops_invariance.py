@@ -115,7 +115,7 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_user_lifespan", "orders_fanout_profile",
         "docs_ngram_diversity", "docs_prefix_families",
         "emb_half_drift", "events_user_burstiness",
-        "events_type_drift", "docs_zipf_slope"]
+        "events_type_drift", "docs_zipf_slope", "docs_containment_pairs"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:
