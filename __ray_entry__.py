@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_kl": q.docs_source_kl,
         "docs_zipf_slope": q.docs_zipf_slope,
         "docs_containment_pairs": q.docs_containment_pairs,
+        "docs_source_cap": q.docs_source_cap,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -269,6 +270,21 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "docs_source_cap": r"""
+            -- per-source cap downsampling: keep the first 10 docs per
+            -- source under deterministic md5(doc_id) order (ties by
+            -- doc_id), rk = 1-based sampling rank
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5_number_upper(
+                                        CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rk
+                FROM documents)
+            SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 10
         """,
         "docs_containment_pairs": r"""
             -- exact word-3-shingle CONTAINMENT >= 0.8 over all pairs:

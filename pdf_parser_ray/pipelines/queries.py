@@ -4984,6 +4984,59 @@ def docs_shuffle_shards(sf_dir: str, n_shards: int = 8):
     return rel.to_pandas_sorted(df, ["doc_id"])
 
 
+def docs_source_cap(sf_dir: str, cap: int = 10):
+    """Source-mix rebalancing: keep at most ``cap`` documents per
+    source, selected by deterministic md5(doc_id) order — the
+    over-represented-feed downsampler a pre-training mix needs (one
+    crawl feed with 100x the docs of the rest would otherwise own the
+    token budget). md5 order makes the kept subset uniform-at-random
+    within each source yet RNG-free, reproducible and parallelism-
+    invariant; ``rk`` is the doc's sampling rank, so re-capping to any
+    smaller budget later is a filter (rk <= cap'), not a recompute.
+
+    Plan: per-block per-source top-``cap`` prune inside map_batches (a
+    block can contribute at most cap winners per source), then ONE tiny
+    merge over the bounded candidate set (<= blocks x |sources| x cap
+    rows) — document text never moves, nothing corpus-sized reaches the
+    driver, and the keep-list output is broadcast-sized by construction
+    (the docs_dedup_keep consumption pattern)."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "source"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        df = pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "source": batch.column("source").to_pylist(),
+            "h": np.array([_md5_64(str(x)) for x in ids],
+                          dtype=np.uint64),
+        })
+        kept = (df.sort_values(["h", "doc_id"], kind="mergesort")
+                .groupby("source", sort=False).head(cap))
+        return pa.table({
+            "doc_id": pa.array(kept["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "source": pa.array(kept["source"].tolist(), pa.string()),
+            "h": pa.array(kept["h"].to_numpy(np.uint64), pa.uint64()),
+        })
+
+    cand = ds.map_batches(prune, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "source": pd.Series(dtype="object"),
+                          "rk": pd.Series(dtype="int64")})
+    if cand.empty:
+        return empty
+    merged = (cand.sort_values(["h", "doc_id"], kind="mergesort")
+              .groupby("source", sort=False).head(cap)
+              .sort_values(["h", "doc_id"], kind="mergesort"))
+    merged["rk"] = (merged.groupby("source", sort=False).cumcount()
+                    + 1).astype("int64")
+    out = merged[["doc_id", "source", "rk"]].reset_index(drop=True)
+    return rel.to_pandas_sorted(out, ["doc_id"])
+
+
 def docs_quality_buckets(sf_dir: str):
     """CCNet-style corpus split: head / middle / tail by model-score
     TERTILES (head = best third) — the standard quality-stratification

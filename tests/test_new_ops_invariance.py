@@ -115,7 +115,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_user_lifespan", "orders_fanout_profile",
         "docs_ngram_diversity", "docs_prefix_families",
         "emb_half_drift", "events_user_burstiness",
-        "events_type_drift", "docs_zipf_slope", "docs_containment_pairs"]
+        "events_type_drift", "docs_zipf_slope", "docs_containment_pairs",
+        "docs_source_cap"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:
@@ -144,6 +145,18 @@ def test_block_boundary_invariance(op):
     b = _run(op, 7)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_cap_binds_and_ranks_contiguous():
+    # 16 harness docs share one source; cap=10 must keep exactly 10
+    # with sampling ranks 1..10 (dense, deterministic md5 order)
+    df = _run("docs_source_cap", 5)
+    assert len(df) == 10
+    assert sorted(df["rk"]) == list(range(1, 11))
+    # deterministic: the same 10 doc_ids at any parallelism
+    df2 = _run("docs_source_cap", 1)
+    assert set(df["doc_id"]) == set(df2["doc_id"])
 
 
 @pytest.mark.usefixtures("ray_session")
