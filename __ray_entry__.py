@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf_slope": q.docs_zipf_slope,
         "docs_containment_pairs": q.docs_containment_pairs,
         "docs_source_cap": q.docs_source_cap,
+        "events_top_paths": q.events_top_paths,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -270,6 +271,23 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "events_top_paths": r"""
+            -- top-10 consecutive 3-step event-type paths per user
+            -- stream (ts, event_id order); deterministic tie order
+            -- (n DESC, e1, e2, e3) makes the selected set exact
+            WITH s AS (
+                SELECT event_type AS e1,
+                       lead(event_type, 1) OVER w AS e2,
+                       lead(event_type, 2) OVER w AS e3
+                FROM events WHERE user_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), c AS (
+                SELECT e1, e2, e3, count(*) AS n FROM s
+                WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+            )
+            SELECT e1, e2, e3, CAST(n AS BIGINT) AS n
+            FROM c ORDER BY n DESC, e1, e2, e3 LIMIT 10
         """,
         "docs_source_cap": r"""
             -- per-source cap downsampling: keep the first 10 docs per

@@ -4831,6 +4831,58 @@ def events_markov(sf_dir: str):
     return rel.to_pandas_sorted(agg, ["prev", "nxt"])
 
 
+def events_top_paths(sf_dir: str, k: int = 10):
+    """Top user-journey paths: the ``k`` most frequent consecutive
+    3-step event-type sequences over per-user streams (ts, event_id
+    order) — the path-mining table behind funnel discovery and UX
+    drop-off analysis, extending events_markov's 1-step transitions to
+    the pattern length where journeys become readable.
+
+    Same ONE groupby(user_id) exchange as events_markov; triple
+    extraction is an in-group double shift + factorized count, and only
+    (e1, e2, e3, n) rows — at most |types|^3 per group — reach the
+    bounded merge; the driver picks top-k under the deterministic
+    (n desc, e1, e2, e3) total order, so the selected SET is
+    SQL-replicable even through count ties."""
+    ds = rel.load(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("user_id"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        if len(et) < 3:
+            return pd.DataFrame({"e1": pd.Series(dtype=object),
+                                 "e2": pd.Series(dtype=object),
+                                 "e3": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        sub = pd.DataFrame({"e1": et[:-2], "e2": et[1:-1], "e3": et[2:]})
+        cnt = (sub.groupby(["e1", "e2", "e3"], as_index=False,
+                           sort=False).size()
+               .rename(columns={"size": "n"}))
+        cnt["n"] = cnt["n"].astype("int64")
+        return cnt
+
+    triples = ds.groupby("user_id").map_groups(per_user,
+                                               batch_format="pandas")
+    agg = rel.as_pandas(rel.grouped_agg(
+        triples, ["e1", "e2", "e3"], [("n", "n", "sum")],
+        small_result=True))
+    if agg.empty:
+        return pd.DataFrame({"e1": pd.Series(dtype="object"),
+                             "e2": pd.Series(dtype="object"),
+                             "e3": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    agg["n"] = agg["n"].astype("int64")
+    top = agg.sort_values(["n", "e1", "e2", "e3"],
+                          ascending=[False, True, True, True],
+                          kind="mergesort").head(k)
+    return rel.to_pandas_sorted(top.reset_index(drop=True),
+                                ["e1", "e2", "e3"])
+
+
 def docs_split_leakage_safe(sf_dir: str, threshold: float = 0.8,
                             val_mod: int = 10):
     """Leakage-safe train/val split: the split hash is keyed by the

@@ -204,6 +204,27 @@ def test_markov_transitions_fuzz(rows):
 
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),   # ts: force ties
+              st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+              st.sampled_from(["view", "click", "purchase"])),
+    min_size=1, max_size=30))
+def test_top_paths_fuzz(rows):
+    # double-lead() parity and the deterministic top-k tie order
+    # (n desc, e1, e2, e3): tied counts at the k-th rank must select
+    # the same triple set on both engines
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[0]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    _check("events_top_paths", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
 @given(users=st.lists(
     st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
     min_size=1, max_size=60))
