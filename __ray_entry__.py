@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_containment_pairs": q.docs_containment_pairs,
         "docs_source_cap": q.docs_source_cap,
         "events_top_paths": q.events_top_paths,
+        "docs_score_auc_dup": q.docs_score_auc_dup,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -271,6 +272,80 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "docs_score_auc_dup": r"""
+            -- tie-corrected Mann-Whitney AUC: does the hashed-vocab
+            -- model score separate near-dup members (exact n-gram
+            -- J >= 0.6) from unique docs? Rank statistic over the
+            -- score-micro histogram in exact integer ppm.
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pr AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+            ), members AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_a AS doc_id FROM pr
+                    UNION ALL SELECT doc_b FROM pr)
+            ), toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), iw AS (
+                SELECT doc_id,
+                       CAST(md5_number_upper('b:' || CAST(
+                            md5_number_upper('w:' || tok) % 4096
+                            AS VARCHAR)) % 2001 AS BIGINT) - 1000 AS iw
+                FROM toks
+            ), agg AS (
+                SELECT doc_id, sum(iw) AS s, count(*) AS n
+                FROM iw GROUP BY doc_id
+            ), smt AS (
+                SELECT a.doc_id,
+                       CAST(round(round(CAST(s AS DOUBLE) / (1000.0 * n),
+                                        4) * 10000) AS BIGINT) AS sm,
+                       CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END
+                           AS lbl
+                FROM agg a LEFT JOIN members m ON m.doc_id = a.doc_id
+            ), h AS (
+                SELECT sm,
+                       sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS n1,
+                       sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS n0
+                FROM smt GROUP BY sm
+            ), r AS (
+                SELECT n1, n0,
+                       coalesce(sum(n0) OVER (ORDER BY sm
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cum0
+                FROM h
+            ), u AS (
+                SELECT coalesce(sum(CAST(n1 AS HUGEINT)
+                           * (2 * CAST(cum0 AS HUGEINT) + n0)), 0) AS u2,
+                       coalesce(sum(n1), 0) AS t1,
+                       coalesce(sum(n0), 0) AS t0
+                FROM r
+            )
+            SELECT CAST(t1 AS BIGINT) AS n_dup,
+                   CAST(t0 AS BIGINT) AS n_unique,
+                   CAST(CASE WHEN t1 = 0 OR t0 = 0 THEN NULL
+                             ELSE u2 * 1000000 // (2 * t1 * t0) END
+                        AS BIGINT) AS auc_ppm
+            FROM u
         """,
         "events_top_paths": r"""
             -- top-10 consecutive 3-step event-type paths per user

@@ -6025,3 +6025,79 @@ def docs_zipf_slope(sf_dir: str, k: int = 100):
         slope = float(np_round_half_away(np.array([num / den]), 6)[0])
     return pd.DataFrame({"n_tokens": pd.Series([n], dtype="int64"),
                          "slope": pd.Series([slope], dtype="float64")})
+
+
+def docs_score_auc_dup(sf_dir: str, threshold: float = 0.6):
+    """Does the quality score separate near-duplicate documents from
+    unique ones? Tie-corrected Mann-Whitney AUC of the hashed-vocab
+    model score, class 1 = member of any exact n-gram near-dup pair
+    (J >= ``threshold``, the docs_ngram_jaccard_pairs artifact — exact,
+    so no LSH recall caveat leaks into the metric). AUC ~ 0.5 means
+    dedup and quality filtering are independent signals; far from 0.5
+    means the scorer is entangled with duplication (boilerplate that
+    both scores low AND duplicates), so filter-then-dedup ordering
+    changes the surviving mix — the one-number check before committing
+    a pipeline order.
+
+    Sort-free exact order statistics (the Gini/quantile discipline):
+    ONE scoring stream pass -> per-(score-micro, label) counts (a
+    bounded-domain histogram exchange; sm in [-10000, 10000]); the
+    driver walks the tiny histogram accumulating the rank statistic in
+    big-int ppm: U2 = sum_s n1(s)*(2*cum_n0(<s) + n0(s)), auc_ppm =
+    U2*1e6 // (2*N1*N0) — identical BIGINT math in SQL. The dup-member
+    set is pair-bounded and broadcast (the docs_dedup_keep argument).
+    Zero-token docs have no score and are excluded on both engines;
+    a single-class corpus yields NULL/NaN on both."""
+    pairs = _ngram_pairs(sf_dir, threshold).to_pandas()
+    members = (np.unique(np.concatenate([
+        pairs["doc_a"].to_numpy(np.int64),
+        pairs["doc_b"].to_numpy(np.int64)]))
+        if len(pairs) else np.array([], dtype=np.int64))
+    mref = ray.put(members)
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.functions.num import np_round_half_away_int
+
+        scored = _score_batch(batch)
+        if scored.num_rows == 0:
+            return pa.table({"sm": pa.array([], pa.int64()),
+                             "lbl": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        sm = np_round_half_away_int(
+            scored.column("score").to_numpy() * 10_000.0).astype(np.int64)
+        ids = (scored.column("doc_id")
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        lbl = np.isin(ids, ray.get(mref)).astype(np.int64)
+        key = sm * 2 + lbl  # two's-complement pack: >>1 / &1 unpack
+        k, c = np.unique(key, return_counts=True)
+        return pa.table({"sm": pa.array(k >> 1, pa.int64()),
+                         "lbl": pa.array(k & 1, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    h = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(hist, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["sm", "lbl"], [("n", "n", "sum")], small_result=True))
+    if h.empty:
+        return pd.DataFrame({"n_dup": pd.Series([0], dtype="int64"),
+                             "n_unique": pd.Series([0], dtype="int64"),
+                             "auc_ppm": pd.Series([float("nan")],
+                                                  dtype="float64")})
+    piv = (h.pivot_table(index="sm", columns="lbl", values="n",
+                         aggfunc="sum", fill_value=0)
+           .reindex(columns=[0, 1], fill_value=0).sort_index())
+    n0 = piv[0].to_numpy(np.int64)
+    n1 = piv[1].to_numpy(np.int64)
+    t0, t1 = int(n0.sum()), int(n1.sum())
+    cum0 = np.concatenate([[0], np.cumsum(n0)[:-1]])
+    u2 = int(sum(int(a) * (2 * int(c) + int(b))
+                 for a, b, c in zip(n1, n0, cum0)))
+    if t0 == 0 or t1 == 0:
+        auc = float("nan")
+    else:
+        auc = int(u2 * 1_000_000 // (2 * t1 * t0))
+    return pd.DataFrame({"n_dup": pd.Series([t1], dtype="int64"),
+                         "n_unique": pd.Series([t0], dtype="int64"),
+                         "auc_ppm": pd.Series([auc])})

@@ -135,6 +135,16 @@ def test_docs_containment_pairs_fuzz(texts):
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=15, deadline=None)
 @given(texts=_NEAR)
+def test_docs_score_auc_dup_fuzz(texts):
+    # rank-statistic parity over arbitrary dup/unique mixes, including
+    # the single-class corpora where AUC is NULL/NaN on both engines
+    # and heavy score ties (the tie-correction term)
+    _check("docs_score_auc_dup", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_NEAR)
 def test_docs_simhash_pairs_fuzz(texts):
     # chunk banding is EXACT for hamming <= 3 (pigeonhole): fuzz-safe
     _check("docs_simhash_pairs", texts)
