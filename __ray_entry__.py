@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_cap": q.docs_source_cap,
         "events_top_paths": q.events_top_paths,
         "docs_score_auc_dup": q.docs_score_auc_dup,
+        "events_user_streaks": q.events_user_streaks,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -272,6 +273,29 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "events_user_streaks": r"""
+            -- gaps-and-islands: per-user consecutive-day streaks via
+            -- the day - row_number() island key
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                           // 86400 AS day
+                FROM events WHERE user_id IS NOT NULL
+            ), g AS (
+                SELECT user_id, day,
+                       day - row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS grp
+                FROM d
+            ), s AS (
+                SELECT user_id, grp, count(*) AS len
+                FROM g GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_streaks,
+                   CAST(max(len) AS BIGINT) AS longest_streak,
+                   CAST(sum(len) AS BIGINT) AS active_days
+            FROM s GROUP BY user_id
         """,
         "docs_score_auc_dup": r"""
             -- tie-corrected Mann-Whitney AUC: does the hashed-vocab

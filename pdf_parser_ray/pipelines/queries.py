@@ -5251,6 +5251,58 @@ def customer_rfm(sf_dir: str):
     return rel.to_pandas_sorted(df, ["o_custkey"])
 
 
+def events_user_streaks(sf_dir: str):
+    """Gaps-and-islands: per-user consecutive-day activity streaks —
+    streak count, longest streak and total active days, the engagement
+    table behind retention scoring and habit metrics (and the classic
+    SQL islands pattern: day - row_number() as the island key).
+
+    Plan: distinct (user, day) via ONE map-side-combined grouped count
+    (the dau_wau exchange — raw events collapse before they move),
+    then ONE user-keyed exchange over the distinct set; island
+    segmentation is an in-group vectorized diff/split. Output is one
+    row per user. NULL user_ids drop on both engines."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_valid(batch.column("user_id")))
+        day = pc.divide(pc.cast(pc.floor_temporal(kept.column("ts"),
+                                                  unit="day"),
+                                pa.int64()), 86_400_000_000)
+        return pa.table({"user_id": pc.cast(kept.column("user_id"),
+                                            pa.int64()),
+                         "day": day})
+
+    uday = rel.ensure_schema(
+        rel.grouped_agg(
+            ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id", "day"], [("n", "", "count")]),
+        pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                   ("n", pa.int64())]))
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(df["day"].to_numpy(np.int64))
+        breaks = np.flatnonzero(np.diff(days) > 1)
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [len(days) - 1]])
+        lens = ends - starts + 1
+        return pd.DataFrame({
+            "user_id": pd.Series([int(df["user_id"].iloc[0])],
+                                 dtype="int64"),
+            "n_streaks": pd.Series([len(lens)], dtype="int64"),
+            "longest_streak": pd.Series([int(lens.max())], dtype="int64"),
+            "active_days": pd.Series([len(days)], dtype="int64"),
+        })
+
+    out = uday.groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas")
+    df = rel.ensure_columns(out.to_pandas(), {
+        "user_id": "int64", "n_streaks": "int64",
+        "longest_streak": "int64", "active_days": "int64"})
+    return rel.to_pandas_sorted(df, ["user_id"])
+
+
 def orders_open_backlog(sf_dir: str):
     """Open-order backlog over time — how many orders are placed but
     not yet fully shipped on each day the gauge changes: the classic

@@ -116,7 +116,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_ngram_diversity", "docs_prefix_families",
         "emb_half_drift", "events_user_burstiness",
         "events_type_drift", "docs_zipf_slope", "docs_containment_pairs",
-        "docs_source_cap", "events_top_paths", "docs_score_auc_dup"]
+        "docs_source_cap", "events_top_paths", "docs_score_auc_dup",
+        "events_user_streaks"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

@@ -225,6 +225,25 @@ def test_top_paths_fuzz(rows):
 
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+              st.integers(min_value=0, max_value=12)),   # day: force gaps
+    min_size=1, max_size=30))
+def test_user_streaks_fuzz(rows):
+    # gaps-and-islands parity: duplicate days collapse, single-day
+    # streaks, adjacent-vs-gapped runs, all-null users -> empty frame
+    import hypothesis
+    hypothesis.assume(any(r[0] is not None for r in rows))
+    events = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(days=r[1], seconds=i)
+                        for i, r in enumerate(rows)], pa.timestamp("us")),
+    })
+    _check("events_user_streaks", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
 @given(users=st.lists(
     st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
     min_size=1, max_size=60))
