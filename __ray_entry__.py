@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_score_auc_dup": q.docs_score_auc_dup,
         "events_user_streaks": q.events_user_streaks,
         "emb_norm_outliers": q.emb_norm_outliers,
+        "docs_top_quality_per_source": q.docs_top_quality_per_source,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -274,6 +275,39 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "docs_top_quality_per_source": r"""
+            -- the 5 best-scoring docs per source (hashed-vocab model
+            -- score; rank by score-micro DESC, doc_id — integer-exact
+            -- through ties); zero-token docs have no score
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), iw AS (
+                SELECT doc_id,
+                       CAST(md5_number_upper('b:' || CAST(
+                            md5_number_upper('w:' || tok) % 4096
+                            AS VARCHAR)) % 2001 AS BIGINT) - 1000 AS iw
+                FROM toks
+            ), agg AS (
+                SELECT doc_id, sum(iw) AS s, count(*) AS n
+                FROM iw GROUP BY doc_id
+            ), sc AS (
+                SELECT a.doc_id, d.source,
+                       round(CAST(s AS DOUBLE) / (1000.0 * n), 4)
+                           AS score
+                FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+            ), r AS (
+                SELECT doc_id, source, score,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(round(score * 10000) AS BIGINT)
+                                        DESC,
+                                    doc_id) AS rk
+                FROM sc)
+            SELECT doc_id, source, score, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 5
         """,
         "emb_norm_outliers": r"""
             -- vectors outside the exact [p01, p99] norm band; x^2 in

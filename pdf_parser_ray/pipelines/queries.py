@@ -5553,6 +5553,76 @@ def emb_quantize_error(sf_dir: str):
     return rel.to_pandas_sorted(df, ["vec_id"])
 
 
+def docs_top_quality_per_source(sf_dir: str, n: int = 5):
+    """Score-ranked curation: the ``n`` best-scoring documents per
+    source (hashed-vocab model score, ties by doc_id) — the "take the
+    best K from every feed" selection behind curated fine-tuning and
+    eval-set builds, complementing docs_source_cap's uniform sampler
+    with a quality-ranked one.
+
+    Plan: ONE scoring stream pass (the shared _score_batch kernel)
+    with the per-block per-source top-n prune fused in — a block
+    contributes at most n candidates per source — then a tiny bounded
+    merge (<= blocks x |sources| x n rows) on the driver. Rank order
+    is (score-micro desc, doc_id asc): integer-exact, so the selected
+    set survives score ties identically in SQL. Zero-token docs have
+    no score and never rank."""
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        scored = _score_batch(batch)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "source": pa.array([], pa.string()),
+                          "score": pa.array([], pa.float64()),
+                          "sm": pa.array([], pa.int64())})
+        if scored.num_rows == 0:
+            return empty
+        sdf = pd.DataFrame({
+            "doc_id": scored.column("doc_id")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "score": scored.column("score").to_numpy(),
+        })
+        sdf["sm"] = np_round_half_away_int(
+            sdf["score"].to_numpy() * 10_000.0).astype(np.int64)
+        src = pd.DataFrame({
+            "doc_id": batch.column("doc_id")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "source": batch.column("source").to_pylist(),
+        })
+        m = sdf.merge(src, on="doc_id", how="left")
+        kept = (m.sort_values(["sm", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+                .groupby("source", sort=False).head(n))
+        return pa.table({
+            "doc_id": pa.array(kept["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "source": pa.array(kept["source"].tolist(), pa.string()),
+            "score": pa.array(kept["score"].to_numpy(), pa.float64()),
+            "sm": pa.array(kept["sm"].to_numpy(np.int64), pa.int64()),
+        })
+
+    cand = ds.map_batches(prune, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "source": pd.Series(dtype="object"),
+                          "score": pd.Series(dtype="float64"),
+                          "rk": pd.Series(dtype="int64")})
+    if cand.empty:
+        return empty
+    merged = (cand.sort_values(["sm", "doc_id"],
+                               ascending=[False, True], kind="mergesort")
+              .groupby("source", sort=False).head(n)
+              .sort_values(["sm", "doc_id"],
+                           ascending=[False, True], kind="mergesort"))
+    merged["rk"] = (merged.groupby("source", sort=False).cumcount()
+                    + 1).astype("int64")
+    out = merged[["doc_id", "source", "score", "rk"]].reset_index(
+        drop=True)
+    return rel.to_pandas_sorted(out, ["doc_id"])
+
+
 def emb_norm_outliers(sf_dir: str, lo_q: float = 0.01,
                       hi_q: float = 0.99):
     """Embedding-norm outlier detection — the vector-corpus health

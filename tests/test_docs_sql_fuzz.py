@@ -133,6 +133,16 @@ def test_docs_containment_pairs_fuzz(texts):
 
 
 @pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_docs_top_quality_per_source_fuzz(texts):
+    # score-ranked per-source top-n: score ties (identical texts, tiny
+    # docs) must resolve by the integer score-micro + doc_id order on
+    # both engines; zero-token docs never rank
+    _check("docs_top_quality_per_source", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
 @settings(max_examples=15, deadline=None)
 @given(texts=_NEAR)
 def test_docs_score_auc_dup_fuzz(texts):
