@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_streaks": q.events_user_streaks,
         "emb_norm_outliers": q.emb_norm_outliers,
         "docs_top_quality_per_source": q.docs_top_quality_per_source,
+        "emb_diversity": q.emb_diversity,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -275,6 +276,31 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "emb_diversity": r"""
+            -- exact mean pairwise squared distance via the moment
+            -- identity sum_{i<j}||xi-xj||^2 = n*S2 - ||S1||^2 over
+            -- micro-quantized elements (pure integer math; no pairs)
+            WITH x AS (
+                SELECT vec_id, t.i AS i,
+                       CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1e6)
+                            AS BIGINT) AS xq
+                FROM embeddings,
+                     LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)
+            ), s2 AS (
+                SELECT coalesce(sum(CAST(xq AS HUGEINT) * xq), 0) AS q2
+                FROM x
+            ), s1 AS (
+                SELECT i, sum(CAST(xq AS HUGEINT)) AS s FROM x GROUP BY i
+            ), s1sq AS (
+                SELECT coalesce(sum(s * s), 0) AS q1 FROM s1
+            ), nn AS (SELECT count(*) AS n FROM embeddings)
+            SELECT CAST(n AS BIGINT) AS n_vectors,
+                   CAST(CASE WHEN n < 2 THEN NULL
+                        ELSE (2 * n * q2 - 2 * q1)
+                             // (CAST(n AS HUGEINT) * (n - 1)) END
+                        AS BIGINT) AS msd_pico
+            FROM nn, s2, s1sq
         """,
         "docs_top_quality_per_source": r"""
             -- the 5 best-scoring docs per source (hashed-vocab model

@@ -5688,6 +5688,62 @@ def emb_norm_outliers(sf_dir: str, lo_q: float = 0.01,
     return rel.to_pandas_sorted(df, ["vec_id"])
 
 
+def emb_diversity(sf_dir: str):
+    """Corpus diversity index: the EXACT mean pairwise squared
+    euclidean distance over all C(n,2) embedding pairs, in ONE
+    shuffle-free pass and O(d) state — the moment identity
+    sum_{i<j} ||xi-xj||^2 = n*S2 - ||S1||^2 (S1 = sum of vectors,
+    S2 = sum of squared norms) turns the quadratic pair sum into two
+    streaming sums. This is the data-mix spread gauge: diversity
+    collapsing over ingestion rounds flags mode collapse or a
+    duplicated feed before any pairwise dedup job runs.
+
+    Exactness: elements quantize to micro ints FIRST, so S1, S2 and
+    the final floor division are pure big-integer math — block
+    partials carry S2 as a decimal string because the exact block sum
+    can exceed int64; the driver folds Python ints. Units: micro^2 =
+    pico (1e-12). n < 2 pins NULL/NaN on both engines."""
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+    from pdf_parser_ray.stages.similarity import _matrix
+
+    embs = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        if x.size == 0:
+            return pa.table({
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "s2": pa.array(["0"], pa.string()),
+                "s1": pa.array([[]], pa.list_(pa.int64()))})
+        xq = np_round_half_away_int(x * 1e6).astype(np.int64)
+        rows2 = (xq * xq).sum(axis=1)          # per-row: d*max^2, safe
+        s2 = sum(int(r) for r in rows2)        # block sum: python int
+        s1 = xq.sum(axis=0)
+        return pa.table({
+            "n": pa.array([len(xq)], pa.int64()),
+            "s2": pa.array([str(s2)], pa.string()),
+            "s1": pa.array([s1.tolist()], pa.list_(pa.int64()))})
+
+    parts = embs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    n = int(parts["n"].sum()) if len(parts) else 0
+    if n < 2:
+        return pd.DataFrame({
+            "n_vectors": pd.Series([n], dtype="int64"),
+            "msd_pico": pd.Series([float("nan")], dtype="float64")})
+    s2 = sum(int(s) for s in parts["s2"])
+    dims = max(len(v) for v in parts["s1"])
+    s1 = [0] * dims
+    for vec in parts["s1"]:
+        for i, v in enumerate(vec):
+            s1[i] += int(v)
+    q1 = sum(v * v for v in s1)
+    msd = (2 * n * s2 - 2 * q1) // (n * (n - 1))
+    return pd.DataFrame({"n_vectors": pd.Series([n], dtype="int64"),
+                         "msd_pico": pd.Series([int(msd)],
+                                               dtype="int64")})
+
+
 def events_user_lifespan(sf_dir: str):
     """Per-user lifecycle table — first/last active day, distinct
     active days, and regularity (active/span ppm): the churn-analytics

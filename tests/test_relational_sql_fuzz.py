@@ -410,6 +410,23 @@ def test_norm_outliers_fuzz(vals):
 
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
+@given(vals=st.lists(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
+                       width=32),
+             min_size=2, max_size=2),
+    min_size=1, max_size=16))
+def test_emb_diversity_fuzz(vals):
+    # moment-identity mean pairwise distance: micro-quantized integer
+    # algebra must match HUGEINT SQL exactly, n=1 pins NULL/NaN
+    embeddings = pa.table({
+        "vec_id": pa.array(range(len(vals)), pa.int64()),
+        "embedding": pa.array(vals, pa.list_(pa.float32())),
+    })
+    _check("emb_diversity", {"embeddings": embeddings})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
 @given(rows=st.lists(
     st.tuples(st.integers(min_value=0, max_value=4),       # user
               st.integers(min_value=0, max_value=7200)),   # sec offset
