@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_norm_outliers": q.emb_norm_outliers,
         "docs_top_quality_per_source": q.docs_top_quality_per_source,
         "emb_diversity": q.emb_diversity,
+        "events_winsorized_stats": q.events_winsorized_stats,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -276,6 +277,34 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "events_winsorized_stats": r"""
+            -- robust per-type stats: exact mean + winsorized mean
+            -- (values clipped to the quantile_disc [p05, p95] band);
+            -- integer cents, truncating division on both engines
+            WITH v AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events WHERE value IS NOT NULL
+            ), b AS (
+                SELECT event_type,
+                       quantile_disc(c, 0.05) AS lo,
+                       quantile_disc(c, 0.95) AS hi,
+                       count(*) AS n, sum(c) AS sc
+                FROM v GROUP BY event_type
+            ), w AS (
+                SELECT v.event_type,
+                       sum(least(greatest(v.c, b.lo), b.hi)) AS ws
+                FROM v JOIN b USING (event_type)
+                GROUP BY v.event_type
+            )
+            SELECT b.event_type,
+                   CAST(b.n AS BIGINT) AS n,
+                   CAST(b.lo AS BIGINT) AS lo_c,
+                   CAST(b.hi AS BIGINT) AS hi_c,
+                   CAST(b.sc // b.n AS BIGINT) AS mean_c,
+                   CAST(w.ws // b.n AS BIGINT) AS wmean_c
+            FROM b JOIN w USING (event_type)
         """,
         "emb_diversity": r"""
             -- exact mean pairwise squared distance via the moment

@@ -5251,6 +5251,66 @@ def customer_rfm(sf_dir: str):
     return rel.to_pandas_sorted(df, ["o_custkey"])
 
 
+def events_winsorized_stats(sf_dir: str, lo_q: float = 0.05,
+                            hi_q: float = 0.95):
+    """Robust per-type value statistics: mean AND winsorized mean
+    (values clipped to the exact [p05, p95] band before averaging) —
+    the outlier-robust monitoring stat for skewed money-like metrics,
+    where one fat-fingered purchase moves the raw mean for a week.
+
+    All statistics derive from ONE bounded-domain exchange: the
+    per-(type, cents) histogram (the grouped-quantile discipline —
+    money's value domain is bounded, so the histogram never scales
+    with row count). The driver walks each type's tiny histogram for
+    the quantile_disc band bounds, the exact integer mean, and the
+    winsorized sum (clip applied to histogram VALUES, weighted by
+    counts) — no second pass over the data. NULL values drop on both
+    engines; means are exact floor divisions."""
+    ds = rel.load(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_valid(batch.column("value")))
+        return pa.table({"event_type": kept.column("event_type"),
+                         "c": _cents(kept.column("value"))})
+
+    hist = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "c"], [("n", "", "count")], small_result=True))
+    empty = pd.DataFrame({
+        "event_type": pd.Series(dtype="object"),
+        "n": pd.Series(dtype="int64"),
+        "lo_c": pd.Series(dtype="int64"), "hi_c": pd.Series(dtype="int64"),
+        "mean_c": pd.Series(dtype="int64"),
+        "wmean_c": pd.Series(dtype="int64")})
+    if hist.empty:
+        return empty
+    rows = []
+    for et, g in hist.groupby("event_type", sort=False):
+        g = g.sort_values("c").reset_index(drop=True)
+        v = g["c"].to_numpy(np.int64)
+        cnt = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(cum, int(np.ceil(lo_q * n)))])
+        hi = int(v[np.searchsorted(cum, int(np.ceil(hi_q * n)))])
+        total = int(np.dot(v, cnt))
+        wtotal = int(np.dot(np.clip(v, lo, hi), cnt))
+
+        def tdiv(a: int, b: int) -> int:
+            # DuckDB // truncates toward zero; Python // floors — they
+            # diverge on negative sums, so mirror DuckDB explicitly
+            return a // b if a >= 0 else -((-a) // b)
+
+        rows.append({"event_type": et, "n": n, "lo_c": lo, "hi_c": hi,
+                     "mean_c": tdiv(total, n),
+                     "wmean_c": tdiv(wtotal, n)})
+    out = pd.DataFrame(rows)
+    for col in ("n", "lo_c", "hi_c", "mean_c", "wmean_c"):
+        out[col] = out[col].astype("int64")
+    return rel.to_pandas_sorted(out, ["event_type"])
+
+
 def events_user_streaks(sf_dir: str):
     """Gaps-and-islands: per-user consecutive-day activity streaks —
     streak count, longest streak and total active days, the engagement

@@ -428,6 +428,28 @@ def test_emb_diversity_fuzz(vals):
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
 @given(rows=st.lists(
+    st.tuples(st.sampled_from(["view", "click"]),
+              st.one_of(st.none(),
+                        st.integers(min_value=-100000, max_value=100000)
+                        .map(lambda c: c / 100.0))),
+    min_size=1, max_size=30))
+def test_winsorized_stats_fuzz(rows):
+    # quantile_disc band + clip + truncating integer division must
+    # agree through ties, single-value types, NULL values, and
+    # NEGATIVE sums (DuckDB // truncates toward zero; Python floors —
+    # the engine mirrors DuckDB explicitly)
+    import hypothesis
+    hypothesis.assume(any(r[1] is not None for r in rows))
+    events = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("events_winsorized_stats", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
     st.tuples(st.integers(min_value=0, max_value=4),       # user
               st.integers(min_value=0, max_value=7200)),   # sec offset
     min_size=1, max_size=30))
