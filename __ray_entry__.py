@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_quality_per_source": q.docs_top_quality_per_source,
         "emb_diversity": q.emb_diversity,
         "events_winsorized_stats": q.events_winsorized_stats,
+        "docs_cross_source_dups": q.docs_cross_source_dups,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -277,6 +278,38 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "docs_cross_source_dups": r"""
+            -- unordered source-pair counts of exact n-gram near-dup
+            -- pairs (J >= 0.6): which feeds mirror each other
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pr AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+            ), lab AS (
+                SELECT least(da.source, db.source) AS src_a,
+                       greatest(da.source, db.source) AS src_b
+                FROM pr
+                JOIN documents da ON da.doc_id = pr.doc_a
+                JOIN documents db ON db.doc_id = pr.doc_b)
+            SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY 1, 2
         """,
         "events_winsorized_stats": r"""
             -- robust per-type stats: exact mean + winsorized mean

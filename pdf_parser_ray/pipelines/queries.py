@@ -6330,6 +6330,63 @@ def docs_zipf_slope(sf_dir: str, k: int = 100):
                          "slope": pd.Series([slope], dtype="float64")})
 
 
+def docs_cross_source_dups(sf_dir: str, threshold: float = 0.6):
+    """Cross-source duplication matrix: for every unordered source
+    pair, how many exact n-gram near-dup pairs (J >= ``threshold``)
+    straddle those two feeds — hard duplicate evidence for the "which
+    feeds mirror each other" question (docs_source_kl answers it
+    distributionally; this counts actual shared documents). A heavy
+    off-diagonal cell means two feeds re-serve the same content and
+    dedup must run ACROSS them before mixing weights mean anything;
+    a heavy diagonal flags within-feed recrawl churn.
+
+    Plan: the pair table is dup-bounded (tiny vs the corpus); sources
+    attach via TWO hash joins against the minimal (doc_id, source)
+    projection — nothing corpus-sized is broadcast or gathered — and
+    the final exchange is |sources|^2-bounded. Pair orientation is
+    normalized lexicographically (least/greatest lockstep)."""
+    pairs = _ngram_pairs(sf_dir, threshold)
+    n_pairs = pairs.count()
+    empty = pd.DataFrame({"src_a": pd.Series(dtype="object"),
+                          "src_b": pd.Series(dtype="object"),
+                          "n_pairs": pd.Series(dtype="int64")})
+    if n_pairs == 0:
+        return empty
+    docs = rel.load(sf_dir, "documents", ["doc_id", "source"])
+
+    def rn(cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(cols)
+        return fn
+
+    da = docs.map_batches(rn(["da", "src_a"]), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    db = docs.map_batches(rn(["db", "src_b"]), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    n_parts = rel.join_partitions(n_pairs)
+    j1 = pairs.select_columns(["doc_a", "doc_b"]).join(
+        da, "inner", n_parts, on=("doc_a",), right_on=("da",))
+    j2 = j1.join(db, "inner", n_parts, on=("doc_b",), right_on=("db",))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("src_a").to_pylist(), dtype=object)
+        b = np.asarray(batch.column("src_b").to_pylist(), dtype=object)
+        swap = a > b
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        return pa.table({"src_a": pa.array(lo.tolist(), pa.string()),
+                         "src_b": pa.array(hi.tolist(), pa.string())})
+
+    agg = rel.as_pandas(rel.grouped_agg(
+        j2.map_batches(orient, batch_format="pyarrow"),
+        ["src_a", "src_b"], [("n_pairs", "", "count")],
+        small_result=True))
+    if agg.empty:
+        return empty
+    agg["n_pairs"] = agg["n_pairs"].astype("int64")
+    return rel.to_pandas_sorted(agg, ["src_a", "src_b"])
+
+
 def docs_score_auc_dup(sf_dir: str, threshold: float = 0.6):
     """Does the quality score separate near-duplicate documents from
     unique ones? Tie-corrected Mann-Whitney AUC of the hashed-vocab

@@ -145,6 +145,41 @@ def test_docs_top_quality_per_source_fuzz(texts):
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=15, deadline=None)
 @given(texts=_NEAR)
+def test_docs_cross_source_dups_fuzz(texts):
+    # multi-source variant of the pair machinery: near-dup pairs must
+    # land in the lexicographically-normalized (least, greatest) source
+    # cell identically on both engines, diagonal included
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    tbl = _table(texts)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("source"), "source",
+        pa.array([f"s{i % 3}" for i in range(len(texts))], pa.string()))
+    q.clear_session_caches()
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        ray_df = entrymod.queries()["docs_cross_source_dups"]("fuzz")
+    finally:
+        q.rel.load = orig
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    sql_df = con.execute(
+        entrymod.oracle_sql()["docs_cross_source_dups"]).df()
+    a, b = _canon(ray_df), _canon(sql_df)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for col in a.columns:
+        for x, y in zip(a[col], b[col]):
+            assert x == y, (col, x, y)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_NEAR)
 def test_docs_score_auc_dup_fuzz(texts):
     # rank-statistic parity over arbitrary dup/unique mixes, including
     # the single-class corpora where AUC is NULL/NaN on both engines
