@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_diversity": q.emb_diversity,
         "events_winsorized_stats": q.events_winsorized_stats,
         "docs_cross_source_dups": q.docs_cross_source_dups,
+        "emb_ann_recall": q.emb_ann_recall,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,

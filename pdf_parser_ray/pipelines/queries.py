@@ -858,6 +858,36 @@ def emb_near_pairs_lsh(sf_dir: str):
     return similarity.lsh_pairs_above(ds, threshold=0.8)
 
 
+def emb_ann_recall(sf_dir: str, k: int = 5):
+    """ANN quality gate: per-query recall@k of the IVF index
+    (nprobe=4 of 16 cells) against the exact brute-force top-k, plus
+    they share the SAME deterministic tie order — the eval you run
+    after every index rebuild before routing traffic to it; a recall
+    cliff on one query region flags an under-probed cell boundary.
+
+    Rows-only by nature (the approximate side has no SQL twin), but
+    fully deterministic: IVF centers come from the distributed min-k
+    init and Lloyd rounds are integer-exact, so the local gate's
+    double-run determinism check pins the output bytes. Both inputs
+    are query-bounded (n_queries x k rows), so the comparison is
+    driver-side by construction — the heavy work is inside the two
+    top-k pipelines, which stream the corpus."""
+    exact = emb_topk(sf_dir)
+    approx = emb_topk_ivf(sf_dir)
+    ex = exact.groupby("qid")["vec_id"].agg(set)
+    ap = approx.groupby("qid")["vec_id"].agg(set)
+    rows = []
+    for qid in sorted(ex.index):
+        hits = len(ex[qid] & ap.get(qid, set()))
+        rows.append({"qid": int(qid), "n_exact": len(ex[qid]),
+                     "n_hit": hits,
+                     "recall_ppm": hits * 1_000_000 // len(ex[qid])})
+    out = pd.DataFrame(rows)
+    for col in ("qid", "n_exact", "n_hit", "recall_ppm"):
+        out[col] = out[col].astype("int64")
+    return rel.to_pandas_sorted(out, ["qid"])
+
+
 # ---------------------------------------------------------------------------
 # extraction flagship (synthetic pages corpus; no SQL analog)
 # ---------------------------------------------------------------------------

@@ -198,3 +198,18 @@ def test_emb_normalize_matches_duckdb_bitwise():
             .sort_values(["vec_id", "dim"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_recall_eval_on_testdata():
+    # the recall eval harness itself: every exact top-k set is size k,
+    # hits never exceed it, the corpus mean recall on the sf0.001
+    # testdata IVF (nprobe=4/16) stays above 0.8, and self-queries
+    # (qid's own vector, cos = 1) are always recalled
+    from pdf_parser_ray.pipelines import queries as q
+
+    df = q.emb_ann_recall("/root/testdata/sf0.001")
+    assert len(df) > 0
+    assert (df["n_exact"] == 5).all()
+    assert (df["n_hit"] <= df["n_exact"]).all()
+    assert df["recall_ppm"].mean() >= 800_000
