@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized_stats": q.events_winsorized_stats,
         "docs_cross_source_dups": q.docs_cross_source_dups,
         "emb_ann_recall": q.emb_ann_recall,
+        "docs_oov_rate": q.docs_oov_rate,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -279,6 +280,29 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "docs_oov_rate": r"""
+            -- per-doc OOV share vs the corpus top-16 vocabulary
+            -- ((count DESC, tok) total order -> tie-exact vocab set);
+            -- zero-token docs excluded
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), v AS (
+                SELECT tok FROM (
+                    SELECT tok, count(*) AS n FROM toks
+                    GROUP BY tok ORDER BY n DESC, tok LIMIT 16)
+            ), d AS (
+                SELECT t.doc_id, count(*) AS n_tokens,
+                       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                           AS n_oov
+                FROM toks t LEFT JOIN v ON v.tok = t.tok
+                GROUP BY t.doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+            FROM d
         """,
         "docs_cross_source_dups": r"""
             -- unordered source-pair counts of exact n-gram near-dup

@@ -1193,6 +1193,57 @@ def docs_top_tokens(sf_dir: str, k: int = 20):
     return out[["tok", "n_occurrences"]]
 
 
+def docs_oov_rate(sf_dir: str, vocab_k: int = 16):
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    token share against the corpus top-``vocab_k`` vocabulary (16
+    here: the synthetic corpus has a 31-token vocabulary, so the cap
+    must bind to measure anything) — the
+    pre-training check that a fixed tokenizer (or a candidate vocab
+    size) actually covers the corpus; a high-OOV document slice is
+    either foreign-language contamination, encoding damage, or a
+    domain the tokenizer will shred into bytes.
+
+    Plan: the vocabulary is the docs_top_tokens artifact (distributed
+    count + local top-k; the full token table never leaves the
+    cluster), broadcast once as a BOUNDED set (vocab_k entries — the
+    docs_dsir_weights broadcast argument); scoring is ONE shuffle-free
+    streaming pass. The (count desc, tok) vocabulary order is a total
+    order, so the selected vocab SET — and therefore every ppm — is
+    SQL-replicable through count ties. Zero-token docs are excluded
+    on both engines (coverage of nothing is undefined)."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+
+    vocab = set(docs_top_tokens(sf_dir, k=vocab_k)["tok"])
+    vref = ray.put(vocab)
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vref)
+        ids, nt, no = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = re2_tokens(text or "")
+            if not toks:
+                continue
+            ids.append(doc_id)
+            nt.append(len(toks))
+            no.append(sum(1 for t in toks if t not in voc))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_oov": pa.array(no, pa.int64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_tokens": "int64", "n_oov": "int64"})
+    df["oov_ppm"] = (df["n_oov"] * 1_000_000
+                     // df["n_tokens"]).astype("int64")
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
 def docs_stratified_sample(sf_dir: str, per_lang: int = 5):
     """Deterministic stratified sample: the ``per_lang`` docs with the
     smallest md5 fingerprint per language (reproducible under any

@@ -135,6 +135,15 @@ def test_docs_containment_pairs_fuzz(texts):
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
 @given(texts=_DOCS)
+def test_docs_oov_rate_fuzz(texts):
+    # vocab selection under count ties ((n desc, tok) total order) and
+    # the OOV ppm must agree on arbitrary text; zero-token docs drop
+    _check("docs_oov_rate", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
 def test_docs_top_quality_per_source_fuzz(texts):
     # score-ranked per-source top-n: score ties (identical texts, tiny
     # docs) must resolve by the integer score-micro + doc_id order on
