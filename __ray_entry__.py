@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cross_source_dups": q.docs_cross_source_dups,
         "emb_ann_recall": q.emb_ann_recall,
         "docs_oov_rate": q.docs_oov_rate,
+        "events_trending_types": q.events_trending_types,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -280,6 +281,30 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "events_trending_types": r"""
+            -- per-day trending type: argmax of the trailing-7-day
+            -- count under the (n7 DESC, type) total order
+            WITH c AS (
+                SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                           // 86400 AS day,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), days AS (SELECT DISTINCT day FROM c),
+            w AS (
+                SELECT d.day, c.event_type, sum(c.n) AS n7
+                FROM days d
+                JOIN c ON c.day BETWEEN d.day - 6 AND d.day
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT day, event_type, n7,
+                       row_number() OVER (
+                           PARTITION BY day
+                           ORDER BY n7 DESC, event_type) AS rk
+                FROM w)
+            SELECT day, event_type AS top_type,
+                   CAST(n7 AS BIGINT) AS n7
+            FROM r WHERE rk = 1
         """,
         "docs_oov_rate": r"""
             -- per-doc OOV share vs the corpus top-16 vocabulary

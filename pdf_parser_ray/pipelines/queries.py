@@ -5332,6 +5332,55 @@ def customer_rfm(sf_dir: str):
     return rel.to_pandas_sorted(df, ["o_custkey"])
 
 
+def events_trending_types(sf_dir: str, window_days: int = 7):
+    """Trending detector: for every active day, the event type with
+    the highest trailing-``window_days`` count (ties break by type
+    name) — the "what's hot this week" table behind anomaly triage
+    and content-mix dashboards.
+
+    Plan: ONE map-side-combined (day, type) count exchange — the only
+    data-sized step; the windowed sum + per-day argmax then run over a
+    calendar x |types|-bounded table (the orders_running_revenue
+    driver-walk argument: O(#days x #types) state, never per-event).
+    The argmax order (n7 desc, type asc) is total, so the winner is
+    SQL-replicable through count ties."""
+    ds = rel.load(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.floor_temporal(batch.column("ts"),
+                                                  unit="day"),
+                                pa.int64()), 86_400_000_000)
+        return pa.table({"day": day,
+                         "event_type": batch.column("event_type")})
+
+    counts = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day", "event_type"], [("n", "", "count")], small_result=True))
+    empty = pd.DataFrame({"day": pd.Series(dtype="int64"),
+                          "top_type": pd.Series(dtype="object"),
+                          "n7": pd.Series(dtype="int64")})
+    if counts.empty:
+        return empty
+    piv = (counts.pivot_table(index="day", columns="event_type",
+                              values="n", aggfunc="sum", fill_value=0)
+           .sort_index())
+    piv = piv[sorted(piv.columns)]
+    days = piv.index.to_numpy(np.int64)
+    arr = piv.to_numpy(np.int64)
+    rows = []
+    for i, d in enumerate(days):
+        lo = np.searchsorted(days, d - (window_days - 1), side="left")
+        n7 = arr[lo:i + 1].sum(axis=0)
+        j = int(np.argmax(n7))  # first max -> type-asc tie break
+        rows.append({"day": int(d), "top_type": piv.columns[j],
+                     "n7": int(n7[j])})
+    out = pd.DataFrame(rows)
+    out["day"] = out["day"].astype("int64")
+    out["n7"] = out["n7"].astype("int64")
+    return rel.to_pandas_sorted(out, ["day"])
+
+
 def events_winsorized_stats(sf_dir: str, lo_q: float = 0.05,
                             hi_q: float = 0.95):
     """Robust per-type value statistics: mean AND winsorized mean

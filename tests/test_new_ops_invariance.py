@@ -119,7 +119,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_source_cap", "events_top_paths", "docs_score_auc_dup",
         "events_user_streaks", "docs_top_quality_per_source",
         "emb_diversity", "events_winsorized_stats",
-        "docs_cross_source_dups", "docs_oov_rate"]
+        "docs_cross_source_dups", "docs_oov_rate",
+        "events_trending_types"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

@@ -244,6 +244,23 @@ def test_user_streaks_fuzz(rows):
 
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12),   # day: gaps+ties
+              st.sampled_from(["view", "click", "purchase"])),
+    min_size=1, max_size=40))
+def test_trending_types_fuzz(rows):
+    # trailing-window argmax through count ties (first-max = type-asc
+    # on both engines) and calendar gaps inside the window
+    events = pa.table({
+        "ts": pa.array([_BASE + dt.timedelta(days=r[0], seconds=i)
+                        for i, r in enumerate(rows)], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+    })
+    _check("events_trending_types", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
 @given(users=st.lists(
     st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
     min_size=1, max_size=60))
