@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_recall": q.emb_ann_recall,
         "docs_oov_rate": q.docs_oov_rate,
         "events_trending_types": q.events_trending_types,
+        "orders_dow_seasonality": q.orders_dow_seasonality,
+        "docs_lang_purity": q.docs_lang_purity,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -281,6 +283,42 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "orders_dow_seasonality": r"""
+            -- weekday order count, exact revenue cents and revenue
+            -- share ppm; dow = (epoch_days + 4) % 7, Sunday = 0
+            WITH o AS (
+                SELECT (CAST(epoch(date_trunc('day', o_orderdate))
+                             AS BIGINT) // 86400 + 4) % 7 AS dow,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+            ), g AS (
+                SELECT dow, count(*) AS n_orders, sum(c) AS revenue_c
+                FROM o GROUP BY dow
+            ), t AS (SELECT sum(revenue_c) AS tot FROM g)
+            SELECT dow, CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(revenue_c AS BIGINT) AS revenue_c,
+                   CAST(CASE WHEN t.tot = 0 THEN NULL
+                        ELSE revenue_c * 1000000 // t.tot END
+                        AS BIGINT) AS share_ppm
+            FROM g, t
+        """,
+        "docs_lang_purity": r"""
+            -- dominant-language share per source (ties by lang name)
+            WITH g AS (
+                SELECT source, lang, count(*) AS n
+                FROM documents GROUP BY 1, 2
+            ), r AS (
+                SELECT source, lang, n,
+                       sum(n) OVER (PARTITION BY source) AS total,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n DESC, lang) AS rk
+                FROM g)
+            SELECT source, lang AS top_lang,
+                   CAST(total AS BIGINT) AS n_docs,
+                   CAST(n * 1000000 // total AS BIGINT) AS purity_ppm
+            FROM r WHERE rk = 1
         """,
         "events_trending_types": r"""
             -- per-day trending type: argmax of the trailing-7-day

@@ -5332,6 +5332,100 @@ def customer_rfm(sf_dir: str):
     return rel.to_pandas_sorted(df, ["o_custkey"])
 
 
+def orders_dow_seasonality(sf_dir: str):
+    """Day-of-week seasonality profile: order count, exact revenue
+    cents and the revenue share (ppm) per weekday — the calendar
+    fingerprint you check before reading any week-over-week delta as
+    a trend (a Monday-heavy business 'drops' every Sunday).
+
+    ONE bounded exchange: per-block (dow, n, cents) partials combine
+    map-side into at most 7 rows per block; the share division is
+    exact integer ppm on the global totals. DuckDB lockstep: dayofweek
+    = (epoch_days + 4) % 7 (1970-01-01 was a Thursday), Sunday = 0."""
+    orders = rel.load(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.floor_temporal(
+            batch.column("o_orderdate"), unit="day"), pa.int64()),
+            86_400_000_000)
+        dow = pc.add(day, pa.scalar(4, pa.int64()))
+        dow = pc.subtract(dow, pc.multiply(
+            pc.divide(dow, pa.scalar(7, pa.int64())),
+            pa.scalar(7, pa.int64())))
+        t = pa.table({"dow": dow,
+                      "c": _cents(batch.column("o_totalprice"))})
+        g = t.group_by(["dow"]).aggregate([("c", "sum"), ("c", "count")])
+        return pa.table({"dow": g.column("dow"),
+                         "cents": g.column("c_sum"),
+                         "n": pc.cast(g.column("c_count"), pa.int64())})
+
+    agg = rel.as_pandas(rel.grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["dow"], [("n_orders", "n", "sum"), ("revenue_c", "cents", "sum")],
+        small_result=True))
+    empty = pd.DataFrame({"dow": pd.Series(dtype="int64"),
+                          "n_orders": pd.Series(dtype="int64"),
+                          "revenue_c": pd.Series(dtype="int64"),
+                          "share_ppm": pd.Series(dtype="int64")})
+    if agg.empty:
+        return empty
+    for col in ("n_orders", "revenue_c"):
+        agg[col] = agg[col].astype("int64")
+    total = int(agg["revenue_c"].sum())
+
+    def share(rev: int) -> float | int:
+        # DuckDB // truncates toward zero (Python floors — diverges on
+        # negative revenue); zero total pins NULL/NaN on both engines
+        if total == 0:
+            return float("nan")
+        v = rev * 1_000_000
+        q = abs(v) // abs(total)
+        return q if (v >= 0) == (total > 0) else -q
+
+    agg["share_ppm"] = [share(int(r)) for r in agg["revenue_c"]]
+    if total != 0:
+        agg["share_ppm"] = agg["share_ppm"].astype("int64")
+    return rel.to_pandas_sorted(agg[["dow", "n_orders", "revenue_c",
+                                     "share_ppm"]], ["dow"])
+
+
+def docs_lang_purity(sf_dir: str):
+    """Per-source language purity: the dominant language's document
+    share (ppm) per feed, with the dominant language named — the feed
+    QA gauge behind language-routing decisions (a 'pure English' feed
+    at 0.7 purity needs per-doc language routing, not a feed-level
+    tag). Dominance ties break by language name.
+
+    ONE |sources| x |langs|-bounded exchange (map-side combined
+    grouped count); the argmax + share math walks that tiny grid on
+    the driver. Uses the stored lang column (the upstream label being
+    audited), not the detector — cross-check against docs_langid
+    catches label drift."""
+    ds = rel.load(sf_dir, "documents", ["source", "lang"])
+    grid = rel.as_pandas(rel.grouped_agg(
+        ds, ["source", "lang"], [("n", "", "count")], small_result=True))
+    empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                          "top_lang": pd.Series(dtype="object"),
+                          "n_docs": pd.Series(dtype="int64"),
+                          "purity_ppm": pd.Series(dtype="int64")})
+    if grid.empty:
+        return empty
+    rows = []
+    for src, g in grid.groupby("source", sort=False):
+        g = g.sort_values(["n", "lang"], ascending=[False, True],
+                          kind="mergesort")
+        total = int(g["n"].sum())
+        rows.append({"source": src, "top_lang": g["lang"].iloc[0],
+                     "n_docs": total,
+                     "purity_ppm": int(g["n"].iloc[0]) * 1_000_000
+                     // total})
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["purity_ppm"] = out["purity_ppm"].astype("int64")
+    return rel.to_pandas_sorted(out, ["source"])
+
+
 def events_trending_types(sf_dir: str, window_days: int = 7):
     """Trending detector: for every active day, the event type with
     the highest trailing-``window_days`` count (ties break by type

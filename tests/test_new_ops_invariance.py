@@ -120,7 +120,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_user_streaks", "docs_top_quality_per_source",
         "emb_diversity", "events_winsorized_stats",
         "docs_cross_source_dups", "docs_oov_rate",
-        "events_trending_types"]
+        "events_trending_types", "orders_dow_seasonality",
+        "docs_lang_purity"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

@@ -261,6 +261,23 @@ def test_trending_types_fuzz(rows):
 
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20), _MONEY),
+    min_size=1, max_size=30))
+def test_dow_seasonality_fuzz(rows):
+    # weekday bucketing arithmetic ((epoch_days+4)%7) and exact-cents
+    # share ppm across arbitrary day/price mixes
+    orders = pa.table({
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=r[0]) for r in rows],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("orders_dow_seasonality", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
 @given(users=st.lists(
     st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
     min_size=1, max_size=60))
