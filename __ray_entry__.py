@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trending_types": q.events_trending_types,
         "orders_dow_seasonality": q.orders_dow_seasonality,
         "docs_lang_purity": q.docs_lang_purity,
+        "docs_dup_degree_profile": q.docs_dup_degree_profile,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -283,6 +284,37 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "docs_dup_degree_profile": r"""
+            -- degree distribution of the exact n-gram near-dup graph
+            -- (J >= 0.6): n_docs per near-dup partner count
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pr AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+            ), deg AS (
+                SELECT doc_id, count(*) AS degree FROM (
+                    SELECT doc_a AS doc_id FROM pr
+                    UNION ALL SELECT doc_b FROM pr)
+                GROUP BY doc_id)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+            FROM deg GROUP BY degree
         """,
         "orders_dow_seasonality": r"""
             -- weekday order count, exact revenue cents and revenue

@@ -6554,6 +6554,50 @@ def docs_zipf_slope(sf_dir: str, k: int = 100):
                          "slope": pd.Series([slope], dtype="float64")})
 
 
+def docs_dup_degree_profile(sf_dir: str, threshold: float = 0.6):
+    """Near-dup graph degree distribution: how many documents have
+    exactly ``degree`` near-dup partners (exact n-gram J >= threshold)
+    — the dedup-graph health check: a long degree tail means template
+    hubs (one boilerplate page near-dup to thousands), which is where
+    pair-verification cost concentrates and where star-capping kicks
+    in; a spike at degree 1 means simple recrawl twins.
+
+    Count-of-counts twice over: pair endpoints explode (2 rows/pair,
+    dup-bounded), ONE doc-keyed grouped count gives degrees, and the
+    degree histogram is value-bounded (distinct degrees), so driver
+    state never scales with the corpus."""
+    pairs = _ngram_pairs(sf_dir, threshold)
+    empty = pd.DataFrame({"degree": pd.Series(dtype="int64"),
+                          "n_docs": pd.Series(dtype="int64")})
+    if pairs.count() == 0:
+        return empty
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            batch.column("doc_a").to_numpy(zero_copy_only=False),
+            batch.column("doc_b").to_numpy(zero_copy_only=False)])
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64),
+                                            pa.int64())})
+
+    deg = rel.grouped_agg(
+        pairs.map_batches(endpoints, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["doc_id"], [("degree", "", "count")])
+
+    def dhist(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("degree"))
+        return pa.table({"degree": pc.cast(vc.field("values"), pa.int64()),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    out = rel.as_pandas(rel.grouped_agg(
+        deg.map_batches(dhist, batch_format="pyarrow"),
+        ["degree"], [("n_docs", "n", "sum")], small_result=True))
+    if out.empty:
+        return empty
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return rel.to_pandas_sorted(out[["degree", "n_docs"]], ["degree"])
+
+
 def docs_cross_source_dups(sf_dir: str, threshold: float = 0.6):
     """Cross-source duplication matrix: for every unordered source
     pair, how many exact n-gram near-dup pairs (J >= ``threshold``)

@@ -154,6 +154,16 @@ def test_docs_top_quality_per_source_fuzz(texts):
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=15, deadline=None)
 @given(texts=_NEAR)
+def test_docs_dup_degree_profile_fuzz(texts):
+    # count-of-counts over near-dup degrees: multi-partner docs (a base
+    # with several extensions) must land in the same degree bucket on
+    # both engines
+    _check("docs_dup_degree_profile", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_NEAR)
 def test_docs_cross_source_dups_fuzz(texts):
     # multi-source variant of the pair machinery: near-dup pairs must
     # land in the lexicographically-normalized (least, greatest) source

@@ -121,7 +121,7 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "emb_diversity", "events_winsorized_stats",
         "docs_cross_source_dups", "docs_oov_rate",
         "events_trending_types", "orders_dow_seasonality",
-        "docs_lang_purity"]
+        "docs_lang_purity", "docs_dup_degree_profile"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:
