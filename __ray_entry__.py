@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_dow_seasonality": q.orders_dow_seasonality,
         "docs_lang_purity": q.docs_lang_purity,
         "docs_dup_degree_profile": q.docs_dup_degree_profile,
+        "customer_order_gaps": q.customer_order_gaps,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -284,6 +285,28 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "customer_order_gaps": r"""
+            -- per-customer median/max day gap between consecutive
+            -- orders (quantile_disc median; single-order custs drop)
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(epoch(date_trunc('day', o_orderdate))
+                            AS BIGINT) // 86400 AS day
+                FROM orders
+            ), g AS (
+                SELECT o_custkey,
+                       day - lag(day) OVER (
+                           PARTITION BY o_custkey ORDER BY day) AS gap
+                FROM o
+            )
+            SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                       AS median_gap_days,
+                   CAST(max(gap) AS BIGINT) AS max_gap_days
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY o_custkey
         """,
         "docs_dup_degree_profile": r"""
             -- degree distribution of the exact n-gram near-dup graph

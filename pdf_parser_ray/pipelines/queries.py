@@ -5332,6 +5332,56 @@ def customer_rfm(sf_dir: str):
     return rel.to_pandas_sorted(df, ["o_custkey"])
 
 
+def customer_order_gaps(sf_dir: str):
+    """Purchase cadence: per-customer median and max gap (in days)
+    between consecutive orders — the re-engagement window that sets
+    campaign timing and the churn-alarm threshold (silence longer than
+    a customer's own max gap is the signal). Single-order customers
+    have no gap and drop on both engines.
+
+    ONE custkey exchange (the events_interarrival shape); gaps are an
+    in-group sorted diff, and the per-customer median follows the
+    proven quantile_disc rank rule (value at 1-indexed rank
+    ceil(n/2)) over the group's own sorted gaps — day-tie order cannot
+    affect the gap multiset, so the result is parallelism- and
+    SQL-exact."""
+    orders = rel.load(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.floor_temporal(
+            batch.column("o_orderdate"), unit="day"), pa.int64()),
+            86_400_000_000)
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "day": day})
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.sort(df["day"].to_numpy(np.int64))
+        if len(days) < 2:
+            return pd.DataFrame({
+                "o_custkey": pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "median_gap_days": pd.Series(dtype="int64"),
+                "max_gap_days": pd.Series(dtype="int64")})
+        gaps = np.sort(np.diff(days))
+        n = len(gaps)
+        med = int(gaps[int(np.ceil(0.5 * n)) - 1])
+        return pd.DataFrame({
+            "o_custkey": pd.Series([int(df["o_custkey"].iloc[0])],
+                                   dtype="int64"),
+            "n_gaps": pd.Series([n], dtype="int64"),
+            "median_gap_days": pd.Series([med], dtype="int64"),
+            "max_gap_days": pd.Series([int(gaps[-1])], dtype="int64")})
+
+    out = (orders.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("o_custkey").map_groups(per_cust,
+                                            batch_format="pandas"))
+    df = rel.ensure_columns(out.to_pandas(), {
+        "o_custkey": "int64", "n_gaps": "int64",
+        "median_gap_days": "int64", "max_gap_days": "int64"})
+    return rel.to_pandas_sorted(df, ["o_custkey"])
+
+
 def orders_dow_seasonality(sf_dir: str):
     """Day-of-week seasonality profile: order count, exact revenue
     cents and the revenue share (ppm) per weekday — the calendar

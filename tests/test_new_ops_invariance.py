@@ -121,7 +121,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "emb_diversity", "events_winsorized_stats",
         "docs_cross_source_dups", "docs_oov_rate",
         "events_trending_types", "orders_dow_seasonality",
-        "docs_lang_purity", "docs_dup_degree_profile"]
+        "docs_lang_purity", "docs_dup_degree_profile",
+        "customer_order_gaps"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

@@ -278,6 +278,24 @@ def test_dow_seasonality_fuzz(rows):
 
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),    # few customers
+              st.integers(min_value=0, max_value=15)),  # day: ties+gaps
+    min_size=1, max_size=30))
+def test_order_gaps_fuzz(rows):
+    # grouped quantile_disc median over gap multisets: same-day orders
+    # (gap 0), single-order customers dropping, even/odd gap counts
+    orders = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=r[1]) for r in rows],
+            pa.timestamp("us")),
+    })
+    _check("customer_order_gaps", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
 @given(users=st.lists(
     st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
     min_size=1, max_size=60))
