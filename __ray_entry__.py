@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_purity": q.docs_lang_purity,
         "docs_dup_degree_profile": q.docs_dup_degree_profile,
         "customer_order_gaps": q.customer_order_gaps,
+        "events_error_rate_ci": q.events_error_rate_ci,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -285,6 +286,38 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "events_error_rate_ci": r"""
+            -- per-hour error rate + Wilson 95% CI; every double op in
+            -- the same order as the engine so rounded bounds match
+            WITH g AS (
+                SELECT CAST(hour(ts) AS BIGINT) AS hour,
+                       sum(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) AS e,
+                       count(*) AS n
+                FROM events GROUP BY 1
+            )
+            SELECT hour,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(e AS BIGINT) AS n_errors,
+                   round(CAST(e AS DOUBLE) / n, 6) AS rate,
+                   round(((CAST(e AS DOUBLE) / n
+                           + (1.96 * 1.96) / (2.0 * n))
+                          / (1.0 + (1.96 * 1.96) / n))
+                         - ((1.96 * sqrt((CAST(e AS DOUBLE) / n)
+                                 * (1.0 - CAST(e AS DOUBLE) / n) / n
+                                 + (1.96 * 1.96) / (4.0 * n * n)))
+                            / (1.0 + (1.96 * 1.96) / n)), 6)
+                       AS wilson_lo,
+                   round(((CAST(e AS DOUBLE) / n
+                           + (1.96 * 1.96) / (2.0 * n))
+                          / (1.0 + (1.96 * 1.96) / n))
+                         + ((1.96 * sqrt((CAST(e AS DOUBLE) / n)
+                                 * (1.0 - CAST(e AS DOUBLE) / n) / n
+                                 + (1.96 * 1.96) / (4.0 * n * n)))
+                            / (1.0 + (1.96 * 1.96) / n)), 6)
+                       AS wilson_hi
+            FROM g
         """,
         "customer_order_gaps": r"""
             -- per-customer median/max day gap between consecutive

@@ -5476,6 +5476,66 @@ def docs_lang_purity(sf_dir: str):
     return rel.to_pandas_sorted(out, ["source"])
 
 
+def events_error_rate_ci(sf_dir: str):
+    """Error-rate monitor with uncertainty: per hour-of-day, the error
+    share plus its Wilson 95% confidence interval — the band that
+    stops a 3-error hour with 10 events from paging anyone while a
+    0.1%-over-baseline hour with a million events does. Wilson (not
+    normal approx) because low-volume hours sit near p=0 where the
+    naive interval collapses.
+
+    ONE bounded exchange (24 x 2 cells, map-side combined); the Wilson
+    algebra runs on the driver from exact integer counts, every double
+    operation written in the same order as the SQL twin, so the
+    rounded bounds are bit-identical (the hour_profile_z discipline:
+    identical ints -> identical double formula -> identical round)."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+
+    ds = rel.load(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.hour(batch.column("ts"))
+        err = pc.cast(pc.equal(batch.column("event_type"),
+                               pa.scalar("error")), pa.int64())
+        t = pa.table({"hour": pc.cast(hour, pa.int64()), "e": err})
+        g = t.group_by(["hour"]).aggregate([("e", "sum"), ("e", "count")])
+        return pa.table({"hour": g.column("hour"),
+                         "e": g.column("e_sum"),
+                         "n": pc.cast(g.column("e_count"), pa.int64())})
+
+    agg = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["hour"], [("n_errors", "e", "sum"), ("n_events", "n", "sum")],
+        small_result=True))
+    empty = pd.DataFrame({"hour": pd.Series(dtype="int64"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "n_errors": pd.Series(dtype="int64"),
+                          "rate": pd.Series(dtype="float64"),
+                          "wilson_lo": pd.Series(dtype="float64"),
+                          "wilson_hi": pd.Series(dtype="float64")})
+    if agg.empty:
+        return empty
+    e = agg["n_errors"].to_numpy(np.int64).astype(np.float64)
+    n = agg["n_events"].to_numpy(np.int64).astype(np.float64)
+    z = 1.96
+    zz = z * z
+    p = e / n
+    denom = 1.0 + zz / n
+    center = (p + zz / (2.0 * n)) / denom
+    half = (z * np.sqrt(p * (1.0 - p) / n
+                        + zz / (4.0 * n * n))) / denom
+    out = pd.DataFrame({
+        "hour": agg["hour"].astype("int64"),
+        "n_events": agg["n_events"].astype("int64"),
+        "n_errors": agg["n_errors"].astype("int64"),
+        "rate": np_round_half_away(p, 6),
+        "wilson_lo": np_round_half_away(center - half, 6),
+        "wilson_hi": np_round_half_away(center + half, 6),
+    })
+    return rel.to_pandas_sorted(out, ["hour"])
+
+
 def events_trending_types(sf_dir: str, window_days: int = 7):
     """Trending detector: for every active day, the event type with
     the highest trailing-``window_days`` count (ties break by type

@@ -296,6 +296,24 @@ def test_order_gaps_fuzz(rows):
 
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=72 * 3600 - 1),
+              st.sampled_from(["view", "error"])),
+    min_size=1, max_size=25))
+def test_error_rate_ci_fuzz(rows):
+    # the Wilson formula is a long double expression: identical counts
+    # must produce bit-identical rounded bounds, including the p=0 and
+    # p=1 single-event hours where the naive interval degenerates
+    events = pa.table({
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[0]) for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+    })
+    _check("events_error_rate_ci", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
 @given(users=st.lists(
     st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
     min_size=1, max_size=60))
