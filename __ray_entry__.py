@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_degree_profile": q.docs_dup_degree_profile,
         "customer_order_gaps": q.customer_order_gaps,
         "events_error_rate_ci": q.events_error_rate_ci,
+        "docs_score_length_bias": q.docs_score_length_bias,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -285,6 +286,44 @@ def oracle_sql() -> dict[str, str]:
                          / (k * (CAST(sxx AS DOUBLE) / 1e9)
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
+            FROM m
+        """,
+        "docs_score_length_bias": r"""
+            -- Pearson corr(token count, score micro) — the scorer
+            -- length-bias audit; zero-token docs excluded
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), iw AS (
+                SELECT doc_id,
+                       CAST(md5_number_upper('b:' || CAST(
+                            md5_number_upper('w:' || tok) % 4096
+                            AS VARCHAR)) % 2001 AS BIGINT) - 1000 AS iw
+                FROM toks
+            ), agg AS (
+                SELECT doc_id, sum(iw) AS s, count(*) AS n
+                FROM iw GROUP BY doc_id
+            ), xy AS (
+                SELECT n AS x,
+                       CAST(round(round(CAST(s AS DOUBLE) / (1000.0 * n),
+                                        4) * 10000) AS BIGINT) AS y
+                FROM agg
+            ), m AS (
+                SELECT count(*) AS n_docs, sum(x) AS sx, sum(y) AS sy,
+                       sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM xy)
+            SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                   round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n_docs AS DOUBLE)
+                                 * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n_docs AS DOUBLE)
+                                   * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))),
+                         6) AS corr_len_score
             FROM m
         """,
         "events_error_rate_ci": r"""

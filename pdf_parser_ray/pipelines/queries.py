@@ -6708,6 +6708,76 @@ def docs_dup_degree_profile(sf_dir: str, threshold: float = 0.6):
     return rel.to_pandas_sorted(out[["degree", "n_docs"]], ["degree"])
 
 
+def docs_score_length_bias(sf_dir: str):
+    """Scorer length-bias audit: the Pearson correlation between a
+    document's token count and its model score — |r| near 1 means the
+    "quality" scorer is mostly a length detector, and any
+    score-thresholded curation silently becomes length filtering (the
+    classic classifier-quality-filter artifact). Run this before
+    trusting docs_quality_buckets tertiles.
+
+    One scoring stream pass; each block emits ONE exact-int64 moment
+    row (n, sx, sy, sxx, syy, sxy) — the distributed-covariance plan —
+    and r is computed from identical doubles on both engines, rounded
+    half-away at 6. Zero-token docs have no score and are excluded;
+    degenerate variance pins NaN on both engines."""
+    from pdf_parser_ray.functions.num import (np_round_half_away,
+                                              np_round_half_away_int)
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        scored = _score_batch(batch)
+        cols = ("n_docs", "sx", "sy", "sxx", "syy", "sxy")
+        if scored.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in cols})
+        # x = token count (re-derived vectorized: same split as the
+        # scorer), y = score micro-units
+        lst = pc.split_pattern_regex(
+            pc.fill_null(batch.column("text"), ""), r"\s+")
+        flat = pc.list_flatten(lst)
+        nonempty = pc.not_equal(flat, pa.scalar(""))
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        mask = nonempty.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(counts)), counts)[mask]
+        ntok = np.zeros(len(counts), dtype=np.int64)
+        np.add.at(ntok, doc_idx, 1)
+        x = ntok[ntok > 0]
+        y = np_round_half_away_int(
+            scored.column("score").to_numpy() * 10_000.0).astype(np.int64)
+        vals = (len(x), x.sum(), y.sum(), (x * x).sum(), (y * y).sum(),
+                (x * y).sum())
+        return pa.table({c: pa.array([int(v)], pa.int64())
+                         for c, v in zip(cols, vals)})
+
+    agg = rel.as_pandas(rel.grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow",
+                       zero_copy_batch=True).map_batches(
+            lambda b: b.append_column("g", pa.array([0] * b.num_rows,
+                                                    pa.int64())),
+            batch_format="pyarrow"),
+        ["g"], [(c, c, "sum") for c in ("n_docs", "sx", "sy", "sxx",
+                                        "syy", "sxy")],
+        small_result=True))
+    n = float(agg["n_docs"].iloc[0])
+    if n == 0.0:
+        return pd.DataFrame({"n_docs": pd.Series([0], dtype="int64"),
+                             "corr_len_score": pd.Series([float("nan")],
+                                                         dtype="float64")})
+    sx = float(agg["sx"].iloc[0])
+    sy = float(agg["sy"].iloc[0])
+    sxx = float(agg["sxx"].iloc[0])
+    syy = float(agg["syy"].iloc[0])
+    sxy = float(agg["sxy"].iloc[0])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = float(np_round_half_away(np.array(
+            [(n * sxy - sx * sy)
+             / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))]), 6)[0])
+    return pd.DataFrame({
+        "n_docs": pd.Series([int(agg["n_docs"].iloc[0])], dtype="int64"),
+        "corr_len_score": pd.Series([r], dtype="float64")})
+
+
 def docs_cross_source_dups(sf_dir: str, threshold: float = 0.6):
     """Cross-source duplication matrix: for every unordered source
     pair, how many exact n-gram near-dup pairs (J >= ``threshold``)

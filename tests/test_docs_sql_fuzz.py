@@ -135,6 +135,15 @@ def test_docs_containment_pairs_fuzz(texts):
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
 @given(texts=_DOCS)
+def test_docs_score_length_bias_fuzz(texts):
+    # distributed-moment Pearson on (token count, score micro):
+    # degenerate variance (one doc, constant scores) pins NaN on both
+    _check("docs_score_length_bias", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
 def test_docs_oov_rate_fuzz(texts):
     # vocab selection under count ties ((n desc, tok) total order) and
     # the OOV ppm must agree on arbitrary text; zero-token docs drop
