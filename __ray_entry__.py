@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_gaps": q.customer_order_gaps,
         "events_error_rate_ci": q.events_error_rate_ci,
         "docs_score_length_bias": q.docs_score_length_bias,
+        "orders_benford_profile": q.orders_benford_profile,
         "events_users_kmv": q.events_users_kmv,
         "emb_gram_matrix": q.emb_gram_matrix,
         "emb_knn_graph": q.emb_knn_graph,
@@ -287,6 +288,25 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sx AS DOUBLE) / 1e9)
                               * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope
             FROM m
+        """,
+        "orders_benford_profile": r"""
+            -- leading-digit distribution of positive order cents vs
+            -- Benford's expectation (string-peel = exact; the engine
+            -- peels by integer division — same digit)
+            WITH c AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), d AS (
+                SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit
+                FROM c WHERE cents > 0
+            ), g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+            t AS (SELECT sum(n) AS tot FROM g)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   CAST(n * 1000000 // t.tot AS BIGINT) AS share_ppm,
+                   CAST(round(log10(1.0 + 1.0 / digit) * 1e6) AS BIGINT)
+                       AS benford_ppm
+            FROM g, t
         """,
         "docs_score_length_bias": r"""
             -- Pearson corr(token count, score micro) — the scorer

@@ -5332,6 +5332,57 @@ def customer_rfm(sf_dir: str):
     return rel.to_pandas_sorted(df, ["o_custkey"])
 
 
+def orders_benford_profile(sf_dir: str):
+    """Benford first-digit audit: the observed leading-digit
+    distribution of order amounts (in cents) next to Benford's
+    expected share — the fabricated-data / fee-threshold detector
+    (organically-sized amounts follow log10(1+1/d); a spike at one
+    digit marks price floors, synthetic rows, or fraud). Digits come
+    from EXACT integer division peeling (no log10 float boundary
+    risk at powers of ten); non-positive amounts drop.
+
+    ONE <=9-rows-per-block exchange (map-side digit bincount); the
+    share math is exact integer ppm on the driver."""
+    orders = rel.load(sf_dir, "orders", ["o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("o_totalprice")).to_numpy(
+            zero_copy_only=False)
+        v = c[c > 0]
+        while True:
+            big = v >= 10
+            if not big.any():
+                break
+            v = np.where(big, v // 10, v)
+        cnt = np.bincount(v, minlength=10)
+        digits = np.nonzero(cnt)[0]
+        return pa.table({"digit": pa.array(digits.astype(np.int64),
+                                           pa.int64()),
+                         "n": pa.array(cnt[digits].astype(np.int64),
+                                       pa.int64())})
+
+    agg = rel.as_pandas(rel.grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["digit"], [("n", "n", "sum")], small_result=True))
+    empty = pd.DataFrame({"digit": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "share_ppm": pd.Series(dtype="int64"),
+                          "benford_ppm": pd.Series(dtype="int64")})
+    if agg.empty:
+        return empty
+    agg["n"] = agg["n"].astype("int64")
+    total = int(agg["n"].sum())
+    agg["share_ppm"] = (agg["n"] * 1_000_000 // total).astype("int64")
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+
+    agg["benford_ppm"] = np_round_half_away_int(
+        np.log10(1.0 + 1.0 / agg["digit"].to_numpy(np.float64))
+        * 1e6).astype("int64")
+    return rel.to_pandas_sorted(
+        agg[["digit", "n", "share_ppm", "benford_ppm"]], ["digit"])
+
+
 def customer_order_gaps(sf_dir: str):
     """Purchase cadence: per-customer median and max gap (in days)
     between consecutive orders — the re-engagement window that sets

@@ -123,7 +123,7 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_trending_types", "orders_dow_seasonality",
         "docs_lang_purity", "docs_dup_degree_profile",
         "customer_order_gaps", "events_error_rate_ci",
-        "docs_score_length_bias"]
+        "docs_score_length_bias", "orders_benford_profile"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

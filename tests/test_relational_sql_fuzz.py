@@ -314,6 +314,20 @@ def test_error_rate_ci_fuzz(rows):
 
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=20, deadline=None)
+@given(prices=st.lists(_MONEY, min_size=1, max_size=30))
+def test_benford_profile_fuzz(prices):
+    # digit peeling by integer division vs SQL string-substr must agree
+    # on every magnitude, incl. exact powers of ten; <= 0 amounts drop
+    import hypothesis
+    hypothesis.assume(any(round(p * 100) > 0 for p in prices))
+    orders = pa.table({
+        "o_totalprice": pa.array(prices, pa.float64()),
+    })
+    _check("orders_benford_profile", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
 @given(users=st.lists(
     st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
     min_size=1, max_size=60))
