@@ -48,6 +48,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "q7_trade_volume": q.q7_trade_volume,
+        "q8_market_share": q.q8_market_share,
+        "q13_order_count_distribution": q.q13_order_count_distribution,
+        "q18_large_orders": q.q18_large_orders,
+        "q19_discounted_revenue": q.q19_discounted_revenue,
         "events_hourly_pivot": q.events_hourly_pivot,
         "events_user_top_type": q.events_user_top_type,
         "events_type_affinity": q.events_type_affinity,
@@ -231,6 +236,72 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q7_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE n1.n_name <> n2.n_name
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH j AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT) AS rev_c,
+                       n_name
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN orders ON o_orderkey = l_orderkey
+                WHERE p_type = 'STANDARD')
+            SELECT o_year, sum(rev_c) AS total_c,
+                   sum(CASE WHEN n_name = 'NATION_7'
+                       THEN rev_c ELSE 0 END) AS nation_c,
+                   CASE WHEN sum(rev_c) = 0 THEN NULL
+                        ELSE (sum(CASE WHEN n_name = 'NATION_7'
+                                  THEN rev_c ELSE 0 END) * 1000000)
+                             // sum(rev_c) END AS mkt_share_ppm
+            FROM j GROUP BY o_year
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "q18_large_orders": """
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   sum_q / 100.0 AS total_qty
+            FROM (SELECT l_orderkey,
+                         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_q
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum_q > 25000) b
+            JOIN orders ON o_orderkey = b.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+        """,
+        "q19_discounted_revenue": """
+            SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
         "orders_running_revenue": """
             WITH t AS (
                 SELECT o_orderkey,

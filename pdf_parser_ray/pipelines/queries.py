@@ -6960,3 +6960,312 @@ def docs_score_auc_dup(sf_dir: str, threshold: float = 0.6):
     return pd.DataFrame({"n_dup": pd.Series([t1], dtype="int64"),
                          "n_unique": pd.Series([t0], dtype="int64"),
                          "auc_ppm": pd.Series([auc])})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics round-out: q7 / q8 / q13 / q18 / q19 shapes
+# ---------------------------------------------------------------------------
+
+
+def q7_trade_volume(sf_dir: str):
+    """TPC-H q7 shape: cross-border revenue volume between (supplier
+    nation, customer nation) pairs per ship year — the bilateral trade
+    matrix. Supplier and customer maps are dimension broadcasts; the
+    one big-big exchange is the lineitem x orders hash join on
+    orderkey (the q5 plan); the (n1, n2, year) aggregation is
+    map-side combined and |nations|^2 x years bounded."""
+    nation = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
+    supp = rel.load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    supp_map = supp[["s_suppkey", "n_name"]].rename(
+        columns={"s_suppkey": "l_suppkey", "n_name": "supp_nation"})
+    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    cust_map = cust[["c_custkey", "n_name"]].rename(
+        columns={"c_custkey": "o_custkey", "n_name": "cust_nation"})
+
+    orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_n = rel.broadcast_merge(orders, cust_map, on="o_custkey") \
+        .select_columns(["o_orderkey", "cust_nation"])
+
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"])
+    lo, hi = pa.scalar(_TS(1996, 1, 1)), pa.scalar(_TS(1998, 1, 1))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater_equal(batch.column("l_shipdate"), lo),
+                       pc.less(batch.column("l_shipdate"), hi))
+        batch = batch.filter(mask)
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "l_year": pc.year(batch.column("l_shipdate")),
+                         "rev_c": _cents(rev)})
+
+    line_p = rel.broadcast_merge(
+        line.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        supp_map, on="l_suppkey")
+    # both join inputs pass through ensure_schema: an all-filtered
+    # pandas-roundtripped block carries retyped columns that crash the
+    # Acero join ("No match for key field"); partition count sized to
+    # the (metadata-cheap) row count for the zero-row-partition mode
+    line_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("l_year", pa.int64()),
+        ("rev_c", pa.int64()), ("supp_nation", pa.string())])
+    orders_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("cust_nation", pa.string())])
+    n_parts = rel.join_partitions(
+        rel.load(sf_dir, "orders", ["o_orderkey"]).count())
+    joined = rel.hash_join_nonempty(
+        rel.ensure_schema(line_p, line_schema),
+        rel.ensure_schema(orders_n, orders_schema),
+        on="l_orderkey", right_on="o_orderkey", num_partitions=n_parts,
+        left_schema=line_schema, right_schema=orders_schema)
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch.column("supp_nation"),
+                                         batch.column("cust_nation")))
+
+    agg = rel.grouped_agg(
+        joined.map_batches(cross_only, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["supp_nation", "cust_nation", "l_year"],
+        [("revenue", "rev_c", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "supp_nation": "object", "cust_nation": "object",
+        "l_year": "int64", "revenue": "int64"})
+    df["l_year"] = df["l_year"].astype("int64")
+    df["revenue"] = _dollars(df["revenue"])
+    return rel.to_pandas_sorted(
+        df[["supp_nation", "cust_nation", "l_year", "revenue"]],
+        ["supp_nation", "cust_nation", "l_year"])
+
+
+def q8_market_share(sf_dir: str, nation: str = "NATION_7",
+                    ptype: str = "STANDARD"):
+    """TPC-H q8 shape: one nation's market share (ppm) of the
+    ptype-part trade per order year. The part filter is a
+    predicate-pruned dimension broadcast semi-join (only matching
+    partkeys ship); supplier nation is a dimension broadcast; the one
+    big-big exchange is the lineitem x orders hash join; shares are
+    exact integer ppm over exact cent sums (DuckDB-truncating
+    division)."""
+    part = rel.load(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    keep_parts = pa.array(
+        part.loc[part["p_type"] == ptype, "p_partkey"].to_numpy(np.int64))
+    supp = rel.load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
+    supp = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    supp_map = supp[["s_suppkey", "n_name"]].rename(
+        columns={"s_suppkey": "l_suppkey", "n_name": "supp_nation"})
+
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"])
+    line = rel.broadcast_semi(line, "l_partkey", keep_parts)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "rev_c": _cents(rev)})
+
+    line_p = rel.broadcast_merge(
+        line.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        supp_map, on="l_suppkey")
+
+    orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def oyear(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "o_year": pc.year(batch.column("o_orderdate"))})
+
+    orders_y = orders.map_batches(oyear, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    # the broadcast-semi + merge path can empty every block (absent
+    # part type): normalize schemas AND join via the sentinel-hardened
+    # path (Ray drops fully-empty sides on the shuffle floor)
+    line_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("rev_c", pa.int64()),
+        ("supp_nation", pa.string())])
+    orders_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_year", pa.int64())])
+    n_parts = rel.join_partitions(
+        rel.load(sf_dir, "orders", ["o_orderkey"]).count())
+    joined = rel.hash_join_nonempty(
+        rel.ensure_schema(line_p, line_schema),
+        rel.ensure_schema(orders_y, orders_schema),
+        on="l_orderkey", right_on="o_orderkey", num_partitions=n_parts,
+        left_schema=line_schema, right_schema=orders_schema)
+
+    def split(batch: pa.Table) -> pa.Table:
+        is_n = pc.equal(batch.column("supp_nation"), pa.scalar(nation))
+        nat_c = pc.if_else(is_n, batch.column("rev_c"),
+                           pa.scalar(0, pa.int64()))
+        return pa.table({"o_year": batch.column("o_year"),
+                         "total_c": batch.column("rev_c"),
+                         "nation_c": nat_c})
+
+    agg = rel.grouped_agg(
+        joined.map_batches(split, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_year"], [("total_c", "total_c", "sum"),
+                     ("nation_c", "nation_c", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "o_year": "int64", "total_c": "int64", "nation_c": "int64"})
+    df["o_year"] = df["o_year"].astype("int64")
+    for c in ("total_c", "nation_c"):
+        df[c] = df[c].astype("int64")
+    # DuckDB // truncates toward zero; cents are non-negative here but
+    # keep the guard for the fuzz harness's negative-money rows
+    def share(nc: int, tc: int):
+        if tc == 0:
+            return float("nan")
+        v = nc * 1_000_000
+        q = abs(v) // abs(tc)
+        return q if (v >= 0) == (tc > 0) else -q
+
+    shares = [share(int(n), int(t))
+              for n, t in zip(df["nation_c"], df["total_c"])]
+    df["mkt_share_ppm"] = pd.Series(shares, dtype="float64")
+    if not df.empty and all(df["total_c"] != 0):
+        df["mkt_share_ppm"] = df["mkt_share_ppm"].astype("int64")
+    return rel.to_pandas_sorted(
+        df[["o_year", "total_c", "nation_c", "mkt_share_ppm"]], ["o_year"])
+
+
+def q13_order_count_distribution(sf_dir: str):
+    """TPC-H q13 shape: how many customers placed exactly k orders,
+    INCLUDING the zero-order customers a plain groupby silently drops
+    (the left-join-zero semantics). Two bounded exchanges: orders
+    keyed by custkey (count per customer), then count-of-counts on the
+    order-count value domain; the zero bucket is total customers minus
+    customers seen in orders — a streaming count, never a gathered key
+    set."""
+    orders = rel.load(sf_dir, "orders", ["o_custkey"])
+    per_cust = rel.grouped_agg(orders, ["o_custkey"],
+                               [("c_count", "", "count")])
+    dist = rel.grouped_agg(per_cust, ["c_count"],
+                           [("custdist", "", "count")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(dist),
+                            {"c_count": "int64", "custdist": "int64"})
+    df["c_count"] = df["c_count"].astype("int64")
+    df["custdist"] = df["custdist"].astype("int64")
+    n_customers = rel.load(sf_dir, "customer", ["c_custkey"]).count()
+    n_with = int(df["custdist"].sum())
+    zero = int(n_customers) - n_with
+    if zero > 0:
+        df = pd.concat([df, pd.DataFrame({"c_count": [0],
+                                          "custdist": [zero]})],
+                       ignore_index=True)
+    return rel.to_pandas_sorted(df[["c_count", "custdist"]], ["c_count"])
+
+
+def q18_large_orders(sf_dir: str, min_qty: float = 250.0):
+    """TPC-H q18 shape: large-volume orders — orders whose total line
+    quantity exceeds the threshold, enriched with the customer. The
+    per-order quantity sum is ONE orderkey-keyed exchange with
+    map-side combine on exact centi-quantity ints; the surviving
+    orders are threshold-bounded tiny, so enrichment is a hash join
+    with orders (scale-safe regardless of the threshold) plus a
+    dimension broadcast of customer names."""
+    line = rel.load(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qc = pc.cast(pc.round(pc.multiply(batch.column("l_quantity"),
+                                          pa.scalar(100.0)),
+                              ndigits=0,
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "qc": qc})
+        g = t.group_by(["l_orderkey"]).aggregate([("qc", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "qc": g.column("qc_sum")})
+
+    per_order = rel.grouped_agg(
+        line.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["l_orderkey"], [("qc", "qc", "sum")])
+    thresh = int(round(min_qty * 100))
+    # aggregate outputs emit schema-less empty blocks, and the HAVING
+    # filter can empty the survivor side entirely: normalize, size
+    # partitions to the surviving keys, and join sentinel-hardened
+    big_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("qc", pa.int64())])
+    big = rel.ensure_schema(per_order.filter(expr=f"qc > {thresh}"),
+                            big_schema)
+    n_parts = rel.join_partitions(big.count())
+
+    orders = rel.load(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"])
+    orders_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderdate", pa.timestamp("us")),
+        ("o_totalprice", pa.float64())])
+    joined = rel.hash_join_nonempty(
+        orders, big, on="o_orderkey", right_on="l_orderkey",
+        num_partitions=n_parts,
+        left_schema=orders_schema, right_schema=big_schema)
+    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    out = rel.as_pandas(rel.broadcast_merge(
+        joined, cust.rename(columns={"c_custkey": "o_custkey"}),
+        on="o_custkey"))
+    out = rel.ensure_columns(out, {
+        "c_name": "object", "o_custkey": "int64", "o_orderkey": "int64",
+        "o_orderdate": "datetime64[us]", "o_totalprice": "float64",
+        "qc": "int64"})
+    out["total_qty"] = out["qc"].astype("int64") / 100.0
+    out["o_totalprice"] = series_round_half_away(out["o_totalprice"], 2)
+    return rel.to_pandas_sorted(
+        out[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+             "o_totalprice", "total_qty"]], ["o_orderkey"])
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H q19 shape: revenue from three OR'd brand/size/quantity
+    bands — the disjunctive-predicate pushdown test. The part side is
+    predicate-pruned BEFORE broadcast (only the three brands'
+    (partkey, brand, size) rows ship, ~12% of the dimension); the
+    band masks are vectorized Arrow kernels; the global sum is exact
+    cents."""
+    part = rel.load(sf_dir, "part",
+                    ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    bands = [("Brand#12", 1, 15, 1.0, 11.0),
+             ("Brand#23", 1, 25, 10.0, 20.0),
+             ("Brand#34", 1, 35, 20.0, 30.0)]
+    keep = part[
+        ((part["p_brand"] == bands[0][0]) & part["p_size"].between(1, 15))
+        | ((part["p_brand"] == bands[1][0]) & part["p_size"].between(1, 25))
+        | ((part["p_brand"] == bands[2][0]) & part["p_size"].between(1, 35))
+    ][["p_partkey", "p_brand"]].rename(columns={"p_partkey": "l_partkey"})
+
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"])
+    merged = rel.broadcast_merge(line, keep, on="l_partkey")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity")
+        brand = batch.column("p_brand")
+        mask = None
+        for b, _, _, qlo, qhi in bands:
+            m = pc.and_(pc.equal(brand, pa.scalar(b)),
+                        pc.and_(pc.greater_equal(qty, pa.scalar(qlo)),
+                                pc.less_equal(qty, pa.scalar(qhi))))
+            mask = m if mask is None else pc.or_(mask, m)
+        batch = batch.filter(mask)
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.table({"rev_c": _cents(rev)})
+
+    total = merged.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True).sum("rev_c")
+    return pd.DataFrame({"revenue": [float("nan") if total is None
+                                     else total / 100.0]})

@@ -205,6 +205,47 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     )
 
 
+def _sentinel_row(schema: pa.Schema, key: str, key_value: int) -> pa.Table:
+    arrays = []
+    for f in schema:
+        if f.name == key:
+            arrays.append(pa.array([key_value], f.type))
+        elif pa.types.is_integer(f.type):
+            arrays.append(pa.array([0], f.type))
+        elif pa.types.is_floating(f.type):
+            arrays.append(pa.array([0.0], f.type))
+        elif pa.types.is_timestamp(f.type):
+            arrays.append(pa.array([0], pa.int64()).cast(f.type))
+        else:
+            arrays.append(pa.array([""], f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def hash_join_nonempty(left: ray.data.Dataset, right: ray.data.Dataset,
+                       on: str, right_on: str,
+                       num_partitions: int,
+                       left_schema: pa.Schema,
+                       right_schema: pa.Schema) -> ray.data.Dataset:
+    """Inner hash join hardened for possibly-fully-empty inputs.
+
+    Ray 2.49's hash shuffle DROPS empty blocks, so a side whose every
+    block was filtered away hands the Acero join a zero-column partition
+    table and the join dies with "No match ... for key field" — an
+    ``ensure_schema`` pass upstream cannot defend this (its schema'd
+    empty blocks are dropped too). Each side therefore gains ONE
+    sentinel row under an impossible key (-1 left, -2 right): the keys
+    can never match real int64 keys (all >= 0) or each other, so inner
+    semantics drop the sentinels from the output with no post-filter.
+    Callers pass the exact block schemas (sides must already be
+    ensure_schema-normalized)."""
+    left = left.union(ray.data.from_arrow(
+        _sentinel_row(left_schema, on, -1)))
+    right = right.union(ray.data.from_arrow(
+        _sentinel_row(right_schema, right_on, -2)))
+    return hash_join(left, right, on=on, right_on=right_on,
+                     num_partitions=num_partitions)
+
+
 def local_topk(ds: ray.data.Dataset, sort_keys: list[tuple[str, str]],
                k: int) -> pd.DataFrame:
     """Global top-k without a sort shuffle: per-batch local top-k (Arrow

@@ -79,11 +79,26 @@ def _orders_table() -> pa.Table:
 
 
 def _lineitem_table() -> pa.Table:
-    base = dt.datetime(2024, 3, 1)
+    # 1996 ship dates so q7's [1996, 1998) band keeps the rows
+    base = dt.datetime(1996, 5, 1)
     n = 300
     rng = np.random.RandomState(11)
+    okey = rng.randint(0, 120, n)
+    qty = rng.randint(1, 51, n).astype(np.float64)
+    # pin a handful of heavy orders so q18's >250-qty gate binds
+    okey[:12] = 0
+    qty[:12] = 50.0
+    okey[12:20] = 1
+    qty[12:20] = 45.0
     return pa.table({
-        "l_orderkey": pa.array(rng.randint(0, 120, n), pa.int64()),
+        "l_orderkey": pa.array(okey, pa.int64()),
+        "l_partkey": pa.array(rng.randint(0, 30, n), pa.int64()),
+        "l_suppkey": pa.array(rng.randint(0, 10, n), pa.int64()),
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_extendedprice": pa.array(
+            rng.randint(100, 900000, n) / 100.0, pa.float64()),
+        "l_discount": pa.array(rng.randint(0, 11, n) / 100.0,
+                               pa.float64()),
         "l_shipdate": pa.array(
             [base + dt.timedelta(days=int(d))
              for d in rng.randint(0, 20, n)],
@@ -91,9 +106,56 @@ def _lineitem_table() -> pa.Table:
     })
 
 
+def _nation_table() -> pa.Table:
+    return pa.table({
+        "n_nationkey": pa.array(range(10), pa.int64()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(10)], pa.string()),
+        "n_regionkey": pa.array([i % 3 for i in range(10)], pa.int64()),
+    })
+
+
+def _supplier_table() -> pa.Table:
+    rng = np.random.RandomState(13)
+    return pa.table({
+        "s_suppkey": pa.array(range(10), pa.int64()),
+        "s_nationkey": pa.array(rng.randint(0, 10, 10).astype(np.int32),
+                                pa.int32()),
+        "s_acctbal": pa.array(rng.randint(0, 90000, 10) / 100.0,
+                              pa.float64()),
+    })
+
+
+def _customer_table() -> pa.Table:
+    rng = np.random.RandomState(17)
+    n = 15
+    return pa.table({
+        "c_custkey": pa.array(range(n), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)],
+                           pa.string()),
+        "c_nationkey": pa.array(rng.randint(0, 10, n).astype(np.int32),
+                                pa.int32()),
+    })
+
+
+def _part_table() -> pa.Table:
+    rng = np.random.RandomState(19)
+    n = 30
+    brands = [f"Brand#{b}" for b in (12, 23, 34, 45, 55)]
+    types = ["STANDARD", "PROMO", "ECONOMY"]
+    return pa.table({
+        "p_partkey": pa.array(range(n), pa.int64()),
+        "p_brand": pa.array([brands[i % 5] for i in range(n)], pa.string()),
+        "p_type": pa.array([types[i % 3] for i in range(n)], pa.string()),
+        "p_size": pa.array(rng.randint(1, 40, n).astype(np.int32),
+                           pa.int32()),
+    })
+
+
 _TABLES = {"documents": _docs_table, "events": _events_table,
            "embeddings": _emb_table, "orders": _orders_table,
-           "lineitem": _lineitem_table}
+           "lineitem": _lineitem_table, "nation": _nation_table,
+           "supplier": _supplier_table, "customer": _customer_table,
+           "part": _part_table}
 
 _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_token_lift", "docs_clean_corpus", "events_latest_snapshot",
@@ -123,7 +185,10 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_trending_types", "orders_dow_seasonality",
         "docs_lang_purity", "docs_dup_degree_profile",
         "customer_order_gaps", "events_error_rate_ci",
-        "docs_score_length_bias", "orders_benford_profile"]
+        "docs_score_length_bias", "orders_benford_profile",
+        "q7_trade_volume", "q8_market_share",
+        "q13_order_count_distribution", "q18_large_orders",
+        "q19_discounted_revenue"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

@@ -566,3 +566,120 @@ def test_type_drift_fuzz(rows):
         "event_type": pa.array([r[1] for r in rows], pa.string()),
     })
     _check("events_type_drift", {"events": events})
+
+
+_TPCH_LINE = st.tuples(
+    st.integers(min_value=0, max_value=11),   # orderkey
+    st.integers(min_value=0, max_value=7),    # partkey
+    st.integers(min_value=0, max_value=4),    # suppkey
+    st.integers(min_value=1, max_value=60),   # quantity (integral + band
+                                              # edges around 11/20/30)
+    _MONEY,                                   # extendedprice
+    st.integers(min_value=0, max_value=10).map(lambda k: k / 100.0),
+    st.integers(min_value=0, max_value=1100), # shipdate day offset
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(lines=st.lists(_TPCH_LINE, min_size=1, max_size=30),
+       cust_nations=st.lists(st.integers(min_value=0, max_value=3),
+                             min_size=6, max_size=6),
+       supp_nations=st.lists(st.integers(min_value=0, max_value=3),
+                             min_size=5, max_size=5),
+       order_cust=st.lists(st.integers(min_value=0, max_value=5),
+                           min_size=12, max_size=12),
+       qty_thresh=st.sampled_from([0.0, 50.0, 100.0]))
+def test_tpch_q7_q8_q13_q18_q19_fuzz(lines, cust_nations, supp_nations,
+                                     order_cust, qty_thresh):
+    # one table universe drives all five classic shapes: cross/same
+    # nation mixes and out-of-band ship dates (q7), zero-revenue years
+    # and absent nations (q8 NULL-share path), customers with no
+    # orders (q13 zero bucket), threshold-edge order quantities incl.
+    # an empty survivor set (q18 empty-join path), and band-edge
+    # qty/size/brand combos (q19)
+    nation = pa.table({
+        "n_nationkey": pa.array(range(4), pa.int64()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(4)], pa.string()),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array(range(5), pa.int64()),
+        "s_nationkey": pa.array(supp_nations, pa.int64()),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array(range(6), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(6)],
+                           pa.string()),
+        "c_nationkey": pa.array(cust_nations, pa.int64()),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(range(8), pa.int64()),
+        "p_brand": pa.array([f"Brand#{b}" for b in
+                             (12, 23, 34, 45, 12, 23, 34, 55)],
+                            pa.string()),
+        "p_type": pa.array(["STANDARD", "PROMO"] * 4, pa.string()),
+        "p_size": pa.array([1, 15, 16, 25, 26, 35, 36, 40], pa.int32()),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array(range(12), pa.int64()),
+        "o_custkey": pa.array(order_cust, pa.int64()),
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=90 * i) for i in range(12)],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0 + i for i in range(12)],
+                                 pa.float64()),
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in lines], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in lines], pa.int64()),
+        "l_quantity": pa.array([float(r[3]) for r in lines], pa.float64()),
+        "l_extendedprice": pa.array([r[4] for r in lines], pa.float64()),
+        "l_discount": pa.array([r[5] for r in lines], pa.float64()),
+        "l_shipdate": pa.array(
+            [_BASE + dt.timedelta(days=r[6]) for r in lines],
+            pa.timestamp("us")),
+    })
+    tables = {"nation": nation, "supplier": supplier, "customer": customer,
+              "part": part, "orders": orders, "lineitem": lineitem}
+    _check("q7_trade_volume", tables)
+    _check("q8_market_share", tables)
+    _check("q13_order_count_distribution", tables)
+    _check("q19_discounted_revenue", tables)
+    # q18's SQL threshold is baked at 250; fuzz the engine-side param
+    # against a matching ad-hoc oracle instead
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    orig = q.rel.load
+
+    def load(sf_dir, table, columns=None):
+        tbl = tables[table]
+        return ray.data.from_arrow(tbl.select(columns) if columns else tbl)
+
+    q.rel.load = load
+    try:
+        ray_df = q.q18_large_orders("fuzz", min_qty=qty_thresh)
+    finally:
+        q.rel.load = orig
+    con = duckdb.connect()
+    for name, tbl in tables.items():
+        con.register(name, tbl)
+    sql_df = con.execute(f"""
+        SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice,
+               sum_q / 100.0 AS total_qty
+        FROM (SELECT l_orderkey,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_q
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum_q > {int(round(qty_thresh * 100))}) b
+        JOIN orders ON o_orderkey = b.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """).df()
+    a, b = _canon(ray_df), _canon(sql_df)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for col in a.columns:
+        for x, y in zip(a[col], b[col]):
+            assert x == y, f"q18.{col}: {x!r} != {y!r}"
