@@ -48,6 +48,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "lineitem_basket_pairs": q.lineitem_basket_pairs,
+        "events_first_touch": q.events_first_touch,
+        "emb_dim_stats": q.emb_dim_stats,
+        "docs_pmi_pairs": q.docs_pmi_pairs,
         "q7_trade_volume": q.q7_trade_volume,
         "q8_market_share": q.q8_market_share,
         "q13_order_count_distribution": q.q13_order_count_distribution,
@@ -236,6 +240,103 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_basket_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey),
+            c AS (SELECT pa, pb, count(*) AS n_ab FROM p GROUP BY 1, 2),
+            s AS (SELECT l_partkey, count(*) AS n_p FROM d GROUP BY 1),
+            n AS (SELECT count(DISTINCT l_orderkey) AS n_orders
+                  FROM lineitem),
+            r AS (SELECT pa, pb, n_ab,
+                         CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000
+                              // (CAST(sa.n_p AS HUGEINT) * sb.n_p)
+                              AS BIGINT) AS lift_ppm,
+                         row_number() OVER (ORDER BY n_ab DESC, pa, pb)
+                             AS rk
+                  FROM c JOIN s sa ON sa.l_partkey = pa
+                         JOIN s sb ON sb.l_partkey = pb, n)
+            SELECT pa AS part_a, pb AS part_b,
+                   CAST(n_ab AS BIGINT) AS pair_count, lift_ppm
+            FROM r WHERE rk <= 20
+        """,
+        "events_first_touch": """
+            WITH e AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+            r AS (SELECT user_id, event_type, ts,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rk
+                  FROM e),
+            f AS (SELECT user_id, event_type AS first_type,
+                         epoch_us(ts) AS f_us
+                  FROM r WHERE rk = 1),
+            p AS (SELECT user_id, min(epoch_us(ts)) AS p_us FROM e
+                  WHERE event_type = 'purchase' GROUP BY 1),
+            j AS (SELECT first_type,
+                         CASE WHEN p_us IS NULL THEN 0 ELSE 1 END AS conv,
+                         CASE WHEN p_us IS NULL THEN 0
+                              ELSE CAST(p_us - f_us AS BIGINT)
+                              END AS gap_us
+                  FROM f LEFT JOIN p USING (user_id))
+            SELECT first_type, count(*) AS n_users,
+                   CAST(sum(conv) AS BIGINT) AS n_converted,
+                   CAST(sum(conv) * 1000000 // count(*)
+                        AS BIGINT) AS conv_ppm,
+                   CASE WHEN sum(conv) = 0 THEN NULL
+                        ELSE CAST(sum(gap_us) // sum(conv) AS BIGINT)
+                        END AS avg_gap_us
+            FROM j GROUP BY 1
+        """,
+        "emb_dim_stats": """
+            WITH u AS (
+                SELECT unnest(range(CAST(len(embedding) AS BIGINT))) AS i,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS xq
+                FROM embeddings),
+            g AS (SELECT i AS dim, count(*) AS n, sum(xq) AS s1,
+                         sum(CAST(xq AS HUGEINT) * xq) AS s2
+                  FROM u GROUP BY 1)
+            SELECT dim, CAST(n AS BIGINT) AS n,
+                   CAST(s1 AS BIGINT) AS sum_micro,
+                   CAST(s1 // n AS BIGINT) AS mean_micro,
+                   CAST(round(sqrt(CAST(
+                        (n * s2 - CAST(s1 AS HUGEINT) * s1)
+                        // (CAST(n AS HUGEINT) * n) AS DOUBLE)))
+                        AS BIGINT) AS std_micro
+            FROM g
+        """,
+        "docs_pmi_pairs": r"""
+            WITH raw AS (SELECT doc_id,
+                                unnest(regexp_extract_all(text, '\S+'))
+                                    AS tok
+                         FROM documents),
+            toks AS (SELECT DISTINCT doc_id, tok FROM raw),
+            dfv AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+            vocab AS (SELECT tok, df,
+                             row_number() OVER (ORDER BY df DESC, tok)
+                                 AS rk
+                      FROM dfv QUALIFY rk <= 24),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            pt AS (SELECT t.doc_id, t.tok, v.df
+                   FROM toks t JOIN vocab v USING (tok)),
+            pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+                          a.df AS df_a, b.df AS df_b
+                   FROM pt a JOIN pt b ON a.doc_id = b.doc_id
+                                      AND a.tok < b.tok),
+            c AS (SELECT tok_a, tok_b, any_value(df_a) AS df_a,
+                         any_value(df_b) AS df_b, count(*) AS n_ab
+                  FROM pr GROUP BY 1, 2),
+            r AS (SELECT tok_a, tok_b, n_ab,
+                         CAST(round(ln(CAST(n_ab * n_docs AS DOUBLE)
+                                       / CAST(df_a * df_b AS DOUBLE))
+                                    * 1000000000) AS BIGINT) AS pmi_nano,
+                         row_number() OVER (ORDER BY n_ab DESC,
+                                            tok_a, tok_b) AS rk
+                  FROM c, n)
+            SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab, pmi_nano
+            FROM r WHERE rk <= 20
+        """,
         "q7_trade_volume": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -7269,3 +7269,282 @@ def q19_discounted_revenue(sf_dir: str):
                                zero_copy_batch=True).sum("rev_c")
     return pd.DataFrame({"revenue": [float("nan") if total is None
                                      else total / 100.0]})
+
+
+# ---------------------------------------------------------------------------
+# Basket mining, attribution, embedding whitening stats, collocations
+# ---------------------------------------------------------------------------
+
+
+def lineitem_basket_pairs(sf_dir: str, k: int = 20):
+    """Market-basket mining: the top-k co-purchased part pairs with
+    their lift — the classic association signal (lift >> 1 marks
+    bundles; lift << 1 marks substitutes). Pair explosion is a hash
+    SELF-JOIN of the distinct (order, part) set on l_orderkey — the
+    distributed mirror of the oracle plan: one orderkey-keyed
+    exchange, Acero joins each co-located partition vectorized, and
+    the a<b filter halves the output (orders bound basket size, so
+    the per-key fan-out is C(basket,2)-bounded, never a cross join).
+    Pair counts take one bounded (a,b)-keyed exchange; per-part
+    support counts one partkey exchange; only the <=k winners and
+    their <=2k support rows reach the driver. Lift is exact big-int
+    ppm: n_ab*N*1e6 // (n_a*n_b) with Python ints / HUGEINT lockstep.
+    Ties break (pair_count desc, part_a, part_b) — a total order."""
+    line = rel.load(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    d_schema = pa.schema([("l_orderkey", pa.int64()),
+                          ("l_partkey", pa.int64())])
+    d = rel.ensure_schema(  # ensure_schema also projects "n" away
+        rel.grouped_agg(line, ["l_orderkey", "l_partkey"],
+                        [("n", "", "count")]),
+        d_schema).materialize()  # reused 3x: self-join sides + support
+
+    def rename_b(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["l_orderkey", "b"])
+
+    right = d.map_batches(rename_b, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    n_parts = rel.join_partitions(d.count())
+    joined = rel.hash_join(d, right, on="l_orderkey",
+                           num_partitions=n_parts)
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch.column("l_partkey"),
+                                    batch.column("b")))
+        return pa.table({"a": keep.column("l_partkey").cast(pa.int64()),
+                         "b": keep.column("b").cast(pa.int64())})
+
+    pairs = joined.map_batches(to_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    counts = rel.grouped_agg(pairs, ["a", "b"],
+                             [("pair_count", "", "count")])
+    counts = rel.ensure_schema(counts, pa.schema([
+        ("a", pa.int64()), ("b", pa.int64()), ("pair_count", pa.int64())]))
+    top = rel.local_topk(counts, [("pair_count", "descending"),
+                                  ("a", "ascending"), ("b", "ascending")],
+                         k)
+    empty = pd.DataFrame({"part_a": pd.Series(dtype="int64"),
+                          "part_b": pd.Series(dtype="int64"),
+                          "pair_count": pd.Series(dtype="int64"),
+                          "lift_ppm": pd.Series(dtype="int64")})
+    if top.empty:
+        return empty
+
+    # per-part support (distinct orders containing the part) and the
+    # distinct-order total: two more bounded exchanges over the already
+    # materialized distinct set; only the winners' <=2k support rows
+    # cross to the driver
+    support = rel.grouped_agg(d, ["l_partkey"], [("n_p", "", "count")])
+    support = rel.ensure_schema(support, pa.schema([
+        ("l_partkey", pa.int64()), ("n_p", pa.int64())]))
+    win_parts = pa.array(sorted(set(top["a"]) | set(top["b"])), pa.int64())
+    sup = rel.broadcast_semi(support, "l_partkey", win_parts).to_pandas()
+    n_p = dict(zip(sup["l_partkey"].astype("int64"),
+                   sup["n_p"].astype("int64")))
+    n_orders = int(rel.grouped_agg(
+        d, ["l_orderkey"], [("n", "", "count")]).count())
+
+    lift = [int(int(c) * n_orders * 1_000_000
+                // (n_p[int(a)] * n_p[int(b)]))
+            for a, b, c in zip(top["a"], top["b"], top["pair_count"])]
+    return pd.DataFrame({
+        "part_a": top["a"].astype("int64").to_numpy(),
+        "part_b": top["b"].astype("int64").to_numpy(),
+        "pair_count": top["pair_count"].astype("int64").to_numpy(),
+        "lift_ppm": pd.Series(lift, dtype="int64").to_numpy()})
+
+
+def events_first_touch(sf_dir: str):
+    """First-touch attribution: for each acquisition channel (the
+    user's FIRST event type), the user count, how many converted
+    (ever purchased), the conversion rate, and the average time from
+    first touch to first purchase — the channel-quality table a
+    growth team reads before shifting spend. First event ties break
+    (ts, event_id) — a total order; NULL user_ids drop (both
+    engines).
+
+    ONE user-keyed exchange builds the per-user (first_type,
+    converted, gap) row; the per-channel rollup is |types|-bounded.
+    Gap math is exact int64 microseconds; rates/averages are
+    DuckDB-truncating integer division."""
+    ev = rel.load(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((df["event_id"].to_numpy(np.int64),
+                        df["ts"].to_numpy("datetime64[us]").astype(np.int64)))
+        ts_us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)[o]
+        types = df["event_type"].to_numpy()[o]
+        is_p = types == "purchase"
+        conv = int(is_p.any())
+        gap = int(ts_us[is_p][0] - ts_us[0]) if conv else 0
+        return pd.DataFrame({
+            "first_type": pd.Series([types[0]], dtype="object"),
+            "conv": pd.Series([conv], dtype="int64"),
+            "gap_us": pd.Series([gap], dtype="int64")})
+
+    per = (ev.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+    agg = rel.grouped_agg(per, ["first_type"],
+                          [("n_users", "", "count"),
+                           ("n_converted", "conv", "sum"),
+                           ("gap_sum", "gap_us", "sum")],
+                          small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "first_type": "object", "n_users": "int64",
+        "n_converted": "int64", "gap_sum": "int64"})
+    for c in ("n_users", "n_converted", "gap_sum"):
+        df[c] = df[c].astype("int64")
+    df["conv_ppm"] = [int(c) * 1_000_000 // int(n)
+                      for c, n in zip(df["n_converted"], df["n_users"])]
+    df["conv_ppm"] = df["conv_ppm"].astype("int64")
+    df["avg_gap_us"] = [float("nan") if int(c) == 0
+                        else int(g) // int(c)
+                        for g, c in zip(df["gap_sum"], df["n_converted"])]
+    if not df.empty and all(df["n_converted"] > 0):
+        df["avg_gap_us"] = df["avg_gap_us"].astype("int64")
+    return rel.to_pandas_sorted(
+        df[["first_type", "n_users", "n_converted", "conv_ppm",
+            "avg_gap_us"]], ["first_type"])
+
+
+def emb_dim_stats(sf_dir: str):
+    """Per-dimension embedding moments (n / sum / mean / std in micro
+    units) — the whitening-stats table a feature pipeline fits before
+    normalizing, and the dead-dimension detector (std ~ 0 marks a
+    collapsed coordinate). Elements quantize to micro ints FIRST
+    (float32 -> double promotion in lockstep with the SQL twin), so
+    sums are exact integers; the per-block second-moment partial
+    travels as a decimal string (the exact corpus sum can exceed
+    int64) and the driver folds Python ints over the 64-row state.
+    Shuffle-free: per-block 64-row partials, no keyed exchange."""
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+    from pdf_parser_ray.stages.similarity import _matrix
+
+    embs = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        if x.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.int64()),
+                             "s2": pa.array([], pa.string())})
+        xq = np_round_half_away_int(x * 1e6).astype(np.int64)
+        dims = xq.shape[1]
+        s1 = xq.sum(axis=0)
+        s2 = [str(sum(int(v) * int(v) for v in xq[:, j]))
+              for j in range(dims)]
+        return pa.table({
+            "dim": pa.array(np.arange(dims, dtype=np.int64), pa.int64()),
+            "n": pa.array(np.full(dims, xq.shape[0], dtype=np.int64),
+                          pa.int64()),
+            "s1": pa.array(s1, pa.int64()),
+            "s2": pa.array(s2, pa.string())})
+
+    parts = embs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({
+        "dim": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64"),
+        "sum_micro": pd.Series(dtype="int64"),
+        "mean_micro": pd.Series(dtype="int64"),
+        "std_micro": pd.Series(dtype="int64")})
+    if parts.empty:
+        return empty
+    rows = []
+    for dim, grp in parts.groupby("dim", sort=True):
+        n = int(grp["n"].sum())
+        s1 = int(grp["s1"].astype("int64").sum())
+        s2 = sum(int(s) for s in grp["s2"])
+        mean = (abs(s1) // n) * (1 if s1 >= 0 else -1)
+        var = (n * s2 - s1 * s1) // (n * n)
+        std = int(np_round_half_away(np.sqrt(float(var)), 0))
+        rows.append((int(dim), n, s1, mean, std))
+    out = pd.DataFrame(rows, columns=["dim", "n", "sum_micro",
+                                      "mean_micro", "std_micro"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return rel.to_pandas_sorted(out, ["dim"])
+
+
+def docs_pmi_pairs(sf_dir: str, vocab_k: int = 24, k: int = 20):
+    """Collocation mining: the top-k token pairs by document
+    co-occurrence with their PMI (nano-nats) over the top-``vocab_k``
+    df-vocabulary — the phrase detector (PMI >> 0 marks tokens that
+    travel together: named entities, templates, idioms). The
+    vocabulary is a bounded broadcast (df-ranked, (df desc, tok)
+    total order through ties); per-doc pair explosion is
+    C(vocab_k, 2)-bounded; pair counts take one bounded exchange.
+    PMI = ln(n_ab*N / (n_a*n_b)) evaluated with the IDENTICAL double
+    expression on both engines and rounded to nano ints (int products
+    stay double-exact while n_ab*N < 2^53 — fine to ~1e8 docs; past
+    that the op keys on log-domain partials, documented here)."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+
+    docs = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_toks(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            uniq = set(re2_tokens(text))
+            toks.extend(uniq)
+            ids.extend([doc_id] * len(uniq))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "tok": pa.array(toks, pa.string())})
+
+    dt_rows = docs.map_batches(doc_toks, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    df_counts = rel.grouped_agg(dt_rows, ["tok"], [("df", "", "count")])
+    df_counts = rel.ensure_schema(df_counts, pa.schema([
+        ("tok", pa.string()), ("df", pa.int64())]))
+    vocab_df = rel.local_topk(df_counts, [("df", "descending"),
+                                          ("tok", "ascending")], vocab_k)
+    empty = pd.DataFrame({"tok_a": pd.Series(dtype="object"),
+                          "tok_b": pd.Series(dtype="object"),
+                          "n_ab": pd.Series(dtype="int64"),
+                          "pmi_nano": pd.Series(dtype="int64")})
+    if vocab_df.empty:
+        return empty
+    dfmap = dict(zip(vocab_df["tok"], vocab_df["df"].astype("int64")))
+    vocab_ref = ray.put(set(vocab_df["tok"]))
+    n_docs = docs.count()
+
+    def doc_pairs(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for text in batch.column("text").to_pylist():
+            present = sorted(set(re2_tokens(text)) & vocab)
+            for i in range(len(present)):
+                for j in range(i + 1, len(present)):
+                    a_out.append(present[i])
+                    b_out.append(present[j])
+        return pa.table({"a": pa.array(a_out, pa.string()),
+                         "b": pa.array(b_out, pa.string())})
+
+    pair_counts = rel.grouped_agg(
+        docs.map_batches(doc_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["a", "b"], [("n_ab", "", "count")])
+    pair_counts = rel.ensure_schema(pair_counts, pa.schema([
+        ("a", pa.string()), ("b", pa.string()), ("n_ab", pa.int64())]))
+    top = rel.local_topk(pair_counts, [("n_ab", "descending"),
+                                       ("a", "ascending"),
+                                       ("b", "ascending")], k)
+    if top.empty:
+        return empty
+    pmi = [int(np_round_half_away(
+        np.log((float(int(c) * n_docs))
+               / float(dfmap[a] * dfmap[b])) * 1e9, 0))
+           for a, b, c in zip(top["a"], top["b"], top["n_ab"])]
+    return pd.DataFrame({
+        "tok_a": top["a"].to_numpy(),
+        "tok_b": top["b"].to_numpy(),
+        "n_ab": top["n_ab"].astype("int64").to_numpy(),
+        "pmi_nano": pd.Series(pmi, dtype="int64").to_numpy()})

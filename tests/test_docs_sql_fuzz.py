@@ -725,3 +725,14 @@ def test_zipf_slope_fuzz(texts):
     hypothesis.assume(any(t.split() for t in texts))
     # degenerate single-token corpora divide 0/0 on both engines (NaN)
     _check("docs_zipf_slope", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_NEAR)
+def test_docs_pmi_pairs_fuzz(texts):
+    # the _NEAR duplicate/perturb shape guarantees real co-occurrence;
+    # df-vocabulary cutoff ties and pair-rank ties both break on total
+    # orders, and the nano-PMI double expression is evaluated with the
+    # identical ln/product shape on both engines
+    _check("docs_pmi_pairs", texts)

@@ -188,7 +188,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_score_length_bias", "orders_benford_profile",
         "q7_trade_volume", "q8_market_share",
         "q13_order_count_distribution", "q18_large_orders",
-        "q19_discounted_revenue"]
+        "q19_discounted_revenue", "lineitem_basket_pairs",
+        "events_first_touch", "emb_dim_stats", "docs_pmi_pairs"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

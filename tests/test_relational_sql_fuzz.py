@@ -683,3 +683,64 @@ def test_tpch_q7_q8_q13_q18_q19_fuzz(lines, cust_nations, supp_nations,
     for col in a.columns:
         for x, y in zip(a[col], b[col]):
             assert x == y, f"q18.{col}: {x!r} != {y!r}"
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),     # orderkey
+              st.integers(min_value=0, max_value=5)),    # partkey
+    min_size=1, max_size=30))
+def test_basket_pairs_fuzz(rows):
+    # tiny key domains force real co-occurrence: duplicate (order,
+    # part) rows must collapse before pairing, single-part baskets
+    # contribute nothing (possibly-empty result), and the HUGEINT
+    # lift ppm must match Python bigint math bit-exactly through
+    # top-k boundary ties (total order pins the winner set)
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    _check("lineitem_basket_pairs", {"lineitem": lineitem})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(),
+                        st.integers(min_value=1, max_value=4)),  # user
+              st.integers(min_value=0, max_value=1000),          # secs
+              st.sampled_from(["view", "click", "purchase"])),
+    min_size=1, max_size=30))
+def test_first_touch_fuzz(rows):
+    # NULL users drop on both engines (possibly emptying the table);
+    # ts ties break on event_id; purchase-as-first-touch pins gap 0;
+    # channels with zero conversions pin NULL/NaN avg_gap; ppm and
+    # avg math are truncating integer division in lockstep
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    _check("events_first_touch", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
+                       width=32),
+             min_size=3, max_size=3),
+    min_size=1, max_size=12))
+def test_emb_dim_stats_fuzz(vals):
+    # micro-int first moments are exact int64; the second moment
+    # travels as a decimal string (HUGEINT twin); negative sums pin
+    # the truncate-toward-zero mean (DuckDB // semantics); n=1
+    # corpora pin var 0
+    embeddings = pa.table({
+        "vec_id": pa.array(range(len(vals)), pa.int64()),
+        "embedding": pa.array(vals, pa.list_(pa.float32())),
+    })
+    _check("emb_dim_stats", {"embeddings": embeddings})
