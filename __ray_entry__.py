@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "q15_top_supplier": q.q15_top_supplier,
+        "q17_small_qty_revenue": q.q17_small_qty_revenue,
+        "q22_idle_balance": q.q22_idle_balance,
         "lineitem_basket_pairs": q.lineitem_basket_pairs,
         "events_first_touch": q.events_first_touch,
         "emb_dim_stats": q.emb_dim_stats,
@@ -240,6 +243,51 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q15_top_supplier": """
+            WITH r AS (SELECT l_suppkey,
+                              sum(CAST(round(l_extendedprice
+                                             * (1 - l_discount) * 100)
+                                       AS BIGINT)) AS total_c
+                       FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1996-04-01'
+                       GROUP BY 1)
+            SELECT s_suppkey, s_name, total_c / 100.0 AS total_revenue
+            FROM r JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_c = (SELECT max(total_c) FROM r)
+        """,
+        "q17_small_qty_revenue": """
+            WITH lp AS (SELECT l_partkey,
+                               CAST(l_quantity AS BIGINT) AS qty,
+                               CAST(round(l_extendedprice * 100)
+                                    AS BIGINT) AS price_c
+                        FROM lineitem
+                        JOIN part ON p_partkey = l_partkey
+                        WHERE p_brand = 'Brand#23'),
+            s AS (SELECT l_partkey, sum(qty) AS sum_qty,
+                         count(*) AS cnt
+                  FROM lp GROUP BY 1)
+            SELECT CAST(sum(price_c) AS DOUBLE) / 700.0 AS avg_yearly
+            FROM lp JOIN s USING (l_partkey)
+            WHERE 5 * qty * cnt < sum_qty
+        """,
+        "q22_idle_balance": """
+            WITH pos AS (SELECT sum(CAST(round(c_acctbal * 100)
+                                         AS BIGINT)) AS s,
+                                count(*) AS c
+                         FROM customer WHERE c_acctbal > 0.0),
+            el AS (SELECT c_custkey, c_mktsegment,
+                          CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                   FROM customer, pos
+                   WHERE CAST(round(c_acctbal * 100) AS BIGINT) * c > s),
+            idle AS (SELECT el.* FROM el
+                     LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+                       ON o_custkey = c_custkey
+                     WHERE o_custkey IS NULL)
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_bal
+            FROM idle GROUP BY 1
+        """,
         "lineitem_basket_pairs": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
                        FROM lineitem),

@@ -7548,3 +7548,219 @@ def docs_pmi_pairs(sf_dir: str, vocab_k: int = 24, k: int = 20):
         "tok_b": top["b"].to_numpy(),
         "n_ab": top["n_ab"].astype("int64").to_numpy(),
         "pmi_nano": pd.Series(pmi, dtype="int64").to_numpy()})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q15 / q17 / q22 shapes
+# ---------------------------------------------------------------------------
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H q15 shape: the supplier(s) achieving the MAXIMUM revenue
+    over a quarter — aggregate, take a global extremum, then filter by
+    equality against it. One supplier-keyed exchange builds exact-cents
+    revenue; the max is a tiny scalar reduce over the bounded agg; only
+    the tied winners (almost always one row) cross to the driver, and
+    their names arrive via a winner-key semi-filtered supplier scan —
+    the supplier table is never gathered."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_suppkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+    lo, hi = pa.scalar(_TS(1996, 1, 1)), pa.scalar(_TS(1996, 4, 1))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater_equal(batch.column("l_shipdate"), lo),
+                       pc.less(batch.column("l_shipdate"), hi))
+        batch = batch.filter(mask)
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.table({"l_suppkey": batch.column("l_suppkey"),
+                         "rev_c": _cents(rev)})
+
+    agg = rel.ensure_schema(
+        rel.grouped_agg(
+            line.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["l_suppkey"], [("total_c", "rev_c", "sum")]),
+        pa.schema([("l_suppkey", pa.int64()),
+                   ("total_c", pa.int64())])).materialize()
+
+    empty = pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                          "s_name": pd.Series(dtype="object"),
+                          "total_revenue": pd.Series(dtype="float64")})
+    best = agg.max("total_c") if agg.count() else None
+    if best is None:
+        return empty
+    best_s = pa.scalar(int(best), pa.int64())
+
+    def winners_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("total_c"), best_s))
+
+    win = agg.map_batches(winners_only, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    supp = rel.load(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    names = rel.broadcast_semi(
+        supp, "s_suppkey",
+        pa.array(win["l_suppkey"].to_numpy(np.int64))).to_pandas()
+    out = win.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = _dollars(out["total_c"].astype("int64"))
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return rel.to_pandas_sorted(
+        out[["s_suppkey", "s_name", "total_revenue"]], ["s_suppkey"])
+
+
+def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#23"):
+    """TPC-H q17 shape: yearly revenue lost if small-quantity orders
+    (below 20% of the part's average order quantity) were not filled,
+    restricted to one brand. The brand filter is a predicate-pruned
+    dimension broadcast; ONE partkey exchange builds exact per-part
+    (sum_qty, cnt); the correlated threshold joins back via a second
+    brand-bounded dimension broadcast. The 0.2*avg comparison is the
+    exact integer cross-product form 5*qty*cnt < sum_qty (quantities
+    are integral), so no double rounding can flip a row; the final
+    scalar is one exact-cents sum divided once."""
+    part = rel.load(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    keep = pa.array(
+        part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy(np.int64))
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_partkey", "l_quantity", "l_extendedprice"])
+    line = rel.broadcast_semi(line, "l_partkey", keep)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "qty": pc.cast(batch.column("l_quantity"), pa.int64()),
+            "price_c": _cents(batch.column("l_extendedprice"))})
+
+    lp = line.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    stats = rel.grouped_agg(lp, ["l_partkey"],
+                            [("sum_qty", "qty", "sum"),
+                             ("cnt", "", "count")], small_result=True)
+    stats = rel.ensure_columns(stats, {
+        "l_partkey": "int64", "sum_qty": "int64", "cnt": "int64"})
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        # 5*qty*cnt < sum_qty <=> qty < 0.2*avg, exactly, cnt > 0 always
+        lhs = pc.multiply(pc.multiply(batch.column("qty"),
+                                      pa.scalar(5, pa.int64())),
+                          batch.column("cnt"))
+        kept = batch.filter(pc.less(lhs, batch.column("sum_qty")))
+        return pa.table({"price_c": kept.column("price_c")})
+
+    small = rel.broadcast_merge(lp, stats[["l_partkey", "sum_qty", "cnt"]],
+                                on="l_partkey") \
+        .map_batches(survivors, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    total = rel.ensure_schema(small, pa.schema([("price_c", pa.int64())])) \
+        .sum("price_c")
+    avg = float("nan") if total is None else float(int(total)) / 700.0
+    return pd.DataFrame({"avg_yearly": [avg]})
+
+
+def q22_idle_balance(sf_dir: str, broadcast_max_keys: int = 5_000_000):
+    """TPC-H q22 shape: per-market-segment count and total balance of
+    wealthy-but-idle customers — above the global average positive
+    account balance, with NO orders (the mktsegment axis stands in for
+    q22's phone country codes, absent from this schema). The global
+    average is a two-int scalar reduce; eligibility is the exact
+    rational comparison bal_c * n_pos > sum_pos_c (never a double
+    average); the NOT EXISTS side reuses the size-gated anti-join
+    discipline (broadcast under ``broadcast_max_keys`` per-batch-unique
+    order custkeys, else a left-outer hash join + null filter)."""
+    cust = rel.load(sf_dir, "customer",
+                    ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch.column("c_acctbal"),
+                                       pa.scalar(0.0)))
+        bal = _cents(kept.column("c_acctbal"))
+        return pa.table({
+            "s": pa.array([pc.sum(bal).as_py() or 0], pa.int64()),
+            "c": pa.array([kept.num_rows], pa.int64())})
+
+    pos = cust.map_batches(pos_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    sum_pos = int(pos["s"].sum())
+    n_pos = int(pos["c"].sum())
+    empty = pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
+                          "n_customers": pd.Series(dtype="int64"),
+                          "total_bal": pd.Series(dtype="float64")})
+    if n_pos == 0:
+        return empty
+    s_s = pa.scalar(sum_pos, pa.int64())
+    c_s = pa.scalar(n_pos, pa.int64())
+
+    def eligible(batch: pa.Table) -> pa.Table:
+        bal = _cents(batch.column("c_acctbal"))
+        mask = pc.greater(pc.multiply(bal, c_s), s_s)
+        kept = batch.filter(mask)
+        return pa.table({
+            "c_custkey": kept.column("c_custkey"),
+            "c_mktsegment": kept.column("c_mktsegment"),
+            "bal_c": _cents(kept.column("c_acctbal"))})
+
+    rich = cust.map_batches(eligible, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    orders = rel.load(sf_dir, "orders", ["o_custkey"])
+
+    def batch_unique(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(
+            pc.drop_null(batch.column("o_custkey")))})
+
+    uni = orders.map_batches(batch_unique, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    n_keys = uni.count()
+    if n_keys == 0:
+        # no orders at all: every eligible customer is idle (a fully
+        # empty dataset also loses its schema, breaking collect_column)
+        idle = rich
+    elif n_keys <= broadcast_max_keys:
+        keys = pc.unique(rel.collect_column(uni, "o_custkey"))
+        kref = ray.put(keys)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column("c_custkey"),
+                                      value_set=ray.get(kref)))
+            return batch.filter(mask)
+
+        idle = rich.map_batches(anti, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        rich_schema = pa.schema([("c_custkey", pa.int64()),
+                                 ("c_mktsegment", pa.string()),
+                                 ("bal_c", pa.int64())])
+        n_parts = rel.join_partitions(uni.count(), cap=32)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "matched", pa.array([1] * batch.num_rows, pa.int8()))
+
+        marked = uni.map_batches(mark, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        joined = rel.ensure_schema(rich, rich_schema).join(
+            marked, "left_outer", n_parts,
+            on=("c_custkey",), right_on=("o_custkey",))
+
+        def unmatched(batch: pa.Table) -> pa.Table:
+            kept = batch.filter(pc.is_null(batch.column("matched")))
+            return kept.select(["c_mktsegment", "bal_c"])
+
+        idle = joined.map_batches(unmatched, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    agg = rel.grouped_agg(idle, ["c_mktsegment"],
+                          [("n_customers", "", "count"),
+                           ("bal_sum", "bal_c", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "c_mktsegment": "object", "n_customers": "int64",
+        "bal_sum": "int64"})
+    if df.empty:
+        return empty
+    df["n_customers"] = df["n_customers"].astype("int64")
+    df["total_bal"] = _dollars(df["bal_sum"].astype("int64"))
+    return rel.to_pandas_sorted(
+        df[["c_mktsegment", "n_customers", "total_bal"]],
+        ["c_mktsegment"])

@@ -79,8 +79,9 @@ def _orders_table() -> pa.Table:
 
 
 def _lineitem_table() -> pa.Table:
-    # 1996 ship dates so q7's [1996, 1998) band keeps the rows
-    base = dt.datetime(1996, 5, 1)
+    # 1996-03 ship dates: inside q7's [1996, 1998) band AND q15's
+    # [1996-01, 1996-04) quarter
+    base = dt.datetime(1996, 3, 1)
     n = 300
     rng = np.random.RandomState(11)
     okey = rng.randint(0, 120, n)
@@ -118,6 +119,8 @@ def _supplier_table() -> pa.Table:
     rng = np.random.RandomState(13)
     return pa.table({
         "s_suppkey": pa.array(range(10), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(10)],
+                           pa.string()),
         "s_nationkey": pa.array(rng.randint(0, 10, 10).astype(np.int32),
                                 pa.int32()),
         "s_acctbal": pa.array(rng.randint(0, 90000, 10) / 100.0,
@@ -127,13 +130,21 @@ def _supplier_table() -> pa.Table:
 
 def _customer_table() -> pa.Table:
     rng = np.random.RandomState(17)
-    n = 15
+    # custkeys 15..19 never appear in orders (o_custkey < 15), so the
+    # q22 idle anti-join keeps rows; balances span negative..high so
+    # the above-average gate binds on both sides
+    n = 20
     return pa.table({
         "c_custkey": pa.array(range(n), pa.int64()),
         "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)],
                            pa.string()),
         "c_nationkey": pa.array(rng.randint(0, 10, n).astype(np.int32),
                                 pa.int32()),
+        "c_acctbal": pa.array(
+            (rng.randint(-100000, 900000, n) / 100.0), pa.float64()),
+        "c_mktsegment": pa.array(
+            [["BUILDING", "MACHINERY", "AUTOMOBILE"][i % 3]
+             for i in range(n)], pa.string()),
     })
 
 
@@ -189,7 +200,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "q7_trade_volume", "q8_market_share",
         "q13_order_count_distribution", "q18_large_orders",
         "q19_discounted_revenue", "lineitem_basket_pairs",
-        "events_first_touch", "emb_dim_stats", "docs_pmi_pairs"]
+        "events_first_touch", "emb_dim_stats", "docs_pmi_pairs",
+        "q15_top_supplier", "q17_small_qty_revenue", "q22_idle_balance"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

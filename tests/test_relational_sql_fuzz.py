@@ -744,3 +744,80 @@ def test_emb_dim_stats_fuzz(vals):
         "embedding": pa.array(vals, pa.list_(pa.float32())),
     })
     _check("emb_dim_stats", {"embeddings": embeddings})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),    # suppkey
+              _MONEY,                                   # extendedprice
+              st.integers(min_value=0, max_value=10).map(lambda k: k / 100.0),
+              st.integers(min_value=0, max_value=200)), # shipdate offset
+    min_size=1, max_size=30))
+def test_q15_top_supplier_fuzz(rows):
+    # global-max equality filter through exact-cents ties (several
+    # suppliers can tie on the max, incl. all-out-of-window -> empty);
+    # negative revenue pins the signed max path
+    lineitem = pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[2] for r in rows], pa.float64()),
+        "l_shipdate": pa.array(
+            [_BASE + dt.timedelta(days=r[3]) for r in rows],
+            pa.timestamp("us")),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array(range(5), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(5)],
+                           pa.string()),
+    })
+    _check("q15_top_supplier", {"lineitem": lineitem,
+                                "supplier": supplier})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=7),    # partkey
+              st.integers(min_value=1, max_value=50),   # quantity
+              _MONEY),                                  # extendedprice
+    min_size=1, max_size=30))
+def test_q17_small_qty_fuzz(rows):
+    # correlated per-part threshold via the exact integer cross-product
+    # form; single-lineitem parts can never qualify (qty*5*1 >= qty
+    # for qty >= 1... unless avg math says so), absent-brand parts
+    # pin the NULL-sum/NaN row
+    part = pa.table({
+        "p_partkey": pa.array(range(8), pa.int64()),
+        "p_brand": pa.array([f"Brand#{b}" for b in
+                             (23, 23, 23, 12, 12, 23, 34, 23)],
+                            pa.string()),
+    })
+    lineitem = pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_quantity": pa.array([float(r[1]) for r in rows], pa.float64()),
+        "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    _check("q17_small_qty_revenue", {"lineitem": lineitem, "part": part})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(bals=st.lists(st.one_of(st.none(), _MONEY), min_size=1, max_size=20),
+       order_cust=st.lists(st.integers(min_value=0, max_value=19),
+                           min_size=0, max_size=15))
+def test_q22_idle_balance_fuzz(bals, order_cust):
+    # exact rational above-average gate (bal*c > s, never a double
+    # avg); NULL balances drop; all-non-positive corpora pin the
+    # empty result; the anti-join side fuzzes over partial coverage
+    customer = pa.table({
+        "c_custkey": pa.array(range(len(bals)), pa.int64()),
+        "c_mktsegment": pa.array(
+            [["BUILDING", "MACHINERY"][i % 2] for i in range(len(bals))],
+            pa.string()),
+        "c_acctbal": pa.array(bals, pa.float64()),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array(order_cust, pa.int64()),
+    })
+    _check("q22_idle_balance", {"customer": customer, "orders": orders})
