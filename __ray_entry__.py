@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "docs_heaps_law": q.docs_heaps_law,
+        "supplier_revenue_pareto": q.supplier_revenue_pareto,
+        "docs_dup_cluster_sizes": q.docs_dup_cluster_sizes,
         "q15_top_supplier": q.q15_top_supplier,
         "q17_small_qty_revenue": q.q17_small_qty_revenue,
         "q22_idle_balance": q.q22_idle_balance,
@@ -243,6 +246,92 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_heaps_law": r"""
+            WITH m AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n
+                       FROM documents),
+            d AS (SELECT CAST(doc_id * 8 // n AS BIGINT) AS bucket, text
+                  FROM documents, m),
+            tc AS (SELECT bucket,
+                          sum(len(regexp_extract_all(text, '\S+'))) AS t
+                   FROM d GROUP BY 1),
+            dt AS (SELECT DISTINCT bucket, tok
+                   FROM (SELECT bucket,
+                                unnest(regexp_extract_all(text, '\S+'))
+                                    AS tok
+                         FROM d)),
+            firsts AS (SELECT tok, min(bucket) AS fb FROM dt GROUP BY 1),
+            fr AS (SELECT fb AS bucket, count(*) AS f FROM firsts
+                   GROUP BY 1),
+            grid AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS bucket)
+            SELECT g.bucket,
+                   CAST(sum(COALESCE(t, 0)) OVER (ORDER BY g.bucket
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                   CAST(sum(COALESCE(f, 0)) OVER (ORDER BY g.bucket
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_distinct
+            FROM grid g
+            LEFT JOIN tc ON tc.bucket = g.bucket
+            LEFT JOIN fr ON fr.bucket = g.bucket
+        """,
+        "supplier_revenue_pareto": """
+            WITH r AS (SELECT l_suppkey,
+                              sum(CAST(round(l_extendedprice
+                                             * (1 - l_discount) * 100)
+                                       AS BIGINT)) AS c
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(sum(c) AS HUGEINT) AS tot FROM r),
+            rk AS (SELECT l_suppkey, c,
+                          row_number() OVER (ORDER BY c DESC, l_suppkey)
+                              AS rnk,
+                          sum(c) OVER (ORDER BY c DESC, l_suppkey
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM r)
+            SELECT CAST(rnk AS BIGINT) AS rnk, l_suppkey AS s_suppkey,
+                   c / 100.0 AS revenue,
+                   CASE WHEN tot = 0 THEN NULL
+                        ELSE CAST(CAST(cum AS HUGEINT) * 1000000 // tot
+                                  AS BIGINT) END AS cum_share_ppm
+            FROM rk, t WHERE rnk <= 10
+        """,
+        "docs_dup_cluster_sizes": r"""
+            WITH RECURSIVE words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+            ), edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), reach(src, node) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+            ), labels AS (
+                SELECT src AS doc_id, min(node) AS cluster_id
+                FROM reach GROUP BY src
+            ), sz AS (
+                SELECT cluster_id, count(*) AS s FROM labels GROUP BY 1
+            )
+            SELECT CAST(s AS BIGINT) AS cluster_size,
+                   count(*) AS n_clusters
+            FROM sz GROUP BY 1
+        """,
         "q15_top_supplier": """
             WITH r AS (SELECT l_suppkey,
                               sum(CAST(round(l_extendedprice

@@ -7764,3 +7764,160 @@ def q22_idle_balance(sf_dir: str, broadcast_max_keys: int = 5_000_000):
     return rel.to_pandas_sorted(
         df[["c_mktsegment", "n_customers", "total_bal"]],
         ["c_mktsegment"])
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth, supplier Pareto, dup-cluster size histogram
+# ---------------------------------------------------------------------------
+
+
+def docs_heaps_law(sf_dir: str, n_buckets: int = 8):
+    """Heaps-law vocabulary-growth curve: cumulative token count vs
+    cumulative DISTINCT-type count over ``n_buckets`` doc-id-ordered
+    corpus prefixes — the diagnostic that says whether more crawl still
+    buys new vocabulary (natural corpora grow ~ n^beta; a flattening
+    curve means the new data is repeats). Token totals are one
+    |buckets|-bounded exchange; the type curve needs only each token's
+    FIRST bucket, so the single vocabulary-keyed exchange (same class
+    as a df count) reduces to (tok, min bucket) and the per-bucket
+    fresh-type counts are |buckets|-bounded. Cumsums walk the tiny
+    grid on the driver. Empty buckets stay on the grid (COALESCE 0)."""
+    from pdf_parser_ray.functions.sketches import re2_tokens
+
+    docs = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    grid = pd.DataFrame({"bucket": np.arange(n_buckets, dtype=np.int64)})
+    mx = docs.max("doc_id") if docs.count() else None
+    if mx is None:
+        grid["cum_tokens"] = np.zeros(n_buckets, dtype=np.int64)
+        grid["cum_distinct"] = np.zeros(n_buckets, dtype=np.int64)
+        return grid
+    n = int(mx) + 1
+    nb_s = pa.scalar(n_buckets, pa.int64())
+    n_s = pa.scalar(n, pa.int64())
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        bucket = pc.divide(pc.multiply(
+            pc.cast(batch.column("doc_id"), pa.int64()), nb_s), n_s)
+        toks = pc.count_substring_regex(batch.column("text"), r"\S+")
+        return pa.table({"bucket": bucket,
+                         "n_toks": pc.cast(toks, pa.int64())})
+
+    tok_counts = rel.grouped_agg(
+        docs.map_batches(per_doc, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["bucket"], [("toks", "n_toks", "sum")], small_result=True)
+    tok_counts = rel.ensure_columns(tok_counts,
+                                    {"bucket": "int64", "toks": "int64"})
+
+    def doc_types(batch: pa.Table) -> pa.Table:
+        ids = pc.divide(pc.multiply(
+            pc.cast(batch.column("doc_id"), pa.int64()), nb_s),
+            n_s).to_pylist()
+        b_out: list[int] = []
+        t_out: list[str] = []
+        for b, text in zip(ids, batch.column("text").to_pylist()):
+            uniq = set(re2_tokens(text))
+            t_out.extend(uniq)
+            b_out.extend([b] * len(uniq))
+        return pa.table({"bucket": pa.array(b_out, pa.int64()),
+                         "tok": pa.array(t_out, pa.string())})
+
+    firsts = rel.grouped_agg(
+        docs.map_batches(doc_types, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["tok"], [("fb", "bucket", "min")])
+    firsts = rel.ensure_schema(firsts, pa.schema([
+        ("tok", pa.string()), ("fb", pa.int64())]))
+    fresh = rel.grouped_agg(firsts, ["fb"], [("fresh", "", "count")],
+                            small_result=True)
+    fresh = rel.ensure_columns(fresh, {"fb": "int64", "fresh": "int64"})
+
+    out = grid.merge(tok_counts.rename(columns={"toks": "t"}),
+                     on="bucket", how="left") \
+              .merge(fresh.rename(columns={"fb": "bucket", "fresh": "f"}),
+                     on="bucket", how="left")
+    out["t"] = out["t"].fillna(0).astype("int64")
+    out["f"] = out["f"].fillna(0).astype("int64")
+    out["cum_tokens"] = out["t"].cumsum().astype("int64")
+    out["cum_distinct"] = out["f"].cumsum().astype("int64")
+    return out[["bucket", "cum_tokens", "cum_distinct"]]
+
+
+def _trunc_div_ppm(num: int, den: int):
+    """Signed DuckDB-lockstep truncating division of num*1e6 / den."""
+    if den == 0:
+        return float("nan")
+    v = num * 1_000_000
+    q = abs(v) // abs(den)
+    return q if (v >= 0) == (den > 0) else -q
+
+
+def supplier_revenue_pareto(sf_dir: str, k: int = 10):
+    """Revenue-concentration (Pareto/Lorenz) table: the top-``k``
+    suppliers by exact-cents revenue with each one's CUMULATIVE share
+    of total revenue in ppm — the supply-risk dashboard ('3 suppliers
+    carry 60% of volume'). One supplier-keyed exchange builds revenue;
+    the total is a scalar reduce; per-batch local top-k + tiny merge
+    picks winners (never a global sort); the k-row cumsum and the
+    signed truncating ppm shares run on the driver."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.table({"l_suppkey": batch.column("l_suppkey"),
+                         "rev_c": _cents(rev)})
+
+    agg = rel.ensure_schema(
+        rel.grouped_agg(
+            line.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["l_suppkey"], [("c", "rev_c", "sum")]),
+        pa.schema([("l_suppkey", pa.int64()),
+                   ("c", pa.int64())])).materialize()
+    empty = pd.DataFrame({"rnk": pd.Series(dtype="int64"),
+                          "s_suppkey": pd.Series(dtype="int64"),
+                          "revenue": pd.Series(dtype="float64"),
+                          "cum_share_ppm": pd.Series(dtype="float64")})
+    if agg.count() == 0:
+        return empty
+    total = int(agg.sum("c"))
+    top = rel.local_topk(agg, [("c", "descending"),
+                               ("l_suppkey", "ascending")], k)
+    top = top.reset_index(drop=True)
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    cum = top["c"].astype("int64").cumsum()
+    shares = [_trunc_div_ppm(int(cv), total) for cv in cum]
+    out = pd.DataFrame({
+        "rnk": top["rnk"],
+        "s_suppkey": top["l_suppkey"].astype("int64"),
+        "revenue": _dollars(top["c"].astype("int64")),
+        "cum_share_ppm": pd.Series(shares, dtype="float64")})
+    if total != 0:
+        out["cum_share_ppm"] = out["cum_share_ppm"].astype("int64")
+    return out
+
+
+def docs_dup_cluster_sizes(sf_dir: str, threshold: float = 0.8):
+    """Near-dup cluster-size histogram: how many verified clusters
+    exist at each size — the dedup-savings profile (many size-2
+    clusters = boilerplate twins; a giant cluster = a template flood
+    that deserves its own fix). Rides the memoized verified-near-dup
+    connected components (the expensive pair kernel runs once per
+    session); membership is dup-pair-bounded, so the two grouping
+    steps are driver-cheap by construction."""
+    key = _memo_key(sf_dir, threshold)
+    if key not in _CLUSTER_CACHE:
+        _CLUSTER_CACHE[key] = docs_dup_clusters(sf_dir, threshold=threshold)
+    clusters = _CLUSTER_CACHE[key]
+    empty = pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
+                          "n_clusters": pd.Series(dtype="int64")})
+    if clusters.empty:
+        return empty
+    sizes = clusters.groupby("cluster_id").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({
+        "cluster_size": hist.index.to_numpy(np.int64),
+        "n_clusters": hist.to_numpy(np.int64)})

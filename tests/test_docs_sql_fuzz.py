@@ -736,3 +736,22 @@ def test_docs_pmi_pairs_fuzz(texts):
     # orders, and the nano-PMI double expression is evaluated with the
     # identical ln/product shape on both engines
     _check("docs_pmi_pairs", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(texts=_DOCS)
+def test_docs_heaps_law_fuzz(texts):
+    # bucket math is exact integer division; empty buckets stay on the
+    # grid; empty-text docs contribute zero tokens; the first-bucket
+    # reduction must agree with the DISTINCT-unnest SQL on any corpus
+    _check("docs_heaps_law", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(texts=_NEAR)
+def test_docs_dup_cluster_sizes_fuzz(texts):
+    # histogram of recursive-CTE component sizes: duplicate/perturbed
+    # corpora produce real multi-doc clusters; no pairs -> empty frame
+    _check("docs_dup_cluster_sizes", texts)

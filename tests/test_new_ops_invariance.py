@@ -201,7 +201,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "q13_order_count_distribution", "q18_large_orders",
         "q19_discounted_revenue", "lineitem_basket_pairs",
         "events_first_touch", "emb_dim_stats", "docs_pmi_pairs",
-        "q15_top_supplier", "q17_small_qty_revenue", "q22_idle_balance"]
+        "q15_top_supplier", "q17_small_qty_revenue", "q22_idle_balance",
+        "docs_heaps_law", "supplier_revenue_pareto",
+        "docs_dup_cluster_sizes"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

@@ -821,3 +821,22 @@ def test_q22_idle_balance_fuzz(bals, order_cust):
         "o_custkey": pa.array(order_cust, pa.int64()),
     })
     _check("q22_idle_balance", {"customer": customer, "orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),    # suppkey
+              _MONEY,
+              st.integers(min_value=0, max_value=10).map(lambda k: k / 100.0)),
+    min_size=1, max_size=30))
+def test_supplier_pareto_fuzz(rows):
+    # cumulative HUGEINT shares with signed truncating division:
+    # negative revenues drive cum past total (shares > 1e6) and a
+    # zero/negative total pins the NULL/sign paths
+    lineitem = pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    _check("supplier_revenue_pareto", {"lineitem": lineitem})
