@@ -48,6 +48,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "events_ab_lift": q.events_ab_lift,
+        "events_bot_minutes": q.events_bot_minutes,
+        "events_peak_hour": q.events_peak_hour,
+        "orders_monthly_growth": q.orders_monthly_growth,
+        "orders_ship_latency": q.orders_ship_latency,
+        "customer_nation_matrix": q.customer_nation_matrix,
         "docs_heaps_law": q.docs_heaps_law,
         "supplier_revenue_pareto": q.supplier_revenue_pareto,
         "docs_dup_cluster_sizes": q.docs_dup_cluster_sizes,
@@ -246,6 +252,89 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_ab_lift": """
+            WITH u AS (
+                SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                            BETWEEN '0' AND '7' THEN 'A' ELSE 'B' END AS arm,
+                       user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS conv,
+                       sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS pc
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY 1, 2)
+            SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(conv) AS BIGINT) AS n_converters,
+                   CAST(CAST(sum(conv) AS HUGEINT) * 1000000 // count(*)
+                        AS BIGINT) AS conv_ppm,
+                   sum(pc) / 100.0 AS revenue
+            FROM u GROUP BY arm ORDER BY arm
+        """,
+        "events_bot_minutes": """
+            SELECT user_id,
+                   CAST(max(c) AS BIGINT) AS peak_minute_events
+            FROM (SELECT user_id, date_trunc('minute', ts) AS m,
+                         count(*) AS c
+                  FROM events WHERE user_id IS NOT NULL
+                  GROUP BY 1, 2)
+            GROUP BY user_id HAVING max(c) >= 2
+            ORDER BY user_id
+        """,
+        "events_peak_hour": """
+            WITH h AS (
+                SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+                       CAST(hour(ts) AS BIGINT) AS peak_hour,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT day, peak_hour, CAST(c AS BIGINT) AS n_events,
+                         row_number() OVER (
+                             PARTITION BY day
+                             ORDER BY c DESC, peak_hour) AS rn
+                  FROM h)
+            SELECT day, peak_hour, n_events FROM r WHERE rn = 1
+            ORDER BY day
+        """,
+        "orders_monthly_growth": """
+            WITH m AS (
+                SELECT CAST(epoch(date_trunc('month', o_orderdate))
+                            AS BIGINT) AS month,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+                FROM orders GROUP BY 1),
+            l AS (SELECT month, c, lag(c) OVER (ORDER BY month) AS prev
+                  FROM m)
+            SELECT month, c / 100.0 AS revenue,
+                   CAST(CAST(c - prev AS HUGEINT) * 1000000 // prev
+                        AS DOUBLE) AS growth_ppm
+            FROM l ORDER BY month
+        """,
+        "orders_ship_latency": """
+            WITH j AS (
+                SELECT o_orderpriority,
+                       (CAST(epoch(date_trunc('day', l_shipdate)) AS BIGINT)
+                            // 86400)
+                       - (CAST(epoch(date_trunc('day', o_orderdate))
+                               AS BIGINT) // 86400) AS d
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(min(d) AS BIGINT) AS min_days,
+                   CAST(max(d) AS BIGINT) AS max_days,
+                   CAST(CAST(sum(d) AS HUGEINT) * 1000000 // count(*)
+                        AS BIGINT) AS avg_days_ppm
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "customer_nation_matrix": """
+            SELECT n2.n_name AS cust_nation, n1.n_name AS supp_nation,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            GROUP BY 1, 2
+        """,
         "docs_heaps_law": r"""
             WITH m AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n
                        FROM documents),

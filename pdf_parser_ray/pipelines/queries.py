@@ -7921,3 +7921,302 @@ def docs_dup_cluster_sizes(sf_dir: str, threshold: float = 0.8):
     return pd.DataFrame({
         "cluster_size": hist.index.to_numpy(np.int64),
         "n_clusters": hist.to_numpy(np.int64)})
+
+
+def _arm_of(uid: int) -> str:
+    """Deterministic 50/50 experiment bucketing: first md5 hex nibble of
+    the decimal user id, 0-7 -> 'A', 8-f -> 'B' (DuckDB lockstep:
+    substr(md5(CAST(user_id AS VARCHAR)),1,1) BETWEEN '0' AND '7')."""
+    import hashlib
+
+    return "A" if hashlib.md5(str(uid).encode()).hexdigest()[0] in "01234567" else "B"
+
+
+def events_ab_lift(sf_dir: str):
+    """A/B experiment readout: users hash into two deterministic arms
+    (md5 of the user id — assignment is reproducible on any worker with
+    no coordination), then per arm distinct users, converters (users
+    with >= 1 purchase), the truncating-ppm conversion rate and exact-
+    cents purchase revenue. The only exchange is user-keyed (per-user
+    fold of conversion flag + revenue, map-side combined); the arm
+    rollup is a 2-row driver reduce."""
+    ev = rel.load(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        uid = batch.column("user_id").to_pandas()
+        arm_map = {u: _arm_of(int(u)) for u in uid.unique()}
+        is_p = pc.equal(batch.column("event_type"), pa.scalar("purchase"))
+        val_c = _cents(batch.column("value"))
+        return pa.table({
+            "arm": pa.array(uid.map(arm_map), pa.string()),
+            "user_id": batch.column("user_id"),
+            "conv": pc.cast(is_p, pa.int64()),
+            "purchase_c": pc.if_else(is_p, val_c, pa.scalar(0, pa.int64())),
+        })
+
+    per_user = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["arm", "user_id"],
+            [("conv", "conv", "max"), ("purchase_c", "purchase_c", "sum")]),
+        pa.schema([("arm", pa.string()), ("user_id", pa.int64()),
+                   ("conv", pa.int64()), ("purchase_c", pa.int64())]))
+    agg = rel.grouped_agg(
+        per_user, ["arm"],
+        [("n_users", "", "count"), ("n_converters", "conv", "sum"),
+         ("rev_c", "purchase_c", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "arm": "object", "n_users": "int64", "n_converters": "int64",
+        "rev_c": "int64"})
+    df["conv_ppm"] = [
+        _trunc_div_ppm(int(c), int(n))
+        for c, n in zip(df["n_converters"], df["n_users"])]
+    if len(df):
+        df["conv_ppm"] = df["conv_ppm"].astype("int64")
+    df["revenue"] = _dollars(df["rev_c"].astype("int64"))
+    return rel.to_pandas_sorted(
+        df[["arm", "n_users", "n_converters", "conv_ppm", "revenue"]],
+        ["arm"])
+
+
+def events_bot_minutes(sf_dir: str, threshold: int = 2):
+    """Burst-rate bot screen: each user's PEAK events-per-minute, kept
+    only when it reaches ``threshold`` — the rate-limit audit (real
+    users don't sustain N actions in one clock minute). Two user-keyed
+    exchanges, both map-side combined: (user, minute) counts, then the
+    per-user max; the >= threshold filter runs distributed so only
+    flagged users (a tiny fraction at scale) reach the driver."""
+    ev = rel.load(sf_dir, "events", ["user_id", "ts"])
+    thr = pa.scalar(int(threshold), pa.int64())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "minute": pc.floor_temporal(batch.column("ts"), unit="minute"),
+        })
+
+    counts = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id", "minute"], [("c", "", "count")]),
+        pa.schema([("user_id", pa.int64()),
+                   ("minute", pa.timestamp("us")), ("c", pa.int64())]))
+    peak = rel.ensure_schema(
+        rel.grouped_agg(counts, ["user_id"],
+                        [("peak_minute_events", "c", "max")]),
+        pa.schema([("user_id", pa.int64()),
+                   ("peak_minute_events", pa.int64())]))
+
+    def flagged(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("peak_minute_events"), thr))
+
+    df = peak.map_batches(flagged, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    df = rel.ensure_columns(df, {"user_id": "int64",
+                                 "peak_minute_events": "int64"})
+    return rel.to_pandas_sorted(df, ["user_id"])
+
+
+def events_peak_hour(sf_dir: str):
+    """Daily load peak: for every day, the hour-of-day carrying the
+    most events (ties -> earliest hour) with its count — the capacity-
+    planning profile. One map-side-combined (day, hour) count (day x 24
+    bounded), then a per-day argmax over <= 24 rows on the driver."""
+    ev = rel.load(sf_dir, "events", ["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.int64()),
+            pa.scalar(1_000_000, pa.int64()))
+        return pa.table({
+            "day": day,
+            "peak_hour": pc.cast(pc.hour(batch.column("ts")), pa.int64()),
+        })
+
+    agg = rel.grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["day", "peak_hour"], [("n_events", "", "count")],
+        small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "day": "int64", "peak_hour": "int64", "n_events": "int64"})
+    df = df.sort_values(["day", "n_events", "peak_hour"],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("day", as_index=False).head(1)
+    return rel.to_pandas_sorted(
+        df[["day", "peak_hour", "n_events"]].astype("int64"), ["day"])
+
+
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth: exact-cents monthly revenue
+    plus the signed truncating-ppm growth versus the PREVIOUS month
+    present in the data (NULL/NaN for the first). The monthly rollup is
+    one map-side-combined bounded aggregation; the lag + ratio run over
+    the few-hundred-row month frame on the driver."""
+    orders = rel.load(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        month = pc.divide(
+            pc.cast(pc.floor_temporal(batch.column("o_orderdate"),
+                                      unit="month"), pa.int64()),
+            pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"month": month,
+                         "c": _cents(batch.column("o_totalprice"))})
+
+    agg = rel.grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["month"], [("c", "c", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg),
+                            {"month": "int64", "c": "int64"})
+    df = df.sort_values("month", kind="mergesort").reset_index(drop=True)
+    prev = df["c"].shift(1)
+    growth = [
+        float("nan") if pd.isna(p) else float(_trunc_div_ppm(
+            int(c) - int(p), int(p)))
+        for c, p in zip(df["c"], prev)]
+    out = pd.DataFrame({
+        "month": df["month"].astype("int64"),
+        "revenue": _dollars(df["c"].astype("int64")),
+        "growth_ppm": pd.Series(growth, dtype="float64")})
+    return rel.to_pandas_sorted(out, ["month"])
+
+
+def orders_ship_latency(sf_dir: str):
+    """Order-to-ship fulfilment latency per order priority: line count,
+    min/max day lag and the truncating-ppm mean (negative lags surface
+    data-quality anomalies rather than being masked). The one big-big
+    exchange is the lineitem x orders hash join on orderkey; the
+    priority rollup is map-side combined and 5-row bounded."""
+    orders = rel.load(sf_dir, "orders",
+                      ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = rel.load(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    usec_day = pa.scalar(86_400_000_000, pa.int64())
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "ship_day": pc.divide(
+                pc.cast(pc.floor_temporal(batch.column("l_shipdate"),
+                                          unit="day"), pa.int64()),
+                usec_day),
+        })
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "order_day": pc.divide(
+                pc.cast(pc.floor_temporal(batch.column("o_orderdate"),
+                                          unit="day"), pa.int64()),
+                usec_day),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+
+    line_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("ship_day", pa.int64())])
+    orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("order_day", pa.int64()),
+                               ("o_orderpriority", pa.string())])
+    n_parts = rel.join_partitions(
+        rel.load(sf_dir, "orders", ["o_orderkey"]).count())
+    joined = rel.hash_join_nonempty(
+        rel.ensure_schema(
+            line.map_batches(line_prep, batch_format="pyarrow",
+                             zero_copy_batch=True), line_schema),
+        rel.ensure_schema(
+            orders.map_batches(orders_prep, batch_format="pyarrow",
+                               zero_copy_batch=True), orders_schema),
+        on="l_orderkey", right_on="o_orderkey", num_partitions=n_parts,
+        left_schema=line_schema, right_schema=orders_schema)
+
+    def days(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "d": pc.subtract(batch.column("ship_day"),
+                             batch.column("order_day")),
+        })
+
+    agg = rel.grouped_agg(
+        joined.map_batches(days, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderpriority"],
+        [("n_lines", "", "count"), ("sum_d", "d", "sum"),
+         ("min_days", "d", "min"), ("max_days", "d", "max")],
+        small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "o_orderpriority": "object", "n_lines": "int64", "sum_d": "int64",
+        "min_days": "int64", "max_days": "int64"})
+    df["avg_days_ppm"] = [
+        _trunc_div_ppm(int(s), int(n))
+        for s, n in zip(df["sum_d"], df["n_lines"])]
+    if len(df):
+        df["avg_days_ppm"] = df["avg_days_ppm"].astype("int64")
+    return rel.to_pandas_sorted(
+        df[["o_orderpriority", "n_lines", "min_days", "max_days",
+            "avg_days_ppm"]], ["o_orderpriority"])
+
+
+def customer_nation_matrix(sf_dir: str):
+    """Full bilateral revenue matrix (customer nation x supplier
+    nation), the unfiltered generalisation of the q7 trade lens —
+    who buys from whom, |nations|^2 bounded. Supplier and customer
+    nation maps are dimension broadcasts; the single big-big exchange
+    is the lineitem x orders hash join on orderkey; the matrix rollup
+    is map-side combined."""
+    nation = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
+    supp = rel.load(sf_dir, "supplier",
+                    ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_map = supp.merge(nation, left_on="s_nationkey",
+                          right_on="n_nationkey")[["s_suppkey", "n_name"]] \
+        .rename(columns={"s_suppkey": "l_suppkey", "n_name": "supp_nation"})
+    cust = rel.load(sf_dir, "customer",
+                    ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_map = cust.merge(nation, left_on="c_nationkey",
+                          right_on="n_nationkey")[["c_custkey", "n_name"]] \
+        .rename(columns={"c_custkey": "o_custkey", "n_name": "cust_nation"})
+
+    orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_n = rel.broadcast_merge(orders, cust_map, on="o_custkey") \
+        .select_columns(["o_orderkey", "cust_nation"])
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "rev_c": _cents(rev)})
+
+    line_p = rel.broadcast_merge(
+        line.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        supp_map, on="l_suppkey")
+    line_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("rev_c", pa.int64()),
+                             ("supp_nation", pa.string())])
+    orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("cust_nation", pa.string())])
+    n_parts = rel.join_partitions(
+        rel.load(sf_dir, "orders", ["o_orderkey"]).count())
+    joined = rel.hash_join_nonempty(
+        rel.ensure_schema(line_p, line_schema),
+        rel.ensure_schema(orders_n, orders_schema),
+        on="l_orderkey", right_on="o_orderkey", num_partitions=n_parts,
+        left_schema=line_schema, right_schema=orders_schema)
+    agg = rel.grouped_agg(joined, ["cust_nation", "supp_nation"],
+                          [("revenue", "rev_c", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "cust_nation": "object", "supp_nation": "object",
+        "revenue": "int64"})
+    df["revenue"] = _dollars(df["revenue"])
+    return rel.to_pandas_sorted(
+        df[["cust_nation", "supp_nation", "revenue"]],
+        ["cust_nation", "supp_nation"])

@@ -75,6 +75,8 @@ def _orders_table() -> pa.Table:
             pa.timestamp("us")),
         "o_totalprice": pa.array(rng.randint(100, 900000, n) / 100.0,
                                  pa.float64()),
+        "o_orderpriority": pa.array(
+            [f"{1 + i % 5}-P" for i in range(n)], pa.string()),
     })
 
 
@@ -203,7 +205,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_first_touch", "emb_dim_stats", "docs_pmi_pairs",
         "q15_top_supplier", "q17_small_qty_revenue", "q22_idle_balance",
         "docs_heaps_law", "supplier_revenue_pareto",
-        "docs_dup_cluster_sizes"]
+        "docs_dup_cluster_sizes", "events_ab_lift", "events_bot_minutes",
+        "events_peak_hour", "orders_monthly_growth", "orders_ship_latency",
+        "customer_nation_matrix"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

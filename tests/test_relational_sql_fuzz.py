@@ -840,3 +840,113 @@ def test_supplier_pareto_fuzz(rows):
         "l_discount": pa.array([r[2] for r in rows], pa.float64()),
     })
     _check("supplier_revenue_pareto", {"lineitem": lineitem})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+              st.sampled_from(["view", "click", "purchase"]),
+              _MONEY),
+    min_size=1, max_size=30))
+def test_ab_lift_fuzz(rows):
+    # md5 arm bucketing + per-user conversion fold: null users drop,
+    # the truncating conv ppm and cents revenue must match bit-exactly
+    # whatever the arm split and purchase mix
+    events = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    _check("events_ab_lift", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+              st.integers(min_value=0, max_value=180)),  # seconds: ties
+    min_size=1, max_size=40))
+def test_bot_minutes_fuzz(rows):
+    # (user, minute) count -> per-user max -> >= threshold gate: minute
+    # truncation and the HAVING boundary must agree on both engines
+    events = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    _check("events_bot_minutes", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),      # day
+              st.integers(min_value=0, max_value=86399)), # second of day
+    min_size=1, max_size=40))
+def test_peak_hour_fuzz(rows):
+    # per-day argmax hour with ties -> earliest hour: the row_number
+    # tie order must match the pandas head(1) pick exactly
+    events = pa.table({
+        "ts": pa.array(
+            [_BASE + dt.timedelta(days=r[0], seconds=r[1]) for r in rows],
+            pa.timestamp("us")),
+    })
+    _check("events_peak_hour", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=120),   # day offset
+              _MONEY),
+    min_size=1, max_size=30))
+def test_monthly_growth_fuzz(rows):
+    # LAG over month order with signed truncating ppm: negative revenue
+    # months flip the division sign, the first month pins NULL/NaN
+    import hypothesis
+    hypothesis.assume(all(round(p * 100) != 0
+                          for p in (r[1] for r in rows)))
+    orders = pa.table({
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=r[0]) for r in rows],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    # guard: a month summing to exactly zero cents would divide by zero
+    # in BOTH engines (DuckDB raises); keep the fuzz inside the domain
+    months = {}
+    for r in rows:
+        m = (_BASE + dt.timedelta(days=r[0])).month
+        months[m] = months.get(m, 0) + round(r[1] * 100)
+    hypothesis.assume(all(v != 0 for v in months.values()))
+    _check("orders_monthly_growth", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(lines=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),     # orderkey
+              st.integers(min_value=-5, max_value=40)),  # ship day offset
+    min_size=1, max_size=30),
+    orders=st.lists(st.integers(min_value=0, max_value=12),
+                    min_size=1, max_size=10))
+def test_ship_latency_fuzz(lines, orders):
+    # hash-join + day-lag rollup: negative lags (ship before order)
+    # exercise the signed truncating mean; dangling orderkeys drop via
+    # inner-join semantics on both engines
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+        "l_shipdate": pa.array(
+            [_BASE + dt.timedelta(days=10 + r[1]) for r in lines],
+            pa.timestamp("us")),
+    })
+    otbl = pa.table({
+        "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=d) for d in orders],
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            [f"{1 + k % 3}-P" for k in range(len(orders))], pa.string()),
+    })
+    _check("orders_ship_latency", {"lineitem": lineitem, "orders": otbl})
