@@ -48,6 +48,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "lineitem_tax_profile": q.lineitem_tax_profile,
+        "docs_keyword_hits": q.docs_keyword_hits,
+        "orders_priority_year_share": q.orders_priority_year_share,
+        "events_new_vs_returning": q.events_new_vs_returning,
+        "emb_pair_hist": q.emb_pair_hist,
+        "docs_exactdup_savings": q.docs_exactdup_savings,
         "events_ab_lift": q.events_ab_lift,
         "events_bot_minutes": q.events_bot_minutes,
         "events_peak_hour": q.events_peak_hour,
@@ -252,6 +258,88 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_tax_profile": """
+            SELECT CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       / 100.0 AS base_revenue,
+                   sum(CAST(round(l_extendedprice * l_tax * 100) AS BIGINT))
+                       / 100.0 AS tax_revenue
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "docs_keyword_hits": r"""
+            WITH kw(keyword) AS (
+                SELECT unnest(['hash', 'scan', 'sort', 'spark', 'zzznope'])),
+            t AS (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents)
+            SELECT k.keyword,
+                   CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(t.tok) AS BIGINT) AS n_occurrences
+            FROM kw k LEFT JOIN t ON t.tok = k.keyword
+            GROUP BY 1 ORDER BY 1
+        """,
+        "orders_priority_year_share": """
+            WITH c AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       o_orderpriority, count(*) AS n
+                FROM orders GROUP BY 1, 2),
+            s AS (SELECT o_year, o_orderpriority,
+                         CAST(n AS BIGINT) AS n_orders,
+                         CAST(CAST(n AS HUGEINT) * 1000000
+                              // sum(n) OVER (PARTITION BY o_year)
+                              AS BIGINT) AS share_ppm
+                  FROM c)
+            SELECT o_year, o_orderpriority, n_orders, share_ppm,
+                   CAST(lag(share_ppm) OVER (
+                        PARTITION BY o_orderpriority ORDER BY o_year)
+                        AS DOUBLE) AS prev_share_ppm
+            FROM s ORDER BY 1, 2
+        """,
+        "events_new_vs_returning": """
+            WITH f AS (
+                SELECT user_id,
+                       min(CAST(epoch(date_trunc('day', ts)) AS BIGINT))
+                           AS first_day
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+            a AS (SELECT DISTINCT
+                         CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                             AS day,
+                         user_id
+                  FROM events WHERE user_id IS NOT NULL)
+            SELECT a.day,
+                   CAST(sum(CASE WHEN f.first_day = a.day
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_new_users,
+                   CAST(sum(CASE WHEN f.first_day < a.day
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_returning_users
+            FROM a JOIN f USING (user_id) GROUP BY 1 ORDER BY 1
+        """,
+        "emb_pair_hist": """
+            WITH s AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+                WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1'))
+            SELECT CAST(floor(round(list_cosine_similarity(a.e, b.e), 4)
+                              * 10) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+            GROUP BY 1 ORDER BY 1
+        """,
+        "docs_exactdup_savings": """
+            WITH r AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_docs,
+                   CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END)
+                        AS BIGINT) AS dup_chars
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
         "events_ab_lift": """
             WITH u AS (
                 SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)

@@ -8220,3 +8220,272 @@ def customer_nation_matrix(sf_dir: str):
     return rel.to_pandas_sorted(
         df[["cust_nation", "supp_nation", "revenue"]],
         ["cust_nation", "supp_nation"])
+
+
+def lineitem_tax_profile(sf_dir: str):
+    """Tax-bracket audit over a so-far-unused fact column: per integer
+    tax percent, line count plus exact-cents base and tax revenue (the
+    reconciliation table finance diffs against the ledger). One bounded
+    map-side-combined aggregation; no joins, no sort."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_tax", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tax_pct": _cents(batch.column("l_tax")),
+            "base_c": _cents(batch.column("l_extendedprice")),
+            "tax_c": _cents(pc.multiply(batch.column("l_extendedprice"),
+                                        batch.column("l_tax"))),
+        })
+
+    agg = rel.grouped_agg(
+        line.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["tax_pct"],
+        [("n_lines", "", "count"), ("base_c", "base_c", "sum"),
+         ("tax_c", "tax_c", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "tax_pct": "int64", "n_lines": "int64", "base_c": "int64",
+        "tax_c": "int64"})
+    out = pd.DataFrame({
+        "tax_pct": df["tax_pct"].astype("int64"),
+        "n_lines": df["n_lines"].astype("int64"),
+        "base_revenue": _dollars(df["base_c"].astype("int64")),
+        "tax_revenue": _dollars(df["tax_c"].astype("int64"))})
+    return rel.to_pandas_sorted(out, ["tax_pct"])
+
+
+_KEYWORDS = ("hash", "scan", "sort", "spark", "zzznope")
+
+
+def docs_keyword_hits(sf_dir: str, keywords: tuple = _KEYWORDS):
+    """Keyword watchlist over the corpus: per keyword, how many docs
+    mention it and how often in total — the brand/terms monitor.
+    Because one row IS one document, per-doc containment needs no
+    cross-block state: each batch emits exact (keyword, docs, occs)
+    partials against the broadcast watchlist and the rollup is
+    |keywords|-bounded. Keywords with zero hits still report (left-join
+    semantics), including watchlist terms absent from the corpus."""
+    kw = pa.array(sorted(set(keywords)), pa.string())
+    docs = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.is_in(flat, value_set=kw)
+        hit_tok = flat.filter(keep)
+        hit_doc = parent.filter(keep)
+        df = pd.DataFrame({"keyword": hit_tok.to_pandas(),
+                           "doc": hit_doc.to_pandas()})
+        occ = df.groupby("keyword").agg(
+            n_occurrences=("doc", "size"),
+            n_docs=("doc", "nunique"))
+        return pa.table({
+            "keyword": pa.array(occ.index, pa.string()),
+            "n_docs": pa.array(occ["n_docs"].to_numpy(np.int64)),
+            "n_occurrences": pa.array(
+                occ["n_occurrences"].to_numpy(np.int64)),
+        })
+
+    agg = rel.grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["keyword"],
+        [("n_docs", "n_docs", "sum"),
+         ("n_occurrences", "n_occurrences", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "keyword": "object", "n_docs": "int64", "n_occurrences": "int64"})
+    base = pd.DataFrame({"keyword": kw.to_pandas()})
+    out = base.merge(df, on="keyword", how="left").fillna(0)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    return rel.to_pandas_sorted(out, ["keyword"])
+
+
+def orders_priority_year_share(sf_dir: str):
+    """Priority-mix drift: per (year, priority) order count, its
+    truncating-ppm share of the year's volume, and last year's share
+    for the same priority (NULL on first appearance) — the slow-shift
+    monitor for order urgency. One (years x 5)-bounded map-side
+    combine; shares and the per-priority lag run on the tiny driver
+    frame."""
+    orders = rel.load(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": pc.cast(pc.year(batch.column("o_orderdate")),
+                              pa.int64()),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+
+    agg = rel.grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_year", "o_orderpriority"], [("n_orders", "", "count")],
+        small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "o_year": "int64", "o_orderpriority": "object",
+        "n_orders": "int64"})
+    if df.empty:
+        return pd.DataFrame({
+            "o_year": pd.Series(dtype="int64"),
+            "o_orderpriority": pd.Series(dtype="object"),
+            "n_orders": pd.Series(dtype="int64"),
+            "share_ppm": pd.Series(dtype="int64"),
+            "prev_share_ppm": pd.Series(dtype="float64")})
+    df = df.sort_values(["o_year", "o_orderpriority"],
+                        kind="mergesort").reset_index(drop=True)
+    totals = df.groupby("o_year")["n_orders"].transform("sum")
+    df["share_ppm"] = [
+        _trunc_div_ppm(int(n), int(t))
+        for n, t in zip(df["n_orders"], totals)]
+    df["share_ppm"] = df["share_ppm"].astype("int64")
+    df["prev_share_ppm"] = (
+        df.sort_values("o_year", kind="mergesort")
+        .groupby("o_orderpriority")["share_ppm"].shift(1).astype("float64"))
+    return rel.to_pandas_sorted(
+        df[["o_year", "o_orderpriority", "n_orders", "share_ppm",
+            "prev_share_ppm"]], ["o_year", "o_orderpriority"])
+
+
+def events_new_vs_returning(sf_dir: str):
+    """Growth accounting: per day, distinct users active for the FIRST
+    time ever vs returning users — the acquisition/retention split.
+    Two user-keyed map-side-combined exchanges ((day, user) dedup and
+    per-user first day); both daily rollups are calendar-bounded and
+    merge on the driver, so no user list is ever gathered."""
+    ev = rel.load(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "day": pc.divide(
+                pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                        pa.int64()),
+                pa.scalar(1_000_000, pa.int64())),
+        })
+
+    du = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id", "day"], [("c", "", "count")]),
+        pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                   ("c", pa.int64())]))
+    first = rel.ensure_schema(
+        rel.grouped_agg(du, ["user_id"], [("first_day", "day", "min")]),
+        pa.schema([("user_id", pa.int64()), ("first_day", pa.int64())]))
+    new_by_day = rel.grouped_agg(first, ["first_day"],
+                                 [("n_new_users", "", "count")],
+                                 small_result=True)
+    active_by_day = rel.grouped_agg(du, ["day"],
+                                    [("n_active", "", "count")],
+                                    small_result=True)
+    new_df = rel.ensure_columns(rel.as_pandas(new_by_day),
+                                {"first_day": "int64",
+                                 "n_new_users": "int64"}) \
+        .rename(columns={"first_day": "day"})
+    act_df = rel.ensure_columns(rel.as_pandas(active_by_day),
+                                {"day": "int64", "n_active": "int64"})
+    out = act_df.merge(new_df, on="day", how="left").fillna(0)
+    out["n_new_users"] = out["n_new_users"].astype("int64")
+    out["n_returning_users"] = (
+        out["n_active"] - out["n_new_users"]).astype("int64")
+    return rel.to_pandas_sorted(
+        out[["day", "n_new_users", "n_returning_users"]], ["day"])
+
+
+def emb_pair_hist(sf_dir: str):
+    """Cosine-similarity landscape: the histogram of pairwise
+    similarities over an md5-sampled calibration subset (~1/8 of
+    vectors — pair cost is quadratic ONLY in the bounded sample, the
+    standard threshold-calibration probe before picking a dedup
+    cutoff). Rides the same block-pair fan-out as the exact near-pair
+    search (similarity.pairs_above) with threshold -1: every sampled
+    pair is scored distributed, bucketed at 0.1 width, and only the
+    <= 21-row histogram reaches the driver."""
+    ds = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("vec_id").to_pylist()
+        keep = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[0] in "01"
+             for i in ids], pa.bool_())
+        return batch.filter(keep)
+
+    pairs = similarity.pairs_above(
+        ds.map_batches(sample, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        threshold=-1.1)
+    empty = pd.DataFrame({"bin": pd.Series(dtype="int64"),
+                          "n_pairs": pd.Series(dtype="int64")})
+    if pairs.empty:
+        return empty
+    bins = np.floor(pairs["cos_sim"].to_numpy(np.float64) * 10.0)
+    hist = pd.Series(bins.astype(np.int64)).value_counts().sort_index()
+    return pd.DataFrame({"bin": hist.index.to_numpy(np.int64),
+                         "n_pairs": hist.to_numpy(np.int64)})
+
+
+def docs_exactdup_savings(sf_dir: str):
+    """Dedup-savings ledger: per source, how many docs are byte-exact
+    copies of an earlier doc (min doc_id keeps) and how many chars
+    deleting them reclaims — the storage/compute case for running
+    exact dedup at all. ONE fingerprint-keyed exchange; each md5 group
+    resolves its keeper locally in map_groups and emits only bounded
+    per-source partials; the text never shuffles (fp + 3 small columns
+    do)."""
+    docs = rel.load(sf_dir, "documents",
+                    ["doc_id", "text", "source", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.functions.textstats import fingerprint
+
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "fp": pa.array([fingerprint(t) for t in texts], pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_chars": batch.column("n_chars"),
+        })
+
+    def group_partial(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        keeper = df["doc_id"].min()
+        dups = df[df["doc_id"] != keeper]
+        if dups.empty:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "n_dup_docs": pa.array([], pa.int64()),
+                "dup_chars": pa.array([], pa.int64())})
+        agg = dups.groupby("source").agg(
+            n_dup_docs=("doc_id", "size"), dup_chars=("n_chars", "sum"))
+        return pa.table({
+            "source": pa.array(agg.index, pa.string()),
+            "n_dup_docs": pa.array(agg["n_dup_docs"].to_numpy(np.int64)),
+            "dup_chars": pa.array(agg["dup_chars"].to_numpy(np.int64))})
+
+    fps = docs.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    dup_partials = fps.groupby("fp").map_groups(
+        group_partial, batch_format="pyarrow")
+    dup_agg = rel.grouped_agg(
+        dup_partials, ["source"],
+        [("n_dup_docs", "n_dup_docs", "sum"),
+         ("dup_chars", "dup_chars", "sum")], small_result=True)
+    totals = rel.grouped_agg(fps, ["source"], [("n_docs", "", "count")],
+                             small_result=True)
+    tot_df = rel.ensure_columns(rel.as_pandas(totals),
+                                {"source": "object", "n_docs": "int64"})
+    dup_df = rel.ensure_columns(rel.as_pandas(dup_agg), {
+        "source": "object", "n_dup_docs": "int64", "dup_chars": "int64"})
+    out = tot_df.merge(dup_df, on="source", how="left").fillna(0)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_dup_docs"] = out["n_dup_docs"].astype("int64")
+    out["dup_chars"] = out["dup_chars"].astype("int64")
+    return rel.to_pandas_sorted(
+        out[["source", "n_docs", "n_dup_docs", "dup_chars"]], ["source"])

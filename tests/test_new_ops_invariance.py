@@ -102,6 +102,7 @@ def _lineitem_table() -> pa.Table:
             rng.randint(100, 900000, n) / 100.0, pa.float64()),
         "l_discount": pa.array(rng.randint(0, 11, n) / 100.0,
                                pa.float64()),
+        "l_tax": pa.array(rng.randint(0, 9, n) / 100.0, pa.float64()),
         "l_shipdate": pa.array(
             [base + dt.timedelta(days=int(d))
              for d in rng.randint(0, 20, n)],
@@ -207,7 +208,10 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_heaps_law", "supplier_revenue_pareto",
         "docs_dup_cluster_sizes", "events_ab_lift", "events_bot_minutes",
         "events_peak_hour", "orders_monthly_growth", "orders_ship_latency",
-        "customer_nation_matrix"]
+        "customer_nation_matrix", "lineitem_tax_profile",
+        "docs_keyword_hits", "orders_priority_year_share",
+        "events_new_vs_returning", "emb_pair_hist",
+        "docs_exactdup_savings"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

@@ -950,3 +950,112 @@ def test_ship_latency_fuzz(lines, orders):
             [f"{1 + k % 3}-P" for k in range(len(orders))], pa.string()),
     })
     _check("orders_ship_latency", {"lineitem": lineitem, "orders": otbl})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(_MONEY,
+              st.integers(min_value=0, max_value=8).map(lambda k: k / 100.0)),
+    min_size=1, max_size=30))
+def test_tax_profile_fuzz(rows):
+    # bracket key and both money sums ride the per-row cents rounding:
+    # price*tax products at half-cent boundaries must bucket identically
+    lineitem = pa.table({
+        "l_extendedprice": pa.array([r[0] for r in rows], pa.float64()),
+        "l_tax": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("lineitem_tax_profile", {"lineitem": lineitem})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["hash", "scan", "sort", "spark", "other",
+                              "the", "hashx"]),
+             min_size=0, max_size=12),
+    min_size=1, max_size=15))
+def test_keyword_hits_fuzz(docs):
+    # containment vs occurrence split and the zero-hit left-join rows:
+    # watchlist terms absent from every doc must still report (0, 0),
+    # and near-miss tokens (hashx) must never count
+    documents = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([" ".join(d) for d in docs], pa.string()),
+    })
+    _check("docs_keyword_hits", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=1200),  # day: multi-year
+              st.sampled_from(["1-U", "2-H", "3-M"])),
+    min_size=1, max_size=30))
+def test_priority_year_share_fuzz(rows):
+    # per-year share ppm (truncating) + per-priority LAG across gap
+    # years: a priority absent in some middle year must lag to its
+    # last PRESENT year on both engines, first appearance pins NULL
+    orders = pa.table({
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=r[0]) for r in rows],
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[1] for r in rows], pa.string()),
+    })
+    _check("orders_priority_year_share", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+              st.integers(min_value=0, max_value=6)),   # day
+    min_size=1, max_size=40))
+def test_new_vs_returning_fuzz(rows):
+    # first-day attribution: a user active on multiple days must count
+    # as new exactly once; null users drop; new+returning = active
+    events = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(days=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    _check("events_new_vs_returning", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-4, max_value=4, allow_nan=False,
+                       allow_infinity=False),
+             min_size=4, max_size=4),
+    min_size=1, max_size=24))
+def test_pair_hist_fuzz(vecs):
+    # md5-sampled pair histogram: bin edges ride round4-then-floor on
+    # both engines; identical vectors pin the cos=1.0 top bin. Zero
+    # vectors are outside the contract (cosine undefined) as in the
+    # knn-graph oracle.
+    import hypothesis
+    hypothesis.assume(all(any(x != 0.0 for x in v) for v in vecs))
+    embeddings = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float64())),
+    })
+    _check("emb_pair_hist", {"embeddings": embeddings})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["aa", "bb", "cc", "dd"]),   # text
+              st.sampled_from(["s1", "s2"])),              # source
+    min_size=1, max_size=30))
+def test_exactdup_savings_fuzz(rows):
+    # min-doc_id keeper discipline across sources: the keeper's source
+    # gets no savings row for it, every later copy charges ITS source
+    documents = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[0]) for r in rows], pa.int64()),
+    })
+    _check("docs_exactdup_savings", {"documents": documents})
