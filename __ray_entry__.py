@@ -48,6 +48,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "docs_hapax_rate": q.docs_hapax_rate,
+        "events_session_length_hist": q.events_session_length_hist,
+        "part_cheapest_supplier": q.part_cheapest_supplier,
+        "orders_cohort_ltv": q.orders_cohort_ltv,
+        "supplier_discount_deviation": q.supplier_discount_deviation,
         "lineitem_tax_profile": q.lineitem_tax_profile,
         "docs_keyword_hits": q.docs_keyword_hits,
         "orders_priority_year_share": q.orders_priority_year_share,
@@ -258,6 +263,85 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_hapax_rate": r"""
+            WITH t AS (
+                SELECT source,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents),
+            c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+            a AS (SELECT source, count(*) AS vocab,
+                         sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax
+                  FROM c GROUP BY 1)
+            SELECT source, CAST(vocab AS BIGINT) AS vocab_size,
+                   CAST(hapax AS BIGINT) AS n_hapax,
+                   CAST(CAST(hapax AS HUGEINT) * 1000000 // vocab
+                        AS BIGINT) AS hapax_ppm
+            FROM a ORDER BY 1
+        """,
+        "events_session_length_hist": """
+            WITH s AS (
+                SELECT user_id, ts, event_id,
+                       sum(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM (SELECT user_id, ts, event_id,
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_ts
+                      FROM events WHERE user_id IS NOT NULL)),
+            l AS (SELECT user_id, sid, count(*) AS len
+                  FROM s GROUP BY 1, 2)
+            SELECT CAST(len AS BIGINT) AS session_len,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM l GROUP BY 1 ORDER BY 1
+        """,
+        "part_cheapest_supplier": """
+            WITH p AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                FROM lineitem),
+            m AS (SELECT l_partkey, min(c) AS mc FROM p GROUP BY 1)
+            SELECT p.l_partkey AS p_partkey,
+                   CAST(min(p.l_suppkey) AS BIGINT) AS best_suppkey,
+                   m.mc / 100.0 AS min_price
+            FROM p JOIN m ON p.l_partkey = m.l_partkey AND p.c = m.mc
+            GROUP BY p.l_partkey, m.mc
+            ORDER BY 1
+        """,
+        "orders_cohort_ltv": """
+            WITH f AS (
+                SELECT o_custkey,
+                       min(CAST(year(o_orderdate) AS BIGINT))
+                           AS cohort_year
+                FROM orders GROUP BY 1)
+            SELECT f.cohort_year,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS revenue
+            FROM orders JOIN f USING (o_custkey)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "supplier_discount_deviation": """
+            WITH s AS (
+                SELECT l_suppkey,
+                       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sp,
+                       count(*) AS n
+                FROM lineitem GROUP BY 1),
+            g AS (SELECT CAST(sum(sp) AS HUGEINT) AS tsp,
+                         CAST(sum(n) AS HUGEINT) AS tn FROM s),
+            d AS (SELECT l_suppkey AS s_suppkey,
+                         CAST(CAST(sp AS HUGEINT) * 1000000 // n
+                              AS BIGINT) AS avg_disc_pct_ppm,
+                         CAST((CAST(sp AS HUGEINT) * 1000000 // n)
+                              - (tsp * 1000000 // tn)
+                              AS BIGINT) AS dev_ppm
+                  FROM s, g)
+            SELECT s_suppkey, avg_disc_pct_ppm, dev_ppm FROM d
+            ORDER BY abs(dev_ppm) DESC, s_suppkey LIMIT 10
+        """,
         "lineitem_tax_profile": """
             SELECT CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,
                    CAST(count(*) AS BIGINT) AS n_lines,

@@ -8489,3 +8489,253 @@ def docs_exactdup_savings(sf_dir: str):
     out["dup_chars"] = out["dup_chars"].astype("int64")
     return rel.to_pandas_sorted(
         out[["source", "n_docs", "n_dup_docs", "dup_chars"]], ["source"])
+
+
+def docs_hapax_rate(sf_dir: str):
+    """Hapax-legomena profile per source: vocabulary size, tokens seen
+    exactly once, and the truncating-ppm hapax share — the
+    crawl-freshness / OCR-noise probe (a noisy source mints endless
+    one-off tokens; a templated one almost none). One (source, token)
+    keyed exchange (the df-count class); the ==1 test runs on the
+    aggregated rows so per-batch partials stay exact; the source
+    rollup is map-side combined and |sources|-bounded."""
+    docs = rel.load(sf_dir, "documents", ["source", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        src = batch.column("source").take(parent)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        df = pd.DataFrame({"source": src.filter(keep).to_pandas(),
+                           "tok": flat.filter(keep).to_pandas()})
+        agg = df.groupby(["source", "tok"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    counts = rel.ensure_schema(
+        rel.grouped_agg(
+            docs.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["source", "tok"], [("n", "n", "sum")]),
+        pa.schema([("source", pa.string()), ("tok", pa.string()),
+                   ("n", pa.int64())]))
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        hap = pc.cast(pc.equal(batch.column("n"), pa.scalar(1, pa.int64())),
+                      pa.int64())
+        return pa.table({"source": batch.column("source"),
+                         "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                         "hap": hap})
+
+    agg = rel.grouped_agg(
+        counts.map_batches(vocab_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["source"], [("vocab_size", "one", "sum"), ("n_hapax", "hap", "sum")],
+        small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "source": "object", "vocab_size": "int64", "n_hapax": "int64"})
+    df["hapax_ppm"] = [
+        _trunc_div_ppm(int(h), int(v))
+        for h, v in zip(df["n_hapax"], df["vocab_size"])]
+    if len(df):
+        df["hapax_ppm"] = df["hapax_ppm"].astype("int64")
+    return rel.to_pandas_sorted(
+        df[["source", "vocab_size", "n_hapax", "hapax_ppm"]], ["source"])
+
+
+def events_session_length_hist(sf_dir: str, gap_minutes: int = 30):
+    """Session-length histogram (events per session at a 30-min gap):
+    the engagement-depth distribution product teams track release to
+    release. User-keyed sessionization inside ``map_groups`` (the
+    events_sessions plan) emits per-user (length, count) partials —
+    never raw sessions — and the histogram rollup is bounded by the
+    longest session, not the event count."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        starts = (g["ts"].diff().gt(gap) | g["ts"].diff().isna()) \
+            .to_numpy()
+        sid = np.cumsum(starts)
+        lens = pd.Series(sid).value_counts()
+        hist = lens.value_counts().sort_index()
+        return pd.DataFrame({
+            "session_len": hist.index.to_numpy(np.int64),
+            "n_sessions": hist.to_numpy(np.int64)})
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    partials = ds.map_batches(drop_null, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    agg = rel.grouped_agg(partials, ["session_len"],
+                          [("n_sessions", "n_sessions", "sum")],
+                          small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "session_len": "int64", "n_sessions": "int64"})
+    return rel.to_pandas_sorted(
+        df.astype({"session_len": "int64", "n_sessions": "int64"}),
+        ["session_len"])
+
+
+def part_cheapest_supplier(sf_dir: str):
+    """Per-part procurement argmin: the supplier quoting each part's
+    MINIMUM observed line price (ties -> lowest suppkey) — the TPC-H
+    q2 shape re-expressed without a partsupp table. Two partkey-keyed
+    exchanges (per-part min, then min-suppkey among exact-cents price
+    ties) bridged by one partkey hash join; output is
+    |parts|-bounded (a dimension, not the fact table)."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "c": _cents(batch.column("l_extendedprice"))})
+
+    p_schema = pa.schema([("l_partkey", pa.int64()),
+                          ("l_suppkey", pa.int64()), ("c", pa.int64())])
+    prepped = rel.ensure_schema(
+        line.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True), p_schema).materialize()
+    m_schema = pa.schema([("pk", pa.int64()), ("mc", pa.int64())])
+    # ensure_schema BEFORE the rename: aggregate empty partitions emit
+    # schema-less blocks that rename_columns would reject
+    minp = rel.ensure_schema(
+        rel.grouped_agg(prepped, ["l_partkey"], [("mc", "c", "min")]),
+        pa.schema([("l_partkey", pa.int64()), ("mc", pa.int64())])) \
+        .map_batches(lambda b: b.rename_columns(["pk", "mc"]),
+                     batch_format="pyarrow")
+    n_parts = rel.join_partitions(
+        rel.load(sf_dir, "part", ["p_partkey"]).count())
+    joined = rel.hash_join_nonempty(
+        prepped, minp, on="l_partkey", right_on="pk",
+        num_partitions=n_parts, left_schema=p_schema,
+        right_schema=m_schema)
+
+    def winners(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("c"),
+                                     batch.column("mc")))
+        return pa.table({"l_partkey": kept.column("l_partkey"),
+                         "l_suppkey": kept.column("l_suppkey"),
+                         "mc": kept.column("mc")})
+
+    best = rel.grouped_agg(
+        joined.map_batches(winners, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["l_partkey", "mc"], [("best_suppkey", "l_suppkey", "min")])
+    df = rel.ensure_columns(
+        rel.as_pandas(rel.ensure_schema(best, pa.schema(
+            [("l_partkey", pa.int64()), ("mc", pa.int64()),
+             ("best_suppkey", pa.int64())]))),
+        {"l_partkey": "int64", "mc": "int64", "best_suppkey": "int64"})
+    out = pd.DataFrame({
+        "p_partkey": df["l_partkey"].astype("int64"),
+        "best_suppkey": df["best_suppkey"].astype("int64"),
+        "min_price": _dollars(df["mc"].astype("int64"))})
+    return rel.to_pandas_sorted(out, ["p_partkey"])
+
+
+def orders_cohort_ltv(sf_dir: str):
+    """Cohort LTV triangle: customers cohorted by FIRST-order year;
+    per (cohort_year, order_year) the order count and exact-cents
+    revenue — the acquisition-payback table. One custkey exchange
+    computes first years; the custkey hash join re-attaches cohorts;
+    the triangle rollup is years^2-bounded and map-side combined."""
+    orders = rel.load(sf_dir, "orders",
+                      ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "o_year": pc.cast(pc.year(batch.column("o_orderdate")),
+                              pa.int64()),
+            "c": _cents(batch.column("o_totalprice"))})
+
+    o_schema = pa.schema([("o_custkey", pa.int64()), ("o_year", pa.int64()),
+                          ("c", pa.int64())])
+    prepped = rel.ensure_schema(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True), o_schema).materialize()
+    f_schema = pa.schema([("ck", pa.int64()), ("cohort_year", pa.int64())])
+    # ensure_schema BEFORE the rename (schema-less empty agg blocks)
+    first = rel.ensure_schema(
+        rel.grouped_agg(prepped, ["o_custkey"],
+                        [("cohort_year", "o_year", "min")]),
+        pa.schema([("o_custkey", pa.int64()),
+                   ("cohort_year", pa.int64())])) \
+        .map_batches(lambda b: b.rename_columns(["ck", "cohort_year"]),
+                     batch_format="pyarrow")
+    n_parts = rel.join_partitions(
+        rel.load(sf_dir, "customer", ["c_custkey"]).count())
+    joined = rel.hash_join_nonempty(
+        prepped, first, on="o_custkey", right_on="ck",
+        num_partitions=n_parts, left_schema=o_schema,
+        right_schema=f_schema)
+    agg = rel.grouped_agg(joined, ["cohort_year", "o_year"],
+                          [("n_orders", "", "count"), ("rev_c", "c", "sum")],
+                          small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "cohort_year": "int64", "o_year": "int64", "n_orders": "int64",
+        "rev_c": "int64"})
+    out = pd.DataFrame({
+        "cohort_year": df["cohort_year"].astype("int64"),
+        "o_year": df["o_year"].astype("int64"),
+        "n_orders": df["n_orders"].astype("int64"),
+        "revenue": _dollars(df["rev_c"].astype("int64"))})
+    return rel.to_pandas_sorted(out, ["cohort_year", "o_year"])
+
+
+def supplier_discount_deviation(sf_dir: str, k: int = 10):
+    """Discount-policy outliers: the ``k`` suppliers whose mean granted
+    discount deviates most from the global mean (signed truncating ppm
+    of integer discount percent — both means truncate before the
+    subtraction, so the deviation is integer-exact). One supplier
+    exchange; the global mean is a two-int scalar reduce; ranking is
+    per-batch local top-k on |deviation|, never a global sort."""
+    line = rel.load(sf_dir, "lineitem", ["l_suppkey", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": batch.column("l_suppkey"),
+            "pct": _cents(batch.column("l_discount"))})
+
+    prepped = line.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    per_supp = rel.ensure_schema(
+        rel.grouped_agg(prepped, ["l_suppkey"],
+                        [("sp", "pct", "sum"), ("n", "", "count")]),
+        pa.schema([("l_suppkey", pa.int64()), ("sp", pa.int64()),
+                   ("n", pa.int64())])).materialize()
+    empty = pd.DataFrame({
+        "s_suppkey": pd.Series(dtype="int64"),
+        "avg_disc_pct_ppm": pd.Series(dtype="int64"),
+        "dev_ppm": pd.Series(dtype="int64")})
+    if per_supp.count() == 0:
+        return empty
+    tsp, tn = int(per_supp.sum("sp")), int(per_supp.sum("n"))
+    g_avg = _trunc_div_ppm(tsp, tn)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        sp = batch.column("sp").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        avg = np.array([_trunc_div_ppm(int(a), int(b))
+                        for a, b in zip(sp, n)], np.int64)
+        d = avg - np.int64(g_avg)
+        return pa.table({
+            "s_suppkey": batch.column("l_suppkey"),
+            "avg_disc_pct_ppm": pa.array(avg),
+            "dev_ppm": pa.array(d),
+            "abs_dev": pa.array(np.abs(d))})
+
+    top = rel.local_topk(
+        per_supp.map_batches(dev, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        [("abs_dev", "descending"), ("s_suppkey", "ascending")], k)
+    out = top[["s_suppkey", "avg_disc_pct_ppm", "dev_ppm"]] \
+        .astype("int64").reset_index(drop=True)
+    return out

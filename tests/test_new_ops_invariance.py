@@ -211,7 +211,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "customer_nation_matrix", "lineitem_tax_profile",
         "docs_keyword_hits", "orders_priority_year_share",
         "events_new_vs_returning", "emb_pair_hist",
-        "docs_exactdup_savings"]
+        "docs_exactdup_savings", "docs_hapax_rate",
+        "events_session_length_hist", "part_cheapest_supplier",
+        "orders_cohort_ltv", "supplier_discount_deviation"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

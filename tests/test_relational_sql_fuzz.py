@@ -1059,3 +1059,96 @@ def test_exactdup_savings_fuzz(rows):
         "n_chars": pa.array([len(r[0]) for r in rows], pa.int64()),
     })
     _check("docs_exactdup_savings", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(docs=st.lists(
+    st.tuples(st.sampled_from(["s1", "s2"]),
+              st.lists(st.sampled_from(["a", "b", "c", "d", "e"]),
+                       min_size=0, max_size=10)),
+    min_size=1, max_size=15))
+def test_hapax_rate_fuzz(docs):
+    # ==1 test runs on fully-aggregated counts: a token seen once in
+    # two different docs of the same source must NOT count as hapax
+    documents = pa.table({
+        "source": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array([" ".join(d[1]) for d in docs], pa.string()),
+    })
+    _check("docs_hapax_rate", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+              st.integers(min_value=0, max_value=7200)),  # seconds
+    min_size=1, max_size=40))
+def test_session_length_hist_fuzz(rows):
+    # 30-min gap sessionization -> length histogram: boundary gaps
+    # (exactly 1800 s continues the session on both engines) and ts
+    # ties (event_id order) must agree
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    _check("events_session_length_hist", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),    # partkey
+              st.integers(min_value=0, max_value=4),    # suppkey
+              _MONEY),
+    min_size=1, max_size=30))
+def test_cheapest_supplier_fuzz(rows):
+    # per-part argmin with exact-cents tie groups: several suppliers
+    # hitting the same min cents must resolve to min suppkey
+    lineitem = pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    part = pa.table({"p_partkey": pa.array(range(6), pa.int64())})
+    _check("part_cheapest_supplier", {"lineitem": lineitem, "part": part})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),     # custkey
+              st.integers(min_value=0, max_value=1100),  # day offset
+              _MONEY),
+    min_size=1, max_size=30))
+def test_cohort_ltv_fuzz(rows):
+    # first-year cohort attribution: a customer's every order lands in
+    # its min-year cohort row, cents-exact revenue per triangle cell
+    orders = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=r[1]) for r in rows],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    customer = pa.table({"c_custkey": pa.array(range(7), pa.int64())})
+    _check("orders_cohort_ltv", {"orders": orders, "customer": customer})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),
+              st.integers(min_value=0, max_value=10).map(lambda k: k / 100.0)),
+    min_size=1, max_size=30))
+def test_discount_deviation_fuzz(rows):
+    # both means truncate BEFORE the subtraction: deviations must be
+    # integer-identical, and the |dev| top-k tie order (abs desc,
+    # suppkey) must pick the same supplier set
+    lineitem = pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_discount": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("supplier_discount_deviation", {"lineitem": lineitem})
