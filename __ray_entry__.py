@@ -48,6 +48,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "region_revenue_share": q.region_revenue_share,
+        "events_error_burst_sessions": q.events_error_burst_sessions,
+        "orders_key_continuity": q.orders_key_continuity,
+        "part_type_price_index": q.part_type_price_index,
         "docs_hapax_rate": q.docs_hapax_rate,
         "events_session_length_hist": q.events_session_length_hist,
         "part_cheapest_supplier": q.part_cheapest_supplier,
@@ -263,6 +267,78 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "region_revenue_share": """
+            WITH r AS (
+                SELECT r_name,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)) AS c
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                GROUP BY 1),
+            t AS (SELECT CAST(sum(c) AS HUGEINT) AS tot FROM r)
+            SELECT r_name, c / 100.0 AS revenue,
+                   CASE WHEN tot = 0 THEN NULL
+                        ELSE CAST(CAST(c AS HUGEINT) * 1000000 // tot
+                                  AS BIGINT) END AS share_ppm
+            FROM r, t ORDER BY 1
+        """,
+        "events_error_burst_sessions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       sum(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM (SELECT user_id, ts, event_id, event_type,
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_ts
+                      FROM events WHERE user_id IS NOT NULL)),
+            g AS (SELECT user_id, sid,
+                         max(CASE WHEN event_type = 'error'
+                             THEN 1 ELSE 0 END) AS has_err
+                  FROM s GROUP BY 1, 2),
+            a AS (SELECT count(*) AS ns, sum(has_err) AS ne FROM g)
+            SELECT CAST(ns AS BIGINT) AS n_sessions,
+                   CAST(ne AS BIGINT) AS n_error_sessions,
+                   CAST(CAST(ne AS HUGEINT) * 1000000 // ns AS BIGINT)
+                       AS error_session_ppm
+            FROM a WHERE ns > 0
+        """,
+        "orders_key_continuity": """
+            WITH k AS (
+                SELECT o_orderkey, count(*) AS c
+                FROM orders GROUP BY 1)
+            SELECT CAST(min(o_orderkey) AS BIGINT) AS min_key,
+                   CAST(max(o_orderkey) AS BIGINT) AS max_key,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_keys,
+                   CAST(max(o_orderkey) - min(o_orderkey) + 1 - count(*)
+                        AS BIGINT) AS n_holes
+            FROM k
+        """,
+        "part_type_price_index": """
+            WITH s AS (
+                SELECT p_type,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS sp,
+                       count(*) AS n
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                GROUP BY 1),
+            g AS (SELECT CAST(sum(sp) AS HUGEINT) AS tsp,
+                         CAST(sum(n) AS HUGEINT) AS tn FROM s)
+            SELECT p_type, CAST(n AS BIGINT) AS n_lines,
+                   (CAST(sp AS HUGEINT) // n) / 100.0 AS avg_price,
+                   CAST(CAST(sp AS HUGEINT) * tn * 1000000
+                        // (CAST(n AS HUGEINT) * tsp) AS DOUBLE)
+                       AS index_ppm
+            FROM s, g ORDER BY 1
+        """,
         "docs_hapax_rate": r"""
             WITH t AS (
                 SELECT source,

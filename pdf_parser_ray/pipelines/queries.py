@@ -8739,3 +8739,184 @@ def supplier_discount_deviation(sf_dir: str, k: int = 10):
     out = top[["s_suppkey", "avg_disc_pct_ppm", "dev_ppm"]] \
         .astype("int64").reset_index(drop=True)
     return out
+
+
+def region_revenue_share(sf_dir: str):
+    """Region-level revenue rollup with truncating-ppm share of world
+    volume — the top-of-dashboard slice. nation->region->supplier maps
+    collapse into ONE broadcast dimension; the fact scan aggregates
+    map-side into a |regions|-bounded frame; shares divide exact
+    HUGEINT-class sums on the driver."""
+    region = rel.load(sf_dir, "region").to_pandas()[
+        ["r_regionkey", "r_name"]]
+    nation = rel.load(sf_dir, "nation").to_pandas()[
+        ["n_nationkey", "n_regionkey"]]
+    supp = rel.load(sf_dir, "supplier",
+                    ["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = supp.merge(nation, left_on="s_nationkey",
+                      right_on="n_nationkey") \
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    smap = smap[["s_suppkey", "r_name"]].rename(
+        columns={"s_suppkey": "l_suppkey"})
+
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.table({"l_suppkey": batch.column("l_suppkey"),
+                         "rev_c": _cents(rev)})
+
+    agg = rel.grouped_agg(
+        rel.broadcast_merge(
+            line.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True), smap, on="l_suppkey"),
+        ["r_name"], [("rev_c", "rev_c", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg),
+                            {"r_name": "object", "rev_c": "int64"})
+    total = int(df["rev_c"].sum()) if len(df) else 0
+    shares = [_trunc_div_ppm(int(c), total) for c in df["rev_c"]]
+    out = pd.DataFrame({
+        "r_name": df["r_name"],
+        "revenue": _dollars(df["rev_c"].astype("int64")),
+        "share_ppm": pd.Series(shares, dtype="float64")})
+    if total != 0:
+        out["share_ppm"] = out["share_ppm"].astype("int64")
+    return rel.to_pandas_sorted(out, ["r_name"])
+
+
+def events_error_burst_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Reliability lens on sessionization: how many 30-min-gap sessions
+    contain at least one error event, as a truncating-ppm share — the
+    'sessions touched by failure' SLO input. Per-user map_groups emits
+    only a (sessions, error_sessions) pair per user; the global fold is
+    a 2-int scalar reduce."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts", "event_id",
+                                     "event_type"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        starts = (g["ts"].diff().gt(gap) | g["ts"].diff().isna()) \
+            .to_numpy()
+        sid = np.cumsum(starts)
+        err = (g["event_type"] == "error").to_numpy()
+        n_err_sessions = len(np.unique(sid[err]))
+        return pd.DataFrame({"n_sessions": [int(sid[-1])],
+                             "n_error_sessions": [int(n_err_sessions)]})
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    partials = ds.map_batches(drop_null, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    schema = pa.schema([("n_sessions", pa.int64()),
+                        ("n_error_sessions", pa.int64())])
+    partials = rel.ensure_schema(partials, schema).materialize()
+    if partials.count() == 0:
+        return pd.DataFrame({
+            "n_sessions": pd.Series(dtype="int64"),
+            "n_error_sessions": pd.Series(dtype="int64"),
+            "error_session_ppm": pd.Series(dtype="int64")})
+    ns = int(partials.sum("n_sessions"))
+    ne = int(partials.sum("n_error_sessions"))
+    return pd.DataFrame({
+        "n_sessions": pd.Series([ns], dtype="int64"),
+        "n_error_sessions": pd.Series([ne], dtype="int64"),
+        "error_session_ppm": pd.Series([_trunc_div_ppm(ne, ns)],
+                                       dtype="int64")})
+
+
+def orders_key_continuity(sf_dir: str):
+    """Key-space ingestion audit: orderkey min/max/count, duplicated
+    keys and the hole count ((max-min+1) - distinct) — the
+    did-the-loader-drop-or-double-anything check run after every
+    backfill. One orderkey-keyed map-side-combined exchange; all
+    scalars reduce from the per-key frame, nothing gathers."""
+    orders = rel.load(sf_dir, "orders", ["o_orderkey"])
+    per_key = rel.ensure_schema(
+        rel.grouped_agg(orders, ["o_orderkey"], [("c", "", "count")]),
+        pa.schema([("o_orderkey", pa.int64()), ("c", pa.int64())])) \
+        .materialize()
+    empty = pd.DataFrame({
+        "min_key": pd.Series(dtype="int64"),
+        "max_key": pd.Series(dtype="int64"),
+        "n_rows": pd.Series(dtype="int64"),
+        "n_distinct": pd.Series(dtype="int64"),
+        "n_dup_keys": pd.Series(dtype="int64"),
+        "n_holes": pd.Series(dtype="int64")})
+    if per_key.count() == 0:
+        return empty
+
+    def dup_flag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": batch.column("c"),
+            "dup": pc.cast(pc.greater(batch.column("c"),
+                                      pa.scalar(1, pa.int64())),
+                           pa.int64())})
+
+    flags = rel.ensure_schema(
+        per_key.map_batches(dup_flag, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        pa.schema([("c", pa.int64()), ("dup", pa.int64())])).materialize()
+    mn = int(per_key.min("o_orderkey"))
+    mx = int(per_key.max("o_orderkey"))
+    nd = int(per_key.count())
+    nr = int(flags.sum("c"))
+    ndup = int(flags.sum("dup"))
+    return pd.DataFrame({
+        "min_key": pd.Series([mn], dtype="int64"),
+        "max_key": pd.Series([mx], dtype="int64"),
+        "n_rows": pd.Series([nr], dtype="int64"),
+        "n_distinct": pd.Series([nd], dtype="int64"),
+        "n_dup_keys": pd.Series([ndup], dtype="int64"),
+        "n_holes": pd.Series([(mx - mn + 1) - nd], dtype="int64")})
+
+
+def part_type_price_index(sf_dir: str):
+    """Price index per part type: line count, truncated mean price and
+    the integer-exact ratio-of-means index vs the whole market (ppm,
+    HUGEINT-class cross products — never a double division of
+    averages). The part dimension broadcasts; one |types|-bounded
+    map-side-combined exchange; the index arithmetic runs on the tiny
+    driver frame in unbounded Python ints."""
+    part = rel.load(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas() \
+        .rename(columns={"p_partkey": "l_partkey"})
+    line = rel.load(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": batch.column("l_partkey"),
+                         "c": _cents(batch.column("l_extendedprice"))})
+
+    agg = rel.grouped_agg(
+        rel.broadcast_merge(
+            line.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True), part, on="l_partkey"),
+        ["p_type"], [("sp", "c", "sum"), ("n", "", "count")],
+        small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "p_type": "object", "sp": "int64", "n": "int64"})
+    tsp = int(df["sp"].sum()) if len(df) else 0
+    tn = int(df["n"].sum()) if len(df) else 0
+    avg_price, idx = [], []
+    for sp, n in zip(df["sp"], df["n"]):
+        sp, n = int(sp), int(n)
+        # truncating (not floor) division: DuckDB // lockstep when a
+        # negative cents sum meets a positive count
+        q_cents = abs(sp) // n if sp >= 0 else -(abs(sp) // n)
+        avg_price.append(q_cents / 100.0)
+        num, den = sp * tn * 1_000_000, n * tsp
+        q = abs(num) // abs(den) if den else None
+        idx.append(float("nan") if den == 0
+                   else float(q if (num >= 0) == (den > 0) else -q))
+    out = pd.DataFrame({
+        "p_type": df["p_type"],
+        "n_lines": df["n"].astype("int64"),
+        "avg_price": pd.Series(avg_price, dtype="float64"),
+        # float64 on purpose: the SQL twin CASTs the HUGEINT ratio to
+        # DOUBLE (ppm magnitudes stay far below 2^53)
+        "index_ppm": pd.Series(idx, dtype="float64")})
+    return rel.to_pandas_sorted(out, ["p_type"])

@@ -110,6 +110,13 @@ def _lineitem_table() -> pa.Table:
     })
 
 
+def _region_table() -> pa.Table:
+    return pa.table({
+        "r_regionkey": pa.array(range(3), pa.int64()),
+        "r_name": pa.array([f"REGION_{i}" for i in range(3)], pa.string()),
+    })
+
+
 def _nation_table() -> pa.Table:
     return pa.table({
         "n_nationkey": pa.array(range(10), pa.int64()),
@@ -169,7 +176,7 @@ _TABLES = {"documents": _docs_table, "events": _events_table,
            "embeddings": _emb_table, "orders": _orders_table,
            "lineitem": _lineitem_table, "nation": _nation_table,
            "supplier": _supplier_table, "customer": _customer_table,
-           "part": _part_table}
+           "part": _part_table, "region": _region_table}
 
 _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_token_lift", "docs_clean_corpus", "events_latest_snapshot",
@@ -213,7 +220,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_new_vs_returning", "emb_pair_hist",
         "docs_exactdup_savings", "docs_hapax_rate",
         "events_session_length_hist", "part_cheapest_supplier",
-        "orders_cohort_ltv", "supplier_discount_deviation"]
+        "orders_cohort_ltv", "supplier_discount_deviation",
+        "region_revenue_share", "events_error_burst_sessions",
+        "orders_key_continuity", "part_type_price_index"]
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:

@@ -1152,3 +1152,90 @@ def test_discount_deviation_fuzz(rows):
         "l_discount": pa.array([r[1] for r in rows], pa.float64()),
     })
     _check("supplier_discount_deviation", {"lineitem": lineitem})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),    # suppkey
+              _MONEY,
+              st.integers(min_value=0, max_value=10).map(lambda k: k / 100.0)),
+    min_size=1, max_size=30))
+def test_region_share_fuzz(rows):
+    # three collapsed dimension hops + truncating shares: negative
+    # revenues can push a region's share below 0 or past 1e6, and a
+    # zero world total pins the NULL/NaN share path on both engines
+    lineitem = pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array(range(5), pa.int64()),
+        "s_nationkey": pa.array([0, 1, 2, 3, 0], pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array(range(4), pa.int64()),
+        "n_regionkey": pa.array([0, 0, 1, 2], pa.int64()),
+    })
+    region = pa.table({
+        "r_regionkey": pa.array(range(3), pa.int64()),
+        "r_name": pa.array(["R0", "R1", "R2"], pa.string()),
+    })
+    _check("region_revenue_share",
+           {"lineitem": lineitem, "supplier": supplier,
+            "nation": nation, "region": region})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+              st.integers(min_value=0, max_value=7200),
+              st.sampled_from(["view", "error"])),
+    min_size=1, max_size=40))
+def test_error_burst_sessions_fuzz(rows):
+    # session error-flag fold: a session counts once however many
+    # errors it contains; the all-null-user corpus pins the empty row
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    _check("events_error_burst_sessions", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(keys=st.lists(st.integers(min_value=3, max_value=40),
+                     min_size=1, max_size=30))
+def test_key_continuity_fuzz(keys):
+    # duplicate keys count once in n_distinct but fully in n_rows;
+    # holes derive from the span, not the row count
+    orders = pa.table({"o_orderkey": pa.array(keys, pa.int64())})
+    _check("orders_key_continuity", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), _MONEY),
+    min_size=1, max_size=30))
+def test_price_index_fuzz(rows):
+    # ratio-of-means in HUGEINT cross products: both engines truncate
+    # the same integer quotient; a zero global total is outside the
+    # domain (SQL would divide by zero), as is per-type avg on n=0
+    import hypothesis
+    hypothesis.assume(sum(round(r[1] * 100) for r in rows) != 0)
+    lineitem = pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(range(6), pa.int64()),
+        "p_type": pa.array([["T0", "T1", "T2"][i % 3] for i in range(6)],
+                           pa.string()),
+    })
+    _check("part_type_price_index", {"lineitem": lineitem, "part": part})
