@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "customer_spend_balance_corr": q.customer_spend_balance_corr,
+        "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
+        "lineitem_position_stats": q.lineitem_position_stats,
         "region_revenue_share": q.region_revenue_share,
         "events_error_burst_sessions": q.events_error_burst_sessions,
         "orders_key_continuity": q.orders_key_continuity,
@@ -267,6 +270,63 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "customer_spend_balance_corr": """
+            WITH s AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice) AS BIGINT)) AS spend
+                FROM orders GROUP BY 1),
+            j AS (SELECT CAST(round(c_acctbal) AS BIGINT) AS x,
+                         spend AS y
+                  FROM customer JOIN s ON o_custkey = c_custkey
+                  WHERE c_acctbal IS NOT NULL),
+            m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x*x) AS sxx, sum(y*y) AS syy,
+                         sum(x*y) AS sxy
+                  FROM j)
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))),
+                         6) AS corr_bal_spend
+            FROM m WHERE n > 0
+        """,
+        "docs_source_vocab_jaccard": r"""
+            WITH v AS (
+                SELECT DISTINCT source, tok
+                FROM (SELECT source,
+                             unnest(regexp_extract_all(text, '\S+')) AS tok
+                      FROM documents)),
+            s AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+            i AS (SELECT a.source AS source_a, b.source AS source_b,
+                         count(*) AS i
+                  FROM v a JOIN v b
+                    ON a.tok = b.tok AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT source_a, source_b, CAST(i AS BIGINT) AS n_shared,
+                   CAST(CAST(i AS HUGEINT) * 1000000
+                        // (x.n + y.n - i) AS BIGINT) AS jaccard_ppm
+            FROM i
+            JOIN s x ON x.source = source_a
+            JOIN s y ON y.source = source_b
+            ORDER BY 1, 2
+        """,
+        "lineitem_position_stats": """
+            WITH t AS (
+                SELECT CAST(l_linenumber AS BIGINT) AS pos,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                       CAST(round(l_quantity) AS BIGINT) AS q
+                FROM lineitem)
+            SELECT pos, CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(CAST(sum(c) AS HUGEINT) * 1000000 // count(*)
+                        AS BIGINT) AS avg_price_ppm,
+                   CAST(CAST(sum(q) AS HUGEINT) * 1000000 // count(*)
+                        AS BIGINT) AS avg_qty_ppm
+            FROM t GROUP BY 1 ORDER BY 1
+        """,
         "region_revenue_share": """
             WITH r AS (
                 SELECT r_name,

@@ -8920,3 +8920,190 @@ def part_type_price_index(sf_dir: str):
         # DOUBLE (ppm magnitudes stay far below 2^53)
         "index_ppm": pd.Series(idx, dtype="float64")})
     return rel.to_pandas_sorted(out, ["p_type"])
+
+
+def customer_spend_balance_corr(sf_dir: str):
+    """Cross-table Pearson correlation: does a customer's account
+    balance predict their lifetime spend? Per-customer spend folds in
+    ONE custkey exchange (integer-dollar rounding per order, so sums
+    are exact); the custkey hash join attaches balances; the moment
+    fold is the one-pass parallel covariance plan in exact int64
+    (dollar units keep balance moments exact past 10^9 customers;
+    spend^2 sums bound the domain at ~10^9 average-spend customers —
+    past that, swap the syy column for the decimal-string partials of
+    emb_dim_stats). The corr is computed once from identical doubles,
+    rounded half-away at 6. Customers with no orders are outside the
+    domain (inner-join semantics on both engines)."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+
+    orders = rel.load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "d": pc.cast(pc.round(batch.column("o_totalprice"), ndigits=0,
+                                  round_mode="half_towards_infinity"),
+                         pa.int64())})
+
+    spend = rel.ensure_schema(
+        rel.grouped_agg(
+            orders.map_batches(oprep, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["o_custkey"], [("spend", "d", "sum")]),
+        pa.schema([("o_custkey", pa.int64()), ("spend", pa.int64())]))
+    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def cprep(batch: pa.Table) -> pa.Table:
+        # NULL balances are outside the correlation domain (both
+        # engines drop them before the moment fold)
+        batch = batch.filter(pc.is_valid(batch.column("c_acctbal")))
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "bal": pc.cast(pc.round(batch.column("c_acctbal"), ndigits=0,
+                                    round_mode="half_towards_infinity"),
+                           pa.int64())})
+
+    c_schema = pa.schema([("c_custkey", pa.int64()), ("bal", pa.int64())])
+    s_schema = pa.schema([("o_custkey", pa.int64()), ("spend", pa.int64())])
+    n_parts = rel.join_partitions(
+        rel.load(sf_dir, "customer", ["c_custkey"]).count())
+    joined = rel.hash_join_nonempty(
+        rel.ensure_schema(
+            cust.map_batches(cprep, batch_format="pyarrow",
+                             zero_copy_batch=True), c_schema),
+        spend, on="c_custkey", right_on="o_custkey",
+        num_partitions=n_parts, left_schema=c_schema,
+        right_schema=s_schema)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("bal").to_numpy(zero_copy_only=False)
+        y = batch.column("spend").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_customers": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    parts = joined.map_batches(moments, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    if parts.empty or int(parts["n_customers"].sum()) == 0:
+        return pd.DataFrame({"n_customers": pd.Series(dtype="int64"),
+                             "corr_bal_spend": pd.Series(dtype="float64")})
+    n = float(parts["n_customers"].sum())
+    sx, sy = float(parts["sx"].sum()), float(parts["sy"].sum())
+    sxx, syy = float(parts["sxx"].sum()), float(parts["syy"].sum())
+    sxy = float(parts["sxy"].sum())
+    denom = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = float(np_round_half_away(
+        np.array([(n * sxy - sx * sy) / denom]), 6)[0]) \
+        if denom != 0 else float("nan")
+    return pd.DataFrame({
+        "n_customers": pd.Series([int(n)], dtype="int64"),
+        "corr_bal_spend": pd.Series([r], dtype="float64")})
+
+
+def docs_source_vocab_jaccard(sf_dir: str):
+    """Source-overlap matrix: vocabulary Jaccard (truncating ppm)
+    between every source pair that shares at least one token — the
+    corpus-mixing redundancy map (two mirrors of the same crawl light
+    up; disjoint domains stay dark). One (source, token) distinct
+    exchange; the pair fan-out happens per token inside map_groups
+    (|sources|^2-bounded per group); the pair rollup and the final
+    J = i/(a+b-i) run over a |sources|^2 frame."""
+    docs = rel.load(sf_dir, "documents", ["source", "text"])
+
+    def partial_vocab(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        src = batch.column("source").take(parent)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        df = pd.DataFrame({"source": src.filter(keep).to_pandas(),
+                           "tok": flat.filter(keep).to_pandas()}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    vocab = rel.ensure_schema(
+        rel.grouped_agg(
+            docs.map_batches(partial_vocab, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["source", "tok"], [("c", "", "count")]),
+        pa.schema([("source", pa.string()), ("tok", pa.string()),
+                   ("c", pa.int64())])).materialize()
+
+    sizes = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(vocab, ["source"],
+                                      [("n", "", "count")],
+                                      small_result=True)),
+        {"source": "object", "n": "int64"})
+
+    def tok_pairs(group: pa.Table) -> pa.Table:
+        srcs = sorted(group.column("source").to_pylist())
+        a, b = [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                a.append(srcs[i])
+                b.append(srcs[j])
+        return pa.table({"source_a": pa.array(a, pa.string()),
+                         "source_b": pa.array(b, pa.string())})
+
+    inter = rel.grouped_agg(
+        vocab.groupby("tok").map_groups(tok_pairs, batch_format="pyarrow"),
+        ["source_a", "source_b"], [("n_shared", "", "count")],
+        small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(inter), {
+        "source_a": "object", "source_b": "object", "n_shared": "int64"})
+    df = df.merge(sizes.rename(columns={"source": "source_a", "n": "na"}),
+                  on="source_a") \
+        .merge(sizes.rename(columns={"source": "source_b", "n": "nb"}),
+               on="source_b")
+    df["jaccard_ppm"] = [
+        _trunc_div_ppm(int(i), int(a) + int(b) - int(i))
+        for i, a, b in zip(df["n_shared"], df["na"], df["nb"])]
+    if len(df):
+        df["jaccard_ppm"] = df["jaccard_ppm"].astype("int64")
+    out = df[["source_a", "source_b", "n_shared", "jaccard_ppm"]]
+    out = out.copy()
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return rel.to_pandas_sorted(out, ["source_a", "source_b"])
+
+
+def lineitem_position_stats(sf_dir: str):
+    """Order-position bias audit over the so-far-unused l_linenumber:
+    per line position, the line count plus truncating-ppm mean price
+    and quantity — do first-entered lines skew bigger? One
+    |positions|-bounded map-side-combined exchange; the ppm means
+    divide exact unbounded-int sums on the driver."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_linenumber", "l_extendedprice", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "pos": pc.cast(batch.column("l_linenumber"), pa.int64()),
+            "c": _cents(batch.column("l_extendedprice")),
+            "q": pc.cast(pc.round(batch.column("l_quantity"), ndigits=0,
+                                  round_mode="half_towards_infinity"),
+                         pa.int64())})
+
+    agg = rel.grouped_agg(
+        line.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["pos"], [("n_lines", "", "count"), ("sc", "c", "sum"),
+                  ("sq", "q", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "pos": "int64", "n_lines": "int64", "sc": "int64", "sq": "int64"})
+    out = pd.DataFrame({
+        "pos": df["pos"].astype("int64"),
+        "n_lines": df["n_lines"].astype("int64"),
+        "avg_price_ppm": pd.Series(
+            [_trunc_div_ppm(int(c), int(n))
+             for c, n in zip(df["sc"], df["n_lines"])], dtype="float64"),
+        "avg_qty_ppm": pd.Series(
+            [_trunc_div_ppm(int(q), int(n))
+             for q, n in zip(df["sq"], df["n_lines"])], dtype="float64")})
+    if len(out):
+        out["avg_price_ppm"] = out["avg_price_ppm"].astype("int64")
+        out["avg_qty_ppm"] = out["avg_qty_ppm"].astype("int64")
+    return rel.to_pandas_sorted(out, ["pos"])

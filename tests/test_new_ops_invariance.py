@@ -103,6 +103,8 @@ def _lineitem_table() -> pa.Table:
         "l_discount": pa.array(rng.randint(0, 11, n) / 100.0,
                                pa.float64()),
         "l_tax": pa.array(rng.randint(0, 9, n) / 100.0, pa.float64()),
+        "l_linenumber": pa.array(
+            (1 + rng.randint(0, 4, n)).astype(np.int32), pa.int32()),
         "l_shipdate": pa.array(
             [base + dt.timedelta(days=int(d))
              for d in rng.randint(0, 20, n)],
@@ -222,7 +224,10 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_session_length_hist", "part_cheapest_supplier",
         "orders_cohort_ltv", "supplier_discount_deviation",
         "region_revenue_share", "events_error_burst_sessions",
-        "orders_key_continuity", "part_type_price_index"]
+        "orders_key_continuity", "part_type_price_index",
+        "customer_spend_balance_corr", "lineitem_position_stats"]
+# docs_source_vocab_jaccard needs >= 2 sources to emit pairs; the shared
+# docs fixture is single-source, so it gets a dedicated table below.
 
 
 def _run(op: str, n_blocks: int) -> pd.DataFrame:
@@ -348,3 +353,37 @@ def test_wau_hll_accuracy_and_invariance():
     for d in exact.index:
         rel_err = abs(est[d] - exact[d]) / max(1, exact[d])
         assert rel_err <= 0.1, (d, est[d], exact[d])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_vocab_jaccard_invariance():
+    # two overlapping + one disjoint source: the pair rows must be
+    # identical across block splits and the disjoint pair ABSENT
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    tbl = pa.table({
+        "source": pa.array(["s1", "s1", "s2", "s3"], pa.string()),
+        "text": pa.array(["a b c", "c d", "b c e", "zz qq"], pa.string()),
+    })
+
+    def run(n_blocks):
+        def load(sf, table, columns=None):
+            return ray.data.from_arrow(
+                tbl.select(columns) if columns else tbl
+            ).repartition(n_blocks)
+
+        orig = q.rel.load
+        q.rel.load = load
+        try:
+            return q.docs_source_vocab_jaccard("inv").reset_index(drop=True)
+        finally:
+            q.rel.load = orig
+
+    a, b = run(1), run(4)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["source_a"]) == ["s1"] and list(a["source_b"]) == ["s2"]
+    # s1 vocab {a,b,c,d}, s2 vocab {b,c,e}: i=2, union=5 -> 400000 ppm
+    assert list(a["n_shared"]) == [2]
+    assert list(a["jaccard_ppm"]) == [400000]

@@ -1239,3 +1239,59 @@ def test_price_index_fuzz(rows):
                            pa.string()),
     })
     _check("part_type_price_index", {"lineitem": lineitem, "part": part})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(bals=st.lists(st.one_of(st.none(), _MONEY), min_size=1, max_size=12),
+       order_rows=st.lists(
+           st.tuples(st.integers(min_value=0, max_value=11), _MONEY),
+           min_size=1, max_size=25))
+def test_spend_balance_corr_fuzz(bals, order_rows):
+    # cross-table moment fold: integer-dollar rounding on BOTH inputs,
+    # customers without orders drop, constant columns pin the NaN path
+    customer = pa.table({
+        "c_custkey": pa.array(range(len(bals)), pa.int64()),
+        "c_acctbal": pa.array(bals, pa.float64()),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array([r[0] for r in order_rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in order_rows], pa.float64()),
+    })
+    _check("customer_spend_balance_corr",
+           {"customer": customer, "orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(
+    st.tuples(st.sampled_from(["s1", "s2", "s3"]),
+              st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                       min_size=0, max_size=8)),
+    min_size=1, max_size=12))
+def test_source_vocab_jaccard_fuzz(docs):
+    # per-token pair fan-out == SQL self-join on the distinct vocab:
+    # zero-intersection pairs must be ABSENT (not 0 rows) on both
+    documents = pa.table({
+        "source": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array([" ".join(d[1]) for d in docs], pa.string()),
+    })
+    _check("docs_source_vocab_jaccard", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=7),
+              _MONEY,
+              st.integers(min_value=1, max_value=50)),
+    min_size=1, max_size=30))
+def test_position_stats_fuzz(rows):
+    # signed truncating ppm means over cents/quantity sums: negative
+    # price sums flip the division sign identically on both engines
+    lineitem = pa.table({
+        "l_linenumber": pa.array([r[0] for r in rows], pa.int32()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+        "l_quantity": pa.array([float(r[2]) for r in rows], pa.float64()),
+    })
+    _check("lineitem_position_stats", {"lineitem": lineitem})
