@@ -48,6 +48,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "events_type_transition_entropy": q.events_type_transition_entropy,
+        "daily_activity_overlay": q.daily_activity_overlay,
+        "orders_lineitem_reconcile": q.orders_lineitem_reconcile,
+        "events_value_magnitude_hist": q.events_value_magnitude_hist,
         "customer_spend_balance_corr": q.customer_spend_balance_corr,
         "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
         "lineitem_position_stats": q.lineitem_position_stats,
@@ -270,6 +274,69 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_type_transition_entropy": """
+            WITH s AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events WHERE user_id IS NOT NULL),
+            c AS (SELECT event_type AS prev, nxt,
+                         CAST(count(*) AS DOUBLE) AS n
+                  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            a AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot,
+                         sum(CAST(round(n * ln(n) * 1000000) AS BIGINT))
+                             AS micro
+                  FROM c GROUP BY 1)
+            SELECT prev, tot AS n_transitions,
+                   round(ln(CAST(tot AS DOUBLE))
+                         - (CAST(micro AS DOUBLE) / 1000000.0)
+                           / CAST(tot AS DOUBLE), 4) AS entropy
+            FROM a ORDER BY 1
+        """,
+        "daily_activity_overlay": """
+            WITH e AS (
+                SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+                       count(*) AS n_events
+                FROM events GROUP BY 1),
+            o AS (SELECT CAST(epoch(date_trunc('day', o_orderdate))
+                              AS BIGINT) AS day,
+                         count(*) AS n_orders
+                  FROM orders GROUP BY 1)
+            SELECT coalesce(e.day, o.day) AS day,
+                   CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+                   CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+            FROM e FULL OUTER JOIN o ON e.day = o.day
+            ORDER BY 1
+        """,
+        "orders_lineitem_reconcile": """
+            WITH l AS (
+                SELECT l_orderkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * (1 + l_tax) * 100) AS BIGINT))
+                           AS line_c
+                FROM lineitem GROUP BY 1),
+            j AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS total_c,
+                         line_c
+                  FROM orders JOIN l ON o_orderkey = l_orderkey)
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN total_c = line_c
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   CAST(sum(abs(total_c - line_c)) AS BIGINT)
+                       AS sum_abs_diff_c,
+                   CAST(max(abs(total_c - line_c)) AS BIGINT)
+                       AS max_abs_diff_c
+            FROM j HAVING count(*) > 0
+        """,
+        "events_value_magnitude_hist": """
+            WITH c AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS c
+                FROM events)
+            SELECT CAST(length(CAST(c AS VARCHAR)) AS BIGINT) AS n_digits,
+                   CAST(count(*) AS BIGINT) AS n_values
+            FROM c WHERE c > 0 GROUP BY 1 ORDER BY 1
+        """,
         "customer_spend_balance_corr": """
             WITH s AS (
                 SELECT o_custkey,

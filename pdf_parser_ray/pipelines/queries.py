@@ -9107,3 +9107,173 @@ def lineitem_position_stats(sf_dir: str):
         out["avg_price_ppm"] = out["avg_price_ppm"].astype("int64")
         out["avg_qty_ppm"] = out["avg_qty_ppm"].astype("int64")
     return rel.to_pandas_sorted(out, ["pos"])
+
+
+def events_type_transition_entropy(sf_dir: str):
+    """Behavioral predictability: per event type, the Shannon entropy
+    (nats) of WHAT COMES NEXT in each user's stream — low entropy means
+    the product funnels deterministically, high entropy means users
+    wander. Builds on the markov transition counts (one user-keyed
+    lead() exchange, |types|^2-bounded); each n*ln(n) term rounds to
+    integer micro-nats before summing, so the fold is order-free exact
+    and the SQL twin sums identical BIGINTs."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+
+    trans = events_markov(sf_dir)
+    empty = pd.DataFrame({"prev": pd.Series(dtype="object"),
+                          "n_transitions": pd.Series(dtype="int64"),
+                          "entropy": pd.Series(dtype="float64")})
+    if trans.empty:
+        return empty
+    rows = []
+    for prev, g in trans.groupby("prev"):
+        n = g["n"].to_numpy(np.int64)
+        tot = int(n.sum())
+        micro = int(np.sum(np_round_half_away(
+            n.astype(np.float64) * np.log(n.astype(np.float64)) * 1e6,
+            0)).astype(np.int64))
+        h = float(np_round_half_away(
+            np.array([np.log(float(tot)) - (micro / 1e6) / tot]), 4)[0])
+        rows.append({"prev": prev, "n_transitions": tot, "entropy": h})
+    out = pd.DataFrame(rows)
+    out["n_transitions"] = out["n_transitions"].astype("int64")
+    return rel.to_pandas_sorted(out, ["prev"])
+
+
+def daily_activity_overlay(sf_dir: str):
+    """Cross-fact calendar overlay: events per day and orders per day
+    on ONE timeline (absent days on either side report 0) — the ops
+    dashboard join of behavioral and transactional volume. Two
+    independent calendar-bounded map-side-combined aggregations; the
+    outer merge runs on the tiny day frame."""
+    ev = rel.load(sf_dir, "events", ["ts"])
+    orders = rel.load(sf_dir, "orders", ["o_orderdate"])
+
+    def ev_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.divide(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.int64()), pa.scalar(1_000_000, pa.int64()))})
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.divide(
+            pc.cast(pc.floor_temporal(batch.column("o_orderdate"),
+                                      unit="day"),
+                    pa.int64()), pa.scalar(1_000_000, pa.int64()))})
+
+    ev_agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(ev_prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["day"], [("n_events", "", "count")], small_result=True)),
+        {"day": "int64", "n_events": "int64"})
+    o_agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            orders.map_batches(o_prep, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["day"], [("n_orders", "", "count")], small_result=True)),
+        {"day": "int64", "n_orders": "int64"})
+    out = ev_agg.merge(o_agg, on="day", how="outer").fillna(0)
+    out["day"] = out["day"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return rel.to_pandas_sorted(out, ["day"])
+
+
+def orders_lineitem_reconcile(sf_dir: str):
+    """Ledger reconciliation audit: does each order's header total
+    equal the sum of its line net amounts (price x (1-discount) x
+    (1+tax), exact cents)? Reports orders checked, exact matches, and
+    the total/max absolute drift — the closing-the-books check that
+    catches loader truncation and currency bugs. One orderkey exchange
+    folds line sums; the orderkey hash join attaches headers; the
+    verdict fold is a 4-scalar reduce (per-order drift never gathers)."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_tax"])
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        net = pc.multiply(
+            pc.multiply(batch.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    batch.column("l_discount"))),
+            pc.add(pa.scalar(1.0), batch.column("l_tax")))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "net_c": _cents(net)})
+
+    lsum = rel.ensure_schema(
+        rel.grouped_agg(
+            line.map_batches(lprep, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["l_orderkey"], [("line_c", "net_c", "sum")]),
+        pa.schema([("l_orderkey", pa.int64()), ("line_c", pa.int64())]))
+    orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    o_schema = pa.schema([("o_orderkey", pa.int64()),
+                          ("total_c", pa.int64())])
+    l_schema = pa.schema([("l_orderkey", pa.int64()),
+                          ("line_c", pa.int64())])
+    n_parts = rel.join_partitions(
+        rel.load(sf_dir, "orders", ["o_orderkey"]).count())
+    joined = rel.hash_join_nonempty(
+        rel.ensure_schema(
+            orders.map_batches(oprep, batch_format="pyarrow",
+                               zero_copy_batch=True), o_schema),
+        lsum, on="o_orderkey", right_on="l_orderkey",
+        num_partitions=n_parts, left_schema=o_schema,
+        right_schema=l_schema)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        t = batch.column("total_c").to_numpy(zero_copy_only=False)
+        l = batch.column("line_c").to_numpy(zero_copy_only=False)
+        d = np.abs(t - l)
+        return pa.table({
+            "n_orders": pa.array([len(d)], pa.int64()),
+            "n_matched": pa.array([int((d == 0).sum())], pa.int64()),
+            "sum_abs_diff_c": pa.array([int(d.sum())], pa.int64()),
+            "max_abs_diff_c": pa.array(
+                [int(d.max()) if len(d) else 0], pa.int64())})
+
+    parts = joined.map_batches(verdict, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    if parts.empty or int(parts["n_orders"].sum()) == 0:
+        return pd.DataFrame({
+            "n_orders": pd.Series(dtype="int64"),
+            "n_matched": pd.Series(dtype="int64"),
+            "sum_abs_diff_c": pd.Series(dtype="int64"),
+            "max_abs_diff_c": pd.Series(dtype="int64")})
+    return pd.DataFrame({
+        "n_orders": pd.Series([int(parts["n_orders"].sum())],
+                              dtype="int64"),
+        "n_matched": pd.Series([int(parts["n_matched"].sum())],
+                               dtype="int64"),
+        "sum_abs_diff_c": pd.Series([int(parts["sum_abs_diff_c"].sum())],
+                                    dtype="int64"),
+        "max_abs_diff_c": pd.Series([int(parts["max_abs_diff_c"].max())],
+                                    dtype="int64")})
+
+
+def events_value_magnitude_hist(sf_dir: str):
+    """Decimal-magnitude histogram of positive event values (digit
+    count of the cents amount) — the quick power-law shape check that
+    pairs with the Benford first-digit audit. One |magnitudes|-bounded
+    map-side-combined exchange; non-positive cents are outside the
+    histogram on both engines."""
+    ev = rel.load(sf_dir, "events", ["value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        c = c[c > 0]
+        digits = np.char.str_len(c.astype("U"))
+        return pa.table({"n_digits": pa.array(digits.astype(np.int64))})
+
+    agg = rel.grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["n_digits"], [("n_values", "", "count")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg),
+                            {"n_digits": "int64", "n_values": "int64"})
+    return rel.to_pandas_sorted(df.astype("int64"), ["n_digits"])

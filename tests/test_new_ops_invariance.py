@@ -225,7 +225,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "orders_cohort_ltv", "supplier_discount_deviation",
         "region_revenue_share", "events_error_burst_sessions",
         "orders_key_continuity", "part_type_price_index",
-        "customer_spend_balance_corr", "lineitem_position_stats"]
+        "customer_spend_balance_corr", "lineitem_position_stats",
+        "events_type_transition_entropy", "daily_activity_overlay",
+        "orders_lineitem_reconcile", "events_value_magnitude_hist"]
 # docs_source_vocab_jaccard needs >= 2 sources to emit pairs; the shared
 # docs fixture is single-source, so it gets a dedicated table below.
 

@@ -1295,3 +1295,79 @@ def test_position_stats_fuzz(rows):
         "l_quantity": pa.array([float(r[2]) for r in rows], pa.float64()),
     })
     _check("lineitem_position_stats", {"lineitem": lineitem})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),
+              st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+              st.sampled_from(["view", "click", "purchase"])),
+    min_size=2, max_size=30))
+def test_transition_entropy_fuzz(rows):
+    # micro-nat term rounding over the markov counts: single-successor
+    # types pin H=0 exactly (ln(n) - n*ln(n)/n), ties follow event_id
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[0]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    _check("events_type_transition_entropy", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(edays=st.lists(st.integers(min_value=0, max_value=8),
+                      min_size=0, max_size=20),
+       odays=st.lists(st.integers(min_value=0, max_value=8),
+                      min_size=1, max_size=20))
+def test_activity_overlay_fuzz(edays, odays):
+    # full-outer calendar merge: days present on only one side must
+    # report a 0 (not drop) on both engines
+    events = pa.table({
+        "ts": pa.array([_BASE + dt.timedelta(days=d) for d in edays],
+                       pa.timestamp("us")),
+    })
+    orders = pa.table({
+        "o_orderdate": pa.array([_BASE + dt.timedelta(days=d)
+                                 for d in odays], pa.timestamp("us")),
+    })
+    _check("daily_activity_overlay", {"events": events, "orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(lines=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6), _MONEY,
+              st.integers(min_value=0, max_value=10).map(lambda k: k / 100.0),
+              st.integers(min_value=0, max_value=8).map(lambda k: k / 100.0)),
+    min_size=1, max_size=25),
+    totals=st.lists(_MONEY, min_size=1, max_size=7))
+def test_reconcile_fuzz(lines, totals):
+    # header-vs-lines drift fold: the net formula multiplies in the
+    # same order on both engines, and exact-cents equality is the
+    # match rule (no tolerance)
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in lines], pa.float64()),
+        "l_discount": pa.array([r[2] for r in lines], pa.float64()),
+        "l_tax": pa.array([r[3] for r in lines], pa.float64()),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array(range(len(totals)), pa.int64()),
+        "o_totalprice": pa.array(totals, pa.float64()),
+    })
+    _check("orders_lineitem_reconcile",
+           {"lineitem": lineitem, "orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(_MONEY, min_size=1, max_size=30))
+def test_value_magnitude_hist_fuzz(vals):
+    # digit-count binning: non-positive cents are outside the
+    # histogram; power-of-ten boundaries must bucket identically
+    events = pa.table({"value": pa.array(vals, pa.float64())})
+    _check("events_value_magnitude_hist", {"events": events})
