@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "docs_pipeline_yield": q.docs_pipeline_yield,
+        "docs_token_len_hist": q.docs_token_len_hist,
+        "events_type_time_coverage": q.events_type_time_coverage,
         "events_type_transition_entropy": q.events_type_transition_entropy,
         "daily_activity_overlay": q.daily_activity_overlay,
         "orders_lineitem_reconcile": q.orders_lineitem_reconcile,
@@ -274,6 +277,60 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_pipeline_yield": f"""
+            WITH s AS (
+                SELECT doc_id, n_chars, md5(text) AS fp,
+                       length(regexp_extract_all(text, '{_TOK}'))
+                           AS n_tokens,
+                       round(CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE CAST(length(regexp_replace(
+                                      text, '[^a-zA-Z ]', '', 'g'))
+                                      AS DOUBLE) / length(text) END, 4)
+                           AS alpha_ratio,
+                       round(CASE WHEN length(regexp_extract_all(
+                                       text, '{_TOK}')) = 0 THEN 0.0
+                             ELSE CAST(length(regexp_extract_all(
+                                      text, '{_STOP}')) AS DOUBLE)
+                                  / length(regexp_extract_all(
+                                       text, '{_TOK}')) END, 4)
+                           AS stop_ratio
+                FROM documents),
+            k AS (SELECT * FROM (
+                      SELECT s.*, row_number() OVER (
+                          PARTITION BY fp ORDER BY doc_id) AS rn
+                      FROM s) WHERE rn = 1),
+            q AS (SELECT * FROM k
+                  WHERE n_tokens >= 30 AND alpha_ratio >= 0.5
+                    AND stop_ratio >= 0.02)
+            SELECT * FROM (
+                SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+                           AS n_chars_total
+                FROM s
+                UNION ALL
+                SELECT 1, 'exact_dedup', count(*),
+                       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM k
+                UNION ALL
+                SELECT 2, 'quality', count(*),
+                       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM q)
+            ORDER BY stage_idx
+        """,
+        "docs_token_len_hist": r"""
+            SELECT CAST(length(tok) AS BIGINT) AS tok_len,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_type_time_coverage": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                   CAST((max(epoch_us(ts)) - min(epoch_us(ts)))
+                        // 86400000000 AS BIGINT) AS span_days
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "events_type_transition_entropy": """
             WITH s AS (
                 SELECT event_type,

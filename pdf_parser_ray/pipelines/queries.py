@@ -9277,3 +9277,125 @@ def events_value_magnitude_hist(sf_dir: str):
     df = rel.ensure_columns(rel.as_pandas(agg),
                             {"n_digits": "int64", "n_values": "int64"})
     return rel.to_pandas_sorted(df.astype("int64"), ["n_digits"])
+
+
+def docs_pipeline_yield(sf_dir: str):
+    """Cleaning-funnel yield report: docs and chars surviving each
+    stage of the canonical corpus pipeline — raw -> exact dedup (min
+    doc_id keeps) -> C4-style quality gate — the table that says what
+    a crawl actually costs after cleaning. ONE streaming pass computes
+    per-doc (fp, stats); the only exchange is the fp-keyed keeper
+    resolve (map_groups argmin); every stage row is a scalar fold, so
+    the funnel adds no per-stage rescans."""
+    docs = rel.load(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.functions.textstats import fingerprint
+
+        stats = textstage.stats_batch(batch)
+        texts = batch.column("text").to_pylist()
+        return stats.append_column(
+            "fp", pa.array([fingerprint(t) for t in texts], pa.string())
+        ).append_column("n_chars", batch.column("n_chars"))
+
+    s_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("alpha_ratio", pa.float64()), ("stop_ratio", pa.float64()),
+        ("fp", pa.string()), ("n_chars", pa.int64())])
+    stats = rel.ensure_schema(
+        docs.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True), s_schema).materialize()
+
+    def keeper(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        return group.take(idx[:1])
+
+    keepers = rel.ensure_schema(
+        stats.groupby("fp").map_groups(keeper, batch_format="pyarrow"),
+        s_schema).materialize()
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("n_tokens"),
+                                 pa.scalar(30, pa.int64())),
+                pc.greater_equal(batch.column("alpha_ratio"),
+                                 pa.scalar(0.5))),
+            pc.greater_equal(batch.column("stop_ratio"), pa.scalar(0.02)))
+        return batch.filter(keep)
+
+    quality = rel.ensure_schema(
+        keepers.map_batches(gate, batch_format="pyarrow",
+                            zero_copy_batch=True), s_schema).materialize()
+
+    def fold(ds):
+        n = ds.count()
+        return n, int(ds.sum("n_chars")) if n else 0
+
+    rows = []
+    for i, (stage, d) in enumerate(
+            (("raw", stats), ("exact_dedup", keepers),
+             ("quality", quality))):
+        n, chars = fold(d)
+        rows.append({"stage_idx": i, "stage": stage, "n_docs": n,
+                     "n_chars_total": chars})
+    out = pd.DataFrame(rows)
+    for col in ("stage_idx", "n_docs", "n_chars_total"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def docs_token_len_hist(sf_dir: str):
+    """Token-length histogram (codepoints per token) — the subword
+    budget profile a tokenizer design starts from. Per-batch Arrow
+    regex explode + length value_counts partials; the rollup is
+    bounded by the longest token, never the corpus."""
+    docs = rel.load(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = pc.value_counts(pc.cast(pc.utf8_length(toks), pa.int64()))
+        return pa.table({"tok_len": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = rel.grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["tok_len"], [("n_tokens", "n", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg),
+                            {"tok_len": "int64", "n_tokens": "int64"})
+    return rel.to_pandas_sorted(df.astype("int64"), ["tok_len"])
+
+
+def events_type_time_coverage(sf_dir: str):
+    """Per-type time coverage profile: event count, first/last
+    microsecond timestamps and the span in whole days — the
+    data-availability card checked before any backtest window is
+    chosen. One |types|-bounded map-side-combined exchange; exact
+    int64 microsecond extrema."""
+    ev = rel.load(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "us": pc.cast(batch.column("ts"), pa.int64())})
+
+    agg = rel.grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"],
+        [("n_events", "", "count"), ("first_us", "us", "min"),
+         ("last_us", "us", "max")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "event_type": "object", "n_events": "int64",
+        "first_us": "int64", "last_us": "int64"})
+    df["span_days"] = [
+        (int(b) - int(a)) // 86_400_000_000
+        for a, b in zip(df["first_us"], df["last_us"])]
+    if len(df):
+        df["span_days"] = df["span_days"].astype("int64")
+    return rel.to_pandas_sorted(
+        df[["event_type", "n_events", "first_us", "last_us",
+            "span_days"]], ["event_type"])

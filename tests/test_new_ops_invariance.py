@@ -227,7 +227,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "orders_key_continuity", "part_type_price_index",
         "customer_spend_balance_corr", "lineitem_position_stats",
         "events_type_transition_entropy", "daily_activity_overlay",
-        "orders_lineitem_reconcile", "events_value_magnitude_hist"]
+        "orders_lineitem_reconcile", "events_value_magnitude_hist",
+        "docs_pipeline_yield", "docs_token_len_hist",
+        "events_type_time_coverage"]
 # docs_source_vocab_jaccard needs >= 2 sources to emit pairs; the shared
 # docs fixture is single-source, so it gets a dedicated table below.
 

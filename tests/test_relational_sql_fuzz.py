@@ -1371,3 +1371,55 @@ def test_value_magnitude_hist_fuzz(vals):
     # histogram; power-of-ten boundaries must bucket identically
     events = pa.table({"value": pa.array(vals, pa.float64())})
     _check("events_value_magnitude_hist", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(
+    st.sampled_from([
+        "",  # gate-failing empty
+        "the and of to in " * 8,          # passes all three gates
+        "x1 y2 z3",                       # too few tokens
+        "### $$$ %%% " * 12,              # alpha gate fails
+        "the and of to in " * 8 + "!!",   # near-duplicate variant
+    ]),
+    min_size=1, max_size=12))
+def test_pipeline_yield_fuzz(docs):
+    # funnel counts must agree at every stage: duplicate texts keep
+    # min doc_id, the quality gate compares the same rounded metrics
+    documents = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+    })
+    _check("docs_pipeline_yield", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "dddd", "eeeeeee"]),
+             min_size=0, max_size=10),
+    min_size=1, max_size=12))
+def test_token_len_hist_fuzz(docs):
+    # codepoint-length binning must match SQL length() per token
+    documents = pa.table({
+        "text": pa.array([" ".join(d) for d in docs], pa.string()),
+    })
+    _check("docs_token_len_hist", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["view", "click", "error"]),
+              st.integers(min_value=0, max_value=200_000_000)),  # us
+    min_size=1, max_size=30))
+def test_type_time_coverage_fuzz(rows):
+    # exact int64 microsecond extrema and whole-day span truncation
+    events = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([_BASE + dt.timedelta(microseconds=r[1])
+                        for r in rows], pa.timestamp("us")),
+    })
+    _check("events_type_time_coverage", {"events": events})
