@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "docs_quality_gate_attribution": q.docs_quality_gate_attribution,
+        "events_session_gap_sensitivity": q.events_session_gap_sensitivity,
+        "events_props_k_hist": q.events_props_k_hist,
         "docs_pipeline_yield": q.docs_pipeline_yield,
         "docs_token_len_hist": q.docs_token_len_hist,
         "events_type_time_coverage": q.events_type_time_coverage,
@@ -277,6 +280,66 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_quality_gate_attribution": f"""
+            WITH s AS (
+                SELECT length(regexp_extract_all(text, '{_TOK}'))
+                           AS n_tokens,
+                       round(CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE CAST(length(regexp_replace(
+                                      text, '[^a-zA-Z ]', '', 'g'))
+                                      AS DOUBLE) / length(text) END, 4)
+                           AS alpha_ratio,
+                       round(CASE WHEN length(regexp_extract_all(
+                                       text, '{_TOK}')) = 0 THEN 0.0
+                             ELSE CAST(length(regexp_extract_all(
+                                      text, '{_STOP}')) AS DOUBLE)
+                                  / length(regexp_extract_all(
+                                       text, '{_TOK}')) END, 4)
+                           AS stop_ratio
+                FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_tokens < 30
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fail_tokens,
+                   CAST(sum(CASE WHEN alpha_ratio < 0.5
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+                   CAST(sum(CASE WHEN stop_ratio < 0.02
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+                   CAST(sum(CASE WHEN n_tokens >= 30
+                                  AND alpha_ratio >= 0.5
+                                  AND stop_ratio >= 0.02
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM s HAVING count(*) > 0
+        """,
+        "events_session_gap_sensitivity": """
+            WITH l AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events WHERE user_id IS NOT NULL)
+            SELECT * FROM (
+                SELECT CAST(15 AS BIGINT) AS gap_minutes,
+                       CAST(sum(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 15 MINUTE
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_sessions
+                FROM l HAVING count(*) > 0
+                UNION ALL
+                SELECT 30, CAST(sum(CASE WHEN prev_ts IS NULL
+                                      OR ts - prev_ts > INTERVAL 30 MINUTE
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                FROM l HAVING count(*) > 0
+                UNION ALL
+                SELECT 60, CAST(sum(CASE WHEN prev_ts IS NULL
+                                      OR ts - prev_ts > INTERVAL 60 MINUTE
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                FROM l HAVING count(*) > 0)
+            ORDER BY gap_minutes
+        """,
+        "events_props_k_hist": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "docs_pipeline_yield": f"""
             WITH s AS (
                 SELECT doc_id, n_chars, md5(text) AS fp,

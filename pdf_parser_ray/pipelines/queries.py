@@ -9399,3 +9399,97 @@ def events_type_time_coverage(sf_dir: str):
     return rel.to_pandas_sorted(
         df[["event_type", "n_events", "first_us", "last_us",
             "span_days"]], ["event_type"])
+
+
+def docs_quality_gate_attribution(sf_dir: str):
+    """Why documents die: per quality gate (token floor, alpha ratio,
+    stopword ratio), how many docs fail it — plus the pass count. Docs
+    can fail several gates, so the columns are independent kill
+    counters, the actionable complement to the yield funnel (a high
+    alpha-kill rate means encoding damage, not short docs). One
+    streaming stats pass; the verdict is a 4-scalar fold."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    stats = ds.map_batches(textstage.stats_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        ft = pc.less(batch.column("n_tokens"), pa.scalar(30, pa.int64()))
+        fa = pc.less(batch.column("alpha_ratio"), pa.scalar(0.5))
+        fs = pc.less(batch.column("stop_ratio"), pa.scalar(0.02))
+        passed = pc.and_(pc.and_(pc.invert(ft), pc.invert(fa)),
+                         pc.invert(fs))
+        as_i = lambda m: int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)
+        return pa.table({
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "fail_tokens": pa.array([as_i(ft)], pa.int64()),
+            "fail_alpha": pa.array([as_i(fa)], pa.int64()),
+            "fail_stop": pa.array([as_i(fs)], pa.int64()),
+            "n_pass": pa.array([as_i(passed)], pa.int64())})
+
+    parts = stats.map_batches(verdict, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    cols = ["n_docs", "fail_tokens", "fail_alpha", "fail_stop", "n_pass"]
+    if parts.empty or int(parts["n_docs"].sum()) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return pd.DataFrame({c: pd.Series([int(parts[c].sum())], dtype="int64")
+                         for c in cols})
+
+
+def events_session_gap_sensitivity(sf_dir: str,
+                                   gaps: tuple = (15, 30, 60)):
+    """Session-definition sweep: total session counts at several
+    inactivity gaps in ONE pass — the sensitivity table that justifies
+    the 30-minute convention before anyone ships it. Per-user
+    map_groups computes the inter-event deltas once and counts starts
+    for every gap; the output is |gaps| scalar rows."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gaps = tuple(sorted(int(g) for g in gaps))
+    gap_tds = [np.timedelta64(g * 60, "s") for g in gaps]
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        d = g["ts"].diff()
+        rows = []
+        for gm, td in zip(gaps, gap_tds):
+            rows.append({"gap_minutes": gm,
+                         "n_sessions": int((d.gt(td) | d.isna()).sum())})
+        return pd.DataFrame(rows)
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    partials = ds.map_batches(drop_null, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    agg = rel.grouped_agg(partials, ["gap_minutes"],
+                          [("n_sessions", "n_sessions", "sum")],
+                          small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg),
+                            {"gap_minutes": "int64", "n_sessions": "int64"})
+    return rel.to_pandas_sorted(df.astype("int64"), ["gap_minutes"])
+
+
+def events_props_k_hist(sf_dir: str):
+    """Histogram of the JSON ``k`` property across all events — the
+    payload-distribution check after a schema change. JSON parse +
+    per-batch value_counts partials; the rollup is bounded by the
+    k-domain, never the event count."""
+    import json as _json
+
+    ds = rel.load(sf_dir, "events", ["props"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ks = np.array([int(_json.loads(p)["k"])
+                       for p in batch.column("props").to_pylist()],
+                      np.int64)
+        vals, counts = np.unique(ks, return_counts=True)
+        return pa.table({"k": pa.array(vals, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    agg = rel.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["k"], [("n_events", "n", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg),
+                            {"k": "int64", "n_events": "int64"})
+    return rel.to_pandas_sorted(df.astype("int64"), ["k"])

@@ -229,7 +229,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_type_transition_entropy", "daily_activity_overlay",
         "orders_lineitem_reconcile", "events_value_magnitude_hist",
         "docs_pipeline_yield", "docs_token_len_hist",
-        "events_type_time_coverage"]
+        "events_type_time_coverage", "docs_quality_gate_attribution",
+        "events_session_gap_sensitivity", "events_props_k_hist"]
 # docs_source_vocab_jaccard needs >= 2 sources to emit pairs; the shared
 # docs fixture is single-source, so it gets a dedicated table below.
 

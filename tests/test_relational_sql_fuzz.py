@@ -1423,3 +1423,52 @@ def test_type_time_coverage_fuzz(rows):
                         for r in rows], pa.timestamp("us")),
     })
     _check("events_type_time_coverage", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(
+    st.sampled_from([
+        "", "the and of to in " * 8, "x1 y2 z3",
+        "### $$$ %%% " * 12, "words only here " * 12,
+    ]),
+    min_size=1, max_size=12))
+def test_gate_attribution_fuzz(docs):
+    # independent kill counters: a doc failing two gates increments
+    # both; pass requires clearing all three on the ROUNDED metrics
+    documents = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    _check("docs_quality_gate_attribution", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+              st.integers(min_value=0, max_value=8000)),   # seconds
+    min_size=1, max_size=40))
+def test_gap_sensitivity_fuzz(rows):
+    # one-pass multi-gap counts: boundary deltas (exactly 900/1800/3600
+    # s continue the session) must agree at every gap simultaneously
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    _check("events_session_gap_sensitivity", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(ks=st.lists(st.integers(min_value=0, max_value=30),
+                   min_size=1, max_size=30))
+def test_props_k_hist_fuzz(ks):
+    # JSON k extraction histogram: duplicate values fold, the domain
+    # bounds the output
+    events = pa.table({
+        "props": pa.array(['{"k": %d}' % k for k in ks], pa.string()),
+    })
+    _check("events_props_k_hist", {"events": events})
