@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "part_type_supplier_counts": q.part_type_supplier_counts,
+        "supplier_catalog_breadth": q.supplier_catalog_breadth,
+        "events_type_dow_matrix": q.events_type_dow_matrix,
         "docs_quality_gate_attribution": q.docs_quality_gate_attribution,
         "events_session_gap_sensitivity": q.events_session_gap_sensitivity,
         "events_props_k_hist": q.events_props_k_hist,
@@ -280,6 +283,38 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "part_type_supplier_counts": """
+            SELECT p_type,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS n_suppliers
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "supplier_catalog_breadth": """
+            WITH b AS (
+                SELECT l_suppkey,
+                       count(DISTINCT l_partkey) AS n_parts_supplied
+                FROM lineitem GROUP BY 1)
+            SELECT CAST(n_parts_supplied AS BIGINT) AS n_parts_supplied,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "events_type_dow_matrix": """
+            WITH e AS (
+                SELECT event_type,
+                       (CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                            // 86400 + 4) % 7 AS dow
+                FROM events),
+            g AS (SELECT event_type, dow, count(*) AS n
+                  FROM e GROUP BY 1, 2),
+            t AS (SELECT event_type, sum(n) AS tot FROM g GROUP BY 1)
+            SELECT g.event_type, CAST(dow AS BIGINT) AS dow,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(CAST(n AS HUGEINT) * 1000000 // tot AS BIGINT)
+                       AS share_ppm
+            FROM g JOIN t USING (event_type)
+            ORDER BY 1, 2
+        """,
         "docs_quality_gate_attribution": f"""
             WITH s AS (
                 SELECT length(regexp_extract_all(text, '{_TOK}'))

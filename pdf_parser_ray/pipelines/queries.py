@@ -9493,3 +9493,100 @@ def events_props_k_hist(sf_dir: str):
     df = rel.ensure_columns(rel.as_pandas(agg),
                             {"k": "int64", "n_events": "int64"})
     return rel.to_pandas_sorted(df.astype("int64"), ["k"])
+
+
+def part_type_supplier_counts(sf_dir: str):
+    """TPC-H q16 shape re-expressed without a partsupp table: how many
+    DISTINCT suppliers serve each part type (observed through actual
+    line items) — the supply-base breadth table. The part dimension
+    broadcasts; one (type, suppkey) dedup exchange collapses the fact
+    table; the final count is |types|-bounded."""
+    part = rel.load(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas() \
+        .rename(columns={"p_partkey": "l_partkey"})
+    line = rel.load(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    pairs = rel.ensure_schema(
+        rel.grouped_agg(
+            rel.broadcast_merge(line, part, on="l_partkey"),
+            ["p_type", "l_suppkey"], [("c", "", "count")]),
+        pa.schema([("p_type", pa.string()), ("l_suppkey", pa.int64()),
+                   ("c", pa.int64())]))
+    agg = rel.grouped_agg(pairs, ["p_type"],
+                          [("n_suppliers", "", "count")],
+                          small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg),
+                            {"p_type": "object", "n_suppliers": "int64"})
+    df["n_suppliers"] = df["n_suppliers"].astype("int64")
+    return rel.to_pandas_sorted(df[["p_type", "n_suppliers"]], ["p_type"])
+
+
+def supplier_catalog_breadth(sf_dir: str):
+    """Catalog-breadth histogram: how many suppliers carry exactly k
+    distinct parts (observed in line items) — the
+    specialist-vs-generalist supply profile. Two dedup/count exchanges
+    ((supplier, part) then supplier) and a breadth-bounded histogram;
+    no supplier list ever gathers."""
+    line = rel.load(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    pairs = rel.ensure_schema(
+        rel.grouped_agg(line, ["l_suppkey", "l_partkey"],
+                        [("c", "", "count")]),
+        pa.schema([("l_suppkey", pa.int64()), ("l_partkey", pa.int64()),
+                   ("c", pa.int64())]))
+    breadth = rel.ensure_schema(
+        rel.grouped_agg(pairs, ["l_suppkey"],
+                        [("n_parts_supplied", "", "count")]),
+        pa.schema([("l_suppkey", pa.int64()),
+                   ("n_parts_supplied", pa.int64())]))
+    agg = rel.grouped_agg(breadth, ["n_parts_supplied"],
+                          [("n_suppliers", "", "count")],
+                          small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "n_parts_supplied": "int64", "n_suppliers": "int64"})
+    return rel.to_pandas_sorted(df.astype("int64"), ["n_parts_supplied"])
+
+
+def events_type_dow_matrix(sf_dir: str):
+    """Event-type weekday matrix: per (type, day-of-week) the event
+    count and its truncating-ppm share of the type's total — where in
+    the week each behavior lives. One (|types| x 7)-bounded map-side
+    combine; shares divide exact ints on the driver. dow =
+    (epoch_days + 4) % 7, Sunday = 0 (the orders seasonality
+    convention)."""
+    ev = rel.load(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        days = pc.divide(
+            pc.divide(pc.cast(pc.floor_temporal(batch.column("ts"),
+                                                unit="day"), pa.int64()),
+                      pa.scalar(1_000_000, pa.int64())),
+            pa.scalar(86_400, pa.int64()))
+        dow = pc.subtract(
+            pc.add(days, pa.scalar(4, pa.int64())),
+            pc.multiply(
+                pc.divide(pc.add(days, pa.scalar(4, pa.int64())),
+                          pa.scalar(7, pa.int64())),
+                pa.scalar(7, pa.int64())))
+        return pa.table({"event_type": batch.column("event_type"),
+                         "dow": dow})
+
+    agg = rel.grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "dow"], [("n_events", "", "count")],
+        small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "event_type": "object", "dow": "int64", "n_events": "int64"})
+    if df.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype="object"),
+            "dow": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "share_ppm": pd.Series(dtype="int64")})
+    totals = df.groupby("event_type")["n_events"].transform("sum")
+    df["share_ppm"] = [
+        _trunc_div_ppm(int(n), int(t))
+        for n, t in zip(df["n_events"], totals)]
+    df = df.astype({"dow": "int64", "n_events": "int64",
+                    "share_ppm": "int64"})
+    return rel.to_pandas_sorted(
+        df[["event_type", "dow", "n_events", "share_ppm"]],
+        ["event_type", "dow"])

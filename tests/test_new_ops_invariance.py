@@ -230,7 +230,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "orders_lineitem_reconcile", "events_value_magnitude_hist",
         "docs_pipeline_yield", "docs_token_len_hist",
         "events_type_time_coverage", "docs_quality_gate_attribution",
-        "events_session_gap_sensitivity", "events_props_k_hist"]
+        "events_session_gap_sensitivity", "events_props_k_hist",
+        "part_type_supplier_counts", "supplier_catalog_breadth",
+        "events_type_dow_matrix"]
 # docs_source_vocab_jaccard needs >= 2 sources to emit pairs; the shared
 # docs fixture is single-source, so it gets a dedicated table below.
 

@@ -1472,3 +1472,58 @@ def test_props_k_hist_fuzz(ks):
         "props": pa.array(['{"k": %d}' % k for k in ks], pa.string()),
     })
     _check("events_props_k_hist", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),    # partkey
+              st.integers(min_value=0, max_value=4)),   # suppkey
+    min_size=1, max_size=30))
+def test_supplier_counts_fuzz(rows):
+    # distinct-through-join: a supplier shipping the same part twice
+    # counts once per type; dangling partkeys drop via the inner join
+    lineitem = pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(range(5), pa.int64()),   # key 5 dangles
+        "p_type": pa.array([["T0", "T1"][i % 2] for i in range(5)],
+                           pa.string()),
+    })
+    _check("part_type_supplier_counts", {"lineitem": lineitem,
+                                         "part": part})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),
+              st.integers(min_value=0, max_value=6)),
+    min_size=1, max_size=30))
+def test_catalog_breadth_fuzz(rows):
+    # two-level dedup/count: histogram buckets must fold duplicates at
+    # both levels identically
+    lineitem = pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    _check("supplier_catalog_breadth", {"lineitem": lineitem})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["view", "click", "error"]),
+              st.integers(min_value=0, max_value=20)),  # day offset
+    min_size=1, max_size=40))
+def test_type_dow_matrix_fuzz(rows):
+    # (epoch_days + 4) % 7 weekday convention + per-type truncating
+    # shares must agree across week boundaries
+    events = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([_BASE + dt.timedelta(days=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    _check("events_type_dow_matrix", {"events": events})
