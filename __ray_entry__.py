@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- tier 1: oracled, no driver row yet ----
+        "lineitem_discount_uplift": q.lineitem_discount_uplift,
+        "orders_top_growth_customers": q.orders_top_growth_customers,
+        "docs_source_median_chars": q.docs_source_median_chars,
         "part_type_supplier_counts": q.part_type_supplier_counts,
         "supplier_catalog_breadth": q.supplier_catalog_breadth,
         "events_type_dow_matrix": q.events_type_dow_matrix,
@@ -283,6 +286,43 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_discount_uplift": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       / 100.0 AS gross_revenue,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) / 100.0
+                       AS net_revenue,
+                   (sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    - sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100) AS BIGINT))) / 100.0
+                       AS discount_given
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "orders_top_growth_customers": """
+            WITH c AS (
+                SELECT o_custkey,
+                       sum(CASE WHEN year(o_orderdate) = 1996
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS prev_c,
+                       sum(CASE WHEN year(o_orderdate) = 1997
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS cur_c
+                FROM orders GROUP BY 1),
+            g AS (SELECT o_custkey, prev_c, cur_c,
+                         CAST(CAST(cur_c - prev_c AS HUGEINT) * 1000000
+                              // prev_c AS BIGINT) AS growth_ppm
+                  FROM c WHERE prev_c > 0)
+            SELECT o_custkey, prev_c / 100.0 AS prev_revenue,
+                   cur_c / 100.0 AS cur_revenue, growth_ppm
+            FROM g ORDER BY growth_ppm DESC, o_custkey LIMIT 10
+        """,
+        "docs_source_median_chars": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT)
+                       AS median_chars
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
         "part_type_supplier_counts": """
             SELECT p_type,
                    CAST(count(DISTINCT l_suppkey) AS BIGINT)

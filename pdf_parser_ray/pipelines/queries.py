@@ -9590,3 +9590,136 @@ def events_type_dow_matrix(sf_dir: str):
     return rel.to_pandas_sorted(
         df[["event_type", "dow", "n_events", "share_ppm"]],
         ["event_type", "dow"])
+
+
+def lineitem_discount_uplift(sf_dir: str):
+    """Discount-spend ledger per return flag: gross (undiscounted)
+    revenue, net revenue, and the exact cents given away — the
+    promo-budget reconciliation view. One |flags|-bounded
+    map-side-combined exchange on two exact-cents columns; the
+    giveaway is the integer difference, immune to accumulation
+    order."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_returnflag", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        net = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "gross_c": _cents(batch.column("l_extendedprice")),
+            "net_c": _cents(net)})
+
+    agg = rel.grouped_agg(
+        line.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["l_returnflag"],
+        [("n_lines", "", "count"), ("gross_c", "gross_c", "sum"),
+         ("net_c", "net_c", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "l_returnflag": "object", "n_lines": "int64",
+        "gross_c": "int64", "net_c": "int64"})
+    out = pd.DataFrame({
+        "l_returnflag": df["l_returnflag"],
+        "n_lines": df["n_lines"].astype("int64"),
+        "gross_revenue": _dollars(df["gross_c"].astype("int64")),
+        "net_revenue": _dollars(df["net_c"].astype("int64")),
+        "discount_given": _dollars(
+            (df["gross_c"] - df["net_c"]).astype("int64"))})
+    return rel.to_pandas_sorted(out, ["l_returnflag"])
+
+
+def orders_top_growth_customers(sf_dir: str, k: int = 10,
+                                year_hi: int = 1997):
+    """Fastest-growing accounts: the ``k`` customers with the highest
+    truncating-ppm revenue growth from year N-1 to year N (restricted
+    to customers with positive prior-year revenue — growth from zero
+    is undefined) — the expansion-revenue review list. One custkey
+    exchange folds BOTH years as conditional exact-cents sums; ranking
+    is per-batch local top-k (growth desc, custkey), never a global
+    sort."""
+    orders = rel.load(sf_dir, "orders",
+                      ["o_custkey", "o_orderdate", "o_totalprice"])
+    y0, y1 = year_hi - 1, year_hi
+
+    def prep(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("o_orderdate"))
+        c = _cents(batch.column("o_totalprice"))
+        z = pa.scalar(0, pa.int64())
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "prev_c": pc.if_else(pc.equal(yr, pa.scalar(y0)), c, z),
+            "cur_c": pc.if_else(pc.equal(yr, pa.scalar(y1)), c, z)})
+
+    per_cust = rel.ensure_schema(
+        rel.grouped_agg(
+            orders.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["o_custkey"],
+            [("prev_c", "prev_c", "sum"), ("cur_c", "cur_c", "sum")]),
+        pa.schema([("o_custkey", pa.int64()), ("prev_c", pa.int64()),
+                   ("cur_c", pa.int64())]))
+
+    def growth(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch.column("prev_c"),
+                                       pa.scalar(0, pa.int64())))
+        prev = kept.column("prev_c").to_numpy(zero_copy_only=False)
+        cur = kept.column("cur_c").to_numpy(zero_copy_only=False)
+        g = np.array([_trunc_div_ppm(int(c) - int(p), int(p))
+                      for c, p in zip(cur, prev)], np.int64) \
+            if len(prev) else np.array([], np.int64)
+        return pa.table({
+            "o_custkey": kept.column("o_custkey"),
+            "prev_c": kept.column("prev_c"),
+            "cur_c": kept.column("cur_c"),
+            "growth_ppm": pa.array(g)})
+
+    top = rel.local_topk(
+        per_cust.map_batches(growth, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        [("growth_ppm", "descending"), ("o_custkey", "ascending")], k)
+    top = rel.ensure_columns(top, {
+        "o_custkey": "int64", "prev_c": "int64", "cur_c": "int64",
+        "growth_ppm": "int64"})
+    out = pd.DataFrame({
+        "o_custkey": top["o_custkey"].astype("int64"),
+        "prev_revenue": _dollars(top["prev_c"].astype("int64")),
+        "cur_revenue": _dollars(top["cur_c"].astype("int64")),
+        "growth_ppm": top["growth_ppm"].astype("int64")})
+    return out.reset_index(drop=True)
+
+
+def docs_source_median_chars(sf_dir: str):
+    """Exact per-source median document length — the distribution
+    check behind any 'source X is mostly stubs' claim. The grouped
+    (source, n_chars) histogram runs distributed (bounded by the
+    length domain, not the doc count); the driver walks one tiny
+    histogram per source (quantile_disc rank rule)."""
+    docs = rel.load(sf_dir, "documents", ["source", "n_chars"])
+    hist = rel.ensure_schema(
+        rel.grouped_agg(docs, ["source", "n_chars"],
+                        [("n", "", "count")]),
+        pa.schema([("source", pa.string()), ("n_chars", pa.int64()),
+                   ("n", pa.int64())]))
+    hdf = rel.as_pandas(hist)
+    hdf = rel.ensure_columns(hdf, {"source": "object",
+                                   "n_chars": "int64", "n": "int64"})
+    rows = []
+    for src, grp in hdf.groupby("source", sort=True):
+        grp = grp.sort_values("n_chars")
+        cum = np.cumsum(grp["n"].to_numpy())
+        n = int(cum[-1])
+        target = int(np.ceil(0.5 * n))
+        med = int(grp["n_chars"].to_numpy()[np.searchsorted(cum, target)])
+        rows.append({"source": src, "n_docs": n, "median_chars": med})
+    out = pd.DataFrame(rows,
+                       columns=["source", "n_docs", "median_chars"])
+    if out.empty:
+        return pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "median_chars": pd.Series(dtype="int64")})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["median_chars"] = out["median_chars"].astype("int64")
+    return rel.to_pandas_sorted(out, ["source"])

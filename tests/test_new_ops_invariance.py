@@ -105,6 +105,8 @@ def _lineitem_table() -> pa.Table:
         "l_tax": pa.array(rng.randint(0, 9, n) / 100.0, pa.float64()),
         "l_linenumber": pa.array(
             (1 + rng.randint(0, 4, n)).astype(np.int32), pa.int32()),
+        "l_returnflag": pa.array(
+            [["A", "N", "R"][i % 3] for i in range(n)], pa.string()),
         "l_shipdate": pa.array(
             [base + dt.timedelta(days=int(d))
              for d in rng.randint(0, 20, n)],
@@ -232,7 +234,10 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_type_time_coverage", "docs_quality_gate_attribution",
         "events_session_gap_sensitivity", "events_props_k_hist",
         "part_type_supplier_counts", "supplier_catalog_breadth",
-        "events_type_dow_matrix"]
+        "events_type_dow_matrix", "lineitem_discount_uplift",
+        "docs_source_median_chars"]
+# orders_top_growth_customers pins years 1996/1997; the shared orders
+# fixture lives in 2024, so it gets a dedicated invariance test below.
 # docs_source_vocab_jaccard needs >= 2 sources to emit pairs; the shared
 # docs fixture is single-source, so it gets a dedicated table below.
 
@@ -394,3 +399,41 @@ def test_source_vocab_jaccard_invariance():
     # s1 vocab {a,b,c,d}, s2 vocab {b,c,e}: i=2, union=5 -> 400000 ppm
     assert list(a["n_shared"]) == [2]
     assert list(a["jaccard_ppm"]) == [400000]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_growth_customers_invariance():
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    rng = np.random.RandomState(23)
+    n = 80
+    tbl = pa.table({
+        "o_custkey": pa.array(rng.randint(0, 12, n), pa.int64()),
+        "o_orderdate": pa.array(
+            [dt.datetime(1996 + int(y), 1 + int(m), 3)
+             for y, m in zip(rng.randint(0, 2, n), rng.randint(0, 12, n))],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array(rng.randint(100, 900000, n) / 100.0,
+                                 pa.float64()),
+    })
+
+    def run(n_blocks):
+        def load(sf, table, columns=None):
+            return ray.data.from_arrow(
+                tbl.select(columns) if columns else tbl
+            ).repartition(n_blocks)
+
+        orig = q.rel.load
+        q.rel.load = load
+        try:
+            return q.orders_top_growth_customers("inv") \
+                .reset_index(drop=True)
+        finally:
+            q.rel.load = orig
+
+    a, b = run(1), run(6)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    assert list(a["growth_ppm"]) == sorted(a["growth_ppm"], reverse=True)

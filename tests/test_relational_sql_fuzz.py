@@ -1527,3 +1527,63 @@ def test_type_dow_matrix_fuzz(rows):
                        pa.timestamp("us")),
     })
     _check("events_type_dow_matrix", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["A", "N", "R"]), _MONEY,
+              st.integers(min_value=0, max_value=10).map(lambda k: k / 100.0)),
+    min_size=1, max_size=30))
+def test_discount_uplift_fuzz(rows):
+    # giveaway = gross - net as INTEGER cents difference: half-cent
+    # rounding happens per column, so the difference is order-immune
+    lineitem = pa.table({
+        "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    _check("lineitem_discount_uplift", {"lineitem": lineitem})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8),     # custkey
+              st.integers(min_value=0, max_value=1),     # year offset
+              _MONEY),
+    min_size=1, max_size=30))
+def test_top_growth_fuzz(rows):
+    # positive-prior gate + signed truncating growth + (growth desc,
+    # custkey) top-k tie order must agree; negative current years
+    # produce growth below -1e6 ppm
+    import hypothesis
+    prev = {}
+    for ck, yo, p in rows:
+        if yo == 0:
+            prev[ck] = prev.get(ck, 0) + round(p * 100)
+    hypothesis.assume(any(v > 0 for v in prev.values()))
+    orders = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [dt.datetime(1996 + r[1], 6, 1) for r in rows],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    _check("orders_top_growth_customers", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["s1", "s2"]),
+              st.integers(min_value=0, max_value=50)),
+    min_size=1, max_size=40))
+def test_source_median_fuzz(rows):
+    # quantile_disc rank rule over the distributed histogram: even
+    # counts pick the lower-middle value on both engines
+    documents = pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    _check("docs_source_median_chars", {"documents": documents})
