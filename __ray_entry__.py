@@ -47,7 +47,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import queries as q
 
     return {
-        # ---- tier 1: oracled, no driver row yet ----
+        # ---- tier 1: oracled, no driver row yet (newest first; the
+        #      driver checks the FIRST 50 entries, so the 50-slot
+        #      window covers the latest additions while everything
+        #      below stays pinned by the full local gate
+        #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
+        #      tests) ----
+        "events_power_users_share": q.events_power_users_share,
+        "docs_quality_metric_hist": q.docs_quality_metric_hist,
+        "docs_token_coverage_curve": q.docs_token_coverage_curve,
         "lineitem_discount_uplift": q.lineitem_discount_uplift,
         "orders_top_growth_customers": q.orders_top_growth_customers,
         "docs_source_median_chars": q.docs_source_median_chars,
@@ -286,6 +294,55 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_power_users_share": """
+            WITH u AS (
+                SELECT user_id, count(*) AS n
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                         CAST(sum(n) AS BIGINT) AS tot FROM u),
+            k AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS te
+                  FROM (SELECT n FROM u
+                        ORDER BY n DESC, user_id LIMIT 10))
+            SELECT nu AS n_users, tot AS n_events, te AS topk_events,
+                   CAST(CAST(te AS HUGEINT) * 1000000 // tot AS BIGINT)
+                       AS topk_share_ppm
+            FROM t, k WHERE nu > 0
+        """,
+        "docs_quality_metric_hist": f"""
+            WITH s AS (
+                SELECT round(CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE CAST(length(regexp_replace(
+                                      text, '[^a-zA-Z ]', '', 'g'))
+                                      AS DOUBLE) / length(text) END, 4)
+                           AS alpha_ratio
+                FROM documents)
+            SELECT CAST(CAST(round(alpha_ratio * 10000) AS BIGINT) // 500
+                        AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "docs_token_coverage_curve": r"""
+            WITH c AS (
+                SELECT tok, count(*) AS n
+                FROM (SELECT unnest(regexp_extract_all(text, '\S+'))
+                          AS tok FROM documents)
+                GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS HUGEINT) AS tot FROM c),
+            r AS (SELECT n, tok,
+                         row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+                         sum(n) OVER (ORDER BY n DESC, tok
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM c),
+            k(vocab_k) AS (SELECT unnest([1, 2, 4, 8, 16, 32]))
+            SELECT CAST(vocab_k AS BIGINT) AS vocab_k,
+                   CAST(max(cum) FILTER (WHERE rnk <= vocab_k)
+                        AS BIGINT) AS covered,
+                   CAST(CAST(max(cum) FILTER (WHERE rnk <= vocab_k)
+                             AS HUGEINT) * 1000000 // tot AS BIGINT)
+                       AS coverage_ppm
+            FROM k CROSS JOIN r CROSS JOIN t
+            GROUP BY vocab_k, tot ORDER BY vocab_k
+        """,
         "lineitem_discount_uplift": """
             SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
                    sum(CAST(round(l_extendedprice * 100) AS BIGINT))

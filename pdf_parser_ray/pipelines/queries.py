@@ -9723,3 +9723,118 @@ def docs_source_median_chars(sf_dir: str):
     out["n_docs"] = out["n_docs"].astype("int64")
     out["median_chars"] = out["median_chars"].astype("int64")
     return rel.to_pandas_sorted(out, ["source"])
+
+
+def events_power_users_share(sf_dir: str, k: int = 10):
+    """Traffic concentration: what share of ALL events the top-``k``
+    users generate (truncating ppm) — the bot/whale skew indicator
+    that decides whether per-user salting is worth it. One user-keyed
+    count exchange; a scalar total; per-batch local top-k; one output
+    row."""
+    ev = rel.load(sf_dir, "events", ["user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    per_user = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id"], [("n", "", "count")]),
+        pa.schema([("user_id", pa.int64()), ("n", pa.int64())])) \
+        .materialize()
+    empty = pd.DataFrame({
+        "n_users": pd.Series(dtype="int64"),
+        "n_events": pd.Series(dtype="int64"),
+        "topk_events": pd.Series(dtype="int64"),
+        "topk_share_ppm": pd.Series(dtype="int64")})
+    n_users = per_user.count()
+    if n_users == 0:
+        return empty
+    total = int(per_user.sum("n"))
+    top = rel.local_topk(per_user, [("n", "descending"),
+                                    ("user_id", "ascending")], k)
+    topk_events = int(top["n"].sum())
+    return pd.DataFrame({
+        "n_users": pd.Series([int(n_users)], dtype="int64"),
+        "n_events": pd.Series([total], dtype="int64"),
+        "topk_events": pd.Series([topk_events], dtype="int64"),
+        "topk_share_ppm": pd.Series(
+            [_trunc_div_ppm(topk_events, total)], dtype="int64")})
+
+
+def docs_quality_metric_hist(sf_dir: str):
+    """Distribution of the alpha-ratio quality metric in 0.05-wide
+    bands — the histogram that shows WHERE the gate threshold sits in
+    the corpus (a cliff at the cut means the threshold is load-
+    bearing). Banding happens on the ROUNDED 4-digit metric, so both
+    engines bucket identical values; |bands| <= 21 bounds the
+    rollup."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    stats = ds.map_batches(textstage.stats_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def band(batch: pa.Table) -> pa.Table:
+        # floor(rounded_ratio * 20): exact because the metric is a
+        # 4-digit decimal (x10000 is integral) — band = (x*10000)//500
+        scaled = pc.cast(
+            pc.round(pc.multiply(batch.column("alpha_ratio"),
+                                 pa.scalar(10_000.0)),
+                     ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64())
+        return pa.table({"band": pc.divide(scaled,
+                                           pa.scalar(500, pa.int64()))})
+
+    agg = rel.grouped_agg(
+        stats.map_batches(band, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["band"], [("n_docs", "", "count")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg),
+                            {"band": "int64", "n_docs": "int64"})
+    return rel.to_pandas_sorted(df.astype("int64"), ["band"])
+
+
+def docs_token_coverage_curve(sf_dir: str,
+                              ks: tuple = (1, 2, 4, 8, 16, 32)):
+    """Vocabulary coverage curve: for vocab sizes k = 1, 2, 4, ... the
+    truncating-ppm share of all token OCCURRENCES covered by the top-k
+    tokens (count desc, token asc total order) — the table that picks
+    a tokenizer vocab size. One vocabulary-keyed count exchange; a
+    scalar total; one local top-max(k); the cumsum walks max(k) driver
+    rows."""
+    ks = tuple(sorted(set(int(k) for k in ks)))
+    docs = rel.load(sf_dir, "documents", ["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = pc.value_counts(toks)
+        return pa.table({"tok": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = rel.ensure_schema(
+        rel.grouped_agg(
+            docs.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["tok"], [("n", "n", "sum")]),
+        pa.schema([("tok", pa.string()), ("n", pa.int64())])) \
+        .materialize()
+    empty = pd.DataFrame({
+        "vocab_k": pd.Series(dtype="int64"),
+        "covered": pd.Series(dtype="int64"),
+        "coverage_ppm": pd.Series(dtype="int64")})
+    if counts.count() == 0:
+        return empty
+    total = int(counts.sum("n"))
+    top = rel.local_topk(counts, [("n", "descending"),
+                                  ("tok", "ascending")], max(ks))
+    cum = top["n"].astype("int64").cumsum().to_numpy()
+    rows = []
+    for k in ks:
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append({"vocab_k": k, "covered": covered,
+                     "coverage_ppm": _trunc_div_ppm(covered, total)})
+    out = pd.DataFrame(rows)
+    return out.astype({"vocab_k": "int64", "covered": "int64",
+                       "coverage_ppm": "int64"})

@@ -1587,3 +1587,50 @@ def test_source_median_fuzz(rows):
         "n_chars": pa.array([r[1] for r in rows], pa.int64()),
     })
     _check("docs_source_median_chars", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(users=st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=20)),
+    min_size=1, max_size=50))
+def test_power_users_share_fuzz(users):
+    # top-k selection ties (count desc, user asc) and the truncating
+    # share must agree; fewer than k users covers everything
+    import hypothesis
+    hypothesis.assume(any(u is not None for u in users))
+    events = pa.table({"user_id": pa.array(users, pa.int64())})
+    _check("events_power_users_share", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(
+    st.sampled_from(["", "abc def", "a1b2", "### $$$", "pure words here",
+                     "half 1234 mix"]),
+    min_size=1, max_size=15))
+def test_quality_metric_hist_fuzz(docs):
+    # banding on the ROUNDED 4-digit metric: 0.05-boundary values
+    # (e.g. exactly 0.5000) must land in the same band on both engines
+    documents = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    _check("docs_quality_metric_hist", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
+             min_size=0, max_size=12),
+    min_size=1, max_size=12))
+def test_coverage_curve_fuzz(docs):
+    # the (count desc, tok) total order pins the top-k set through
+    # ties; k past the vocab size must cover everything exactly
+    import hypothesis
+    hypothesis.assume(any(d for d in docs))
+    documents = pa.table({
+        "text": pa.array([" ".join(d) for d in docs], pa.string()),
+    })
+    _check("docs_token_coverage_curve", {"documents": documents})
