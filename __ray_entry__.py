@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "docs_bigram_entropy_rate": q.docs_bigram_entropy_rate,
+        "events_session_value": q.events_session_value,
+        "supplier_price_dispersion": q.supplier_price_dispersion,
         "events_power_users_share": q.events_power_users_share,
         "docs_quality_metric_hist": q.docs_quality_metric_hist,
         "docs_token_coverage_curve": q.docs_token_coverage_curve,
@@ -294,6 +297,66 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_bigram_entropy_rate": r"""
+            WITH words AS (
+                SELECT regexp_extract_all(text, '\S+') AS w
+                FROM documents),
+            bg AS (SELECT w[i] AS a, w[i+1] AS b
+                   FROM words, LATERAL unnest(range(1, len(w))) AS t(i)
+                   WHERE len(w) >= 2),
+            c AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n
+                  FROM bg GROUP BY 1, 2),
+            fa AS (SELECT a, CAST(sum(n) AS DOUBLE) AS na
+                   FROM c GROUP BY 1),
+            m AS (SELECT
+                      (SELECT sum(CAST(round(na * ln(na) * 1000000)
+                                       AS BIGINT)) FROM fa) AS micro1,
+                      (SELECT sum(CAST(round(n * ln(n) * 1000000)
+                                       AS BIGINT)) FROM c) AS micro2,
+                      (SELECT CAST(sum(n) AS BIGINT) FROM c) AS total)
+            SELECT total AS n_bigrams,
+                   round(((CAST(micro1 AS DOUBLE) - micro2) / 1000000.0)
+                         / total, 4) AS entropy_rate
+            FROM m WHERE total > 0
+        """,
+        "events_session_value": """
+            WITH s AS (
+                SELECT user_id, value,
+                       sum(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM (SELECT user_id, ts, event_id, value,
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_ts
+                      FROM events WHERE user_id IS NOT NULL)),
+            g AS (SELECT user_id, sid,
+                         sum(CAST(round(value * 100) AS BIGINT)) AS c
+                  FROM s GROUP BY 1, 2),
+            m AS (SELECT count(*) AS ns, sum(c) AS sc, max(c) AS mc
+                  FROM g)
+            SELECT CAST(ns AS BIGINT) AS n_sessions,
+                   sc / 100.0 AS total_value,
+                   mc / 100.0 AS max_session_value,
+                   CAST(CAST(sc AS HUGEINT) // ns AS BIGINT)
+                       AS avg_session_cents
+            FROM m WHERE ns > 0
+        """,
+        "supplier_price_dispersion": """
+            WITH m AS (
+                SELECT l_suppkey, count(*) AS n,
+                       sum(CAST(round(l_extendedprice) AS BIGINT)) AS s,
+                       sum(CAST(round(l_extendedprice) AS BIGINT)
+                           * CAST(round(l_extendedprice) AS BIGINT)) AS ss
+                FROM lineitem GROUP BY 1)
+            SELECT l_suppkey AS s_suppkey, CAST(n AS BIGINT) AS n_lines,
+                   round(sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         / CAST(s AS DOUBLE), 6) AS cv
+            FROM m WHERE s > 0 ORDER BY 1
+        """,
         "events_power_users_share": """
             WITH u AS (
                 SELECT user_id, count(*) AS n

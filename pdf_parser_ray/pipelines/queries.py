@@ -9838,3 +9838,201 @@ def docs_token_coverage_curve(sf_dir: str,
     out = pd.DataFrame(rows)
     return out.astype({"vocab_k": "int64", "covered": "int64",
                        "coverage_ppm": "int64"})
+
+
+def docs_bigram_entropy_rate(sf_dir: str):
+    """Corpus entropy RATE: the conditional Shannon entropy H(next |
+    current) over within-document token bigrams (nats) — the
+    language-predictability number that drops when templates flood a
+    crawl. ONE bigram-keyed count exchange; first-token totals derive
+    from the aggregated bigram rows (no second scan); both n·ln(n)
+    folds ride integer micro-nats, so the result is order-free exact:
+    H = (Σ_a n_a ln n_a − Σ_ab n_ab ln n_ab) / N."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+
+    docs = rel.load(sf_dir, "documents", ["text"])
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from pdf_parser_ray.functions.sketches import re2_tokens
+
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            # re2_tokens mirrors the oracle's RE2 \S+ (ASCII whitespace
+            # class) — str.split() would diverge on NBSP/\v text
+            toks = re2_tokens(text or "")
+            for a, b in zip(toks, toks[1:]):
+                c[a + " " + b] += 1
+        if not c:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"bg": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = rel.ensure_schema(
+        rel.grouped_agg(
+            docs.map_batches(bigram_counts, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["bg"], [("n", "n", "sum")]),
+        pa.schema([("bg", pa.string()), ("n", pa.int64())])).materialize()
+    empty = pd.DataFrame({"n_bigrams": pd.Series(dtype="int64"),
+                          "entropy_rate": pd.Series(dtype="float64")})
+    if counts.count() == 0:
+        return empty
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        micro2 = int(np.sum(np_round_half_away(n * np.log(n) * 1e6, 0)))
+        first = pc.list_element(
+            pc.split_pattern(batch.column("bg"), " "), 0)
+        df = pd.DataFrame({
+            "first": first.to_pandas(),
+            "n": batch.column("n").to_numpy(zero_copy_only=False)})
+        fc = df.groupby("first", sort=False)["n"].sum()
+        return pa.table({
+            "first": pa.array(fc.index, pa.string()),
+            "na": pa.array(fc.to_numpy(np.int64)),
+            "micro2": pa.array([micro2] + [0] * (len(fc) - 1), pa.int64())
+            if len(fc) else pa.array([], pa.int64()),
+            "total": pa.array(
+                [int(n.sum())] + [0] * (len(fc) - 1), pa.int64())
+            if len(fc) else pa.array([], pa.int64())})
+
+    parts = rel.ensure_schema(
+        counts.map_batches(fold, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        pa.schema([("first", pa.string()), ("na", pa.int64()),
+                   ("micro2", pa.int64()), ("total", pa.int64())]))
+    fa = rel.ensure_schema(
+        rel.grouped_agg(parts, ["first"],
+                        [("na", "na", "sum"), ("micro2", "micro2", "sum"),
+                         ("total", "total", "sum")]),
+        pa.schema([("first", pa.string()), ("na", pa.int64()),
+                   ("micro2", pa.int64()), ("total", pa.int64())]))
+
+    def first_fold(batch: pa.Table) -> pa.Table:
+        na = batch.column("na").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        micro1 = int(np.sum(np_round_half_away(na * np.log(na) * 1e6, 0)))
+        return pa.table({
+            "micro1": pa.array([micro1], pa.int64()),
+            "micro2": pa.array(
+                [int(pc.sum(batch.column("micro2")).as_py() or 0)],
+                pa.int64()),
+            "total": pa.array(
+                [int(pc.sum(batch.column("total")).as_py() or 0)],
+                pa.int64())})
+
+    fdf = fa.map_batches(first_fold, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    micro1 = int(fdf["micro1"].sum())
+    micro2 = int(fdf["micro2"].sum())
+    total = int(fdf["total"].sum())
+    h = float(np_round_half_away(
+        np.array([((micro1 - micro2) / 1e6) / total]), 4)[0])
+    return pd.DataFrame({
+        "n_bigrams": pd.Series([total], dtype="int64"),
+        "entropy_rate": pd.Series([h], dtype="float64")})
+
+
+def events_session_value(sf_dir: str, gap_minutes: int = 30):
+    """Session-level revenue card: session count, total and maximum
+    per-session value, and the truncating mean session value in cents
+    — the monetization-per-visit summary. Per-user map_groups builds
+    sessions once and emits a 3-int partial; the global fold is a
+    scalar reduce."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts", "event_id",
+                                     "value"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        starts = (g["ts"].diff().gt(gap) | g["ts"].diff().isna()) \
+            .to_numpy()
+        sid = np.cumsum(starts)
+        cents = np_round_half_away_int(
+            g["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        sums = pd.Series(cents).groupby(sid).sum()
+        return pd.DataFrame({
+            "n_sessions": [int(sid[-1])],
+            "sum_c": [int(sums.sum())],
+            "max_c": [int(sums.max())]})
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    partials = ds.map_batches(drop_null, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    schema = pa.schema([("n_sessions", pa.int64()), ("sum_c", pa.int64()),
+                        ("max_c", pa.int64())])
+    partials = rel.ensure_schema(partials, schema).materialize()
+    if partials.count() == 0:
+        return pd.DataFrame({
+            "n_sessions": pd.Series(dtype="int64"),
+            "total_value": pd.Series(dtype="float64"),
+            "max_session_value": pd.Series(dtype="float64"),
+            "avg_session_cents": pd.Series(dtype="int64")})
+    ns = int(partials.sum("n_sessions"))
+    sc = int(partials.sum("sum_c"))
+    mx = int(partials.max("max_c"))
+    avg_c = abs(sc) // ns if sc >= 0 else -(abs(sc) // ns)
+    return pd.DataFrame({
+        "n_sessions": pd.Series([ns], dtype="int64"),
+        "total_value": pd.Series([sc / 100.0], dtype="float64"),
+        "max_session_value": pd.Series([mx / 100.0], dtype="float64"),
+        "avg_session_cents": pd.Series([avg_c], dtype="int64")})
+
+
+def supplier_price_dispersion(sf_dir: str):
+    """Per-supplier price dispersion: the population coefficient of
+    variation of line prices (integer-dollar units keep the squared
+    moments exact int64 to ~10^9 lines per supplier) — flags suppliers
+    quoting erratically. One supplier-keyed moment exchange; the CV
+    evaluates ONE identical double expression per supplier, rounded
+    half-away at 6; zero/negative price sums are outside the domain
+    (CV undefined) on both engines."""
+    from pdf_parser_ray.functions.num import np_round_half_away
+
+    line = rel.load(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.round(batch.column("l_extendedprice"), ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        return pa.table({
+            "l_suppkey": batch.column("l_suppkey"),
+            "s": d,
+            "ss": pc.multiply(d, d)})
+
+    agg = rel.ensure_schema(
+        rel.grouped_agg(
+            line.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["l_suppkey"],
+            [("n", "", "count"), ("s", "s", "sum"), ("ss", "ss", "sum")]),
+        pa.schema([("l_suppkey", pa.int64()), ("n", pa.int64()),
+                   ("s", pa.int64()), ("ss", pa.int64())]))
+
+    def cv(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch.column("s"),
+                                       pa.scalar(0, pa.int64())))
+        n = kept.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s = kept.column("s").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ss = kept.column("ss").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disp = np_round_half_away(np.sqrt(n * ss - s * s) / s, 6)
+        return pa.table({
+            "s_suppkey": kept.column("l_suppkey"),
+            "n_lines": kept.column("n"),
+            "cv": pa.array(disp, pa.float64())})
+
+    df = agg.map_batches(cv, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    df = rel.ensure_columns(df, {"s_suppkey": "int64", "n_lines": "int64",
+                                 "cv": "float64"})
+    return rel.to_pandas_sorted(df, ["s_suppkey"])

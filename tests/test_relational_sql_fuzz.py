@@ -1634,3 +1634,56 @@ def test_coverage_curve_fuzz(docs):
         "text": pa.array([" ".join(d) for d in docs], pa.string()),
     })
     _check("docs_token_coverage_curve", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]),
+             min_size=0, max_size=10),
+    min_size=1, max_size=12))
+def test_bigram_entropy_rate_fuzz(docs):
+    # micro-nat folds over bigram AND first-token counts must both be
+    # order-free; single-doc and single-token corpora pin the empty /
+    # zero-entropy paths
+    documents = pa.table({
+        "text": pa.array([" ".join(d) for d in docs], pa.string()),
+    })
+    _check("docs_bigram_entropy_rate", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+              st.integers(min_value=0, max_value=7200),
+              _MONEY),
+    min_size=1, max_size=40))
+def test_session_value_fuzz(rows):
+    # per-session cents sums + truncating mean: negative session
+    # values flip the division sign identically on both engines
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    _check("events_session_value", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),
+              st.floats(min_value=0.5, max_value=1e5,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=30))
+def test_price_dispersion_fuzz(rows):
+    # CV from one identical double expression: constant-price
+    # suppliers pin cv=0.0 exactly; the s>0 gate binds on both sides
+    lineitem = pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("supplier_price_dispersion", {"lineitem": lineitem})
