@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "docs_simpson_index": q.docs_simpson_index,
+        "lineitem_qty_mode": q.lineitem_qty_mode,
+        "events_user_count_mad": q.events_user_count_mad,
         "docs_bigram_entropy_rate": q.docs_bigram_entropy_rate,
         "events_session_value": q.events_session_value,
         "supplier_price_dispersion": q.supplier_price_dispersion,
@@ -297,6 +300,50 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_simpson_index": r"""
+            WITH c AS (
+                SELECT tok, count(*) AS n
+                FROM (SELECT unnest(regexp_extract_all(text, '\S+'))
+                          AS tok FROM documents)
+                GROUP BY 1),
+            m AS (SELECT CAST(sum(n * (n - 1)) AS HUGEINT) AS num,
+                         CAST(sum(n) AS HUGEINT) AS tot,
+                         CAST(count(*) AS BIGINT) AS types
+                  FROM c)
+            SELECT CAST(tot AS BIGINT) AS n_tokens, types AS n_types,
+                   CAST(num * 1000000 // (tot * (tot - 1)) AS BIGINT)
+                       AS simpson_ppm
+            FROM m WHERE tot >= 2
+        """,
+        "lineitem_qty_mode": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS qty,
+                       count(*) AS n
+                FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY l_returnflag
+                      ORDER BY n DESC, qty) AS rn
+                  FROM c)
+            SELECT l_returnflag, qty AS mode_qty,
+                   CAST(n AS BIGINT) AS n_lines
+            FROM r WHERE rn = 1 ORDER BY 1
+        """,
+        "events_user_count_mad": """
+            WITH u AS (
+                SELECT user_id, count(*) AS n
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+            med AS (SELECT quantile_disc(n, 0.5) AS m FROM u),
+            md AS (SELECT quantile_disc(abs(n - m), 0.5) AS mad
+                   FROM u, med)
+            SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
+                   CAST(m AS BIGINT) AS median_events,
+                   CAST(mad AS BIGINT) AS mad,
+                   CAST((SELECT count(*) FROM u
+                         WHERE n > m + 3 * mad) AS BIGINT) AS n_outliers
+            FROM med, md
+            WHERE (SELECT count(*) FROM u) > 0
+        """,
         "docs_bigram_entropy_rate": r"""
             WITH words AS (
                 SELECT regexp_extract_all(text, '\S+') AS w

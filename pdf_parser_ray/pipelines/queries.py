@@ -10036,3 +10036,140 @@ def supplier_price_dispersion(sf_dir: str):
     df = rel.ensure_columns(df, {"s_suppkey": "int64", "n_lines": "int64",
                                  "cv": "float64"})
     return rel.to_pandas_sorted(df, ["s_suppkey"])
+
+
+def docs_simpson_index(sf_dir: str):
+    """Simpson diversity of the token distribution: the probability
+    two random token occurrences are the SAME type, in truncating ppm
+    (Σ n(n−1) / N(N−1)) — the quadratic concentration companion to
+    the entropy lens, fully integer-exact (no logs anywhere). One
+    vocabulary-keyed exchange; the numerator folds as int sums; one
+    output row."""
+    docs = rel.load(sf_dir, "documents", ["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = pc.value_counts(toks)
+        return pa.table({"tok": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = rel.ensure_schema(
+        rel.grouped_agg(
+            docs.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["tok"], [("n", "n", "sum")]),
+        pa.schema([("tok", pa.string()), ("n", pa.int64())]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "num": pa.array([int((n * (n - 1)).sum())], pa.int64()),
+            "tot": pa.array([int(n.sum())], pa.int64()),
+            "types": pa.array([len(n)], pa.int64())})
+
+    parts = counts.map_batches(fold, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({
+        "n_tokens": pd.Series(dtype="int64"),
+        "n_types": pd.Series(dtype="int64"),
+        "simpson_ppm": pd.Series(dtype="int64")})
+    if parts.empty:
+        return empty
+    num = int(parts["num"].sum())
+    tot = int(parts["tot"].sum())
+    types = int(parts["types"].sum())
+    if tot < 2:
+        return empty
+    return pd.DataFrame({
+        "n_tokens": pd.Series([tot], dtype="int64"),
+        "n_types": pd.Series([types], dtype="int64"),
+        "simpson_ppm": pd.Series(
+            [num * 1_000_000 // (tot * (tot - 1))], dtype="int64")})
+
+
+def lineitem_qty_mode(sf_dir: str):
+    """Exact per-flag quantity MODE (ties -> smallest quantity) — the
+    most-common-order-size card. One (flag, qty)-bounded
+    map-side-combined count; the per-flag argmax walks <= 50 rows per
+    flag on the driver."""
+    line = rel.load(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "qty": pc.cast(pc.round(batch.column("l_quantity"), ndigits=0,
+                                    round_mode="half_towards_infinity"),
+                           pa.int64())})
+
+    agg = rel.grouped_agg(
+        line.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["l_returnflag", "qty"], [("n", "", "count")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "l_returnflag": "object", "qty": "int64", "n": "int64"})
+    if df.empty:
+        return pd.DataFrame({
+            "l_returnflag": pd.Series(dtype="object"),
+            "mode_qty": pd.Series(dtype="int64"),
+            "n_lines": pd.Series(dtype="int64")})
+    df = df.sort_values(["l_returnflag", "n", "qty"],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("l_returnflag", as_index=False).head(1)
+    out = pd.DataFrame({
+        "l_returnflag": df["l_returnflag"],
+        "mode_qty": df["qty"].astype("int64"),
+        "n_lines": df["n"].astype("int64")})
+    return rel.to_pandas_sorted(out, ["l_returnflag"])
+
+
+def events_user_count_mad(sf_dir: str, k: int = 3):
+    """Robust bot screen: users whose event count exceeds median +
+    k*MAD (median absolute deviation) — the outlier rule that a few
+    whales cannot drag, unlike mean/std. Per-user counts exchange,
+    then BOTH medians walk tiny count-of-counts histograms (values
+    are small-int event counts); only the outlier count and the
+    robust stats leave the driver."""
+    ev = rel.load(sf_dir, "events", ["user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    per_user = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id"], [("n", "", "count")]),
+        pa.schema([("user_id", pa.int64()), ("n", pa.int64())]))
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(per_user, ["n"],
+                                      [("c", "", "count")],
+                                      small_result=True)),
+        {"n": "int64", "c": "int64"})
+    empty = pd.DataFrame({
+        "n_users": pd.Series(dtype="int64"),
+        "median_events": pd.Series(dtype="int64"),
+        "mad": pd.Series(dtype="int64"),
+        "n_outliers": pd.Series(dtype="int64")})
+    if hist.empty:
+        return empty
+
+    def disc_median(vals: np.ndarray, weights: np.ndarray) -> int:
+        order = np.argsort(vals, kind="mergesort")
+        v, w = vals[order], weights[order]
+        cum = np.cumsum(w)
+        target = int(np.ceil(0.5 * cum[-1]))
+        return int(v[np.searchsorted(cum, target)])
+
+    vals = hist["n"].to_numpy(np.int64)
+    ws = hist["c"].to_numpy(np.int64)
+    med = disc_median(vals, ws)
+    mad = disc_median(np.abs(vals - med), ws)
+    cutoff = med + k * mad
+    n_out = int(ws[vals > cutoff].sum())
+    return pd.DataFrame({
+        "n_users": pd.Series([int(ws.sum())], dtype="int64"),
+        "median_events": pd.Series([med], dtype="int64"),
+        "mad": pd.Series([mad], dtype="int64"),
+        "n_outliers": pd.Series([n_out], dtype="int64")})

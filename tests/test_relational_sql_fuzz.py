@@ -1687,3 +1687,47 @@ def test_price_dispersion_fuzz(rows):
         "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
     })
     _check("supplier_price_dispersion", {"lineitem": lineitem})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10),
+    min_size=1, max_size=12))
+def test_simpson_index_fuzz(docs):
+    # integer-exact quadratic diversity: sub-2-token corpora are
+    # outside the domain (empty result) on both engines
+    documents = pa.table({
+        "text": pa.array([" ".join(d) for d in docs], pa.string()),
+    })
+    _check("docs_simpson_index", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["A", "N", "R"]),
+              st.integers(min_value=1, max_value=8)),
+    min_size=1, max_size=40))
+def test_qty_mode_fuzz(rows):
+    # per-group argmax with (count desc, qty asc) ties: equal-count
+    # modes must resolve to the smallest quantity on both engines
+    lineitem = pa.table({
+        "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+        "l_quantity": pa.array([float(r[1]) for r in rows], pa.float64()),
+    })
+    _check("lineitem_qty_mode", {"lineitem": lineitem})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(users=st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=8)),
+    min_size=1, max_size=60))
+def test_user_count_mad_fuzz(users):
+    # double quantile_disc walk (median then MAD of deviations) and
+    # the > med + 3*MAD boundary must agree exactly
+    import hypothesis
+    hypothesis.assume(any(u is not None for u in users))
+    events = pa.table({"user_id": pa.array(users, pa.int64())})
+    _check("events_user_count_mad", {"events": events})
