@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "events_rate_limit_sim": q.events_rate_limit_sim,
+        "docs_field_completeness": q.docs_field_completeness,
+        "events_first_week_activation": q.events_first_week_activation,
         "docs_simpson_index": q.docs_simpson_index,
         "lineitem_qty_mode": q.lineitem_qty_mode,
         "events_user_count_mad": q.events_user_count_mad,
@@ -300,6 +303,54 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_rate_limit_sim": """
+            WITH c AS (
+                SELECT user_id, date_trunc('minute', ts) AS m,
+                       count(*) AS c
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+            a AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                         CAST(sum(least(c, 2)) AS BIGINT) AS kept
+                  FROM c)
+            SELECT total AS n_events, kept AS n_kept,
+                   total - kept AS n_dropped,
+                   CAST(CAST(kept AS HUGEINT) * 1000000 // total
+                        AS BIGINT) AS kept_ppm
+            FROM a WHERE total > 0
+        """,
+        "docs_field_completeness": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_text,
+                   CAST(sum(CASE WHEN text IS NOT NULL AND text = ''
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_empty_text,
+                   CAST(sum(CASE WHEN text IS NOT NULL
+                                  AND length(text) < 10
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_short_text,
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_lang,
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_source
+            FROM documents HAVING count(*) > 0
+        """,
+        "events_first_week_activation": """
+            WITH u AS (
+                SELECT user_id, min(ts) AS first_ts
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+            w AS (SELECT e.user_id, count(*) AS in_week
+                  FROM events e JOIN u USING (user_id)
+                  WHERE e.ts <= u.first_ts + INTERVAL 7 DAY
+                  GROUP BY 1),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                         CAST(sum(CASE WHEN in_week >= 5
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS act
+                  FROM w)
+            SELECT nu AS n_users, act AS n_activated,
+                   CAST(CAST(act AS HUGEINT) * 1000000 // nu AS BIGINT)
+                       AS activation_ppm
+            FROM a WHERE nu > 0
+        """,
         "docs_simpson_index": r"""
             WITH c AS (
                 SELECT tok, count(*) AS n

@@ -10173,3 +10173,129 @@ def events_user_count_mad(sf_dir: str, k: int = 3):
         "median_events": pd.Series([med], dtype="int64"),
         "mad": pd.Series([mad], dtype="int64"),
         "n_outliers": pd.Series([n_out], dtype="int64")})
+
+
+def events_rate_limit_sim(sf_dir: str, per_minute: int = 2):
+    """Rate-limiter what-if: if each user were capped at ``per_minute``
+    events per clock minute, how much traffic survives? One
+    (user, minute) count exchange; kept = min(c, cap) folds map-side;
+    one output row — the capacity-policy simulation run before
+    shipping the limiter."""
+    ev = rel.load(sf_dir, "events", ["user_id", "ts"])
+    cap = pa.scalar(int(per_minute), pa.int64())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "minute": pc.floor_temporal(batch.column("ts"), unit="minute")})
+
+    counts = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id", "minute"], [("c", "", "count")]),
+        pa.schema([("user_id", pa.int64()),
+                   ("minute", pa.timestamp("us")), ("c", pa.int64())]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        c = batch.column("c")
+        kept = pc.min_element_wise(c, cap)
+        return pa.table({
+            "total": pa.array([int(pc.sum(c).as_py() or 0)], pa.int64()),
+            "kept": pa.array([int(pc.sum(kept).as_py() or 0)],
+                             pa.int64())})
+
+    parts = counts.map_batches(fold, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({
+        "n_events": pd.Series(dtype="int64"),
+        "n_kept": pd.Series(dtype="int64"),
+        "n_dropped": pd.Series(dtype="int64"),
+        "kept_ppm": pd.Series(dtype="int64")})
+    total = int(parts["total"].sum()) if len(parts) else 0
+    if total == 0:
+        return empty
+    kept = int(parts["kept"].sum())
+    return pd.DataFrame({
+        "n_events": pd.Series([total], dtype="int64"),
+        "n_kept": pd.Series([kept], dtype="int64"),
+        "n_dropped": pd.Series([total - kept], dtype="int64"),
+        "kept_ppm": pd.Series([_trunc_div_ppm(kept, total)],
+                              dtype="int64")})
+
+
+def docs_field_completeness(sf_dir: str, short_chars: int = 10):
+    """Field-completeness audit over the documents table: NULL/empty
+    text, stub-length docs, NULL language/source — the ingestion
+    health card checked before any downstream stage trusts a column.
+    Shuffle-free: per-batch boolean folds, scalar reduce."""
+    docs = rel.load(sf_dir, "documents", ["text", "lang", "source"])
+    thr = pa.scalar(int(short_chars), pa.int64())
+
+    def fold(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        as_i = lambda m: int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)
+        null_text = pc.is_null(text)
+        empty_text = pc.and_(pc.is_valid(text),
+                             pc.equal(pc.fill_null(text, ""),
+                                      pa.scalar("")))
+        short = pc.and_(
+            pc.is_valid(text),
+            pc.less(pc.cast(pc.utf8_length(pc.fill_null(text, "")),
+                            pa.int64()), thr))
+        return pa.table({
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "n_null_text": pa.array([as_i(null_text)], pa.int64()),
+            "n_empty_text": pa.array([as_i(empty_text)], pa.int64()),
+            "n_short_text": pa.array([as_i(short)], pa.int64()),
+            "n_null_lang": pa.array(
+                [as_i(pc.is_null(batch.column("lang")))], pa.int64()),
+            "n_null_source": pa.array(
+                [as_i(pc.is_null(batch.column("source")))], pa.int64())})
+
+    parts = docs.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    cols = ["n_docs", "n_null_text", "n_empty_text", "n_short_text",
+            "n_null_lang", "n_null_source"]
+    if parts.empty or int(parts["n_docs"].sum()) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return pd.DataFrame({c: pd.Series([int(parts[c].sum())],
+                                      dtype="int64") for c in cols})
+
+
+def events_first_week_activation(sf_dir: str, min_events: int = 5):
+    """Activation-rate card: the share of users reaching
+    ``min_events`` events within 7 days of their FIRST event — the
+    growth team's north-star input. One user-keyed map_groups fold
+    computes (first ts, events-in-window) per user; only three scalars
+    leave the driver."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts"])
+    week = np.timedelta64(7 * 86_400, "s")
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        first = group["ts"].min()
+        in_week = int((group["ts"] <= first + week).sum())
+        return pd.DataFrame({
+            "activated": [1 if in_week >= min_events else 0]})
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    partials = ds.map_batches(drop_null, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    partials = rel.ensure_schema(
+        partials, pa.schema([("activated", pa.int64())])).materialize()
+    n_users = partials.count()
+    if n_users == 0:
+        return pd.DataFrame({
+            "n_users": pd.Series(dtype="int64"),
+            "n_activated": pd.Series(dtype="int64"),
+            "activation_ppm": pd.Series(dtype="int64")})
+    act = int(partials.sum("activated"))
+    return pd.DataFrame({
+        "n_users": pd.Series([int(n_users)], dtype="int64"),
+        "n_activated": pd.Series([act], dtype="int64"),
+        "activation_ppm": pd.Series(
+            [_trunc_div_ppm(act, int(n_users))], dtype="int64")})

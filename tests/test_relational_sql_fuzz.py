@@ -1731,3 +1731,56 @@ def test_user_count_mad_fuzz(users):
     hypothesis.assume(any(u is not None for u in users))
     events = pa.table({"user_id": pa.array(users, pa.int64())})
     _check("events_user_count_mad", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+              st.integers(min_value=0, max_value=300)),   # seconds
+    min_size=1, max_size=40))
+def test_rate_limit_sim_fuzz(rows):
+    # least(c, cap) fold over (user, minute) buckets: exactly-at-cap
+    # minutes keep everything, null users are invisible to the limiter
+    events = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    _check("events_rate_limit_sim", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.sampled_from(
+        ["", "tiny", "long enough text here"])),
+        st.one_of(st.none(), st.sampled_from(["en", "de"])),
+        st.one_of(st.none(), st.sampled_from(["s1"]))),
+    min_size=1, max_size=20))
+def test_field_completeness_fuzz(rows):
+    # NULL vs empty vs short are three distinct counters; NULL text
+    # must not leak into the empty/short buckets
+    documents = pa.table({
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    _check("docs_field_completeness", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+              st.integers(min_value=0, max_value=10 * 86400)),  # seconds
+    min_size=1, max_size=40))
+def test_first_week_activation_fuzz(rows):
+    # the <= first + 7d boundary (inclusive) and the >= 5 gate must
+    # agree; events past the window never count
+    events = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    _check("events_first_week_activation", {"events": events})
