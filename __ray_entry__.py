@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "docs_dup_threshold_sweep": q.docs_dup_threshold_sweep,
+        "orders_customer_repeat_rate": q.orders_customer_repeat_rate,
         "events_rate_limit_sim": q.events_rate_limit_sim,
         "docs_field_completeness": q.docs_field_completeness,
         "events_first_week_activation": q.events_first_week_activation,
@@ -303,6 +305,58 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_dup_threshold_sweep": r"""
+            -- pair universe = the exact-Jaccard >= 0.6 frame (the
+            -- docs_ngram_jaccard_pairs contract); each sweep row
+            -- counts the 4-digit-rounded values both engines emit
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4)
+                           AS j
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+            ), k(t) AS (SELECT unnest([0.6, 0.7, 0.8, 0.9]))
+            SELECT CAST(round(t * 100) AS BIGINT) AS threshold_pct,
+                   CAST(count(*) FILTER (WHERE j >= t) AS BIGINT)
+                       AS n_pairs
+            FROM k LEFT JOIN p ON true
+            GROUP BY t ORDER BY 1
+        """,
+        "orders_customer_repeat_rate": """
+            WITH u AS (
+                SELECT o_custkey, count(*) AS n,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+                FROM orders GROUP BY 1),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+                         CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS rep,
+                         CAST(sum(c) AS HUGEINT) AS tot,
+                         CAST(sum(CASE WHEN n >= 2 THEN c ELSE 0 END)
+                              AS HUGEINT) AS repc
+                  FROM u)
+            SELECT nc AS n_customers, rep AS n_repeat,
+                   CAST(CAST(rep AS HUGEINT) * 1000000 // nc AS BIGINT)
+                       AS repeat_ppm,
+                   CAST(repc * 1000000 // tot AS BIGINT)
+                       AS repeat_revenue_ppm
+            FROM a WHERE nc > 0
+        """,
         "events_rate_limit_sim": """
             WITH c AS (
                 SELECT user_id, date_trunc('minute', ts) AS m,

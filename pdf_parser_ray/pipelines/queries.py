@@ -10299,3 +10299,73 @@ def events_first_week_activation(sf_dir: str, min_events: int = 5):
         "n_activated": pd.Series([act], dtype="int64"),
         "activation_ppm": pd.Series(
             [_trunc_div_ppm(act, int(n_users))], dtype="int64")})
+
+
+def docs_dup_threshold_sweep(sf_dir: str,
+                             thresholds: tuple = (0.6, 0.7, 0.8, 0.9)):
+    """Dedup-threshold calibration sweep: how many exact n-gram
+    Jaccard pairs survive at each candidate threshold — the table
+    that picks the dedup cutoff BEFORE committing a 100 TB pass. The
+    expensive pair kernel runs ONCE at the lowest threshold (the
+    session-memoized artifact shared with docs_ngram_jaccard_pairs /
+    docs_edit_pairs); each sweep row is a count over the
+    pair-bounded frame on the 4-digit-rounded Jaccard both engines
+    emit."""
+    thresholds = tuple(sorted(set(float(t) for t in thresholds)))
+    pairs = _ngram_pairs(sf_dir, thresholds[0]).to_pandas()
+    j = pairs["jaccard"].to_numpy(np.float64) if len(pairs) \
+        else np.array([], np.float64)
+    rows = [{"threshold_pct": int(round(t * 100)),
+             "n_pairs": int((j >= t).sum())} for t in thresholds]
+    out = pd.DataFrame(rows)
+    return out.astype({"threshold_pct": "int64", "n_pairs": "int64"})
+
+
+def orders_customer_repeat_rate(sf_dir: str):
+    """Repeat-purchase card: the share of customers with >= 2 orders
+    and the share of exact-cents revenue they carry — the
+    retention-economics headline. One custkey exchange folds count +
+    revenue per customer; four scalars out."""
+    orders = rel.load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "c": _cents(batch.column("o_totalprice"))})
+
+    per_cust = rel.ensure_schema(
+        rel.grouped_agg(
+            orders.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["o_custkey"], [("n", "", "count"), ("c", "c", "sum")]),
+        pa.schema([("o_custkey", pa.int64()), ("n", pa.int64()),
+                   ("c", pa.int64())]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        rep = n >= 2
+        return pa.table({
+            "nc": pa.array([len(n)], pa.int64()),
+            "rep": pa.array([int(rep.sum())], pa.int64()),
+            "tot": pa.array([int(c.sum())], pa.int64()),
+            "repc": pa.array([int(c[rep].sum())], pa.int64())})
+
+    parts = per_cust.map_batches(fold, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({
+        "n_customers": pd.Series(dtype="int64"),
+        "n_repeat": pd.Series(dtype="int64"),
+        "repeat_ppm": pd.Series(dtype="int64"),
+        "repeat_revenue_ppm": pd.Series(dtype="int64")})
+    nc = int(parts["nc"].sum()) if len(parts) else 0
+    if nc == 0:
+        return empty
+    rep = int(parts["rep"].sum())
+    tot = int(parts["tot"].sum())
+    repc = int(parts["repc"].sum())
+    return pd.DataFrame({
+        "n_customers": pd.Series([nc], dtype="int64"),
+        "n_repeat": pd.Series([rep], dtype="int64"),
+        "repeat_ppm": pd.Series([_trunc_div_ppm(rep, nc)], dtype="int64"),
+        "repeat_revenue_ppm": pd.Series(
+            [_trunc_div_ppm(repc, tot)], dtype="int64")})

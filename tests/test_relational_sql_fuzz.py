@@ -1784,3 +1784,37 @@ def test_first_week_activation_fuzz(rows):
                        pa.timestamp("us")),
     })
     _check("events_first_week_activation", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]),
+             min_size=0, max_size=10),
+    min_size=1, max_size=10))
+def test_dup_threshold_sweep_fuzz(docs):
+    # one pair frame, four monotone counts: n_pairs must be
+    # non-increasing in threshold and match the SQL FILTER counts
+    documents = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([" ".join(d) for d in docs], pa.string()),
+    })
+    _check("docs_dup_threshold_sweep", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6), _MONEY),
+    min_size=1, max_size=30))
+def test_repeat_rate_fuzz(rows):
+    # >= 2-order gate + revenue-share trunc: negative revenues can
+    # push the repeat share outside [0, 1e6]; zero total is outside
+    # the domain (SQL divides by it)
+    import hypothesis
+    hypothesis.assume(sum(round(r[1] * 100) for r in rows) != 0)
+    orders = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("orders_customer_repeat_rate", {"orders": orders})
