@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "docs_top_dup_families": q.docs_top_dup_families,
+        "customer_single_order_by_nation": q.customer_single_order_by_nation,
+        "docs_shingle_df_hist": q.docs_shingle_df_hist,
         "docs_dup_threshold_sweep": q.docs_dup_threshold_sweep,
         "orders_customer_repeat_rate": q.orders_customer_repeat_rate,
         "events_rate_limit_sim": q.events_rate_limit_sim,
@@ -305,6 +308,47 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_top_dup_families": """
+            WITH f AS (
+                SELECT md5(text) AS fp, count(*) AS n_copies,
+                       min(doc_id) AS keeper_doc,
+                       sum(n_chars) AS sum_chars
+                FROM documents GROUP BY 1)
+            SELECT fp, CAST(n_copies AS BIGINT) AS n_copies,
+                   CAST(keeper_doc AS BIGINT) AS keeper_doc,
+                   CAST(sum_chars AS BIGINT) AS sum_chars
+            FROM f WHERE n_copies > 1
+            ORDER BY n_copies DESC, keeper_doc LIMIT 10
+        """,
+        "customer_single_order_by_nation": """
+            WITH u AS (
+                SELECT o_custkey, count(*) AS n
+                FROM orders GROUP BY 1),
+            j AS (SELECT n_name,
+                         CASE WHEN n = 1 THEN 1 ELSE 0 END AS single
+                  FROM u
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation ON n_nationkey = c_nationkey)
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(single) AS BIGINT) AS n_single,
+                   CAST(CAST(sum(single) AS HUGEINT) * 1000000
+                        // count(*) AS BIGINT) AS single_ppm
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "docs_shingle_df_hist": r"""
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), d AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+            SELECT CAST(df AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS n_shingles
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
         "docs_dup_threshold_sweep": r"""
             -- pair universe = the exact-Jaccard >= 0.6 frame (the
             -- docs_ngram_jaccard_pairs contract); each sweep row

@@ -10369,3 +10369,134 @@ def orders_customer_repeat_rate(sf_dir: str):
         "repeat_ppm": pd.Series([_trunc_div_ppm(rep, nc)], dtype="int64"),
         "repeat_revenue_ppm": pd.Series(
             [_trunc_div_ppm(repc, tot)], dtype="int64")})
+
+
+def docs_top_dup_families(sf_dir: str, k: int = 10):
+    """Largest exact-duplicate families: the top-``k`` md5 fingerprints
+    by copy count with their keeper doc and reclaimable chars — the
+    'what exactly is flooding the crawl' drill-down behind the savings
+    ledger. One fp-keyed exchange folds (count, min doc, chars);
+    per-batch local top-k picks winners (ties -> keeper id); the text
+    never shuffles."""
+    docs = rel.load(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.functions.textstats import fingerprint
+
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "fp": pa.array([fingerprint(t) for t in texts], pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars")})
+
+    fam = rel.ensure_schema(
+        rel.grouped_agg(
+            docs.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["fp"],
+            [("n_copies", "", "count"), ("keeper_doc", "doc_id", "min"),
+             ("sum_chars", "n_chars", "sum")]),
+        pa.schema([("fp", pa.string()), ("n_copies", pa.int64()),
+                   ("keeper_doc", pa.int64()), ("sum_chars", pa.int64())]))
+
+    def dups_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("n_copies"),
+                                       pa.scalar(1, pa.int64())))
+
+    top = rel.local_topk(
+        fam.map_batches(dups_only, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        [("n_copies", "descending"), ("keeper_doc", "ascending")], k)
+    top = rel.ensure_columns(top, {
+        "fp": "object", "n_copies": "int64", "keeper_doc": "int64",
+        "sum_chars": "int64"})
+    out = top[["fp", "n_copies", "keeper_doc", "sum_chars"]] \
+        .reset_index(drop=True)
+    out["n_copies"] = out["n_copies"].astype("int64")
+    out["keeper_doc"] = out["keeper_doc"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
+def customer_single_order_by_nation(sf_dir: str):
+    """One-and-done rate per nation: the share of each nation's
+    ordering customers who placed exactly ONE order — the churn-
+    geography map. One custkey exchange; the nation attach is a
+    dimension broadcast; |nations|-bounded rollup with truncating
+    shares."""
+    orders = rel.load(sf_dir, "orders", ["o_custkey"])
+    per_cust = rel.ensure_schema(
+        rel.grouped_agg(orders, ["o_custkey"], [("n", "", "count")]),
+        pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())]))
+    nation = rel.load(sf_dir, "nation").to_pandas()[
+        ["n_nationkey", "n_name"]]
+    cust = rel.load(sf_dir, "customer",
+                    ["c_custkey", "c_nationkey"]).to_pandas()
+    cmap = cust.merge(nation, left_on="c_nationkey",
+                      right_on="n_nationkey")[["c_custkey", "n_name"]] \
+        .rename(columns={"c_custkey": "o_custkey"})
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "single": pc.cast(pc.equal(batch.column("n"),
+                                       pa.scalar(1, pa.int64())),
+                              pa.int64())})
+
+    agg = rel.grouped_agg(
+        rel.broadcast_merge(
+            per_cust.map_batches(flag, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            cmap, on="o_custkey"),
+        ["n_name"],
+        [("n_customers", "", "count"), ("n_single", "single", "sum")],
+        small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "n_name": "object", "n_customers": "int64", "n_single": "int64"})
+    df["single_ppm"] = [
+        _trunc_div_ppm(int(s), int(n))
+        for s, n in zip(df["n_single"], df["n_customers"])]
+    if len(df):
+        df["single_ppm"] = df["single_ppm"].astype("int64")
+        df["n_customers"] = df["n_customers"].astype("int64")
+        df["n_single"] = df["n_single"].astype("int64")
+    return rel.to_pandas_sorted(
+        df[["n_name", "n_customers", "n_single", "single_ppm"]],
+        ["n_name"])
+
+
+def docs_shingle_df_hist(sf_dir: str):
+    """Shingle document-frequency histogram: how many word-3-shingles
+    appear in exactly k documents — THE skew diagnosis for every
+    inverted-index dedup plan (a fat head means PPJoin candidate
+    explosion; this table prices it before the pair job runs). One
+    shingle-keyed distinct-count exchange; the histogram is bounded by
+    the hottest shingle's df, never the corpus."""
+    docs = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.functions.sketches import re2_tokens
+
+        ids, shs = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = re2_tokens(text or "")
+            uniq = {" ".join(toks[i:i + 3])
+                    for i in range(len(toks) - 2)}
+            shs.extend(uniq)
+            ids.extend([doc_id] * len(uniq))
+        return pa.table({"s": pa.array(shs, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    df_counts = rel.ensure_schema(
+        rel.grouped_agg(
+            docs.map_batches(shingles, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["s"], [("df", "", "count")]),
+        pa.schema([("s", pa.string()), ("df", pa.int64())]))
+    hist = rel.grouped_agg(df_counts, ["df"],
+                           [("n_shingles", "", "count")],
+                           small_result=True)
+    out = rel.ensure_columns(rel.as_pandas(hist),
+                             {"df": "int64", "n_shingles": "int64"})
+    return rel.to_pandas_sorted(out.astype("int64"), ["df"])

@@ -1818,3 +1818,56 @@ def test_repeat_rate_fuzz(rows):
         "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
     })
     _check("orders_customer_repeat_rate", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(docs=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                     min_size=1, max_size=30))
+def test_top_dup_families_fuzz(docs):
+    # family fold (count, min-doc keeper, chars) + the (copies desc,
+    # keeper) top-k tie order; singleton families are excluded
+    documents = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+    })
+    _check("docs_top_dup_families", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(order_cust=st.lists(st.integers(min_value=0, max_value=9),
+                           min_size=1, max_size=30))
+def test_single_order_by_nation_fuzz(order_cust):
+    # ==1 gate through the dimension hop: customers without orders
+    # are invisible (u drives the join), repeat customers count once
+    orders = pa.table({
+        "o_custkey": pa.array(order_cust, pa.int64()),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array(range(10), pa.int64()),
+        "c_nationkey": pa.array([i % 3 for i in range(10)], pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array(range(3), pa.int64()),
+        "n_name": pa.array(["N0", "N1", "N2"], pa.string()),
+    })
+    _check("customer_single_order_by_nation",
+           {"orders": orders, "customer": customer, "nation": nation})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]),
+             min_size=0, max_size=10),
+    min_size=1, max_size=10))
+def test_shingle_df_hist_fuzz(docs):
+    # per-doc DISTINCT shingles before the df count: a shingle
+    # repeated inside one doc contributes df=1, sub-3-token docs none
+    documents = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([" ".join(d) for d in docs], pa.string()),
+    })
+    _check("docs_shingle_df_hist", {"documents": documents})
