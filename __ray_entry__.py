@@ -53,6 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "lineitem_price_qty_ols": q.lineitem_price_qty_ols,
+        "events_type_dow_chisq": q.events_type_dow_chisq,
+        "lineitem_qty_discount_spearman": q.lineitem_qty_discount_spearman,
+        "lineitem_charge_unpivot": q.lineitem_charge_unpivot,
         "docs_top_dup_families": q.docs_top_dup_families,
         "customer_single_order_by_nation": q.customer_single_order_by_nation,
         "docs_shingle_df_hist": q.docs_shingle_df_hist,
@@ -308,6 +312,131 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_price_qty_ols": """
+            WITH b AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice) AS BIGINT) AS y
+                FROM lineitem),
+            m AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy,
+                         sum(y*y) AS syy
+                  FROM b GROUP BY 1)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                         6) AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE)
+                                  * CAST(sx AS DOUBLE)))
+                            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE),
+                         6) AS intercept,
+                   round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)
+                                 * CAST(sy AS DOUBLE))),
+                         6) AS r2
+            FROM m ORDER BY 1
+        """,
+        "events_type_dow_chisq": """
+            WITH e AS (
+                SELECT event_type,
+                       (CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                            // 86400 + 4) % 7 AS dow
+                FROM events),
+            g AS (SELECT event_type, dow, count(*) AS n
+                  FROM e GROUP BY 1, 2),
+            rt AS (SELECT event_type, sum(n) AS r FROM g GROUP BY 1),
+            ct AS (SELECT dow, sum(n) AS c FROM g GROUP BY 1),
+            tot AS (SELECT sum(n) AS t FROM g),
+            cells AS (
+                SELECT rt.event_type, ct.dow,
+                       COALESCE(g.n, 0) AS o, rt.r, ct.c
+                FROM rt CROSS JOIN ct
+                LEFT JOIN g ON g.event_type = rt.event_type
+                           AND g.dow = ct.dow),
+            terms AS (
+                SELECT CAST(round(
+                    (CAST(o AS DOUBLE)
+                     - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                       / CAST(t AS DOUBLE))
+                    * (CAST(o AS DOUBLE)
+                       - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                         / CAST(t AS DOUBLE))
+                    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                       / CAST(t AS DOUBLE)) * 1000000) AS BIGINT) AS tm
+                FROM cells, tot),
+            dims AS (SELECT (SELECT count(*) FROM rt) AS nr,
+                            (SELECT count(*) FROM ct) AS nc)
+            SELECT CAST(t AS BIGINT) AS n_events,
+                   CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+                   round(CAST(s AS DOUBLE) / 1000000, 6) AS chi2,
+                   round(sqrt((CAST(s AS DOUBLE) / 1000000)
+                              / (CAST(t AS DOUBLE)
+                                 * CAST(least(nr - 1, nc - 1)
+                                        AS DOUBLE))), 6) AS cramers_v
+            FROM (SELECT sum(tm) AS s FROM terms), tot, dims
+        """,
+        "lineitem_qty_discount_spearman": """
+            WITH b AS (
+                SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_discount * 100) AS BIGINT) AS y
+                FROM lineitem),
+            hx AS (SELECT x, count(*) AS cx FROM b GROUP BY 1),
+            ux AS (SELECT x, 2 * sum(cx) OVER (ORDER BY x)
+                             - cx + 1 AS u
+                   FROM hx),
+            hy AS (SELECT y, count(*) AS cy FROM b GROUP BY 1),
+            uy AS (SELECT y, 2 * sum(cy) OVER (ORDER BY y)
+                             - cy + 1 AS v
+                   FROM hy),
+            j AS (SELECT u, v FROM b JOIN ux USING (x)
+                  JOIN uy USING (y)),
+            m AS (SELECT count(*) AS n, sum(u) AS su, sum(v) AS sv,
+                         sum(u*u) AS suu, sum(v*v) AS svv,
+                         sum(u*v) AS suv
+                  FROM j)
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+                          - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                                 - CAST(su AS DOUBLE)
+                                   * CAST(su AS DOUBLE))
+                                * (CAST(n AS DOUBLE)
+                                   * CAST(svv AS DOUBLE)
+                                   - CAST(sv AS DOUBLE)
+                                     * CAST(sv AS DOUBLE))),
+                         6) AS spearman
+            FROM m WHERE n > 0
+        """,
+        "lineitem_charge_unpivot": """
+            SELECT l_returnflag, measure, CAST(total AS BIGINT) AS total
+            FROM (
+                SELECT l_returnflag, 'quantity' AS measure,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS total
+                FROM lineitem GROUP BY 1
+                UNION ALL
+                SELECT l_returnflag, 'gross_dollars' AS measure,
+                       sum(CAST(round(l_extendedprice) AS BIGINT))
+                           AS total
+                FROM lineitem GROUP BY 1
+                UNION ALL
+                SELECT l_returnflag, 'discount_cents' AS measure,
+                       sum(CAST(round(l_discount * 100) AS BIGINT))
+                           AS total
+                FROM lineitem GROUP BY 1)
+            ORDER BY 1, 2
+        """,
         "docs_top_dup_families": """
             WITH f AS (
                 SELECT md5(text) AS fp, count(*) AS n_copies,

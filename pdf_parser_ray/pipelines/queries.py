@@ -10500,3 +10500,244 @@ def docs_shingle_df_hist(sf_dir: str):
     out = rel.ensure_columns(rel.as_pandas(hist),
                              {"df": "int64", "n_shingles": "int64"})
     return rel.to_pandas_sorted(out.astype("int64"), ["df"])
+
+
+def lineitem_price_qty_ols(sf_dir: str):
+    """Grouped OLS regression — per return flag, fit extended price
+    (whole dollars) on quantity: slope, intercept, r^2. The regression
+    is a pure one-pass moment fold: each batch groups locally and emits
+    exact-int64 partial moments (n, Σx, Σy, Σx², Σxy, Σy²) per flag, so
+    the only exchange is a |flags|-bounded combine — the classic
+    mergeable-statistic shape that holds at any corpus size. Domain
+    bound: Σy² stays inside int64 past 10^8 rows of 10^5-dollar lines
+    (past that, carry the y² partial as decimal strings the way
+    emb_dim_stats does). Coefficients are computed ONCE from identical
+    doubles in both engines and rounded half-away at 6."""
+    li = rel.load(sf_dir, "lineitem",
+                  ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        flags = batch.column("l_returnflag").to_pandas()
+        x = pc.cast(pc.round(batch.column("l_quantity"), ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.round(batch.column("l_extendedprice"), ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"f": flags, "x": x, "y": y,
+                           "xx": x * x, "xy": x * y, "yy": y * y})
+        g = df.groupby("f", as_index=False, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"), syy=("yy", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = rel.grouped_agg(
+        li.map_batches(moments, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["f"], [("n", "n", "sum"), ("sx", "sx", "sum"),
+                ("sy", "sy", "sum"), ("sxx", "sxx", "sum"),
+                ("sxy", "sxy", "sum"), ("syy", "syy", "sum")],
+        small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(parts), {
+        "f": "object", "n": "int64", "sx": "int64", "sy": "int64",
+        "sxx": "int64", "sxy": "int64", "syy": "int64"})
+    rows = []
+    for r in df.itertuples(index=False):
+        n, sx, sy = float(r.n), float(r.sx), float(r.sy)
+        sxx, sxy, syy = float(r.sxx), float(r.sxy), float(r.syy)
+        cov = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        # degenerate variances: DuckDB's DOUBLE x/0 is NULL -> NaN, so
+        # mirror with NaN instead of raising ZeroDivisionError
+        slope = cov / varx if varx != 0 else float("nan")
+        intercept = (sy - slope * sx) / n if varx != 0 else float("nan")
+        r2 = (cov * cov) / (varx * vary) if varx * vary != 0 \
+            else float("nan")
+        rows.append({
+            "l_returnflag": r.f, "n_rows": int(r.n),
+            "slope": float(np_round_half_away(np.array([slope]), 6)[0]),
+            "intercept": float(
+                np_round_half_away(np.array([intercept]), 6)[0]),
+            "r2": float(np_round_half_away(np.array([r2]), 6)[0])})
+    if not rows:
+        return pd.DataFrame({
+            "l_returnflag": pd.Series(dtype="object"),
+            "n_rows": pd.Series(dtype="int64"),
+            "slope": pd.Series(dtype="float64"),
+            "intercept": pd.Series(dtype="float64"),
+            "r2": pd.Series(dtype="float64")})
+    return rel.to_pandas_sorted(pd.DataFrame(rows), ["l_returnflag"])
+
+
+def events_type_dow_chisq(sf_dir: str):
+    """Chi-square independence test: is event type independent of the
+    weekday? The only exchange is the (|types| x 7)-bounded contingency
+    combine; the full R x C grid (INCLUDING observed-zero cells — the
+    groupby only sees occupied ones) is reconstructed on the driver
+    from the tiny table. Float discipline: every (o-e)^2/e term rounds
+    to micro-units BEFORE summing (the entropy-op trick), so the fold
+    order can never flip a bit; Cramer's V derives from the already-
+    rounded micro sum in both engines. dow = (epoch_days + 4) % 7,
+    Sunday = 0 (the repo-wide convention)."""
+    ev = rel.load(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        days = pc.divide(
+            pc.divide(pc.cast(pc.floor_temporal(batch.column("ts"),
+                                                unit="day"), pa.int64()),
+                      pa.scalar(1_000_000, pa.int64())),
+            pa.scalar(86_400, pa.int64()))
+        dow = pc.subtract(
+            pc.add(days, pa.scalar(4, pa.int64())),
+            pc.multiply(
+                pc.divide(pc.add(days, pa.scalar(4, pa.int64())),
+                          pa.scalar(7, pa.int64())),
+                pa.scalar(7, pa.int64())))
+        return pa.table({"event_type": batch.column("event_type"),
+                         "dow": dow})
+
+    agg = rel.grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "dow"], [("n", "", "count")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "event_type": "object", "dow": "int64", "n": "int64"})
+    empty = pd.DataFrame({"n_events": pd.Series(dtype="int64"),
+                          "dof": pd.Series(dtype="int64"),
+                          "chi2": pd.Series(dtype="float64"),
+                          "cramers_v": pd.Series(dtype="float64")})
+    if df.empty:
+        return empty
+    rtot = df.groupby("event_type")["n"].sum()          # R marginals
+    ctot = df.groupby("dow")["n"].sum()                 # C marginals
+    t = int(df["n"].sum())
+    obs = {(et, int(d)): int(n)
+           for et, d, n in zip(df["event_type"], df["dow"], df["n"])}
+    micro = 0
+    for et, r in rtot.items():
+        for d, c in ctot.items():
+            o = obs.get((et, int(d)), 0)
+            e = float(r) * float(c) / float(t)
+            dev = float(o) - e
+            micro += int(np_round_half_away(
+                np.array([dev * dev / e * 1_000_000]), 0)[0])
+    dof = (len(rtot) - 1) * (len(ctot) - 1)
+    k = min(len(rtot) - 1, len(ctot) - 1)
+    chi2 = float(np_round_half_away(
+        np.array([float(micro) / 1_000_000]), 6)[0])
+    v = float(np_round_half_away(
+        np.array([np.sqrt((float(micro) / 1_000_000)
+                          / (float(t) * float(k)))]), 6)[0]) \
+        if k > 0 else float("nan")
+    return pd.DataFrame({
+        "n_events": pd.Series([t], dtype="int64"),
+        "dof": pd.Series([dof], dtype="int64"),
+        "chi2": pd.Series([chi2], dtype="float64"),
+        "cramers_v": pd.Series([v], dtype="float64")})
+
+
+def lineitem_qty_discount_spearman(sf_dir: str):
+    """Spearman rank correlation WITHOUT a global sort: both variables
+    live on bounded value domains (quantity 1..50, discount in whole
+    cents), so average ranks are exactly recoverable from the joint
+    value histogram — the only exchange is the (|X| x |Y|)-bounded
+    histogram combine, never a rank shuffle. Tie handling is the
+    textbook average-rank: 2*avgrank(v) = 2*cum(v) - count(v) + 1 stays
+    integral, and all moments fold in arbitrary-precision Python ints
+    on the ~550-cell histogram (exact at ANY corpus size), converting
+    to double only for the single final rho. SQL twin computes the same
+    scaled ranks via window cumsums; both round half-away at 6."""
+    li = rel.load(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(batch.column("l_quantity"), ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        y = pc.cast(pc.round(
+            pc.multiply(batch.column("l_discount"),
+                        pa.scalar(100.0, pa.float64())),
+            ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"x": x, "y": y})
+
+    hist = rel.grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["x", "y"], [("c", "", "count")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(hist),
+                            {"x": "int64", "y": "int64", "c": "int64"})
+    if df.empty:
+        return pd.DataFrame({"n_rows": pd.Series(dtype="int64"),
+                             "spearman": pd.Series(dtype="float64")})
+    # scaled average ranks (2*avgrank, integral) from marginal cumsums
+    def scaled_ranks(marg: pd.Series) -> dict[int, int]:
+        out, cum = {}, 0
+        for v, cnt in marg.sort_index().items():
+            cum += int(cnt)
+            out[int(v)] = 2 * cum - int(cnt) + 1
+        return out
+
+    ux = scaled_ranks(df.groupby("x")["c"].sum())
+    vy = scaled_ranks(df.groupby("y")["c"].sum())
+    n = su = sv = suu = svv = suv = 0          # exact Python ints
+    for x, y, c in zip(df["x"], df["y"], df["c"]):
+        u, v, c = ux[int(x)], vy[int(y)], int(c)
+        n += c
+        su += c * u
+        sv += c * v
+        suu += c * u * u
+        svv += c * v * v
+        suv += c * u * v
+    num = float(n) * float(suv) - float(su) * float(sv)
+    den = np.sqrt((float(n) * float(suu) - float(su) * float(su))
+                  * (float(n) * float(svv) - float(sv) * float(sv)))
+    rho = float(np_round_half_away(np.array([num / den]), 6)[0]) \
+        if den != 0 else float("nan")
+    return pd.DataFrame({"n_rows": pd.Series([n], dtype="int64"),
+                         "spearman": pd.Series([rho], dtype="float64")})
+
+
+def lineitem_charge_unpivot(sf_dir: str):
+    """Unpivot/melt primitive: three per-row measures (quantity, gross
+    whole dollars, discount cents) melt to long format INSIDE each
+    batch — wide->long never ships the wide rows, only per-(flag,
+    measure) exact-int partial sums, so the exchange is bounded by
+    |flags| x |measures| regardless of corpus size. The long layout is
+    what a metrics store ingests; the SQL twin is the UNION ALL the
+    melt replaces."""
+    li = rel.load(sf_dir, "lineitem",
+                  ["l_returnflag", "l_quantity", "l_extendedprice",
+                   "l_discount"])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        flags = batch.column("l_returnflag").to_pandas()
+        qty = pc.cast(pc.round(batch.column("l_quantity"), ndigits=0,
+                               round_mode="half_towards_infinity"),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        gross = pc.cast(pc.round(batch.column("l_extendedprice"),
+                                 ndigits=0,
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        disc = pc.cast(pc.round(
+            pc.multiply(batch.column("l_discount"),
+                        pa.scalar(100.0, pa.float64())),
+            ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        wide = pd.DataFrame({"l_returnflag": flags, "quantity": qty,
+                             "gross_dollars": gross,
+                             "discount_cents": disc})
+        long = wide.melt(id_vars=["l_returnflag"], var_name="measure",
+                         value_name="val")
+        g = long.groupby(["l_returnflag", "measure"],
+                         as_index=False, sort=False)["val"].sum()
+        return pa.Table.from_pandas(
+            g.rename(columns={"val": "total"}), preserve_index=False)
+
+    agg = rel.grouped_agg(
+        li.map_batches(melt, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_returnflag", "measure"], [("total", "total", "sum")],
+        small_result=True)
+    out = rel.ensure_columns(rel.as_pandas(agg), {
+        "l_returnflag": "object", "measure": "object", "total": "int64"})
+    return rel.to_pandas_sorted(out, ["l_returnflag", "measure"])

@@ -243,7 +243,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_rate_limit_sim", "docs_field_completeness",
         "events_first_week_activation", "docs_dup_threshold_sweep",
         "orders_customer_repeat_rate", "docs_top_dup_families",
-        "customer_single_order_by_nation", "docs_shingle_df_hist"]
+        "customer_single_order_by_nation", "docs_shingle_df_hist",
+        "lineitem_price_qty_ols", "events_type_dow_chisq",
+        "lineitem_qty_discount_spearman", "lineitem_charge_unpivot"]
 # orders_top_growth_customers pins years 1996/1997; the shared orders
 # fixture lives in 2024, so it gets a dedicated invariance test below.
 # docs_source_vocab_jaccard needs >= 2 sources to emit pairs; the shared

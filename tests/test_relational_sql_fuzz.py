@@ -1871,3 +1871,39 @@ def test_shingle_df_hist_fuzz(docs):
         "text": pa.array([" ".join(d) for d in docs], pa.string()),
     })
     _check("docs_shingle_df_hist", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES)
+def test_price_qty_ols_fuzz(rows):
+    # grouped moment fold vs DuckDB's fold; degenerate variances
+    # (single-row flags, constant quantity) must agree as NaN/NULL
+    _check("lineitem_price_qty_ols", {"lineitem": _lineitem(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_type_dow_chisq_fuzz(rows):
+    # contingency grid must include observed-zero cells; micro-rounded
+    # terms keep the fold order-free; dof-0 grids (one type or one
+    # weekday) must agree as NaN/NULL Cramer's V
+    _check("events_type_dow_chisq", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES)
+def test_qty_discount_spearman_fuzz(rows):
+    # histogram-derived average ranks vs window-cumsum ranks; constant
+    # columns (zero rank variance) must agree as NaN/NULL
+    _check("lineitem_qty_discount_spearman", {"lineitem": _lineitem(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES)
+def test_charge_unpivot_fuzz(rows):
+    # wide->long melt totals vs the UNION ALL it replaces (exact ints)
+    _check("lineitem_charge_unpivot", {"lineitem": _lineitem(rows)})
