@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "events_value_ks_test": q.events_value_ks_test,
+        "events_value_mannwhitney": q.events_value_mannwhitney,
+        "events_hourly_autocorr": q.events_hourly_autocorr,
         "lineitem_price_qty_ols": q.lineitem_price_qty_ols,
         "events_type_dow_chisq": q.events_type_dow_chisq,
         "lineitem_qty_discount_spearman": q.lineitem_qty_discount_spearman,
@@ -312,6 +315,84 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_value_ks_test": """
+            WITH b AS (
+                SELECT event_type AS t,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+                WHERE event_type IN ('click', 'purchase')),
+            h AS (SELECT c,
+                         count(*) FILTER (WHERE t = 'click') AS c1,
+                         count(*) FILTER (WHERE t = 'purchase') AS c2
+                  FROM b GROUP BY 1),
+            n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM h),
+            cum AS (SELECT sum(c1) OVER (ORDER BY c) AS k1,
+                           sum(c2) OVER (ORDER BY c) AS k2
+                    FROM h),
+            d AS (SELECT max(abs(k1 * n2 - k2 * n1)) AS dnum
+                  FROM cum, n)
+            SELECT CAST(n1 AS BIGINT) AS n_click,
+                   CAST(n2 AS BIGINT) AS n_purchase,
+                   CAST(CAST(dnum AS HUGEINT) * 1000000
+                        // (n1 * n2) AS BIGINT) AS ks_ppm
+            FROM d, n WHERE n1 > 0 AND n2 > 0
+        """,
+        "events_value_mannwhitney": """
+            WITH b AS (
+                SELECT event_type AS t,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+                WHERE event_type IN ('click', 'purchase')),
+            h AS (SELECT c,
+                         count(*) FILTER (WHERE t = 'click') AS c1,
+                         count(*) FILTER (WHERE t = 'purchase') AS c2
+                  FROM b GROUP BY 1),
+            n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM h),
+            w AS (SELECT c1, c2,
+                         COALESCE(sum(c2) OVER (
+                             ORDER BY c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cumlt2
+                  FROM h),
+            u AS (SELECT sum(c1 * (2 * cumlt2 + c2)) AS u2 FROM w)
+            SELECT CAST(n1 AS BIGINT) AS n_click,
+                   CAST(n2 AS BIGINT) AS n_purchase,
+                   CAST(u2 AS BIGINT) AS u_times2,
+                   CAST(CAST(u2 AS HUGEINT) * 1000000
+                        // (2 * n1 * n2) AS BIGINT) AS auc_ppm
+            FROM u, n WHERE n1 > 0 AND n2 > 0
+        """,
+        "events_hourly_autocorr": """
+            WITH e AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            g AS (SELECT h, sum(c) AS s FROM e GROUP BY 1),
+            bnd AS (SELECT min(h) AS lo, max(h) AS hi FROM g),
+            dense AS (SELECT unnest(generate_series(lo, hi)) AS h
+                      FROM bnd),
+            d AS (SELECT dense.h, COALESCE(g.s, 0) AS s
+                  FROM dense LEFT JOIN g USING (h)),
+            p AS (SELECT s AS x, lead(s) OVER (ORDER BY h) AS y
+                  FROM d),
+            m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x*x) AS sxx, sum(y*y) AS syy,
+                         sum(x*y) AS sxy
+                  FROM p WHERE y IS NOT NULL)
+            SELECT CAST(n AS BIGINT) AS n_pairs,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE)
+                                   * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))),
+                         6) AS autocorr_lag1
+            FROM m WHERE n > 0
+        """,
         "lineitem_price_qty_ols": """
             WITH b AS (
                 SELECT l_returnflag,

@@ -10741,3 +10741,152 @@ def lineitem_charge_unpivot(sf_dir: str):
     out = rel.ensure_columns(rel.as_pandas(agg), {
         "l_returnflag": "object", "measure": "object", "total": "int64"})
     return rel.to_pandas_sorted(out, ["l_returnflag", "measure"])
+
+
+def events_value_ks_test(sf_dir: str):
+    """Kolmogorov–Smirnov two-sample test (click vs purchase spend
+    distributions) with NO doubles anywhere: both empirical CDFs live
+    on the bounded cents-value domain, so the only exchange is the
+    (|domain| x 2)-bounded histogram combine and the driver walks the
+    tiny sorted histogram computing D as max |cum1*n2 - cum2*n1| in
+    exact integers — cross-multiplication replaces the float CDF
+    difference, and the result ships as truncating ppm. The same
+    value-histogram trick that powers the exact quantiles: correct
+    while the value domain stays bounded (true for money)."""
+    ev = rel.load(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        return pa.table({"t": batch.column("event_type"),
+                         "c": _cents(batch.column("value"))})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["t", "c"], [("n", "", "count")], small_result=True)),
+        {"t": "object", "c": "int64", "n": "int64"})
+    empty = pd.DataFrame({"n_click": pd.Series(dtype="int64"),
+                          "n_purchase": pd.Series(dtype="int64"),
+                          "ks_ppm": pd.Series(dtype="int64")})
+    if hist.empty:
+        return empty
+    piv = hist.pivot_table(index="c", columns="t", values="n",
+                           aggfunc="sum", fill_value=0).sort_index()
+    c1 = piv["click"].astype(object) if "click" in piv else None
+    c2 = piv["purchase"].astype(object) if "purchase" in piv else None
+    if c1 is None or c2 is None:
+        return empty
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    if n1 == 0 or n2 == 0:
+        return empty
+    dnum, k1, k2 = 0, 0, 0                     # exact Python ints
+    for a, b in zip(c1, c2):
+        k1 += int(a)
+        k2 += int(b)
+        dnum = max(dnum, abs(k1 * n2 - k2 * n1))
+    return pd.DataFrame({
+        "n_click": pd.Series([n1], dtype="int64"),
+        "n_purchase": pd.Series([n2], dtype="int64"),
+        "ks_ppm": pd.Series([dnum * 1_000_000 // (n1 * n2)],
+                            dtype="int64")})
+
+
+def events_value_mannwhitney(sf_dir: str):
+    """Mann-Whitney U / rank-sum test (click vs purchase), again with
+    NO doubles: U = sum over click cells of c1*(#purchase-below +
+    tie/2) stays integral once scaled by 2, and folds over the same
+    bounded cents histogram as the KS test — a nonparametric location
+    test whose only exchange is the value-histogram combine. Reported
+    as 2U (exact) plus the AUC interpretation P(X>Y)+P(X=Y)/2 in
+    truncating ppm."""
+    ev = rel.load(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        return pa.table({"t": batch.column("event_type"),
+                         "c": _cents(batch.column("value"))})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["t", "c"], [("n", "", "count")], small_result=True)),
+        {"t": "object", "c": "int64", "n": "int64"})
+    empty = pd.DataFrame({"n_click": pd.Series(dtype="int64"),
+                          "n_purchase": pd.Series(dtype="int64"),
+                          "u_times2": pd.Series(dtype="int64"),
+                          "auc_ppm": pd.Series(dtype="int64")})
+    if hist.empty:
+        return empty
+    piv = hist.pivot_table(index="c", columns="t", values="n",
+                           aggfunc="sum", fill_value=0).sort_index()
+    if "click" not in piv or "purchase" not in piv:
+        return empty
+    c1, c2 = piv["click"], piv["purchase"]
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    if n1 == 0 or n2 == 0:
+        return empty
+    u2, cumlt2 = 0, 0                          # exact Python ints
+    for a, b in zip(c1, c2):
+        u2 += int(a) * (2 * cumlt2 + int(b))
+        cumlt2 += int(b)
+    return pd.DataFrame({
+        "n_click": pd.Series([n1], dtype="int64"),
+        "n_purchase": pd.Series([n2], dtype="int64"),
+        "u_times2": pd.Series([u2], dtype="int64"),
+        "auc_ppm": pd.Series([u2 * 1_000_000 // (2 * n1 * n2)],
+                             dtype="int64")})
+
+
+def events_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the hourly revenue series — is traffic
+    momentum real? The series lives on the bounded hour domain (one
+    int64 cents sum per hour), so the only exchange is the hour-keyed
+    combine; the driver densifies the [min, max] hour range (silent
+    hours are zero revenue — lag pairs must not skip gaps), pairs
+    consecutive hours, and folds exact-int moments over the tiny
+    series. The single correlation is computed from identical doubles
+    on both engines and rounded half-away at 6."""
+    ev = rel.load(sf_dir, "events", ["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"h": h, "c": _cents(batch.column("value"))})
+
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["h"], [("s", "c", "sum")], small_result=True)),
+        {"h": "int64", "s": "int64"})
+    empty = pd.DataFrame({"n_pairs": pd.Series(dtype="int64"),
+                          "autocorr_lag1": pd.Series(dtype="float64")})
+    if agg.empty:
+        return empty
+    lo, hi = int(agg["h"].min()), int(agg["h"].max())
+    per_hour = dict(zip(agg["h"].astype(int), agg["s"].astype(int)))
+    series = [per_hour.get(h, 0) for h in range(lo, hi + 1)]
+    if len(series) < 2:
+        return empty
+    n = sx = sy = sxx = syy = sxy = 0          # exact Python ints
+    for x, y in zip(series[:-1], series[1:]):
+        n += 1
+        sx += x
+        sy += y
+        sxx += x * x
+        syy += y * y
+        sxy += x * y
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = np.sqrt((float(n) * float(sxx) - float(sx) * float(sx))
+                  * (float(n) * float(syy) - float(sy) * float(sy)))
+    r = float(np_round_half_away(np.array([num / den]), 6)[0]) \
+        if den != 0 else float("nan")
+    return pd.DataFrame({
+        "n_pairs": pd.Series([n], dtype="int64"),
+        "autocorr_lag1": pd.Series([r], dtype="float64")})

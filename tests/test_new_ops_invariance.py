@@ -245,7 +245,10 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "orders_customer_repeat_rate", "docs_top_dup_families",
         "customer_single_order_by_nation", "docs_shingle_df_hist",
         "lineitem_price_qty_ols", "events_type_dow_chisq",
-        "lineitem_qty_discount_spearman", "lineitem_charge_unpivot"]
+        "lineitem_qty_discount_spearman", "lineitem_charge_unpivot",
+        "events_hourly_autocorr"]
+# events_value_ks_test / events_value_mannwhitney need purchase events;
+# the shared fixture has none, so they get a dedicated table below.
 # orders_top_growth_customers pins years 1996/1997; the shared orders
 # fixture lives in 2024, so it gets a dedicated invariance test below.
 # docs_source_vocab_jaccard needs >= 2 sources to emit pairs; the shared
@@ -447,3 +450,48 @@ def test_top_growth_customers_invariance():
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
     assert list(a["growth_ppm"]) == sorted(a["growth_ppm"], reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ks_mannwhitney_invariance():
+    # two-sample value tests: histogram combine must be block-invariant
+    # and the exact-int walk deterministic; purchase values strictly
+    # above click values pin KS near 1e6 ppm and AUC near 0 ppm
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    base = dt.datetime(2024, 3, 1)
+    n = 60
+    tbl = pa.table({
+        "event_type": pa.array(
+            ["click" if i % 2 == 0 else "purchase" for i in range(n)],
+            pa.string()),
+        "ts": pa.array([base + dt.timedelta(seconds=i) for i in range(n)],
+                       pa.timestamp("us")),
+        "value": pa.array(
+            [float(i % 7) if i % 2 == 0 else 100.0 + (i % 5)
+             for i in range(n)], pa.float64()),
+    })
+
+    def run(op, n_blocks):
+        def load(sf, table, columns=None):
+            return ray.data.from_arrow(
+                tbl.select(columns) if columns else tbl
+            ).repartition(n_blocks)
+
+        orig = q.rel.load
+        q.rel.load = load
+        try:
+            return getattr(q, op)("inv").reset_index(drop=True)
+        finally:
+            q.rel.load = orig
+
+    for op in ("events_value_ks_test", "events_value_mannwhitney"):
+        a, b = run(op, 1), run(op, 5)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == 1
+    ks = run("events_value_ks_test", 3)
+    assert int(ks["ks_ppm"][0]) == 1_000_000      # disjoint supports
+    mw = run("events_value_mannwhitney", 3)
+    assert int(mw["auc_ppm"][0]) == 0             # every click < purchase

@@ -1907,3 +1907,30 @@ def test_qty_discount_spearman_fuzz(rows):
 def test_charge_unpivot_fuzz(rows):
     # wide->long melt totals vs the UNION ALL it replaces (exact ints)
     _check("lineitem_charge_unpivot", {"lineitem": _lineitem(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_value_ks_fuzz(rows):
+    # exact cross-multiplied CDF walk vs window cumsums; one-sided
+    # samples (no purchases drawn) must agree as zero rows
+    _check("events_value_ks_test", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_value_mannwhitney_fuzz(rows):
+    # 2U integrality + tie handling (c2/2 tie credit) vs the window
+    # ROWS ... 1 PRECEDING cumulative
+    _check("events_value_mannwhitney", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_hourly_autocorr_fuzz(rows):
+    # dense-hour zero fill: silent hours must enter the lag pairs on
+    # both engines; single-hour spans agree as zero rows
+    _check("events_hourly_autocorr", {"events": _events(rows)})
