@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "events_cumulative_users": q.events_cumulative_users,
         "events_value_ks_test": q.events_value_ks_test,
         "events_value_mannwhitney": q.events_value_mannwhitney,
         "events_hourly_autocorr": q.events_hourly_autocorr,
@@ -315,6 +316,25 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_cumulative_users": """
+            WITH f AS (
+                SELECT user_id,
+                       min(CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                           // 86400) AS d0
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY 1),
+            g AS (SELECT d0, count(*) AS n_new FROM f GROUP BY 1),
+            bnd AS (SELECT min(d0) AS lo, max(d0) AS hi FROM g),
+            dense AS (SELECT unnest(generate_series(lo, hi)) AS day
+                      FROM bnd),
+            d AS (SELECT day, COALESCE(g.n_new, 0) AS n_new
+                  FROM dense LEFT JOIN g ON g.d0 = dense.day)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM d ORDER BY day
+        """,
         "events_value_ks_test": """
             WITH b AS (
                 SELECT event_type AS t,

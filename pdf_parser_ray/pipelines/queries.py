@@ -10890,3 +10890,50 @@ def events_hourly_autocorr(sf_dir: str):
     return pd.DataFrame({
         "n_pairs": pd.Series([n], dtype="int64"),
         "autocorr_lag1": pd.Series([r], dtype="float64")})
+
+
+def events_cumulative_users(sf_dir: str):
+    """Cumulative-distinct curve: total users ever seen, by day — the
+    audience-growth chart. Running COUNT(DISTINCT) needs no running
+    distinct at all: a user contributes exactly once, at their first-
+    seen day, so one user-keyed min-day exchange + a day-bounded
+    first-seen histogram + a driver cumsum over the tiny dense day
+    range reproduces the window exactly. Silent days carry the running
+    total forward (the chart has no holes). Day domain is bounded
+    (years, not rows), so the curve is driver-safe at any corpus
+    size."""
+    ev = rel.load(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        day = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"user_id": batch.column("user_id"), "d": day})
+
+    first = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id"], [("d0", "d", "min")]),
+        pa.schema([("user_id", pa.int64()), ("d0", pa.int64())]))
+    per_day = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(first, ["d0"],
+                                      [("n_new", "", "count")],
+                                      small_result=True)),
+        {"d0": "int64", "n_new": "int64"})
+    if per_day.empty:
+        return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                             "n_new": pd.Series(dtype="int64"),
+                             "cum_users": pd.Series(dtype="int64")})
+    lo, hi = int(per_day["d0"].min()), int(per_day["d0"].max())
+    new = dict(zip(per_day["d0"].astype(int), per_day["n_new"].astype(int)))
+    days, n_new, cum_users, cum = [], [], [], 0
+    for d in range(lo, hi + 1):
+        k = new.get(d, 0)
+        cum += k
+        days.append(d)
+        n_new.append(k)
+        cum_users.append(cum)
+    return pd.DataFrame({"day": pd.Series(days, dtype="int64"),
+                         "n_new": pd.Series(n_new, dtype="int64"),
+                         "cum_users": pd.Series(cum_users, dtype="int64")})

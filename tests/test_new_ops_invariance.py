@@ -246,7 +246,7 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "customer_single_order_by_nation", "docs_shingle_df_hist",
         "lineitem_price_qty_ols", "events_type_dow_chisq",
         "lineitem_qty_discount_spearman", "lineitem_charge_unpivot",
-        "events_hourly_autocorr"]
+        "events_hourly_autocorr", "events_cumulative_users"]
 # events_value_ks_test / events_value_mannwhitney need purchase events;
 # the shared fixture has none, so they get a dedicated table below.
 # orders_top_growth_customers pins years 1996/1997; the shared orders

@@ -1934,3 +1934,20 @@ def test_hourly_autocorr_fuzz(rows):
     # dense-hour zero fill: silent hours must enter the lag pairs on
     # both engines; single-hour spans agree as zero rows
     _check("events_hourly_autocorr", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=8),          # user_id
+    st.integers(min_value=0, max_value=20 * 86400), # seconds offset
+), min_size=1, max_size=30))
+def test_cumulative_users_fuzz(rows):
+    # first-seen fold vs running COUNT(DISTINCT); silent days must
+    # appear with the carried-forward total on both engines
+    events = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    _check("events_cumulative_users", {"events": events})
