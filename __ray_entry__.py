@@ -53,6 +53,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "events_retention_km": q.events_retention_km,
+        "events_conversion_lag_hist": q.events_conversion_lag_hist,
+        "q9_profit_by_nation_year": q.q9_profit_by_nation_year,
+        "events_cusum_shift": q.events_cusum_shift,
+        "lineitem_qty_discount_kendall": q.lineitem_qty_discount_kendall,
+        "lineitem_status_cube": q.lineitem_status_cube,
         "events_cumulative_users": q.events_cumulative_users,
         "events_value_ks_test": q.events_value_ks_test,
         "events_value_mannwhitney": q.events_value_mannwhitney,
@@ -316,6 +322,148 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_retention_km": """
+            WITH RECURSIVE d AS (
+                SELECT user_id,
+                       CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                           // 86400 AS d
+                FROM events WHERE user_id IS NOT NULL),
+            u AS (SELECT user_id, min(d) AS f, max(d) AS l
+                  FROM d GROUP BY 1),
+            bnd AS (SELECT max(l) AS hi FROM u),
+            uu AS (SELECT l - f AS dur,
+                          CASE WHEN bnd.hi - l < 1 THEN 1 ELSE 0 END
+                              AS cens
+                   FROM u, bnd),
+            h AS (SELECT dur, count(*) AS tot,
+                         sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END)
+                             AS churn
+                  FROM uu GROUP BY 1),
+            r AS (SELECT h.dur, h.churn,
+                         (SELECT sum(h2.tot) FROM h h2
+                          WHERE h2.dur >= h.dur) AS n_risk
+                  FROM h WHERE h.churn > 0),
+            seq AS (SELECT dur, churn, n_risk,
+                           row_number() OVER (ORDER BY dur) AS k
+                    FROM r),
+            km AS (
+                SELECT CAST(0 AS BIGINT) AS k, CAST(1.0 AS DOUBLE) AS s
+                UNION ALL
+                SELECT seq.k,
+                       km.s * (CAST(seq.n_risk - seq.churn AS DOUBLE)
+                               / CAST(seq.n_risk AS DOUBLE))
+                FROM km JOIN seq ON seq.k = km.k + 1)
+            SELECT seq.dur AS t_days,
+                   CAST(seq.n_risk AS BIGINT) AS n_risk,
+                   CAST(seq.churn AS BIGINT) AS n_churn,
+                   round(km.s, 6) AS survival
+            FROM seq JOIN km ON km.k = seq.k
+        """,
+        "events_conversion_lag_hist": """
+            WITH m AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'click'
+                                THEN CAST(epoch_us(ts) AS BIGINT)
+                           END) AS c0,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN CAST(epoch_us(ts) AS BIGINT)
+                           END) AS p0
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY 1),
+            l AS (SELECT (p0 - c0) // 60000000 AS lag_min
+                  FROM m
+                  WHERE c0 IS NOT NULL AND p0 IS NOT NULL
+                        AND p0 >= c0)
+            SELECT lag_min, count(*) AS n_users
+            FROM l GROUP BY 1
+        """,
+        "q9_profit_by_nation_year": """
+            SELECT n_name,
+                   CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS profit_cents
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY 1, 2
+        """,
+        "events_cusum_shift": """
+            WITH e AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            g AS (SELECT h, sum(c) AS s FROM e GROUP BY 1),
+            bnd AS (SELECT min(h) AS lo, max(h) AS hi,
+                           max(h) - min(h) + 1 AS n,
+                           CAST(sum(s) AS HUGEINT) AS total
+                    FROM g),
+            dense AS (SELECT unnest(generate_series(lo, hi)) AS h
+                      FROM bnd),
+            d AS (SELECT dense.h, COALESCE(g.s, 0) AS s
+                  FROM dense LEFT JOIN g USING (h)),
+            walk AS (SELECT h,
+                            row_number() OVER (ORDER BY h) AS k,
+                            CAST(sum(s) OVER (ORDER BY h) AS HUGEINT)
+                                AS cum
+                     FROM d),
+            best AS (SELECT walk.h, walk.cum
+                     FROM walk, bnd
+                     ORDER BY abs(bnd.n * walk.cum
+                                  - walk.k * bnd.total) DESC, walk.h
+                     LIMIT 1)
+            SELECT CAST(bnd.n AS BIGINT) AS n_hours,
+                   best.h AS shift_hour,
+                   CAST(best.cum AS BIGINT) AS sum_before_cents,
+                   CAST(bnd.total - best.cum AS BIGINT)
+                       AS sum_after_cents
+            FROM best, bnd
+        """,
+        "lineitem_qty_discount_kendall": """
+            WITH b AS (
+                SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_discount * 100) AS BIGINT) AS y
+                FROM lineitem),
+            h AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c
+                  FROM b GROUP BY 1, 2),
+            cd AS (SELECT
+                       COALESCE(sum(CASE WHEN (h1.x < h2.x)
+                                              = (h1.y < h2.y)
+                                    THEN h1.c * h2.c END), 0) AS conc,
+                       COALESCE(sum(CASE WHEN (h1.x < h2.x)
+                                              <> (h1.y < h2.y)
+                                    THEN h1.c * h2.c END), 0) AS disc
+                   FROM h h1 JOIN h h2
+                     ON h1.x <> h2.x AND h1.y <> h2.y
+                        AND (h1.x < h2.x
+                             OR (h1.x = h2.x AND h1.y < h2.y))),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM b),
+            t AS (SELECT
+                      (SELECT n * (n - 1) // 2 FROM m) AS n0,
+                      (SELECT COALESCE(sum(tc * (tc - 1) // 2), 0)
+                       FROM (SELECT CAST(count(*) AS HUGEINT) AS tc
+                             FROM b GROUP BY x)) AS n1,
+                      (SELECT COALESCE(sum(tc * (tc - 1) // 2), 0)
+                       FROM (SELECT CAST(count(*) AS HUGEINT) AS tc
+                             FROM b GROUP BY y)) AS n2)
+            SELECT CAST(m.n AS BIGINT) AS n_rows,
+                   CASE WHEN (t.n0 - t.n1) * (t.n0 - t.n2) > 0
+                        THEN round(CAST(cd.conc - cd.disc AS DOUBLE)
+                                   / sqrt(CAST(t.n0 - t.n1 AS DOUBLE)
+                                          * CAST(t.n0 - t.n2
+                                                 AS DOUBLE)), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS kendall_tau
+            FROM m, t, cd
+            WHERE m.n > 0
+        """,
+        "lineitem_status_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS revenue_cents
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
         "events_cumulative_users": """
             WITH f AS (
                 SELECT user_id,

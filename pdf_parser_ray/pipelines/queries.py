@@ -10937,3 +10937,330 @@ def events_cumulative_users(sf_dir: str):
     return pd.DataFrame({"day": pd.Series(days, dtype="int64"),
                          "n_new": pd.Series(n_new, dtype="int64"),
                          "cum_users": pd.Series(cum_users, dtype="int64")})
+
+
+def events_cusum_shift(sf_dir: str):
+    """CUSUM change-point detection on the hourly revenue series — "did
+    the level shift, and when?". The distributed part is the same
+    hour-bounded cents combine the autocorrelation op rides (silent
+    hours re-enter as zeros on the driver); the CUSUM walk itself runs
+    over the tiny dense hour range. Scale-free statistic: the classic
+    CUSUM C_k = cum_k - k*T/n is scaled by n to S_k = n*cum_k - k*T so
+    every intermediate stays an exact (arbitrary-precision) integer —
+    the argmax hour cannot be flipped by float accumulation. The split
+    itself is reported as pure integer sums (cents before/after the
+    break), never a division. Ties on |S_k| break to the earliest
+    hour, mirroring the SQL twin's ORDER BY."""
+    ev = rel.load(sf_dir, "events", ["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                         pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"h": hour, "c": _cents(batch.column("value"))})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["h"], [("s", "c", "sum")], small_result=True)),
+        {"h": "int64", "s": "int64"})
+    cols = ["n_hours", "shift_hour", "sum_before_cents",
+            "sum_after_cents"]
+    if hist.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    by_hour = dict(zip(hist["h"].astype(int), hist["s"].astype(int)))
+    lo, hi = int(hist["h"].min()), int(hist["h"].max())
+    n = hi - lo + 1
+    total = int(hist["s"].sum())
+    best_k, best_abs, cum = 0, -1, 0
+    cums = []
+    for k in range(1, n + 1):
+        cum += by_hour.get(lo + k - 1, 0)
+        cums.append(cum)
+        s_k = n * cum - k * total            # exact int, any magnitude
+        if abs(s_k) > best_abs:
+            best_abs, best_k = abs(s_k), k
+    before = cums[best_k - 1]
+    return pd.DataFrame({
+        "n_hours": pd.Series([n], dtype="int64"),
+        "shift_hour": pd.Series([lo + best_k - 1], dtype="int64"),
+        "sum_before_cents": pd.Series([before], dtype="int64"),
+        "sum_after_cents": pd.Series([total - before], dtype="int64"),
+    })
+
+
+def lineitem_qty_discount_kendall(sf_dir: str):
+    """Kendall tau-b WITHOUT pairwise row comparisons: on bounded value
+    domains (quantity 1..50, discount in whole cents) concordant /
+    discordant pair counts are exactly recoverable from the joint value
+    histogram — C and D are sums of c_i*c_j over ordered cell pairs, so
+    the only exchange is the ~550-cell histogram combine and the
+    driver's double loop runs over cells, never rows. All counts fold
+    as arbitrary-precision Python ints (n(n-1)/2 terms overflow int64
+    near 10^10 rows; the SQL twin uses HUGEINT for the same reason);
+    only the final tau converts to double, from identical integer
+    operands on both engines, rounded half-away at 6."""
+    li = rel.load(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(batch.column("l_quantity"), ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        y = pc.cast(pc.round(
+            pc.multiply(batch.column("l_discount"),
+                        pa.scalar(100.0, pa.float64())),
+            ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"x": x, "y": y})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            li.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["x", "y"], [("c", "", "count")], small_result=True)),
+        {"x": "int64", "y": "int64", "c": "int64"})
+    if hist.empty:
+        return pd.DataFrame({"n_rows": pd.Series(dtype="int64"),
+                             "kendall_tau": pd.Series(dtype="float64")})
+    cells = [(int(x), int(y), int(c))
+             for x, y, c in zip(hist["x"], hist["y"], hist["c"])]
+    conc = disc = 0
+    for i, (xi, yi, ci) in enumerate(cells):
+        for xj, yj, cj in cells[i + 1:]:
+            if xi == xj or yi == yj:
+                continue
+            if (xi < xj) == (yi < yj):
+                conc += ci * cj
+            else:
+                disc += ci * cj
+    n = sum(c for _, _, c in cells)
+    n0 = n * (n - 1) // 2
+    tx = hist.groupby("x")["c"].sum()
+    ty = hist.groupby("y")["c"].sum()
+    n1 = sum(int(t) * (int(t) - 1) // 2 for t in tx)
+    n2 = sum(int(t) * (int(t) - 1) // 2 for t in ty)
+    den = np.sqrt(float(n0 - n1) * float(n0 - n2))
+    tau = float(np_round_half_away(
+        np.array([float(conc - disc) / den]), 6)[0]) if den != 0 \
+        else float("nan")
+    return pd.DataFrame({"n_rows": pd.Series([n], dtype="int64"),
+                         "kendall_tau": pd.Series([tau], dtype="float64")})
+
+
+def lineitem_status_cube(sf_dir: str):
+    """GROUP BY CUBE (returnflag, linestatus): all four grouping sets —
+    the OLAP cross-tab export. One map-side combine produces the finest
+    (flag, status) partials (a <= |flags| x |statuses| frame); the three
+    coarser grouping sets are derived on the driver by re-summing that
+    tiny frame's exact-cents integers, so the cube costs exactly one
+    bounded exchange regardless of corpus size. NULL level markers
+    mirror SQL CUBE semantics."""
+    li = rel.load(sf_dir, "lineitem",
+                  ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "rev": _cents(batch.column("l_extendedprice")),
+        })
+
+    pair = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            li.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["l_returnflag", "l_linestatus"],
+            [("n_rows", "", "count"), ("revenue_cents", "rev", "sum")],
+            small_result=True)),
+        {"n_rows": "int64", "revenue_cents": "int64"})
+    if pair.empty:
+        return pd.DataFrame({
+            "l_returnflag": pd.Series(dtype="object"),
+            "l_linestatus": pd.Series(dtype="object"),
+            "n_rows": pd.Series(dtype="int64"),
+            "revenue_cents": pd.Series(dtype="int64")})
+    meas = ["n_rows", "revenue_cents"]
+    by_flag = (pair.groupby("l_returnflag", as_index=False)[meas].sum()
+               .assign(l_linestatus=None))
+    by_status = (pair.groupby("l_linestatus", as_index=False)[meas].sum()
+                 .assign(l_returnflag=None))
+    grand = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                          "n_rows": [int(pair["n_rows"].sum())],
+                          "revenue_cents": [int(pair["revenue_cents"].sum())]})
+    out = pd.concat([pair, by_flag, by_status, grand], ignore_index=True)
+    for m in meas:
+        out[m] = out[m].astype("int64")
+    return (out[["l_returnflag", "l_linestatus", "n_rows", "revenue_cents"]]
+            .sort_values(["l_returnflag", "l_linestatus", "n_rows"],
+                         na_position="last", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def events_retention_km(sf_dir: str, censor_days: int = 1):
+    """Kaplan–Meier user-retention curve: survival probability of "user
+    still active after t days", with right-censoring for users whose
+    last event falls within ``censor_days`` of the corpus end (they may
+    still be alive — treating them as churn would bias the curve down,
+    the classic mistake KM exists to fix). Distributed shape: ONE
+    user-keyed exchange folds each user to (first_day, last_day); the
+    per-user frame folds to a (duration, censored)-keyed histogram
+    bounded by the day span, and the driver walks that tiny histogram
+    ascending — risk sets are suffix sums, survival multiplies
+    (n_t - d_t)/n_t as the same IEEE double sequence the SQL twin's
+    recursive CTE replays, so round(·, 6) agrees bit-for-bit. Curve
+    rows step only at churn durations (standard KM)."""
+    ev = rel.load(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        day = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"user_id": batch.column("user_id"), "d": day})
+
+    spans = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id"], [("f", "d", "min"), ("l", "d", "max")]),
+        pa.schema([("user_id", pa.int64()), ("f", pa.int64()),
+                   ("l", pa.int64())])).materialize()
+
+    def last_max(batch: pa.Table) -> pa.Table:
+        col = batch.column("l")
+        return pa.table({"m": pa.array(
+            [pc.max(col).as_py()] if len(col) else [], pa.int64())})
+
+    maxes = spans.map_batches(last_max, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    cols = {"t_days": "int64", "n_risk": "int64", "n_churn": "int64",
+            "survival": "float64"}
+    if maxes.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in cols.items()})
+    hi = int(maxes["m"].max())
+
+    def to_hist(batch: pa.Table) -> pa.Table:
+        dur = pc.subtract(batch.column("l"), batch.column("f"))
+        cens = pc.less(pc.subtract(pa.scalar(hi, pa.int64()),
+                                   batch.column("l")),
+                       pa.scalar(censor_days, pa.int64()))
+        return pa.table({"dur": dur,
+                         "cens": pc.cast(cens, pa.int64())})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            spans.map_batches(to_hist, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            ["dur", "cens"], [("n", "", "count")], small_result=True)),
+        {"dur": "int64", "cens": "int64", "n": "int64"})
+    tot = dict(hist.groupby("dur")["n"].sum())
+    churn = dict(hist.loc[hist["cens"] == 0].groupby("dur")["n"].sum())
+    out_t, out_r, out_d, out_s = [], [], [], []
+    at_risk = int(hist["n"].sum())
+    s = 1.0
+    for t in sorted(tot):
+        d_t = int(churn.get(t, 0))
+        if d_t > 0:
+            s = s * (float(at_risk - d_t) / float(at_risk))
+            out_t.append(t)
+            out_r.append(at_risk)
+            out_d.append(d_t)
+            out_s.append(float(np_round_half_away(np.array([s]), 6)[0]))
+        at_risk -= int(tot[t])
+    return pd.DataFrame({"t_days": pd.Series(out_t, dtype="int64"),
+                         "n_risk": pd.Series(out_r, dtype="int64"),
+                         "n_churn": pd.Series(out_d, dtype="int64"),
+                         "survival": pd.Series(out_s, dtype="float64")})
+
+
+def events_conversion_lag_hist(sf_dir: str):
+    """Funnel latency distribution: minutes from a user's FIRST click to
+    their FIRST purchase (users whose first purchase precedes their
+    first click never converted through the funnel and drop out, as in
+    the SQL twin). One user-keyed exchange folds the two conditional
+    mins; the lag histogram is bounded by the corpus time span in
+    minutes (a time-domain bound, not a row bound), and lags bucket by
+    truncating µs division on both engines."""
+    ev = rel.load(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        et = batch.column("event_type")
+        is_c = pc.equal(et, pa.scalar("click"))
+        is_p = pc.equal(et, pa.scalar("purchase"))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "c": pc.if_else(is_c, ts, pa.scalar(None, pa.int64())),
+            "p": pc.if_else(is_p, ts, pa.scalar(None, pa.int64())),
+        })
+
+    firsts = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id"], [("c0", "c", "min"), ("p0", "p", "min")]),
+        pa.schema([("user_id", pa.int64()), ("c0", pa.int64()),
+                   ("p0", pa.int64())]))
+
+    def to_lag(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch.column("c0")),
+                    pc.is_valid(batch.column("p0"))),
+            pc.greater_equal(batch.column("p0"), batch.column("c0")))
+        batch = batch.filter(ok)
+        lag = pc.divide(pc.subtract(batch.column("p0"),
+                                    batch.column("c0")),
+                        pa.scalar(60_000_000, pa.int64()))
+        return pa.table({"lag_min": lag})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            firsts.map_batches(to_lag, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["lag_min"], [("n_users", "", "count")],
+            small_result=True)),
+        {"lag_min": "int64", "n_users": "int64"})
+    return rel.to_pandas_sorted(hist[["lag_min", "n_users"]],
+                                ["lag_min"])
+
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """q9-shape profit rollup (adapted: the testdata schema has no
+    partsupp, so profit is discounted revenue): exact-cents profit per
+    (supplier nation, ship year). Supplier -> nation is a broadcast
+    dimension chain; the wide exchange is the |nations| x |years|-
+    bounded combine — lineitem never shuffles."""
+    nation = rel.load(sf_dir, "nation").to_pandas()
+    supp = rel.load(sf_dir, "supplier",
+                    ["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = (supp.merge(nation, left_on="s_nationkey",
+                       right_on="n_nationkey")
+            [["s_suppkey", "n_name"]]
+            .rename(columns={"s_suppkey": "l_suppkey"}))
+
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_suppkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        profit = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({
+            "l_suppkey": batch.column("l_suppkey"),
+            "o_year": pc.cast(pc.year(batch.column("l_shipdate")),
+                              pa.int64()),
+            "profit_c": _cents(profit),
+        })
+
+    enriched = rel.broadcast_merge(
+        line.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        smap, on="l_suppkey")
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            enriched, ["n_name", "o_year"],
+            [("profit_cents", "profit_c", "sum")], small_result=True)),
+        {"o_year": "int64", "profit_cents": "int64"})
+    return rel.to_pandas_sorted(
+        agg[["n_name", "o_year", "profit_cents"]], ["n_name", "o_year"])

@@ -107,6 +107,8 @@ def _lineitem_table() -> pa.Table:
             (1 + rng.randint(0, 4, n)).astype(np.int32), pa.int32()),
         "l_returnflag": pa.array(
             [["A", "N", "R"][i % 3] for i in range(n)], pa.string()),
+        "l_linestatus": pa.array(
+            [["F", "O"][i % 2] for i in range(n)], pa.string()),
         "l_shipdate": pa.array(
             [base + dt.timedelta(days=int(d))
              for d in rng.randint(0, 20, n)],
@@ -246,7 +248,13 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "customer_single_order_by_nation", "docs_shingle_df_hist",
         "lineitem_price_qty_ols", "events_type_dow_chisq",
         "lineitem_qty_discount_spearman", "lineitem_charge_unpivot",
-        "events_hourly_autocorr", "events_cumulative_users"]
+        "events_hourly_autocorr", "events_cumulative_users",
+        "events_cusum_shift", "lineitem_qty_discount_kendall",
+        "lineitem_status_cube", "q9_profit_by_nation_year"]
+# events_conversion_lag_hist needs purchase events and
+# events_retention_km needs a multi-day span with uncensored users;
+# the shared events fixture (one day, no purchases) satisfies neither,
+# so each gets a dedicated invariance test below.
 # events_value_ks_test / events_value_mannwhitney need purchase events;
 # the shared fixture has none, so they get a dedicated table below.
 # orders_top_growth_customers pins years 1996/1997; the shared orders
@@ -495,3 +503,92 @@ def test_ks_mannwhitney_invariance():
     assert int(ks["ks_ppm"][0]) == 1_000_000      # disjoint supports
     mw = run("events_value_mannwhitney", 3)
     assert int(mw["auc_ppm"][0]) == 0             # every click < purchase
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_conversion_lag_invariance():
+    # first-click -> first-purchase lags: the conditional-min fold must
+    # be block-invariant; user 0 converts in exactly 90 minutes, user 1
+    # purchases before clicking and must drop
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (0, 0, "click"), (0, 30, "click"), (0, 90, "purchase"),
+        (0, 200, "purchase"),
+        (1, 10, "purchase"), (1, 50, "click"),
+        (2, 5, "view"), (2, 6, "click"),            # never converts
+        (3, 0, "click"), (3, 90, "purchase"),       # same bucket as 0
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + dt.timedelta(minutes=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+    def run(n_blocks):
+        def load(sf, table, columns=None):
+            return ray.data.from_arrow(
+                tbl.select(columns) if columns else tbl
+            ).repartition(n_blocks)
+
+        orig = q.rel.load
+        q.rel.load = load
+        try:
+            return q.events_conversion_lag_hist("inv").reset_index(
+                drop=True)
+        finally:
+            q.rel.load = orig
+
+    a, b = run(1), run(5)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["lag_min"]) == [90]
+    assert list(a["n_users"]) == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_km_invariance():
+    # multi-day spans with a mix of churned and censored users: the
+    # span fold + suffix-sum risk walk must be block-invariant, the
+    # curve must be non-increasing, and censored-only durations must
+    # not emit a step
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # users 0..6 churn (last seen before the corpus-end day); user 7
+    # is censored (still active on the final day)
+    for uid, (f, l) in enumerate([(0, 0), (1, 1), (0, 3), (2, 5),
+                                  (4, 7), (0, 10), (20, 29), (25, 30)]):
+        rows.append((uid, f))
+        rows.append((uid, l))
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + dt.timedelta(days=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+
+    def run(n_blocks):
+        def load(sf, table, columns=None):
+            return ray.data.from_arrow(
+                tbl.select(columns) if columns else tbl
+            ).repartition(n_blocks)
+
+        orig = q.rel.load
+        q.rel.load = load
+        try:
+            return q.events_retention_km("inv").reset_index(drop=True)
+        finally:
+            q.rel.load = orig
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    surv = list(a["survival"])
+    assert all(x >= y for x, y in zip(surv, surv[1:]))
+    assert int(a["n_risk"][0]) == 8          # everyone at risk at t=0

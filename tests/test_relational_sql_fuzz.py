@@ -1951,3 +1951,100 @@ def test_cumulative_users_fuzz(rows):
                        pa.timestamp("us")),
     })
     _check("events_cumulative_users", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_cusum_shift_fuzz(rows):
+    # integer-scaled CUSUM argmax vs the SQL window walk; silent hours
+    # must enter the walk as zeros; |S_k| ties must break to the
+    # earliest hour on both engines
+    _check("events_cusum_shift", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES)
+def test_qty_discount_kendall_fuzz(rows):
+    # histogram-derived concordant/discordant counts vs the SQL cell
+    # self-join; tie-heavy and constant columns must agree as NaN when
+    # (n0-n1)(n0-n2) = 0
+    _check("lineitem_qty_discount_kendall", {"lineitem": _lineitem(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES)
+def test_status_cube_fuzz(rows):
+    # the driver-derived coarse grouping sets must match SQL CUBE
+    # exactly, including NULL level markers and exact-cents sums
+    _check("lineitem_status_cube", {"lineitem": _lineitem(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=6),           # user_id
+    st.integers(min_value=0, max_value=30 * 86400),  # seconds offset
+), min_size=1, max_size=30))
+def test_retention_km_fuzz(rows):
+    # suffix-sum risk sets + the sequential double product vs the
+    # recursive-CTE replay; all-censored corpora must agree as zero
+    # rows; same-day users (dur=0) must enter the first risk set
+    events = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    _check("events_retention_km", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=6),            # user_id
+    st.integers(min_value=0, max_value=200_000),      # seconds offset
+    st.sampled_from(["view", "click", "purchase"]),
+), min_size=1, max_size=30))
+def test_conversion_lag_fuzz(rows):
+    # conditional-min folds vs SQL CASE mins; purchase-before-click
+    # users must drop on both engines; lag buckets by truncating µs
+    # division
+    events = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    _check("events_conversion_lag_hist", {"events": events})
+
+
+_DIM_NATION = pa.table({
+    "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+    "n_name": pa.array(["ALPHA", "BETA", "GAMMA"], pa.string()),
+    "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+})
+_DIM_SUPPLIER = pa.table({
+    "s_suppkey": pa.array([0, 1, 2, 3], pa.int64()),
+    "s_name": pa.array([f"S{i}" for i in range(4)], pa.string()),
+    "s_nationkey": pa.array([0, 1, 2, 0], pa.int64()),
+    "s_acctbal": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES, skeys=st.lists(st.integers(min_value=0, max_value=3),
+                                   min_size=1, max_size=30))
+def test_q9_profit_cents_fuzz(rows, skeys):
+    # cents discipline through the dimension chain: the per-row rounded
+    # profit must sum bit-equal across the broadcast join
+    li = _lineitem(rows)
+    n = len(li)
+    li = li.append_column(
+        "l_suppkey", pa.array([skeys[i % len(skeys)] for i in range(n)],
+                              pa.int64()))
+    _check("q9_profit_by_nation_year",
+           {"lineitem": li, "supplier": _DIM_SUPPLIER,
+            "nation": _DIM_NATION})
