@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "docs_readability": q.docs_readability,
+        "events_acf_grid": q.events_acf_grid,
         "events_retention_km": q.events_retention_km,
         "events_conversion_lag_hist": q.events_conversion_lag_hist,
         "q9_profit_by_nation_year": q.q9_profit_by_nation_year,
@@ -322,6 +324,64 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_readability": """
+            WITH d AS (
+                SELECT source,
+                       length(text) AS chars,
+                       length(regexp_extract_all(text, '\\S+')) AS words,
+                       length(regexp_extract_all(text, '[.!?]+'))
+                           AS sents
+                FROM documents),
+            g AS (SELECT source, count(*) AS n_docs,
+                         CAST(sum(chars) AS BIGINT) AS c,
+                         CAST(sum(words) AS BIGINT) AS w,
+                         CAST(sum(sents) AS BIGINT) AS s
+                  FROM d WHERE words > 0 AND sents > 0
+                  GROUP BY 1)
+            SELECT source, n_docs,
+                   round(4.71 * (CAST(c AS DOUBLE) / CAST(w AS DOUBLE))
+                         + 0.5 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                         - 21.43, 4) AS ari
+            FROM g
+        """,
+        "events_acf_grid": """
+            WITH e AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            g AS (SELECT h, sum(c) AS s FROM e GROUP BY 1),
+            bnd AS (SELECT min(h) AS lo, max(h) AS hi FROM g),
+            dense AS (SELECT unnest(generate_series(lo, hi)) AS h
+                      FROM bnd),
+            d AS (SELECT dense.h, COALESCE(g.s, 0) AS s
+                  FROM dense LEFT JOIN g USING (h)),
+            lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+            p AS (SELECT lags.lag, a.s AS x, b.s AS y
+                  FROM lags
+                  JOIN d a ON TRUE
+                  JOIN d b ON b.h = a.h + lags.lag),
+            m AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x*x) AS sxx, sum(y*y) AS syy,
+                         sum(x*y) AS sxy
+                  FROM p GROUP BY 1),
+            f AS (SELECT lag, n,
+                         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                             AS num,
+                         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                             AS prod
+                  FROM m WHERE n > 0)
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   CASE WHEN prod > 0
+                        THEN round(num / sqrt(prod), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS acf
+            FROM f
+        """,
         "events_retention_km": """
             WITH RECURSIVE d AS (
                 SELECT user_id,

@@ -11264,3 +11264,104 @@ def q9_profit_by_nation_year(sf_dir: str):
         {"o_year": "int64", "profit_cents": "int64"})
     return rel.to_pandas_sorted(
         agg[["n_name", "o_year", "profit_cents"]], ["n_name", "o_year"])
+
+
+def docs_readability(sf_dir: str):
+    """Per-source readability profile (ARI-shaped: chars/word and
+    words/sentence, the two ratios every readability index combines —
+    syllable-free so it stays exact and language-agnostic). Ratio of
+    SUMS, not mean of ratios: per-batch int64 folds of (chars, words,
+    sentences) per source make the exchange |sources|-bounded and the
+    final grade a few identical-double ops on identical int64 operands
+    — bit-equal to SQL at any corpus size. Docs with no token or no
+    sentence terminator are ungradable and drop on both engines."""
+    ds = rel.load(sf_dir, "documents", ["source", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        words = textstage._count_rx(col, r"\S+").astype(np.int64)
+        sents = textstage._count_rx(col, r"[.!?]+").astype(np.int64)
+        chars = pc.utf8_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = (words > 0) & (sents > 0)
+        return pa.table({
+            "source": batch.column("source").filter(pa.array(keep)),
+            "chars": pa.array(chars[keep], pa.int64()),
+            "words": pa.array(words[keep], pa.int64()),
+            "sents": pa.array(sents[keep], pa.int64()),
+        })
+
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["source"],
+            [("n_docs", "", "count"), ("c", "chars", "sum"),
+             ("w", "words", "sum"), ("s", "sents", "sum")],
+            small_result=True)),
+        {"n_docs": "int64", "c": "int64", "w": "int64", "s": "int64"})
+    if agg.empty:
+        return pd.DataFrame({"source": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "ari": pd.Series(dtype="float64")})
+    ari = [float(np_round_half_away(np.array(
+        [4.71 * (float(c) / float(w)) + 0.5 * (float(w) / float(s))
+         - 21.43]), 4)[0])
+        for c, w, s in zip(agg["c"], agg["w"], agg["s"])]
+    out = pd.DataFrame({"source": agg["source"],
+                        "n_docs": agg["n_docs"].astype("int64"),
+                        "ari": pd.Series(ari, dtype="float64")})
+    return rel.to_pandas_sorted(out, ["source"])
+
+
+def events_acf_grid(sf_dir: str, max_lag: int = 24):
+    """Autocorrelation function of the hourly revenue series at lags
+    1..``max_lag`` — the seasonality fingerprint (a daily cycle shows as
+    a lag-24 peak). ONE hour-bounded cents exchange feeds every lag:
+    the driver densifies silent hours to zero once and replays the
+    exact-int moment fold per lag over the tiny dense series, so adding
+    lags costs driver arithmetic, not passes over the data. Each lag's
+    correlation comes from identical int64 operands on both engines,
+    rounded half-away at 6; lags with no pairs or zero variance agree
+    as NaN."""
+    ev = rel.load(sf_dir, "events", ["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                         pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"h": hour, "c": _cents(batch.column("value"))})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["h"], [("s", "c", "sum")], small_result=True)),
+        {"h": "int64", "s": "int64"})
+    if hist.empty:
+        return pd.DataFrame({"lag": pd.Series(dtype="int64"),
+                             "n_pairs": pd.Series(dtype="int64"),
+                             "acf": pd.Series(dtype="float64")})
+    by_hour = dict(zip(hist["h"].astype(int), hist["s"].astype(int)))
+    lo, hi = int(hist["h"].min()), int(hist["h"].max())
+    series = [by_hour.get(h, 0) for h in range(lo, hi + 1)]
+    lags, n_pairs, acfs = [], [], []
+    for lag in range(1, max_lag + 1):
+        xs, ys = series[:-lag] if lag < len(series) else [], series[lag:]
+        n = len(xs)
+        if n == 0:
+            continue
+        sx = sum(xs); sy = sum(ys)
+        sxx = sum(v * v for v in xs); syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        # the gate runs on the DOUBLE product, not the exact integers,
+        # so cancellation behaves identically to the SQL twin's CASE
+        prod = ((float(n) * float(sxx) - float(sx) * float(sx))
+                * (float(n) * float(syy) - float(sy) * float(sy)))
+        corr = float(np_round_half_away(
+            np.array([num / np.sqrt(prod)]), 6)[0]) \
+            if prod > 0 else float("nan")
+        lags.append(lag); n_pairs.append(n); acfs.append(corr)
+    return pd.DataFrame({"lag": pd.Series(lags, dtype="int64"),
+                         "n_pairs": pd.Series(n_pairs, dtype="int64"),
+                         "acf": pd.Series(acfs, dtype="float64")})

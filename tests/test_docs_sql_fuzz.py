@@ -755,3 +755,13 @@ def test_docs_dup_cluster_sizes_fuzz(texts):
     # histogram of recursive-CTE component sizes: duplicate/perturbed
     # corpora produce real multi-doc clusters; no pairs -> empty frame
     _check("docs_dup_cluster_sizes", texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(texts=_DOCS)
+def test_readability_fuzz(texts):
+    # RE2 word/sentence counts + ratio-of-sums ARI vs the SQL fold;
+    # corpora where every doc lacks a token or a terminator must agree
+    # as zero rows
+    _check("docs_readability", texts)

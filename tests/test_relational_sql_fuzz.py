@@ -2048,3 +2048,13 @@ def test_q9_profit_cents_fuzz(rows, skeys):
     _check("q9_profit_by_nation_year",
            {"lineitem": li, "supplier": _DIM_SUPPLIER,
             "nation": _DIM_NATION})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_acf_grid_fuzz(rows):
+    # one histogram pass must reproduce every lag's window self-join;
+    # short series must drop high lags (no pairs) on both engines and
+    # zero-variance slices must agree as NaN via the DOUBLE-product gate
+    _check("events_acf_grid", {"events": _events(rows)})
