@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "q11_important_parts": q.q11_important_parts,
+        "q20_dominant_suppliers": q.q20_dominant_suppliers,
+        "q21_last_shippers": q.q21_last_shippers,
         "docs_readability": q.docs_readability,
         "events_acf_grid": q.events_acf_grid,
         "events_retention_km": q.events_retention_km,
@@ -324,6 +327,51 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q11_important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)) AS value_cents
+                FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(COALESCE(sum(value_cents), 0) AS HUGEINT)
+                      AS total
+                  FROM v)
+            SELECT l_partkey, value_cents
+            FROM v, t
+            WHERE CAST(value_cents AS HUGEINT) * 10000 > total
+        """,
+        "q20_dominant_suppliers": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+                FROM lineitem GROUP BY 1, 2),
+            tot AS (SELECT l_partkey, sum(q) AS tq FROM ps GROUP BY 1)
+            SELECT l_suppkey, s_name,
+                   count(*) AS n_dominant_parts
+            FROM ps
+            JOIN tot USING (l_partkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE 5 * q > tq
+            GROUP BY 1, 2
+        """,
+        "q21_last_shippers": """
+            WITH p AS (
+                SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+                FROM lineitem GROUP BY 1, 2),
+            o AS (SELECT l_orderkey, count(*) AS n_supp, max(ms) AS om
+                  FROM p GROUP BY 1),
+            am AS (SELECT p.l_orderkey,
+                          count(*) AS n_at_max,
+                          min(p.l_suppkey) AS win,
+                          max(o.n_supp) AS n_supp
+                   FROM p JOIN o ON p.l_orderkey = o.l_orderkey
+                                AND p.ms = o.om
+                   GROUP BY 1)
+            SELECT win AS l_suppkey, s_name, count(*) AS n_orders
+            FROM am JOIN supplier ON s_suppkey = win
+            WHERE n_supp >= 2 AND n_at_max = 1
+            GROUP BY 1, 2
+        """,
         "docs_readability": """
             WITH d AS (
                 SELECT source,

@@ -11365,3 +11365,203 @@ def events_acf_grid(sf_dir: str, max_lag: int = 24):
     return pd.DataFrame({"lag": pd.Series(lags, dtype="int64"),
                          "n_pairs": pd.Series(n_pairs, dtype="int64"),
                          "acf": pd.Series(acfs, dtype="float64")})
+
+
+def q11_important_parts(sf_dir: str):
+    """q11-shape important-stock screen (adapted: the testdata schema
+    has no partsupp, so a part's "stock value" is its total discounted
+    lineitem revenue): parts whose value exceeds 1/10000 of the global
+    total. One partkey-keyed combine over the fact table; the global
+    total folds over the per-part partials (a dimension-sized frame,
+    never a second fact scan); the HAVING test is the exact rational
+    compare value_c * 10000 > total_c, evaluated as the equivalent
+    integer compare value_c > floor(total_c / 10000) so no int64
+    product can overflow and no double fraction exists on either
+    engine. Only the (tiny) important subset reaches the driver."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        value = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"l_partkey": batch.column("l_partkey"),
+                         "v": _cents(value)})
+
+    agg_schema = pa.schema([("l_partkey", pa.int64()),
+                            ("value_cents", pa.int64())])
+    per_part = rel.ensure_schema(
+        rel.grouped_agg(
+            line.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["l_partkey"], [("value_cents", "v", "sum")]),
+        agg_schema).materialize()
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array(
+            [pc.sum(batch.column("value_cents")).as_py() or 0],
+            pa.int64())})
+
+    total = int(per_part.map_batches(
+        fold, batch_format="pyarrow",
+        zero_copy_batch=True).to_pandas()["t"].sum())
+    # v*10000 > total  <=>  v > floor(total/10000) for integer v
+    thr = pa.scalar(total // 10000, pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("value_cents"), thr))
+
+    out = rel.ensure_columns(
+        rel.as_pandas(per_part.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True)),
+        {"l_partkey": "int64", "value_cents": "int64"})
+    return rel.to_pandas_sorted(
+        out[["l_partkey", "value_cents"]], ["l_partkey"])
+
+
+def q20_dominant_suppliers(sf_dir: str):
+    """q20-shape dominant-supplier screen (adapted: no partsupp /
+    availqty, so "excess stock" becomes shipped-quantity dominance): a
+    supplier dominates a part when it shipped more than 20% of that
+    part's total quantity (5 * q_ps > q_p — several times the fair share
+    at the testdata's ~27 suppliers per part, so the screen binds
+    without being universal). Exchanges: one fact-table
+    combine keyed (partkey, suppkey); a partkey re-combine of those
+    pair rows for per-part totals; one partkey hash join between the
+    two — every post-combine frame is pair/dimension-sized, and the
+    fact table is scanned exactly once. Quantities fold as exact
+    centi-units so both engines compare identical integers; the final
+    per-supplier count is |suppliers|-bounded and the name enrichment
+    is a driver merge against the supplier dimension."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": batch.column("l_partkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "q": _cents(batch.column("l_quantity"))})
+
+    pair_schema = pa.schema([("l_partkey", pa.int64()),
+                             ("l_suppkey", pa.int64()),
+                             ("q", pa.int64())])
+    pairs = rel.ensure_schema(
+        rel.grouped_agg(
+            line.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["l_partkey", "l_suppkey"], [("q", "q", "sum")]),
+        pair_schema).materialize()
+    tot_schema = pa.schema([("pk", pa.int64()), ("tq", pa.int64())])
+    totals = rel.ensure_schema(
+        rel.grouped_agg(pairs, ["l_partkey"], [("tq", "q", "sum")]),
+        pa.schema([("l_partkey", pa.int64()), ("tq", pa.int64())])) \
+        .map_batches(lambda b: b.rename_columns(["pk", "tq"]),
+                     batch_format="pyarrow")
+    joined = rel.hash_join_nonempty(
+        pairs, totals, on="l_partkey", right_on="pk",
+        num_partitions=rel.join_partitions(pairs.count()),
+        left_schema=pair_schema, right_schema=tot_schema)
+
+    def dominant(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(
+            pc.multiply(batch.column("q"), pa.scalar(5, pa.int64())),
+            batch.column("tq"))
+        kept = batch.filter(mask)
+        return pa.table({"l_suppkey": kept.column("l_suppkey")})
+
+    counts = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            joined.map_batches(dominant, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["l_suppkey"], [("n_dominant_parts", "", "count")],
+            small_result=True)),
+        {"l_suppkey": "int64", "n_dominant_parts": "int64"})
+    supp = rel.load(sf_dir, "supplier",
+                    ["s_suppkey", "s_name"]).to_pandas()
+    out = counts.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out[["l_suppkey", "s_name", "n_dominant_parts"]]
+    out["n_dominant_parts"] = out["n_dominant_parts"].astype("int64")
+    return rel.to_pandas_sorted(out, ["l_suppkey"])
+
+
+def q21_last_shippers(sf_dir: str):
+    """q21-shape "supplier who kept the order waiting" screen (adapted:
+    the schema has no commit/receipt dates, so lateness becomes being
+    the UNIQUE supplier still shipping on a multi-supplier order's last
+    ship date): per supplier, the number of orders with >= 2 distinct
+    suppliers where only that supplier shipped on the order's max
+    shipdate. Exchanges, all keyed on the orderkey: one fact-table
+    combine to (orderkey, suppkey, max ship) pairs; a re-combine of the
+    pair rows for per-order supplier counts and order max; one hash
+    join pair x order; then an argmax-uniqueness re-combine — the
+    TPC-H q21 multi-EXISTS rewritten as two bounded recombines plus one
+    keyed join, with no correlated per-row probes. Ship dates compare
+    as int64 epoch-us on the Ray side (order-preserving cast)."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "d": pc.cast(batch.column("l_shipdate"), pa.int64())})
+
+    pair_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("l_suppkey", pa.int64()),
+                             ("ms", pa.int64())])
+    pairs = rel.ensure_schema(
+        rel.grouped_agg(
+            line.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["l_orderkey", "l_suppkey"], [("ms", "d", "max")]),
+        pair_schema).materialize()
+    ord_schema = pa.schema([("ok", pa.int64()), ("n_supp", pa.int64()),
+                            ("om", pa.int64())])
+    per_order = rel.ensure_schema(
+        rel.grouped_agg(pairs, ["l_orderkey"],
+                        [("n_supp", "", "count"), ("om", "ms", "max")]),
+        pa.schema([("l_orderkey", pa.int64()), ("n_supp", pa.int64()),
+                   ("om", pa.int64())])) \
+        .map_batches(lambda b: b.rename_columns(["ok", "n_supp", "om"]),
+                     batch_format="pyarrow")
+    joined = rel.hash_join_nonempty(
+        pairs, per_order, on="l_orderkey", right_on="ok",
+        num_partitions=rel.join_partitions(pairs.count()),
+        left_schema=pair_schema, right_schema=ord_schema)
+
+    def at_max(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("ms"),
+                                     batch.column("om")))
+        return pa.table({"l_orderkey": kept.column("l_orderkey"),
+                         "l_suppkey": kept.column("l_suppkey"),
+                         "n_supp": kept.column("n_supp")})
+
+    am = rel.ensure_schema(
+        rel.grouped_agg(
+            joined.map_batches(at_max, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["l_orderkey"],
+            [("n_at_max", "", "count"), ("win", "l_suppkey", "min"),
+             ("ns", "n_supp", "max")]),
+        pa.schema([("l_orderkey", pa.int64()), ("n_at_max", pa.int64()),
+                   ("win", pa.int64()), ("ns", pa.int64())]))
+
+    def sole(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch.column("ns"),
+                             pa.scalar(2, pa.int64())),
+            pc.equal(batch.column("n_at_max"), pa.scalar(1, pa.int64())))
+        return pa.table({"win": batch.filter(mask).column("win")})
+
+    counts = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            am.map_batches(sole, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["win"], [("n_orders", "", "count")], small_result=True)),
+        {"win": "int64", "n_orders": "int64"})
+    supp = rel.load(sf_dir, "supplier",
+                    ["s_suppkey", "s_name"]).to_pandas()
+    out = counts.merge(supp, left_on="win", right_on="s_suppkey")
+    out = out.rename(columns={"win": "l_suppkey"})
+    out = out[["l_suppkey", "s_name", "n_orders"]]
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return rel.to_pandas_sorted(out, ["l_suppkey"])

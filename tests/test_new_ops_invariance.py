@@ -251,7 +251,9 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_hourly_autocorr", "events_cumulative_users",
         "events_cusum_shift", "lineitem_qty_discount_kendall",
         "lineitem_status_cube", "q9_profit_by_nation_year",
-        "docs_readability", "events_acf_grid"]
+        "docs_readability", "events_acf_grid",
+        "q11_important_parts", "q20_dominant_suppliers",
+        "q21_last_shippers"]
 # events_conversion_lag_hist needs purchase events and
 # events_retention_km needs a multi-day span with uncensored users;
 # the shared events fixture (one day, no purchases) satisfies neither,

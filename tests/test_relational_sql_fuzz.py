@@ -2058,3 +2058,65 @@ def test_acf_grid_fuzz(rows):
     # short series must drop high lags (no pairs) on both engines and
     # zero-variance slices must agree as NaN via the DOUBLE-product gate
     _check("events_acf_grid", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES, pkeys=st.lists(st.integers(min_value=0, max_value=5),
+                                   min_size=1, max_size=30))
+def test_q11_important_parts_fuzz(rows, pkeys):
+    # the exact-rational HAVING (value*10000 > total, evaluated as the
+    # overflow-free floor compare) must agree with the HUGEINT SQL
+    # product for any sign mix, including all-negative totals
+    li = _lineitem(rows)
+    n = len(li)
+    li = li.append_column(
+        "l_partkey", pa.array([pkeys[i % len(pkeys)] for i in range(n)],
+                              pa.int64()))
+    _check("q11_important_parts", {"lineitem": li})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES,
+       pkeys=st.lists(st.integers(min_value=0, max_value=5),
+                      min_size=1, max_size=30),
+       skeys=st.lists(st.integers(min_value=0, max_value=3),
+                      min_size=1, max_size=30))
+def test_q20_dominant_suppliers_fuzz(rows, pkeys, skeys):
+    # centi-unit quantity dominance (5q > tq) across the pair combine,
+    # the partkey re-combine and the hash join must match the SQL
+    # integer compare exactly — boundary shares included
+    li = _lineitem(rows)
+    n = len(li)
+    li = li.append_column(
+        "l_partkey", pa.array([pkeys[i % len(pkeys)] for i in range(n)],
+                              pa.int64()))
+    li = li.append_column(
+        "l_suppkey", pa.array([skeys[i % len(skeys)] for i in range(n)],
+                              pa.int64()))
+    _check("q20_dominant_suppliers",
+           {"lineitem": li, "supplier": _DIM_SUPPLIER})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES,
+       okeys=st.lists(st.integers(min_value=0, max_value=8),
+                      min_size=1, max_size=30),
+       skeys=st.lists(st.integers(min_value=0, max_value=3),
+                      min_size=1, max_size=30))
+def test_q21_last_shippers_fuzz(rows, okeys, skeys):
+    # argmax-uniqueness semantics: shipdate ties on the order max must
+    # disqualify (n_at_max > 1) identically on both engines, and
+    # single-supplier orders must never count
+    li = _lineitem(rows)
+    n = len(li)
+    li = li.append_column(
+        "l_orderkey", pa.array([okeys[i % len(okeys)] for i in range(n)],
+                               pa.int64()))
+    li = li.append_column(
+        "l_suppkey", pa.array([skeys[i % len(skeys)] for i in range(n)],
+                              pa.int64()))
+    _check("q21_last_shippers",
+           {"lineitem": li, "supplier": _DIM_SUPPLIER})
