@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "lineitem_qty_discount_theilsen": q.lineitem_qty_discount_theilsen,
+        "events_value_welch_t": q.events_value_welch_t,
         "q11_important_parts": q.q11_important_parts,
         "q20_dominant_suppliers": q.q20_dominant_suppliers,
         "q21_last_shippers": q.q21_last_shippers,
@@ -327,6 +329,83 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_qty_discount_theilsen": """
+            WITH h AS (
+                SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_discount * 100) AS BIGINT) AS y,
+                       count(*) AS c
+                FROM lineitem GROUP BY 1, 2),
+            p AS (SELECT CAST(b.y - a.y AS DOUBLE)
+                             / CAST(b.x - a.x AS DOUBLE) AS slope,
+                         CAST(a.c AS HUGEINT) * b.c AS w
+                  FROM h a JOIN h b ON b.x > a.x),
+            g AS (SELECT slope, sum(w) AS w FROM p GROUP BY 1),
+            tw AS (SELECT sum(w) AS tot FROM g),
+            cum AS (SELECT slope, sum(w) OVER (ORDER BY slope) AS cw
+                    FROM g),
+            m AS (SELECT min(slope) AS m FROM cum, tw
+                  WHERE 2 * cw >= tot),
+            r AS (SELECT CAST(h.y AS DOUBLE)
+                             - m.m * CAST(h.x AS DOUBLE) AS res, h.c
+                  FROM h, m),
+            rg AS (SELECT res, sum(c) AS c FROM r GROUP BY 1),
+            rt AS (SELECT CAST(sum(c) AS HUGEINT) AS tot FROM rg),
+            rcum AS (SELECT res, sum(c) OVER (ORDER BY res) AS cc
+                     FROM rg),
+            b AS (SELECT min(res) AS b FROM rcum, rt
+                  WHERE 2 * CAST(cc AS HUGEINT) >= tot),
+            n AS (SELECT count(*) AS n_rows FROM lineitem)
+            SELECT n.n_rows,
+                   round(m.m, 6) AS ts_slope,
+                   round(b.b, 6) AS ts_intercept
+            FROM n, m, b
+            WHERE m.m IS NOT NULL
+        """,
+        "events_value_welch_t": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events
+                WHERE event_type IN ('click', 'purchase')),
+            s AS (
+                SELECT
+                    count(*) FILTER (event_type = 'click') AS n1,
+                    COALESCE(sum(v) FILTER (event_type = 'click'),
+                             0) AS s1,
+                    COALESCE(sum(v * v) FILTER (event_type = 'click'),
+                             0) AS ss1,
+                    count(*) FILTER (event_type = 'purchase') AS n2,
+                    COALESCE(sum(v) FILTER (event_type = 'purchase'),
+                             0) AS s2,
+                    COALESCE(sum(v * v) FILTER (event_type = 'purchase'),
+                             0) AS ss2
+                FROM c),
+            d AS (
+                SELECT n1, n2,
+                       CAST(n1 AS DOUBLE) AS n1f, CAST(s1 AS DOUBLE) AS s1f,
+                       CAST(ss1 AS DOUBLE) AS ss1f,
+                       CAST(n2 AS DOUBLE) AS n2f, CAST(s2 AS DOUBLE) AS s2f,
+                       CAST(ss2 AS DOUBLE) AS ss2f
+                FROM s),
+            q AS (
+                SELECT n1, n2, n1f, s1f, n2f, s2f,
+                       ((ss1f - s1f * s1f / n1f) / (n1f - 1.0)) / n1f
+                           AS q1,
+                       ((ss2f - s2f * s2f / n2f) / (n2f - 1.0)) / n2f
+                           AS q2
+                FROM d)
+            SELECT n1 AS n_click, n2 AS n_purchase,
+                   CASE WHEN n1 >= 2 AND n2 >= 2 AND q1 + q2 > 0
+                        THEN round((s1f / n1f - s2f / n2f)
+                                   / sqrt(q1 + q2), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS t_stat,
+                   CASE WHEN n1 >= 2 AND n2 >= 2 AND q1 + q2 > 0
+                        THEN round((q1 + q2) * (q1 + q2)
+                                   / (q1 * q1 / (n1f - 1.0)
+                                      + q2 * q2 / (n2f - 1.0)), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS welch_df
+            FROM q
+        """,
         "q11_important_parts": """
             WITH v AS (
                 SELECT l_partkey,

@@ -11565,3 +11565,142 @@ def q21_last_shippers(sf_dir: str):
     out = out[["l_suppkey", "s_name", "n_orders"]]
     out["n_orders"] = out["n_orders"].astype("int64")
     return rel.to_pandas_sorted(out, ["l_suppkey"])
+
+
+def lineitem_qty_discount_theilsen(sf_dir: str):
+    """Theil-Sen robust regression (discount-points on quantity),
+    histogram-exact: the median-of-pairwise-slopes estimator needs
+    O(n^2) pairs, but (round(qty), round(discount*100)) lives on a
+    ~550-cell integer lattice, so slopes come from CELL pairs with
+    count-product weights — one bounded combine, then ~150k driver
+    multiplies, never a row self-join. Weights accumulate as Python
+    ints (cell-count products overflow int64 near 10^10 rows); the
+    weighted lower median (first slope with 2*cum >= W) and the
+    intercept (weighted median residual y - m*x, the classic Theil-Sen
+    intercept) replay the identical double ops in the SQL twin's
+    window-cumsum walk. No pairs (all quantities equal) -> empty frame
+    on both engines."""
+    ds = rel.load(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        x = np_round_half_away_int(
+            batch.column("l_quantity").to_numpy()).astype(np.int64)
+        y = np_round_half_away_int(
+            batch.column("l_discount").to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame({"x": x, "y": y})
+        g = df.groupby(["x", "y"], as_index=False).size()
+        return pa.table({"x": pa.array(g["x"], pa.int64()),
+                         "y": pa.array(g["y"], pa.int64()),
+                         "c": pa.array(g["size"], pa.int64())})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ds.map_batches(cells, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["x", "y"], [("c", "c", "sum")], small_result=True)),
+        {"x": "int64", "y": "int64", "c": "int64"})
+    empty = pd.DataFrame({"n_rows": pd.Series(dtype="int64"),
+                          "ts_slope": pd.Series(dtype="float64"),
+                          "ts_intercept": pd.Series(dtype="float64")})
+    if hist.empty:
+        return empty
+    xs = hist["x"].to_numpy()
+    ys = hist["y"].to_numpy()
+    cs = [int(v) for v in hist["c"]]
+    n_rows = sum(cs)
+    slopes: dict[float, int] = {}
+    for i in range(len(xs)):
+        for j in range(len(xs)):
+            if xs[j] > xs[i]:
+                s = float(np.float64(ys[j] - ys[i])
+                          / np.float64(xs[j] - xs[i]))
+                slopes[s] = slopes.get(s, 0) + cs[i] * cs[j]
+    if not slopes:
+        return empty
+    tot = sum(slopes.values())
+    cum = 0
+    m = None
+    for s in sorted(slopes):
+        cum += slopes[s]
+        if 2 * cum >= tot:
+            m = s
+            break
+    res: dict[float, int] = {}
+    for i in range(len(xs)):
+        r = float(np.float64(ys[i]) - np.float64(m) * np.float64(xs[i]))
+        res[r] = res.get(r, 0) + cs[i]
+    rcum = 0
+    b = None
+    for r in sorted(res):
+        rcum += res[r]
+        if 2 * rcum >= n_rows:
+            b = r
+            break
+    return pd.DataFrame({
+        "n_rows": pd.Series([n_rows], dtype="int64"),
+        "ts_slope": pd.Series(
+            [float(np_round_half_away(np.array([m]), 6)[0])],
+            dtype="float64"),
+        "ts_intercept": pd.Series(
+            [float(np_round_half_away(np.array([b]), 6)[0])],
+            dtype="float64")})
+
+
+def events_value_welch_t(sf_dir: str):
+    """Welch two-sample t-test (purchase vs click values) from the
+    distributed exact-moment fold: each block contributes one int64
+    (n, sum, sumsq) row per side in cents, so the exchange is O(blocks)
+    and the t statistic plus Welch-Satterthwaite df are a handful of
+    identical-double ops on identical int64 operands on both engines
+    (cents^2 sums stay inside int64 past 10^14 rows at testdata value
+    magnitudes). Degenerate designs (either side < 2 rows, or zero
+    pooled variance) agree as NaN via the same gate as the SQL CASE."""
+    ev = rel.load(sf_dir, "events", ["event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        c = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        out = {"side": [], "n": [], "s": [], "ss": []}
+        for side in ("click", "purchase"):
+            mask = types == side
+            v = c[mask]
+            out["side"].append(side)
+            out["n"].append(int(mask.sum()))
+            out["s"].append(int(v.sum()) if len(v) else 0)
+            out["ss"].append(int((v * v).sum()) if len(v) else 0)
+        return pa.table({"side": pa.array(out["side"], pa.string()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "s": pa.array(out["s"], pa.int64()),
+                         "ss": pa.array(out["ss"], pa.int64())})
+
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["side"], [("n", "n", "sum"), ("s", "s", "sum"),
+                       ("ss", "ss", "sum")], small_result=True)),
+        {"side": "object", "n": "int64", "s": "int64", "ss": "int64"})
+    row = {r["side"]: (int(r["n"]), int(r["s"]), int(r["ss"]))
+           for _, r in agg.iterrows()}
+    n1, s1, ss1 = row.get("click", (0, 0, 0))
+    n2, s2, ss2 = row.get("purchase", (0, 0, 0))
+    t = df_w = float("nan")
+    if n1 >= 2 and n2 >= 2:
+        n1f, s1f, ss1f = float(n1), float(s1), float(ss1)
+        n2f, s2f, ss2f = float(n2), float(s2), float(ss2)
+        v1 = (ss1f - s1f * s1f / n1f) / (n1f - 1.0)
+        v2 = (ss2f - s2f * s2f / n2f) / (n2f - 1.0)
+        q1 = v1 / n1f
+        q2 = v2 / n2f
+        if q1 + q2 > 0:
+            t = float(np_round_half_away(np.array(
+                [(s1f / n1f - s2f / n2f) / np.sqrt(q1 + q2)]), 6)[0])
+            df_w = float(np_round_half_away(np.array(
+                [(q1 + q2) * (q1 + q2)
+                 / (q1 * q1 / (n1f - 1.0) + q2 * q2 / (n2f - 1.0))]),
+                6)[0])
+    return pd.DataFrame({
+        "n_click": pd.Series([n1], dtype="int64"),
+        "n_purchase": pd.Series([n2], dtype="int64"),
+        "t_stat": pd.Series([t], dtype="float64"),
+        "welch_df": pd.Series([df_w], dtype="float64")})

@@ -253,7 +253,7 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "lineitem_status_cube", "q9_profit_by_nation_year",
         "docs_readability", "events_acf_grid",
         "q11_important_parts", "q20_dominant_suppliers",
-        "q21_last_shippers"]
+        "q21_last_shippers", "lineitem_qty_discount_theilsen"]
 # events_conversion_lag_hist needs purchase events and
 # events_retention_km needs a multi-day span with uncensored users;
 # the shared events fixture (one day, no purchases) satisfies neither,
@@ -498,7 +498,8 @@ def test_ks_mannwhitney_invariance():
         finally:
             q.rel.load = orig
 
-    for op in ("events_value_ks_test", "events_value_mannwhitney"):
+    for op in ("events_value_ks_test", "events_value_mannwhitney",
+               "events_value_welch_t"):
         a, b = run(op, 1), run(op, 5)
         pd.testing.assert_frame_equal(a, b)
         assert len(a) == 1

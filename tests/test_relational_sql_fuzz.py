@@ -2120,3 +2120,24 @@ def test_q21_last_shippers_fuzz(rows, okeys, skeys):
                               pa.int64()))
     _check("q21_last_shippers",
            {"lineitem": li, "supplier": _DIM_SUPPLIER})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES)
+def test_theilsen_fuzz(rows):
+    # weighted-median-of-cell-slopes must replay the SQL window-cumsum
+    # walk exactly: slope doubles group identically, the lower-median
+    # rule (2*cum >= W) matches, and all-equal-quantity inputs yield
+    # empty frames on both engines
+    _check("lineitem_qty_discount_theilsen", {"lineitem": _lineitem(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_welch_t_fuzz(rows):
+    # exact-moment Welch t: identical int64 (n, s, ss) operands on both
+    # engines; sides with < 2 rows or zero pooled variance agree as NaN
+    # (DuckDB's NULL-on-double-div-zero feeds the same CASE gate)
+    _check("events_value_welch_t", {"events": _events(rows)})
