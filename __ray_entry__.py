@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "lineitem_abc_class": q.lineitem_abc_class,
+        "events_overdispersion": q.events_overdispersion,
+        "events_user_type_breadth": q.events_user_type_breadth,
         "lineitem_qty_discount_theilsen": q.lineitem_qty_discount_theilsen,
         "events_value_welch_t": q.events_value_welch_t,
         "q11_important_parts": q.q11_important_parts,
@@ -329,6 +332,55 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_abc_class": """
+            WITH v AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)) AS value_cents
+                FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(sum(value_cents) AS HUGEINT) AS total
+                  FROM v),
+            c AS (SELECT value_cents,
+                         CAST(sum(value_cents)
+                              OVER (ORDER BY value_cents DESC,
+                                    l_partkey) AS HUGEINT) AS cum
+                  FROM v)
+            SELECT CASE WHEN 100 * cum <= 80 * total THEN 'A'
+                        WHEN 100 * cum <= 95 * total THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   count(*) AS n_parts,
+                   sum(value_cents) AS class_revenue_cents
+            FROM c, t
+            GROUP BY 1
+        """,
+        "events_overdispersion": """
+            WITH e AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h
+                FROM events),
+            g AS (SELECT h, count(*) AS c FROM e GROUP BY 1),
+            bnd AS (SELECT min(h) AS lo, max(h) AS hi FROM g),
+            dense AS (SELECT unnest(generate_series(lo, hi)) AS h
+                      FROM bnd WHERE lo IS NOT NULL),
+            d AS (SELECT dense.h, COALESCE(g.c, 0) AS c
+                  FROM dense LEFT JOIN g USING (h)),
+            m AS (SELECT count(*) AS nh, sum(c) AS n, sum(c * c) AS ss
+                  FROM d)
+            SELECT nh AS n_hours, n AS n_events,
+                   round(((CAST(ss AS DOUBLE)
+                           - CAST(n AS DOUBLE) * n / nh) / nh)
+                         / (CAST(n AS DOUBLE) / nh), 6) AS dispersion
+            FROM m WHERE n > 0
+        """,
+        "events_user_type_breadth": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type
+                FROM events WHERE user_id IS NOT NULL),
+            b AS (SELECT user_id, count(*) AS breadth
+                  FROM ut GROUP BY 1)
+            SELECT breadth, count(*) AS n_users
+            FROM b GROUP BY 1
+        """,
         "lineitem_qty_discount_theilsen": """
             WITH h AS (
                 SELECT CAST(round(l_quantity) AS BIGINT) AS x,

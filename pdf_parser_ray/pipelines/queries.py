@@ -11704,3 +11704,141 @@ def events_value_welch_t(sf_dir: str):
         "n_purchase": pd.Series([n2], dtype="int64"),
         "t_stat": pd.Series([t], dtype="float64"),
         "welch_df": pd.Series([df_w], dtype="float64")})
+
+
+def lineitem_abc_class(sf_dir: str):
+    """ABC inventory classification of parts by discounted revenue:
+    class A holds the top parts covering 80% of total revenue, B the
+    next 15%, C the tail — the standard Pareto-class rollup every
+    catalog/procurement pipeline runs. One partkey-keyed combine (the
+    same dimension-bounded exchange as the q11 screen); the cumulative
+    walk runs on the driver over the dimension-sized per-part frame
+    with EXACT integer threshold compares (100*cum <= 80*total as
+    HUGEINT-safe Python ints), ordered by (revenue desc, partkey) so
+    ties break identically in the SQL window. Output is the 3-row
+    class rollup, never the per-part frame."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        value = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"l_partkey": batch.column("l_partkey"),
+                         "v": _cents(value)})
+
+    per_part = rel.ensure_columns(
+        rel.as_pandas(rel.ensure_schema(
+            rel.grouped_agg(
+                line.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                ["l_partkey"], [("value_cents", "v", "sum")]),
+            pa.schema([("l_partkey", pa.int64()),
+                       ("value_cents", pa.int64())]))),
+        {"l_partkey": "int64", "value_cents": "int64"})
+    empty = pd.DataFrame({"abc_class": pd.Series(dtype="object"),
+                          "n_parts": pd.Series(dtype="int64"),
+                          "class_revenue_cents": pd.Series(dtype="int64")})
+    if per_part.empty:
+        return empty
+    per_part = per_part.sort_values(
+        ["value_cents", "l_partkey"], ascending=[False, True],
+        kind="mergesort")
+    total = int(per_part["value_cents"].sum())
+    cum = 0
+    counts = {"A": 0, "B": 0, "C": 0}
+    sums = {"A": 0, "B": 0, "C": 0}
+    for v in per_part["value_cents"]:
+        v = int(v)
+        cum += v
+        cls = ("A" if 100 * cum <= 80 * total
+               else "B" if 100 * cum <= 95 * total else "C")
+        counts[cls] += 1
+        sums[cls] += v
+    rows = [(c, counts[c], sums[c]) for c in ("A", "B", "C")
+            if counts[c] > 0]
+    return pd.DataFrame({
+        "abc_class": pd.Series([r[0] for r in rows], dtype="object"),
+        "n_parts": pd.Series([r[1] for r in rows], dtype="int64"),
+        "class_revenue_cents": pd.Series([r[2] for r in rows],
+                                         dtype="int64")})
+
+
+def events_overdispersion(sf_dir: str):
+    """Index of dispersion (variance-to-mean ratio) of the per-hour
+    event-count series — the standard Poisson-process diagnostic
+    (IoD ~ 1 for Poisson arrivals, >> 1 for bursty/bot traffic). One
+    hour-bounded count histogram (the same exchange family as the ACF
+    grid); the driver densifies silent hours to zero and computes the
+    population variance and mean from exact integer moments, so both
+    engines run identical double ops on identical int64 operands."""
+    ev = rel.load(sf_dir, "events", ["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                         pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"h": hour})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["h"], [("c", "", "count")], small_result=True)),
+        {"h": "int64", "c": "int64"})
+    if hist.empty:
+        return pd.DataFrame({"n_hours": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "dispersion": pd.Series(dtype="float64")})
+    lo, hi = int(hist["h"].min()), int(hist["h"].max())
+    nh = hi - lo + 1
+    n = int(hist["c"].sum())
+    ss = int((hist["c"].astype("int64") ** 2).sum())
+    nf, hf, ssf = float(n), float(nh), float(ss)
+    var = (ssf - nf * nf / hf) / hf
+    disp = float(np_round_half_away(np.array([var / (nf / hf)]), 6)[0])
+    return pd.DataFrame({"n_hours": pd.Series([nh], dtype="int64"),
+                         "n_events": pd.Series([n], dtype="int64"),
+                         "dispersion": pd.Series([disp],
+                                                 dtype="float64")})
+
+
+def events_user_type_breadth(sf_dir: str):
+    """Behavioural-breadth histogram: how many users touch exactly k
+    distinct event types — the coverage profile feature stores compute
+    before segmenting. Exchanges: one (user, type)-keyed dedup combine,
+    one user-keyed count re-combine (both Dataset-mode — users are
+    unbounded at scale), then the |types|-bounded breadth histogram;
+    NULL users drop on both engines (count-DISTINCT semantics)."""
+    ev = rel.load(sf_dir, "events", ["user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_valid(batch.column("user_id")))
+        df = kept.to_pandas()
+        g = df.groupby(["user_id", "event_type"], as_index=False,
+                       dropna=False).size()
+        return pa.table({
+            "user_id": pa.array(g["user_id"], pa.int64()),
+            "event_type": pa.array(g["event_type"], pa.string())})
+
+    ut_schema = pa.schema([("user_id", pa.int64()),
+                           ("event_type", pa.string())])
+    ut = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id", "event_type"],
+            [("n", "", "count")]).map_batches(
+                lambda b: b.select(["user_id", "event_type"]),
+                batch_format="pyarrow"),
+        ut_schema)
+    per_user = rel.ensure_schema(
+        rel.grouped_agg(ut, ["user_id"], [("breadth", "", "count")]),
+        pa.schema([("user_id", pa.int64()), ("breadth", pa.int64())]))
+    out = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            per_user, ["breadth"], [("n_users", "", "count")],
+            small_result=True)),
+        {"breadth": "int64", "n_users": "int64"})
+    out = out[["breadth", "n_users"]].astype(
+        {"breadth": "int64", "n_users": "int64"})
+    return rel.to_pandas_sorted(out, ["breadth"])

@@ -2141,3 +2141,46 @@ def test_welch_t_fuzz(rows):
     # engines; sides with < 2 rows or zero pooled variance agree as NaN
     # (DuckDB's NULL-on-double-div-zero feeds the same CASE gate)
     _check("events_value_welch_t", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES, pkeys=st.lists(st.integers(min_value=0, max_value=5),
+                                   min_size=1, max_size=30))
+def test_abc_class_fuzz(rows, pkeys):
+    # the cumulative 80/95 walk must match the SQL window exactly:
+    # (revenue desc, partkey) tie-break, HUGEINT-safe integer threshold
+    # compares, and sign-mixed revenues (non-monotone cum) included
+    li = _lineitem(rows)
+    n = len(li)
+    li = li.append_column(
+        "l_partkey", pa.array([pkeys[i % len(pkeys)] for i in range(n)],
+                              pa.int64()))
+    _check("lineitem_abc_class", {"lineitem": li})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_overdispersion_fuzz(rows):
+    # silent-hour densification and the exact-int population moments
+    # must agree for any arrival pattern, including single-hour series
+    # (variance 0 -> dispersion 0.0 on both engines)
+    _check("events_overdispersion", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS,
+       users=st.lists(st.one_of(st.none(),
+                                st.integers(min_value=0, max_value=6)),
+                      min_size=1, max_size=30))
+def test_type_breadth_fuzz(rows, users):
+    # two-level distinct combine: NULL users drop, per-user distinct
+    # type counts histogram identically at any block split
+    ev = _events(rows)
+    n = len(ev)
+    ev = ev.append_column(
+        "user_id", pa.array([users[i % len(users)] for i in range(n)],
+                            pa.int64()))
+    _check("events_user_type_breadth", {"events": ev})
