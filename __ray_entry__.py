@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "events_revenue_trend": q.events_revenue_trend,
+        "events_weekend_lift": q.events_weekend_lift,
         "lineitem_abc_class": q.lineitem_abc_class,
         "events_overdispersion": q.events_overdispersion,
         "events_user_type_breadth": q.events_user_type_breadth,
@@ -332,6 +334,76 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_revenue_trend": """
+            WITH e AS (
+                SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                           // 86400 AS d,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            g AS (SELECT d, sum(c) AS s FROM e GROUP BY 1),
+            bnd AS (SELECT min(d) AS lo, max(d) AS hi FROM g),
+            dense AS (SELECT unnest(generate_series(lo, hi)) AS d, lo
+                      FROM bnd WHERE lo IS NOT NULL),
+            dd AS (SELECT dense.d - dense.lo AS x,
+                          COALESCE(g.s, 0) AS y
+                   FROM dense LEFT JOIN g USING (d)),
+            m AS (SELECT count(*) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                             AS sxx,
+                         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)
+                             AS sxy
+                  FROM dd),
+            f AS (SELECT n,
+                         CAST(n AS DOUBLE) AS nf,
+                         CAST(sx AS DOUBLE) AS sxf,
+                         CAST(sy AS DOUBLE) AS syf,
+                         CAST(sxx AS DOUBLE) AS sxxf,
+                         CAST(sxy AS DOUBLE) AS sxyf
+                  FROM m),
+            s AS (SELECT n, nf, sxf, syf,
+                         (nf * sxyf - sxf * syf)
+                             / (nf * sxxf - sxf * sxf) AS m
+                  FROM f)
+            SELECT n AS n_days,
+                   CASE WHEN n >= 2 THEN round(m, 6)
+                        ELSE CAST('nan' AS DOUBLE) END
+                       AS slope_cents_per_day,
+                   CASE WHEN n >= 2
+                        THEN round((syf - m * sxf) / nf, 6)
+                        ELSE CAST('nan' AS DOUBLE) END
+                       AS intercept_cents
+            FROM s WHERE n > 0
+        """,
+        "events_weekend_lift": """
+            WITH e AS (
+                SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                           // 86400 AS d,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            g AS (SELECT d, sum(c) AS s FROM e GROUP BY 1),
+            bnd AS (SELECT min(d) AS lo, max(d) AS hi FROM g),
+            dense AS (SELECT unnest(generate_series(lo, hi)) AS d
+                      FROM bnd WHERE lo IS NOT NULL),
+            dd AS (SELECT dense.d,
+                          (dense.d + 4) % 7 IN (0, 6) AS we,
+                          COALESCE(g.s, 0) AS y
+                   FROM dense LEFT JOIN g USING (d)),
+            m AS (SELECT
+                      count(*) FILTER (we) AS n_we,
+                      count(*) FILTER (NOT we) AS n_wd,
+                      COALESCE(sum(y) FILTER (we), 0) AS s_we,
+                      COALESCE(sum(y) FILTER (NOT we), 0) AS s_wd
+                  FROM dd)
+            SELECT n_we AS n_weekend_days, n_wd AS n_weekday_days,
+                   s_we AS weekend_cents, s_wd AS weekday_cents,
+                   CASE WHEN n_we > 0 AND n_wd > 0 AND s_wd <> 0
+                        THEN round((CAST(s_we AS DOUBLE) / n_we)
+                                   / (CAST(s_wd AS DOUBLE) / n_wd), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS lift
+            FROM m WHERE n_we + n_wd > 0
+        """,
         "lineitem_abc_class": """
             WITH v AS (
                 SELECT l_partkey,

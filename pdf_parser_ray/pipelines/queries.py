@@ -11842,3 +11842,106 @@ def events_user_type_breadth(sf_dir: str):
     out = out[["breadth", "n_users"]].astype(
         {"breadth": "int64", "n_users": "int64"})
     return rel.to_pandas_sorted(out, ["breadth"])
+
+
+def events_revenue_trend(sf_dir: str):
+    """Daily-revenue linear trend (OLS slope in cents/day over the
+    dense day series): ONE day-bounded cents combine — the same
+    exchange family as the ACF grid — then the driver densifies silent
+    days to zero and computes the normal-equation moments as exact
+    Python ints over the 0-based day index, so slope and intercept are
+    a handful of identical-double ops on identical integer operands on
+    both engines. A single-day span has no trend and agrees as NaN."""
+    ev = rel.load(sf_dir, "events", ["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"d": day, "c": _cents(batch.column("value"))})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["d"], [("s", "c", "sum")], small_result=True)),
+        {"d": "int64", "s": "int64"})
+    if hist.empty:
+        return pd.DataFrame({"n_days": pd.Series(dtype="int64"),
+                             "slope_cents_per_day":
+                                 pd.Series(dtype="float64"),
+                             "intercept_cents":
+                                 pd.Series(dtype="float64")})
+    lo, hi = int(hist["d"].min()), int(hist["d"].max())
+    by_day = {int(d): int(s) for d, s in zip(hist["d"], hist["s"])}
+    n = hi - lo + 1
+    sx = sy = sxx = sxy = 0
+    for d in range(lo, hi + 1):
+        x = d - lo
+        y = by_day.get(d, 0)
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+    slope = intercept = float("nan")
+    if n >= 2:
+        nf, sxf, syf = float(n), float(sx), float(sy)
+        sxxf, sxyf = float(sxx), float(sxy)
+        m = (nf * sxyf - sxf * syf) / (nf * sxxf - sxf * sxf)
+        slope = float(np_round_half_away(np.array([m]), 6)[0])
+        intercept = float(np_round_half_away(
+            np.array([(syf - m * sxf) / nf]), 6)[0])
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "slope_cents_per_day": pd.Series([slope], dtype="float64"),
+        "intercept_cents": pd.Series([intercept], dtype="float64")})
+
+
+def events_weekend_lift(sf_dir: str):
+    """Weekend-vs-weekday revenue lift: mean daily revenue on weekend
+    days over mean daily revenue on weekdays, computed over the DENSE
+    day span (silent days count as zero-revenue days — a lift over
+    present-days-only would inflate sparse weekends). Day-of-week
+    derives arithmetically from the epoch day ((d+4) % 7, Sunday=0) on
+    both engines, so no calendar/timezone function can diverge; the
+    one exchange is the day-bounded cents combine."""
+    ev = rel.load(sf_dir, "events", ["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"d": day, "c": _cents(batch.column("value"))})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["d"], [("s", "c", "sum")], small_result=True)),
+        {"d": "int64", "s": "int64"})
+    if hist.empty:
+        return pd.DataFrame({"n_weekend_days": pd.Series(dtype="int64"),
+                             "n_weekday_days": pd.Series(dtype="int64"),
+                             "weekend_cents": pd.Series(dtype="int64"),
+                             "weekday_cents": pd.Series(dtype="int64"),
+                             "lift": pd.Series(dtype="float64")})
+    lo, hi = int(hist["d"].min()), int(hist["d"].max())
+    by_day = {int(d): int(s) for d, s in zip(hist["d"], hist["s"])}
+    n_we = n_wd = s_we = s_wd = 0
+    for d in range(lo, hi + 1):
+        y = by_day.get(d, 0)
+        if (d + 4) % 7 in (0, 6):
+            n_we += 1
+            s_we += y
+        else:
+            n_wd += 1
+            s_wd += y
+    lift = float("nan")
+    if n_we > 0 and n_wd > 0 and s_wd != 0:
+        lift = float(np_round_half_away(np.array(
+            [(float(s_we) / float(n_we))
+             / (float(s_wd) / float(n_wd))]), 6)[0])
+    return pd.DataFrame({
+        "n_weekend_days": pd.Series([n_we], dtype="int64"),
+        "n_weekday_days": pd.Series([n_wd], dtype="int64"),
+        "weekend_cents": pd.Series([s_we], dtype="int64"),
+        "weekday_cents": pd.Series([s_wd], dtype="int64"),
+        "lift": pd.Series([lift], dtype="float64")})

@@ -2184,3 +2184,23 @@ def test_type_breadth_fuzz(rows, users):
         "user_id", pa.array([users[i % len(users)] for i in range(n)],
                             pa.int64()))
     _check("events_user_type_breadth", {"events": ev})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_revenue_trend_fuzz(rows):
+    # dense-day OLS: silent-day densification plus exact-int normal
+    # equations must match the SQL HUGEINT moments; single-day spans
+    # agree as NaN on both engines
+    _check("events_revenue_trend", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_weekend_lift_fuzz(rows):
+    # arithmetic (d+4)%7 weekday classification over the dense span:
+    # no calendar function on either engine; zero-weekday-revenue spans
+    # agree as NaN
+    _check("events_weekend_lift", {"events": _events(rows)})
