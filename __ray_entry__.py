@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "emb_covariance": q.emb_covariance,
+        "customer_segment_welch_matrix": q.customer_segment_welch_matrix,
         "events_revenue_trend": q.events_revenue_trend,
         "events_weekend_lift": q.events_weekend_lift,
         "lineitem_abc_class": q.lineitem_abc_class,
@@ -334,6 +336,61 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "emb_covariance": """
+            WITH u AS (
+                SELECT vec_id,
+                       unnest(range(CAST(len(embedding) AS BIGINT)))
+                           AS i,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS xq
+                FROM embeddings),
+            p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+                         sum(a.xq) AS si, sum(b.xq) AS sj,
+                         sum(CAST(a.xq AS HUGEINT) * b.xq) AS sij
+                  FROM u a JOIN u b
+                      ON a.vec_id = b.vec_id AND a.i <= b.i
+                  GROUP BY 1, 2)
+            SELECT i, j, CAST(n AS BIGINT) AS n,
+                   (CAST(sij AS DOUBLE)
+                    - CAST(si AS DOUBLE) * sj / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS cov_micro2
+            FROM p
+        """,
+        "customer_segment_welch_matrix": """
+            WITH c AS (
+                SELECT c_mktsegment AS seg,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS v
+                FROM customer),
+            m AS (SELECT seg, count(*) AS n, sum(v) AS s,
+                         sum(v * v) AS ss
+                  FROM c GROUP BY 1),
+            pr AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+                          a.n AS n1, b.n AS n2,
+                          CAST(a.n AS DOUBLE) AS n1f,
+                          CAST(a.s AS DOUBLE) AS s1f,
+                          CAST(a.ss AS DOUBLE) AS ss1f,
+                          CAST(b.n AS DOUBLE) AS n2f,
+                          CAST(b.s AS DOUBLE) AS s2f,
+                          CAST(b.ss AS DOUBLE) AS ss2f
+                   FROM m a JOIN m b ON a.seg < b.seg),
+            q AS (SELECT seg_a, seg_b, n1, n2, n1f, s1f, n2f, s2f,
+                         ((ss1f - s1f * s1f / n1f) / (n1f - 1.0)) / n1f
+                             AS q1,
+                         ((ss2f - s2f * s2f / n2f) / (n2f - 1.0)) / n2f
+                             AS q2
+                  FROM pr)
+            SELECT seg_a, seg_b, n1 AS n_a, n2 AS n_b,
+                   CASE WHEN n1 >= 2 AND n2 >= 2 AND q1 + q2 > 0
+                        THEN round((s1f / n1f - s2f / n2f)
+                                   / sqrt(q1 + q2), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS t_stat,
+                   CASE WHEN n1 >= 2 AND n2 >= 2 AND q1 + q2 > 0
+                        THEN round((q1 + q2) * (q1 + q2)
+                                   / (q1 * q1 / (n1f - 1.0)
+                                      + q2 * q2 / (n2f - 1.0)), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS welch_df
+            FROM q
+        """,
         "events_revenue_trend": """
             WITH e AS (
                 SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)

@@ -11945,3 +11945,138 @@ def events_weekend_lift(sf_dir: str):
         "weekend_cents": pd.Series([s_we], dtype="int64"),
         "weekday_cents": pd.Series([s_wd], dtype="int64"),
         "lift": pd.Series([lift], dtype="float64")})
+
+
+def emb_covariance(sf_dir: str):
+    """Full embedding covariance matrix (upper triangle, population,
+    micro^2 units) — the whitening / PCA-input statistic. Shuffle-free:
+    each block contributes one exact integer partial per (i, j) dim
+    pair (d(d+1)/2 = 2080 rows at d=64) via an int64 X^T X matmul on
+    the micro-quantized matrix; cross-product partials travel as
+    decimal strings (the corpus sum exceeds int64) and the driver
+    folds Python ints over the bounded pair state, exactly the
+    emb_dim_stats discipline. The covariance double then comes from
+    identical operands on both engines."""
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+    from pdf_parser_ray.stages.similarity import _matrix
+
+    embs = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        if x.size == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "si": pa.array([], pa.int64()),
+                             "sj": pa.array([], pa.int64()),
+                             "sij": pa.array([], pa.string())})
+        xq = np_round_half_away_int(x * 1e6).astype(np.int64)
+        d = xq.shape[1]
+        s1 = xq.sum(axis=0)
+        m = xq.T @ xq
+        ii, jj = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(ii.astype(np.int64), pa.int64()),
+            "j": pa.array(jj.astype(np.int64), pa.int64()),
+            "n": pa.array(np.full(len(ii), xq.shape[0], dtype=np.int64),
+                          pa.int64()),
+            "si": pa.array(s1[ii], pa.int64()),
+            "sj": pa.array(s1[jj], pa.int64()),
+            "sij": pa.array([str(int(v)) for v in m[ii, jj]],
+                            pa.string())})
+
+    parts = embs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({"i": pd.Series(dtype="int64"),
+                          "j": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "cov_micro2": pd.Series(dtype="float64")})
+    if parts.empty:
+        return empty
+    rows = []
+    for (i, j), grp in parts.groupby(["i", "j"], sort=True):
+        n = int(grp["n"].sum())
+        si = int(grp["si"].astype("int64").sum())
+        sj = int(grp["sj"].astype("int64").sum())
+        sij = sum(int(s) for s in grp["sij"])
+        # no decimal rounding: the operands are identical exact ints on
+        # both engines, so the raw IEEE result is already bit-equal
+        # (round(x, 6) at 1e9+ magnitudes diverges in the last ulp
+        # between DuckDB and numpy)
+        cov = (float(sij) - float(si) * float(sj) / float(n)) / float(n)
+        rows.append((int(i), int(j), n, cov))
+    return pd.DataFrame({
+        "i": pd.Series([r[0] for r in rows], dtype="int64"),
+        "j": pd.Series([r[1] for r in rows], dtype="int64"),
+        "n": pd.Series([r[2] for r in rows], dtype="int64"),
+        "cov_micro2": pd.Series([r[3] for r in rows],
+                                dtype="float64")})
+
+
+def customer_segment_welch_matrix(sf_dir: str):
+    """All-pairs Welch t-tests between market segments on account
+    balance — the pairwise contrast matrix a segmentation analysis
+    runs, computed from ONE |segments|-bounded exact-moment fold (n,
+    sum, sumsq in cents per segment): every pair's t and
+    Welch-Satterthwaite df are driver arithmetic over the tiny moment
+    frame, identical doubles on identical int64 operands on both
+    engines. Pairs order lexicographically (seg_a < seg_b); degenerate
+    sides (< 2 rows, zero pooled variance) agree as NaN."""
+    cust = rel.load(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        segs = batch.column("c_mktsegment")
+        c = _cents(batch.column("c_acctbal")).to_numpy(
+            zero_copy_only=False)
+        codes, uniq = pd.factorize(segs.to_pandas(), sort=True)
+        k = len(uniq)
+        n = np.zeros(k, dtype=np.int64)
+        s = np.zeros(k, dtype=np.int64)
+        ss = np.zeros(k, dtype=np.int64)
+        np.add.at(n, codes, 1)
+        np.add.at(s, codes, c)
+        np.add.at(ss, codes, c * c)
+        return pa.table({"seg": pa.array(list(uniq), pa.string()),
+                         "n": pa.array(n, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "ss": pa.array(ss, pa.int64())})
+
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            cust.map_batches(moments, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["seg"], [("n", "n", "sum"), ("s", "s", "sum"),
+                      ("ss", "ss", "sum")], small_result=True)),
+        {"seg": "object", "n": "int64", "s": "int64", "ss": "int64"})
+    segs = sorted(agg["seg"])
+    mom = {r["seg"]: (int(r["n"]), int(r["s"]), int(r["ss"]))
+           for _, r in agg.iterrows()}
+    rows = []
+    for a_i in range(len(segs)):
+        for b_i in range(a_i + 1, len(segs)):
+            a, b = segs[a_i], segs[b_i]
+            n1, s1, ss1 = mom[a]
+            n2, s2, ss2 = mom[b]
+            t = df_w = float("nan")
+            if n1 >= 2 and n2 >= 2:
+                n1f, s1f, ss1f = float(n1), float(s1), float(ss1)
+                n2f, s2f, ss2f = float(n2), float(s2), float(ss2)
+                q1 = ((ss1f - s1f * s1f / n1f) / (n1f - 1.0)) / n1f
+                q2 = ((ss2f - s2f * s2f / n2f) / (n2f - 1.0)) / n2f
+                if q1 + q2 > 0:
+                    t = float(np_round_half_away(np.array(
+                        [(s1f / n1f - s2f / n2f)
+                         / np.sqrt(q1 + q2)]), 6)[0])
+                    df_w = float(np_round_half_away(np.array(
+                        [(q1 + q2) * (q1 + q2)
+                         / (q1 * q1 / (n1f - 1.0)
+                            + q2 * q2 / (n2f - 1.0))]), 6)[0])
+            rows.append((a, b, n1, n2, t, df_w))
+    return pd.DataFrame({
+        "seg_a": pd.Series([r[0] for r in rows], dtype="object"),
+        "seg_b": pd.Series([r[1] for r in rows], dtype="object"),
+        "n_a": pd.Series([r[2] for r in rows], dtype="int64"),
+        "n_b": pd.Series([r[3] for r in rows], dtype="int64"),
+        "t_stat": pd.Series([r[4] for r in rows], dtype="float64"),
+        "welch_df": pd.Series([r[5] for r in rows], dtype="float64")})

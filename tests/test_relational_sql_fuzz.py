@@ -2204,3 +2204,40 @@ def test_weekend_lift_fuzz(rows):
     # no calendar function on either engine; zero-weekday-revenue spans
     # agree as NaN
     _check("events_weekend_lift", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
+                       width=32),
+             min_size=4, max_size=4),
+    min_size=1, max_size=12))
+def test_emb_covariance_fuzz(vals):
+    # micro-int X^T X partials (decimal-string transport) must fold to
+    # the SQL self-join's HUGEINT cross moments exactly; single-vector
+    # corpora pin cov = 0 on both engines
+    embeddings = pa.table({
+        "vec_id": pa.array(range(len(vals)), pa.int64()),
+        "embedding": pa.array(vals, pa.list_(pa.float32())),
+    })
+    _check("emb_covariance", {"embeddings": embeddings})
+
+
+_SEGMENT = st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"])
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(st.tuples(_SEGMENT, _MONEY), min_size=1,
+                     max_size=30))
+def test_segment_welch_matrix_fuzz(rows):
+    # all-pairs Welch from one moment fold: every pair's gate
+    # (either side < 2 rows, zero pooled variance) must agree as NaN,
+    # and pairs must order lexicographically on both engines
+    customer = pa.table({
+        "c_custkey": pa.array(range(len(rows)), pa.int64()),
+        "c_mktsegment": pa.array([r[0] for r in rows], pa.string()),
+        "c_acctbal": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("customer_segment_welch_matrix", {"customer": customer})
