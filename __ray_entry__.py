@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "q12_late_priority_split": q.q12_late_priority_split,
         "emb_covariance": q.emb_covariance,
         "customer_segment_welch_matrix": q.customer_segment_welch_matrix,
         "events_revenue_trend": q.events_revenue_trend,
@@ -336,6 +337,19 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q12_late_priority_split": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT',
+                                                     '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT',
+                                                     '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
+        """,
         "emb_covariance": """
             WITH u AS (
                 SELECT vec_id,

@@ -12080,3 +12080,86 @@ def customer_segment_welch_matrix(sf_dir: str):
         "n_b": pd.Series([r[3] for r in rows], dtype="int64"),
         "t_stat": pd.Series([r[4] for r in rows], dtype="float64"),
         "welch_df": pd.Series([r[5] for r in rows], dtype="float64")})
+
+
+def q12_late_priority_split(sf_dir: str):
+    """q12-shape shipping-quality split (adapted: no shipmode/commit/
+    receipt dates in this schema, so linestatus stands in for shipmode
+    and "late" means shipped 60+ days after the order date): per
+    linestatus, line counts split into critical (1-URGENT / 2-HIGH)
+    and non-critical order priorities. Plan: per-batch (orderkey,
+    linestatus, shipdate)-level count combine shrinks the fact side,
+    ONE orderkey hash join brings in the order date + priority class,
+    the date test and priority split run vectorized post-join, and the
+    final exchange is the |linestatus|-bounded sum — the q4 join
+    discipline, counting lines instead of distinct orders."""
+    line = rel.load(sf_dir, "lineitem",
+                    ["l_orderkey", "l_linestatus", "l_shipdate"])
+    orders = rel.load(sf_dir, "orders",
+                      ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def prep_line(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "ship": pc.cast(batch.column("l_shipdate"), pa.int64()),
+        }).to_pandas()
+        g = df.groupby(["l_orderkey", "l_linestatus", "ship"],
+                       as_index=False, sort=False).size()
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+            "l_linestatus": pa.array(g["l_linestatus"], pa.string()),
+            "ship": pa.array(g["ship"], pa.int64()),
+            "c": pa.array(g["size"], pa.int64())})
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(batch.column("o_orderpriority"),
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "ok": batch.column("o_orderkey"),
+            "odate": pc.cast(batch.column("o_orderdate"), pa.int64()),
+            "hi": pc.cast(hi, pa.int64())})
+
+    l_schema = pa.schema([("l_orderkey", pa.int64()),
+                          ("l_linestatus", pa.string()),
+                          ("ship", pa.int64()), ("c", pa.int64())])
+    o_schema = pa.schema([("ok", pa.int64()), ("odate", pa.int64()),
+                          ("hi", pa.int64())])
+    line_pre = rel.ensure_schema(
+        line.map_batches(prep_line, batch_format="pyarrow",
+                         zero_copy_batch=True), l_schema)
+    orders_pre = rel.ensure_schema(
+        orders.map_batches(prep_orders, batch_format="pyarrow",
+                           zero_copy_batch=True), o_schema)
+    n_parts = rel.join_partitions(
+        rel.load(sf_dir, "orders", ["o_orderkey"]).count())
+    joined = rel.hash_join_nonempty(
+        line_pre, orders_pre, on="l_orderkey", right_on="ok",
+        num_partitions=n_parts, left_schema=l_schema,
+        right_schema=o_schema)
+    cutoff = pa.scalar(60 * 86_400_000_000, pa.int64())
+
+    def late(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater_equal(
+            batch.column("ship"),
+            pc.add(batch.column("odate"), cutoff)))
+        c = kept.column("c")
+        hi = kept.column("hi")
+        return pa.table({
+            "l_linestatus": kept.column("l_linestatus"),
+            "hc": pc.multiply(c, hi),
+            "lc": pc.multiply(c, pc.subtract(pa.scalar(1, pa.int64()),
+                                             hi))})
+
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            joined.map_batches(late, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["l_linestatus"],
+            [("high_line_count", "hc", "sum"),
+             ("low_line_count", "lc", "sum")], small_result=True)),
+        {"l_linestatus": "object", "high_line_count": "int64",
+         "low_line_count": "int64"})
+    agg = agg[["l_linestatus", "high_line_count", "low_line_count"]] \
+        .astype({"high_line_count": "int64", "low_line_count": "int64"})
+    return rel.to_pandas_sorted(agg, ["l_linestatus"])

@@ -600,3 +600,51 @@ def test_retention_km_invariance():
     surv = list(a["survival"])
     assert all(x >= y for x, y in zip(surv, surv[1:]))
     assert int(a["n_risk"][0]) == 8          # everyone at risk at t=0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q12_late_priority_invariance():
+    # the shared fixtures put lineitem in 1996 and orders in 2024 (no
+    # late lines), so q12 gets a dedicated table: half the lines ship
+    # 90 days after their order, split across critical priorities
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    base = dt.datetime(2024, 3, 1)
+    n = 80
+    li = pa.table({
+        "l_orderkey": pa.array([i % 10 for i in range(n)], pa.int64()),
+        "l_linestatus": pa.array([["F", "O"][i % 2] for i in range(n)],
+                                 pa.string()),
+        "l_shipdate": pa.array(
+            [base + dt.timedelta(days=90 if i % 3 == 0 else 10)
+             for i in range(n)], pa.timestamp("us")),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array(range(10), pa.int64()),
+        "o_orderdate": pa.array([base] * 10, pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            [["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"][i % 4]
+             for i in range(10)], pa.string()),
+    })
+    tables = {"lineitem": li, "orders": orders}
+
+    def run(n_blocks):
+        def load(sf, table, columns=None):
+            tbl = tables[table]
+            return ray.data.from_arrow(
+                tbl.select(columns) if columns else tbl
+            ).repartition(n_blocks)
+
+        orig = q.rel.load
+        q.rel.load = load
+        try:
+            return q.q12_late_priority_split("inv").reset_index(drop=True)
+        finally:
+            q.rel.load = orig
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    assert int(a["high_line_count"].sum()) > 0

@@ -2241,3 +2241,34 @@ def test_segment_welch_matrix_fuzz(rows):
         "c_acctbal": pa.array([r[1] for r in rows], pa.float64()),
     })
     _check("customer_segment_welch_matrix", {"customer": customer})
+
+
+_PRIORITY = st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"])
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES,
+       okeys=st.lists(st.integers(min_value=0, max_value=8),
+                      min_size=1, max_size=30),
+       ordrows=st.lists(st.tuples(st.integers(min_value=0, max_value=700),
+                                  _PRIORITY),
+                        min_size=9, max_size=9))
+def test_q12_late_priority_fuzz(rows, okeys, ordrows):
+    # the 60-day boundary must bind identically (>= compare on int64
+    # epoch-us vs SQL INTERVAL arithmetic) and the priority split must
+    # count LINES, not distinct orders, through the per-batch shrink
+    li = _lineitem(rows)
+    n = len(li)
+    li = li.append_column(
+        "l_orderkey", pa.array([okeys[i % len(okeys)] for i in range(n)],
+                               pa.int64()))
+    orders = pa.table({
+        "o_orderkey": pa.array(range(9), pa.int64()),
+        "o_orderdate": pa.array(
+            [_BASE + dt.timedelta(days=r[0]) for r in ordrows],
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[1] for r in ordrows],
+                                    pa.string()),
+    })
+    _check("q12_late_priority_split", {"lineitem": li, "orders": orders})
