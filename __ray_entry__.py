@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "events_revenue_ewma": q.events_revenue_ewma,
         "q12_late_priority_split": q.q12_late_priority_split,
         "emb_covariance": q.emb_covariance,
         "customer_segment_welch_matrix": q.customer_segment_welch_matrix,
@@ -337,6 +338,37 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_revenue_ewma": """
+            WITH RECURSIVE e AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            g AS (SELECT h, sum(c) AS s FROM e GROUP BY 1),
+            bnd AS (SELECT min(h) AS lo, max(h) AS hi FROM g),
+            dense AS (SELECT unnest(generate_series(lo, hi)) AS h, lo
+                      FROM bnd WHERE lo IS NOT NULL),
+            d AS (SELECT dense.h - dense.lo AS k,
+                         COALESCE(g.s, 0) AS y
+                  FROM dense LEFT JOIN g ON g.h = dense.h),
+            ew AS (
+                SELECT CAST(0 AS BIGINT) AS k,
+                       CAST((SELECT y FROM d WHERE k = 0) AS DOUBLE)
+                           AS s
+                UNION ALL
+                SELECT d.k, ew.s + 0.2 * (CAST(d.y AS DOUBLE) - ew.s)
+                FROM ew JOIN d ON d.k = ew.k + 1),
+            mx AS (SELECT min(k) AS k_peak FROM ew
+                   WHERE s = (SELECT max(s) FROM ew)),
+            lst AS (SELECT s FROM ew ORDER BY k DESC LIMIT 1),
+            n AS (SELECT count(*) AS n_hours FROM d)
+            SELECT n.n_hours,
+                   (SELECT lo FROM bnd) + mx.k_peak AS peak_hour,
+                   (SELECT max(s) FROM ew) AS ewma_peak,
+                   lst.s AS ewma_last
+            FROM n, mx, lst
+            WHERE n.n_hours > 0
+        """,
         "q12_late_priority_split": """
             SELECT l_linestatus,
                    sum(CASE WHEN o_orderpriority IN ('1-URGENT',

@@ -12163,3 +12163,47 @@ def q12_late_priority_split(sf_dir: str):
     agg = agg[["l_linestatus", "high_line_count", "low_line_count"]] \
         .astype({"high_line_count": "int64", "low_line_count": "int64"})
     return rel.to_pandas_sorted(agg, ["l_linestatus"])
+
+
+def events_revenue_ewma(sf_dir: str, alpha: float = 0.2):
+    """Exponentially weighted moving average of hourly revenue (the
+    alerting baseline an ops dashboard smooths with): ONE hour-bounded
+    cents combine, then the driver replays the sequential recurrence
+    s_t = s_{t-1} + alpha*(y_t - s_{t-1}) over the dense hour series
+    (silent hours decay toward zero). The recurrence is inherently
+    sequential, so the SQL twin replays the SAME IEEE sequence in a
+    recursive CTE (a window product would re-associate); outputs are
+    the raw bit-equal doubles, no decimal rounding. Peak ties resolve
+    to the earliest hour on both engines."""
+    ev = rel.load(sf_dir, "events", ["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                         pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"h": hour, "c": _cents(batch.column("value"))})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["h"], [("s", "c", "sum")], small_result=True)),
+        {"h": "int64", "s": "int64"})
+    if hist.empty:
+        return pd.DataFrame({"n_hours": pd.Series(dtype="int64"),
+                             "peak_hour": pd.Series(dtype="int64"),
+                             "ewma_peak": pd.Series(dtype="float64"),
+                             "ewma_last": pd.Series(dtype="float64")})
+    lo, hi = int(hist["h"].min()), int(hist["h"].max())
+    by_hour = {int(h): int(s) for h, s in zip(hist["h"], hist["s"])}
+    s = float(by_hour.get(lo, 0))
+    best, best_k = s, 0
+    for k in range(1, hi - lo + 1):
+        y = float(by_hour.get(lo + k, 0))
+        s = s + alpha * (y - s)
+        if s > best:
+            best, best_k = s, k
+    return pd.DataFrame({
+        "n_hours": pd.Series([hi - lo + 1], dtype="int64"),
+        "peak_hour": pd.Series([lo + best_k], dtype="int64"),
+        "ewma_peak": pd.Series([best], dtype="float64"),
+        "ewma_last": pd.Series([s], dtype="float64")})

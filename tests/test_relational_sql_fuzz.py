@@ -2272,3 +2272,13 @@ def test_q12_late_priority_fuzz(rows, okeys, ordrows):
                                     pa.string()),
     })
     _check("q12_late_priority_split", {"lineitem": li, "orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_revenue_ewma_fuzz(rows):
+    # the sequential EWMA recurrence must replay bit-equal through the
+    # recursive CTE (window products would re-associate); peak ties
+    # resolve to the earliest hour on both engines
+    _check("events_revenue_ewma", {"events": _events(rows)})
