@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "orders_seasonal_index": q.orders_seasonal_index,
+        "orders_top_decile_share": q.orders_top_decile_share,
         "events_revenue_ewma": q.events_revenue_ewma,
         "q12_late_priority_split": q.q12_late_priority_split,
         "emb_covariance": q.emb_covariance,
@@ -338,6 +340,48 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_seasonal_index": """
+            WITH c AS (
+                SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders),
+            m AS (SELECT month, count(*) AS n_orders, sum(v) AS s
+                  FROM c GROUP BY 1),
+            t AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS nt,
+                         CAST(sum(s) AS DOUBLE) AS st
+                  FROM m)
+            SELECT month, n_orders, s AS sum_cents,
+                   CASE WHEN st / nt <> 0
+                        THEN round((CAST(s AS DOUBLE)
+                                    / CAST(n_orders AS DOUBLE))
+                                   / (st / nt), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS value_index
+            FROM m, t
+        """,
+        "orders_top_decile_share": """
+            WITH r AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS rev
+                FROM orders GROUP BY 1),
+            n AS (SELECT count(*) AS n, (count(*) + 9) // 10 AS k,
+                         CAST(sum(rev) AS HUGEINT) AS total
+                  FROM r),
+            topk AS (SELECT CAST(COALESCE(sum(rev), 0) AS HUGEINT)
+                         AS top
+                     FROM (SELECT rev FROM r, n
+                           ORDER BY rev DESC, o_custkey
+                           LIMIT (SELECT k FROM n)))
+            SELECT n.n AS n_customers, n.k AS top_decile_customers,
+                   CAST(topk.top AS BIGINT) AS top_cents,
+                   CAST(n.total AS BIGINT) AS total_cents,
+                   CASE WHEN n.total <> 0
+                        THEN round(CAST(topk.top AS DOUBLE)
+                                   / CAST(n.total AS DOUBLE), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS share
+            FROM n, topk
+            WHERE n.n > 0
+        """,
         "events_revenue_ewma": """
             WITH RECURSIVE e AS (
                 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)

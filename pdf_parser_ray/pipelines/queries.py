@@ -12207,3 +12207,94 @@ def events_revenue_ewma(sf_dir: str, alpha: float = 0.2):
         "peak_hour": pd.Series([lo + best_k], dtype="int64"),
         "ewma_peak": pd.Series([best], dtype="float64"),
         "ewma_last": pd.Series([s], dtype="float64")})
+
+
+def orders_seasonal_index(sf_dir: str):
+    """Calendar-month seasonal index of order value: mean order value
+    in each calendar month (Jan..Dec across all years) over the global
+    mean — the demand-seasonality fingerprint a forecaster divides out.
+    One |months|-bounded exact-cents moment combine; the index is a
+    ratio of two means computed as identical doubles from identical
+    int64 operands on both engines (month extraction is Gregorian on
+    both: pyarrow month() vs SQL month())."""
+    orders = rel.load(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.cast(pc.month(batch.column("o_orderdate")),
+                             pa.int64()),
+            "c": _cents(batch.column("o_totalprice"))})
+
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            orders.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["month"], [("n_orders", "", "count"), ("s", "c", "sum")],
+            small_result=True)),
+        {"month": "int64", "n_orders": "int64", "s": "int64"})
+    if agg.empty:
+        return pd.DataFrame({"month": pd.Series(dtype="int64"),
+                             "n_orders": pd.Series(dtype="int64"),
+                             "sum_cents": pd.Series(dtype="int64"),
+                             "value_index": pd.Series(dtype="float64")})
+    n_t = int(agg["n_orders"].sum())
+    s_t = int(agg["s"].sum())
+    gmean = float(s_t) / float(n_t)
+    idx = []
+    for _, r in agg.iterrows():
+        m = float(int(r["s"])) / float(int(r["n_orders"]))
+        idx.append(float(np_round_half_away(
+            np.array([m / gmean]), 6)[0]) if gmean != 0
+            else float("nan"))
+    out = pd.DataFrame({
+        "month": agg["month"].astype("int64"),
+        "n_orders": agg["n_orders"].astype("int64"),
+        "sum_cents": agg["s"].astype("int64"),
+        "value_index": pd.Series(idx, dtype="float64")})
+    return rel.to_pandas_sorted(out, ["month"])
+
+
+def orders_top_decile_share(sf_dir: str):
+    """Revenue concentration: the share of total order value held by
+    the top 10% of customers (k = floor((n+9)/10), ties broken by
+    custkey) — the whale-dependence metric. One custkey-keyed combine
+    (customers are a dimension, so the per-customer frame is
+    dimension-sized); the driver sorts the tiny frame and computes the
+    share as one double division gated on a nonzero total."""
+    orders = rel.load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "c": _cents(batch.column("o_totalprice"))})
+
+    per_cust = rel.ensure_columns(
+        rel.as_pandas(rel.ensure_schema(
+            rel.grouped_agg(
+                orders.map_batches(prep, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                ["o_custkey"], [("rev", "c", "sum")]),
+            pa.schema([("o_custkey", pa.int64()),
+                       ("rev", pa.int64())]))),
+        {"o_custkey": "int64", "rev": "int64"})
+    if per_cust.empty:
+        return pd.DataFrame({
+            "n_customers": pd.Series(dtype="int64"),
+            "top_decile_customers": pd.Series(dtype="int64"),
+            "top_cents": pd.Series(dtype="int64"),
+            "total_cents": pd.Series(dtype="int64"),
+            "share": pd.Series(dtype="float64")})
+    per_cust = per_cust.sort_values(
+        ["rev", "o_custkey"], ascending=[False, True], kind="mergesort")
+    n = len(per_cust)
+    k = (n + 9) // 10
+    top = int(per_cust["rev"].head(k).sum())
+    total = int(per_cust["rev"].sum())
+    share = (float(np_round_half_away(
+        np.array([float(top) / float(total)]), 6)[0])
+        if total != 0 else float("nan"))
+    return pd.DataFrame({
+        "n_customers": pd.Series([n], dtype="int64"),
+        "top_decile_customers": pd.Series([k], dtype="int64"),
+        "top_cents": pd.Series([top], dtype="int64"),
+        "total_cents": pd.Series([total], dtype="int64"),
+        "share": pd.Series([share], dtype="float64")})

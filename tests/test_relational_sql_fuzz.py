@@ -2282,3 +2282,34 @@ def test_revenue_ewma_fuzz(rows):
     # recursive CTE (window products would re-associate); peak ties
     # resolve to the earliest hour on both engines
     _check("events_revenue_ewma", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(min_value=0, max_value=500),
+                               _MONEY),
+                     min_size=1, max_size=30))
+def test_seasonal_index_fuzz(rows):
+    # calendar-month grouping (pyarrow month vs SQL month) plus the
+    # ratio-of-means must agree, including a zero global mean -> NaN
+    orders = pa.table({
+        "o_orderdate": pa.array([_BASE + dt.timedelta(days=r[0])
+                                 for r in rows], pa.timestamp("us")),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("orders_seasonal_index", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(min_value=0, max_value=12),
+                               _MONEY),
+                     min_size=1, max_size=30))
+def test_top_decile_share_fuzz(rows):
+    # k = (n+9)//10 and the (rev desc, custkey) tie order must pick the
+    # identical top set; zero/negative totals gate as NaN
+    orders = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("orders_top_decile_share", {"orders": orders})
