@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "part_price_competition": q.part_price_competition,
         "orders_seasonal_index": q.orders_seasonal_index,
         "orders_top_decile_share": q.orders_top_decile_share,
         "events_revenue_ewma": q.events_revenue_ewma,
@@ -340,6 +341,24 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "part_price_competition": """
+            WITH c AS (
+                SELECT DISTINCT l_partkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS p
+                FROM lineitem),
+            m1 AS (SELECT l_partkey, min(p) AS p1 FROM c GROUP BY 1),
+            m2 AS (SELECT c.l_partkey, min(c.p) AS p2
+                   FROM c JOIN m1 ON c.l_partkey = m1.l_partkey
+                                 AND c.p > m1.p1
+                   GROUP BY 1)
+            SELECT count(*) AS n_parts,
+                   count(p2) AS n_multi_price,
+                   COALESCE(sum(CASE WHEN 100 * p2 <= 101 * p1
+                                     THEN 1 ELSE 0 END), 0) AS n_tight,
+                   COALESCE(sum(p2 - p1), 0) AS gap_cents_total
+            FROM m1 LEFT JOIN m2 USING (l_partkey)
+        """,
         "orders_seasonal_index": """
             WITH c AS (
                 SELECT CAST(month(o_orderdate) AS BIGINT) AS month,

@@ -258,7 +258,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_user_type_breadth", "events_revenue_trend",
         "events_weekend_lift", "emb_covariance",
         "customer_segment_welch_matrix", "events_revenue_ewma",
-        "orders_seasonal_index", "orders_top_decile_share"]
+        "orders_seasonal_index", "orders_top_decile_share",
+        "part_price_competition"]
 # events_conversion_lag_hist needs purchase events and
 # events_retention_km needs a multi-day span with uncensored users;
 # the shared events fixture (one day, no purchases) satisfies neither,

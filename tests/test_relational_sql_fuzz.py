@@ -2313,3 +2313,20 @@ def test_top_decile_share_fuzz(rows):
         "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
     })
     _check("orders_top_decile_share", {"orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES, pkeys=st.lists(st.integers(min_value=0, max_value=5),
+                                   min_size=1, max_size=30))
+def test_price_competition_fuzz(rows, pkeys):
+    # second-order group statistic: the distinct combine, the
+    # drop-the-min join and the second-min re-combine must agree with
+    # the SQL, including single-distinct-price parts (NULL runner-up)
+    # and the exact-rational 1% tightness compare under negative prices
+    li = _lineitem(rows)
+    n = len(li)
+    li = li.append_column(
+        "l_partkey", pa.array([pkeys[i % len(pkeys)] for i in range(n)],
+                              pa.int64()))
+    _check("part_price_competition", {"lineitem": li})
