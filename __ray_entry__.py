@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "events_error_pchart": q.events_error_pchart,
+        "events_revenue_runs_test": q.events_revenue_runs_test,
         "part_price_competition": q.part_price_competition,
         "orders_seasonal_index": q.orders_seasonal_index,
         "orders_top_decile_share": q.orders_top_decile_share,
@@ -341,6 +343,69 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_error_pchart": """
+            WITH h AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       count(*) AS n,
+                       sum(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) AS e
+                FROM events GROUP BY 1),
+            t AS (SELECT CAST(sum(e) AS DOUBLE)
+                             / CAST(sum(n) AS DOUBLE) AS pbar
+                  FROM h)
+            SELECT h.h AS hour, n AS n_events, e AS n_errors,
+                   round(CAST(e AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS p_hat
+            FROM h, t
+            WHERE abs(CAST(e AS DOUBLE) / CAST(n AS DOUBLE) - pbar)
+                  > 3 * sqrt(pbar * (1 - pbar) / CAST(n AS DOUBLE))
+        """,
+        "events_revenue_runs_test": """
+            WITH e AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            g AS (SELECT h, sum(c) AS s FROM e GROUP BY 1),
+            bnd AS (SELECT min(h) AS lo, max(h) AS hi FROM g),
+            dense AS (SELECT unnest(generate_series(lo, hi)) AS h
+                      FROM bnd WHERE lo IS NOT NULL),
+            d AS (SELECT dense.h, COALESCE(g.s, 0) AS y
+                  FROM dense LEFT JOIN g USING (h)),
+            vc AS (SELECT y, count(*) AS c FROM d GROUP BY 1),
+            tot AS (SELECT sum(c) AS n FROM vc),
+            cumt AS (SELECT y, sum(c) OVER (ORDER BY y) AS cum
+                     FROM vc),
+            med AS (SELECT min(y) AS med FROM cumt, tot
+                    WHERE 2 * cum >= n),
+            b AS (SELECT h, CASE WHEN y > med THEN 1 ELSE 0 END AS bit
+                  FROM d, med),
+            lagged AS (SELECT bit, lag(bit) OVER (ORDER BY h) AS prev
+                       FROM b),
+            r AS (SELECT count(*) AS n, sum(bit) AS n1,
+                         1 + sum(CASE WHEN prev IS NOT NULL
+                                       AND bit <> prev
+                                  THEN 1 ELSE 0 END) AS runs
+                  FROM lagged),
+            f AS (SELECT n, n1, runs,
+                         CAST(n1 AS DOUBLE) AS n1f,
+                         CAST(n - n1 AS DOUBLE) AS n0f,
+                         CAST(n AS DOUBLE) AS nf,
+                         CAST(runs AS DOUBLE) AS rf
+                  FROM r),
+            v AS (SELECT n, n1, runs, rf,
+                         1.0 + 2.0 * n1f * n0f / nf AS mu,
+                         2.0 * n1f * n0f * (2.0 * n1f * n0f - nf)
+                             / (nf * nf * (nf - 1.0)) AS var
+                  FROM f)
+            SELECT n AS n_hours, n1 AS n_above, runs AS n_runs,
+                   CASE WHEN n1 > 0 AND n - n1 > 0 AND n >= 2
+                             AND var > 0
+                        THEN round((rf - mu) / sqrt(var), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS z_stat
+            FROM v WHERE n > 0
+        """,
         "part_price_competition": """
             WITH c AS (
                 SELECT DISTINCT l_partkey,

@@ -12379,3 +12379,117 @@ def part_price_competition(sf_dir: str):
         "n_multi_price": pd.Series([n_multi], dtype="int64"),
         "n_tight": pd.Series([n_tight], dtype="int64"),
         "gap_cents_total": pd.Series([gap_total], dtype="int64")})
+
+
+def events_error_pchart(sf_dir: str):
+    """SPC p-chart on hourly error rates: hours whose error proportion
+    breaks the 3-sigma binomial control limits around the global rate
+    — the classic out-of-control monitor (complements the CUSUM
+    change-point with a per-point test). One hour-bounded (n, errors)
+    combine; the center line and every limit test are identical double
+    ops on identical int64 operands, with the strict > boundary agreed
+    on both engines. Only flagged hours reach the output."""
+    import math
+
+    ev = rel.load(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                         pa.scalar(3_600_000_000, pa.int64()))
+        err = pc.cast(pc.equal(batch.column("event_type"),
+                               pa.scalar("error")), pa.int64())
+        return pa.table({"h": hour, "e": err})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["h"], [("n", "", "count"), ("e", "e", "sum")],
+            small_result=True)),
+        {"h": "int64", "n": "int64", "e": "int64"})
+    empty = pd.DataFrame({"hour": pd.Series(dtype="int64"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "n_errors": pd.Series(dtype="int64"),
+                          "p_hat": pd.Series(dtype="float64")})
+    if hist.empty:
+        return empty
+    N = int(hist["n"].sum())
+    E = int(hist["e"].sum())
+    pbar = float(E) / float(N)
+    rows = []
+    for _, r in hist.iterrows():
+        n, e, h = int(r["n"]), int(r["e"]), int(r["h"])
+        ph = float(e) / float(n)
+        thr = 3 * math.sqrt(pbar * (1 - pbar) / float(n))
+        if abs(ph - pbar) > thr:
+            rows.append((h, n, e, float(np_round_half_away(
+                np.array([ph]), 6)[0])))
+    if not rows:
+        return empty
+    out = pd.DataFrame({
+        "hour": pd.Series([r[0] for r in rows], dtype="int64"),
+        "n_events": pd.Series([r[1] for r in rows], dtype="int64"),
+        "n_errors": pd.Series([r[2] for r in rows], dtype="int64"),
+        "p_hat": pd.Series([r[3] for r in rows], dtype="float64")})
+    return rel.to_pandas_sorted(out, ["hour"])
+
+
+def events_revenue_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test for randomness of the hourly revenue
+    series: hours classify above/below the series' lower median
+    (exact integer compare — the median of int cents needs no float),
+    runs count sequentially over the dense hour span, and the
+    large-sample Z comes from identical doubles on the exact (n1, n0,
+    R) integers. Degenerate series (all one side, or < 2 hours) agree
+    as NaN. Same single hour-bounded exchange as the EWMA/ACF family."""
+    ev = rel.load(sf_dir, "events", ["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                         pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"h": hour, "c": _cents(batch.column("value"))})
+
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["h"], [("s", "c", "sum")], small_result=True)),
+        {"h": "int64", "s": "int64"})
+    if hist.empty:
+        return pd.DataFrame({"n_hours": pd.Series(dtype="int64"),
+                             "n_above": pd.Series(dtype="int64"),
+                             "n_runs": pd.Series(dtype="int64"),
+                             "z_stat": pd.Series(dtype="float64")})
+    lo, hi = int(hist["h"].min()), int(hist["h"].max())
+    by_hour = {int(h): int(s) for h, s in zip(hist["h"], hist["s"])}
+    series = [by_hour.get(d, 0) for d in range(lo, hi + 1)]
+    n = len(series)
+    # lower median of the int series: first value with 2*cum >= n
+    counts: dict[int, int] = {}
+    for v in series:
+        counts[v] = counts.get(v, 0) + 1
+    cum = 0
+    med = None
+    for v in sorted(counts):
+        cum += counts[v]
+        if 2 * cum >= n:
+            med = v
+            break
+    b = [1 if v > med else 0 for v in series]
+    n1 = sum(b)
+    n0 = n - n1
+    runs = 1 + sum(1 for i in range(1, n) if b[i] != b[i - 1])
+    z = float("nan")
+    if n1 > 0 and n0 > 0 and n >= 2:
+        n1f, n0f, nf, rf = float(n1), float(n0), float(n), float(runs)
+        mu = 1.0 + 2.0 * n1f * n0f / nf
+        var = (2.0 * n1f * n0f * (2.0 * n1f * n0f - nf)
+               / (nf * nf * (nf - 1.0)))
+        if var > 0:
+            z = float(np_round_half_away(
+                np.array([(rf - mu) / np.sqrt(var)]), 6)[0])
+    return pd.DataFrame({
+        "n_hours": pd.Series([n], dtype="int64"),
+        "n_above": pd.Series([n1], dtype="int64"),
+        "n_runs": pd.Series([runs], dtype="int64"),
+        "z_stat": pd.Series([z], dtype="float64")})

@@ -259,7 +259,10 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "events_weekend_lift", "emb_covariance",
         "customer_segment_welch_matrix", "events_revenue_ewma",
         "orders_seasonal_index", "orders_top_decile_share",
-        "part_price_competition"]
+        "part_price_competition", "events_revenue_runs_test"]
+# events_error_pchart flags no hour on the shared fixture (uniform error
+# mix -> everything inside the 3-sigma band), so it gets a dedicated
+# invariance table below with one saturated-error hour.
 # events_conversion_lag_hist needs purchase events and
 # events_retention_km needs a multi-day span with uncensored users;
 # the shared events fixture (one day, no purchases) satisfies neither,
@@ -650,3 +653,40 @@ def test_q12_late_priority_invariance():
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
     assert int(a["high_line_count"].sum()) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_error_pchart_invariance():
+    # hour 0 is all errors against a low background rate -> must flag;
+    # the flag set and p_hat must be block-boundary invariant
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    base = dt.datetime(2024, 3, 1)
+    n = 240
+    types = ["error" if i < 40 else ("error" if i % 20 == 0 else "view")
+             for i in range(n)]
+    tbl = pa.table({
+        "ts": pa.array([base + dt.timedelta(hours=i // 40, minutes=i % 40)
+                        for i in range(n)], pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string()),
+    })
+
+    def run(n_blocks):
+        def load(sf, table, columns=None):
+            return ray.data.from_arrow(
+                tbl.select(columns) if columns else tbl
+            ).repartition(n_blocks)
+
+        orig = q.rel.load
+        q.rel.load = load
+        try:
+            return q.events_error_pchart("inv").reset_index(drop=True)
+        finally:
+            q.rel.load = orig
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    assert 0 in set(a["hour"] - a["hour"].min())  # the saturated hour

@@ -2330,3 +2330,29 @@ def test_price_competition_fuzz(rows, pkeys):
         "l_partkey", pa.array([pkeys[i % len(pkeys)] for i in range(n)],
                               pa.int64()))
     _check("part_price_competition", {"lineitem": li})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS,
+       errs=st.lists(st.booleans(), min_size=1, max_size=30))
+def test_error_pchart_fuzz(rows, errs):
+    # the 3-sigma limit test runs on raw identical doubles (strict >)
+    # — boundary hours must flag identically; all-error and no-error
+    # streams yield zero-width limits on both engines
+    ev = _events(rows)
+    n = len(ev)
+    types = ["error" if errs[i % len(errs)] else "view"
+             for i in range(n)]
+    ev = ev.set_column(1, "event_type", pa.array(types, pa.string()))
+    _check("events_error_pchart", {"events": ev})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_runs_test_fuzz(rows):
+    # lower-median split (exact int compare), sequential runs count and
+    # the large-sample Z must agree; constant series (all at the
+    # median) degenerate to NaN on both engines
+    _check("events_revenue_runs_test", {"events": _events(rows)})
