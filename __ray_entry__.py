@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "docs_emb_length_norm_corr": q.docs_emb_length_norm_corr,
         "events_error_pchart": q.events_error_pchart,
         "events_revenue_runs_test": q.events_revenue_runs_test,
         "part_price_competition": q.part_price_competition,
@@ -343,6 +344,48 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_emb_length_norm_corr": """
+            WITH nr AS (
+                SELECT vec_id,
+                       sum(CAST(xq AS HUGEINT) * xq) AS y
+                FROM (SELECT vec_id,
+                             CAST(round(CAST(unnest(embedding)
+                                             AS DOUBLE) * 100)
+                                  AS BIGINT) AS xq
+                      FROM embeddings)
+                GROUP BY 1),
+            j AS (SELECT CAST(d.n_chars AS BIGINT) AS x, nr.y
+                  FROM documents d JOIN nr ON d.doc_id = nr.vec_id),
+            m AS (SELECT count(*) AS n,
+                         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT)
+                             AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                             AS sxx,
+                         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)
+                             AS sxy,
+                         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT)
+                             AS syy
+                  FROM j),
+            f AS (SELECT n,
+                         CAST(n AS DOUBLE) AS nf,
+                         CAST(sx AS DOUBLE) AS sxf,
+                         CAST(sy AS DOUBLE) AS syf,
+                         CAST(sxx AS DOUBLE) AS sxxf,
+                         CAST(sxy AS DOUBLE) AS sxyf,
+                         CAST(syy AS DOUBLE) AS syyf
+                  FROM m),
+            v AS (SELECT n, nf, sxf, syf, sxyf,
+                         (nf * sxxf - sxf * sxf)
+                             * (nf * syyf - syf * syf) AS prod
+                  FROM f)
+            SELECT n AS n_docs,
+                   CASE WHEN prod > 0
+                        THEN round((nf * sxyf - sxf * syf)
+                                   / sqrt(prod), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS corr
+            FROM v WHERE n > 0
+        """,
         "events_error_pchart": """
             WITH h AS (
                 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)

@@ -12493,3 +12493,80 @@ def events_revenue_runs_test(sf_dir: str):
         "n_above": pd.Series([n1], dtype="int64"),
         "n_runs": pd.Series([runs], dtype="int64"),
         "z_stat": pd.Series([z], dtype="float64")})
+
+
+def docs_emb_length_norm_corr(sf_dir: str):
+    """Cross-modal curation signal: Pearson correlation between a
+    document's length (n_chars) and its embedding's squared L2 norm —
+    the "does the encoder just measure length?" audit run before using
+    norms as quality features. The text and embedding tables meet in
+    ONE id-keyed hash join (both fact-sized at scale); per-vector
+    norm^2 folds vectorized in exact centi^2 ints, and the O(blocks)
+    moment fold ships the two moments that exceed int64 (x*y, y*y) as
+    decimal strings, the emb_covariance transport. The correlation is
+    identical doubles on identical integer operands; degenerate inputs
+    (n < 2, zero variance) agree as NaN via the DOUBLE-product gate."""
+    from pdf_parser_ray.functions.num import np_round_half_away_int
+    from pdf_parser_ray.stages.similarity import _matrix
+
+    docs = rel.load(sf_dir, "documents", ["doc_id", "n_chars"])
+    embs = rel.load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        if x.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        xq = np_round_half_away_int(x * 100.0).astype(np.int64)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "y": pa.array((xq * xq).sum(axis=1),
+                                       pa.int64())})
+
+    d_schema = pa.schema([("doc_id", pa.int64()),
+                          ("n_chars", pa.int64())])
+    n_schema = pa.schema([("vec_id", pa.int64()), ("y", pa.int64())])
+    norm_ds = rel.ensure_schema(
+        embs.map_batches(norms, batch_format="pyarrow",
+                         zero_copy_batch=True), n_schema)
+    docs_ds = rel.ensure_schema(docs, d_schema)
+    joined = rel.hash_join_nonempty(
+        docs_ds, norm_ds, on="doc_id", right_on="vec_id",
+        num_partitions=rel.join_partitions(docs.count()),
+        left_schema=d_schema, right_schema=n_schema)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = batch.column("y").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "sxy": pa.array([str(sum(int(a) * int(b)
+                                     for a, b in zip(x, y)))],
+                            pa.string()),
+            "syy": pa.array([str(sum(int(b) * int(b) for b in y))],
+                            pa.string())})
+
+    parts = joined.map_batches(moments, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    if parts.empty or int(parts["n"].sum()) == 0:
+        return pd.DataFrame({"n_docs": pd.Series(dtype="int64"),
+                             "corr": pd.Series(dtype="float64")})
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].astype("int64").sum())
+    sy = int(parts["sy"].astype("int64").sum())
+    sxx = int(parts["sxx"].astype("int64").sum())
+    sxy = sum(int(s) for s in parts["sxy"])
+    syy = sum(int(s) for s in parts["syy"])
+    nf, sxf, syf = float(n), float(sx), float(sy)
+    sxxf, sxyf, syyf = float(sxx), float(sxy), float(syy)
+    num = nf * sxyf - sxf * syf
+    prod = (nf * sxxf - sxf * sxf) * (nf * syyf - syf * syf)
+    corr = (float(np_round_half_away(
+        np.array([num / np.sqrt(prod)]), 6)[0])
+        if prod > 0 else float("nan"))
+    return pd.DataFrame({"n_docs": pd.Series([n], dtype="int64"),
+                         "corr": pd.Series([corr], dtype="float64")})

@@ -2356,3 +2356,30 @@ def test_runs_test_fuzz(rows):
     # the large-sample Z must agree; constant series (all at the
     # median) degenerate to NaN on both engines
     _check("events_revenue_runs_test", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
+                       width=32),
+             min_size=4, max_size=4),
+    min_size=1, max_size=12),
+    lens=st.lists(st.integers(min_value=0, max_value=100000),
+                  min_size=1, max_size=12))
+def test_emb_length_norm_corr_fuzz(vals, lens):
+    # cross-modal join + string-transported big moments: the corr must
+    # match the SQL HUGEINT fold; constant lengths or constant norms
+    # (zero variance) agree as NaN through the DOUBLE-product gate
+    n = len(vals)
+    embeddings = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vals, pa.list_(pa.float32())),
+    })
+    documents = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "n_chars": pa.array([lens[i % len(lens)] for i in range(n)],
+                            pa.int64()),
+    })
+    _check("docs_emb_length_norm_corr",
+           {"documents": documents, "embeddings": embeddings})
