@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "events_session_abandonment": q.events_session_abandonment,
         "docs_emb_length_norm_corr": q.docs_emb_length_norm_corr,
         "events_error_pchart": q.events_error_pchart,
         "events_revenue_runs_test": q.events_revenue_runs_test,
@@ -344,6 +345,40 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_session_abandonment": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events),
+            s AS (
+                SELECT user_id, event_type,
+                       sum(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM lagged),
+            f AS (SELECT user_id, sid,
+                         max(CASE WHEN event_type = 'click'
+                                  THEN 1 ELSE 0 END) AS has_click,
+                         max(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) AS has_pur
+                  FROM s GROUP BY 1, 2),
+            m AS (SELECT
+                      CAST(COALESCE(sum(has_click), 0) AS BIGINT) AS a,
+                      CAST(COALESCE(sum(CASE WHEN has_click = 1
+                                              AND has_pur = 1
+                                         THEN 1 ELSE 0 END), 0)
+                           AS BIGINT) AS c
+                  FROM f)
+            SELECT a AS n_click_sessions, c AS n_converted,
+                   CASE WHEN a > 0
+                        THEN CAST((1000000 * (a - c)) // a AS DOUBLE)
+                        ELSE CAST('nan' AS DOUBLE) END AS abandon_ppm
+            FROM m
+        """,
         "docs_emb_length_norm_corr": """
             WITH nr AS (
                 SELECT vec_id,

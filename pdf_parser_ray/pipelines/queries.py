@@ -12570,3 +12570,41 @@ def docs_emb_length_norm_corr(sf_dir: str):
         if prod > 0 else float("nan"))
     return pd.DataFrame({"n_docs": pd.Series([n], dtype="int64"),
                          "corr": pd.Series([corr], dtype="float64")})
+
+
+def events_session_abandonment(sf_dir: str, gap_minutes: int = 30):
+    """Session-level abandonment funnel: of sessions containing a
+    click, how many never reach a purchase — the cart-abandonment KPI,
+    at session granularity rather than the user-lifetime granularity
+    of events_funnel. Shuffle key user_id (the events_sessions
+    discipline: per-user sort inside map_groups, 30-min gap); each
+    user contributes one (click_sessions, converted_sessions) partial
+    and only two integers cross to the driver. The abandonment rate is
+    the exact truncating ppm on both engines."""
+    ds = rel.load(sf_dir, "events",
+                  ["user_id", "ts", "event_id", "event_type"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        starts = g["ts"].diff().gt(gap) | g["ts"].diff().isna()
+        sid = starts.cumsum()
+        f = pd.DataFrame({
+            "sid": sid,
+            "click": (g["event_type"] == "click").astype(int),
+            "pur": (g["event_type"] == "purchase").astype(int)})
+        per = f.groupby("sid").agg(c=("click", "max"),
+                                   p=("pur", "max"))
+        a = int(per["c"].sum())
+        conv = int(((per["c"] == 1) & (per["p"] == 1)).sum())
+        return pd.DataFrame({"a": [a], "c": [conv]})
+
+    parts = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+    a = int(parts["a"].sum()) if not parts.empty else 0
+    c = int(parts["c"].sum()) if not parts.empty else 0
+    ppm = float((1_000_000 * (a - c)) // a) if a > 0 else float("nan")
+    return pd.DataFrame({
+        "n_click_sessions": pd.Series([a], dtype="int64"),
+        "n_converted": pd.Series([c], dtype="int64"),
+        "abandon_ppm": pd.Series([ppm], dtype="float64")})

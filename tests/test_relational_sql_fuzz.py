@@ -2383,3 +2383,22 @@ def test_emb_length_norm_corr_fuzz(vals, lens):
     })
     _check("docs_emb_length_norm_corr",
            {"documents": documents, "embeddings": embeddings})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS,
+       users=st.lists(st.integers(min_value=0, max_value=4),
+                      min_size=1, max_size=30))
+def test_session_abandonment_fuzz(rows, users):
+    # session-granular funnel: the 30-min boundary, the per-session
+    # max-flags and the truncating ppm must agree; purchase-only
+    # sessions contribute nothing to either count
+    ev = _events(rows)
+    n = len(ev)
+    ev = ev.append_column(
+        "user_id", pa.array([users[i % len(users)] for i in range(n)],
+                            pa.int64()))
+    ev = ev.append_column("event_id",
+                          pa.array(range(n), pa.int64()))
+    _check("events_session_abandonment", {"events": ev})
