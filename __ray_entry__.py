@@ -47,6 +47,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import queries as q
 
     return {
+        # ---- tier 0: the r2 verdict's explicit ask — pipelines with
+        #      NO driver row in ANY round: emb_near_pairs_lsh is
+        #      oracled (must land hash-green), the other three are
+        #      rows-only by nature and get their first recorded row
+        "emb_near_pairs_lsh": q.emb_near_pairs_lsh,
+        "extract_corpus": q.extract_corpus,
+        "emb_topk_ivf": q.emb_topk_ivf,
+        "media_features": q.media_features,
         # ---- tier 1: oracled, no driver row yet (newest first; the
         #      driver checks the FIRST 50 entries, so the 50-slot
         #      window covers the latest additions while everything
@@ -219,7 +227,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_histogram": q.orders_price_histogram,
         "docs_bigram_fluency": q.docs_bigram_fluency,
         "docs_dsir_weights": q.docs_dsir_weights,
-        "emb_near_pairs_lsh": q.emb_near_pairs_lsh,
         "docs_quality_filter": q.docs_quality_filter,
         "events_error_click_window": q.events_error_click_window,
         "docs_ngram_jaccard_pairs": q.docs_ngram_jaccard_pairs,
@@ -333,9 +340,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pagerank": q.docs_pagerank,
         "docs_triangles": q.docs_triangles,
         "docs_bpe_merges": q.docs_bpe_merges,
-        "extract_corpus": q.extract_corpus,
-        "emb_topk_ivf": q.emb_topk_ivf,
-        "media_features": q.media_features,
     }
 
 
