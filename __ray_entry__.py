@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "customer_nation_anova": q.customer_nation_anova,
         "events_session_abandonment": q.events_session_abandonment,
         "docs_emb_length_norm_corr": q.docs_emb_length_norm_corr,
         "events_error_pchart": q.events_error_pchart,
@@ -349,6 +350,39 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "customer_nation_anova": """
+            WITH c AS (
+                SELECT c_nationkey AS g,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS v
+                FROM customer),
+            m AS (SELECT g, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+                  FROM c GROUP BY 1),
+            t AS (SELECT count(*) AS k,
+                         CAST(sum(n) AS BIGINT) AS nn,
+                         CAST(sum(s) AS HUGEINT) AS stot,
+                         CAST(sum(ss) AS HUGEINT) AS sstot,
+                         CAST(sum(CAST(round(1000000
+                                  * (CAST(s AS DOUBLE) * s / n))
+                                  AS HUGEINT)) AS HUGEINT) AS a
+                  FROM m),
+            f AS (SELECT k, nn,
+                         CAST(nn AS DOUBLE) AS nf,
+                         CAST(stot AS DOUBLE) AS sf,
+                         CAST(sstot AS DOUBLE) AS ssf,
+                         CAST(a AS DOUBLE) / 1000000.0 AS af
+                  FROM t),
+            v AS (SELECT k, nn,
+                         af - sf * sf / nf AS ssb,
+                         ssf - af AS ssw,
+                         CAST(k AS DOUBLE) AS kf, nf
+                  FROM f)
+            SELECT k AS n_groups, nn AS n_rows,
+                   CASE WHEN k >= 2 AND nn > k AND ssw > 0
+                        THEN round((ssb / (kf - 1.0))
+                                   / (ssw / (nf - kf)), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS f_stat
+            FROM v WHERE nn > 0
+        """,
         "events_session_abandonment": """
             WITH lagged AS (
                 SELECT user_id, ts, event_id, event_type,

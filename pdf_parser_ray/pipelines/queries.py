@@ -12608,3 +12608,67 @@ def events_session_abandonment(sf_dir: str, gap_minutes: int = 30):
         "n_click_sessions": pd.Series([a], dtype="int64"),
         "n_converted": pd.Series([c], dtype="int64"),
         "abandon_ppm": pd.Series([ppm], dtype="float64")})
+
+
+def customer_nation_anova(sf_dir: str):
+    """One-way ANOVA F-statistic for account balance across nations —
+    the k-group generalization of the Welch pair tests. Group moments
+    (n, sum, sumsq in cents) fold exactly; the one order-sensitive
+    reduction (summing the per-group double terms s_i^2/n_i) is made
+    order-FREE by micro-rounding each term to an integer first and
+    summing exactly — the token-entropy discipline — so both engines
+    build SSB/SSW from identical operands regardless of group
+    enumeration order. Degenerate designs (k < 2, N <= k, zero
+    within-group variance) agree as NaN."""
+    cust = rel.load(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        c = _cents(batch.column("c_acctbal")).to_numpy(
+            zero_copy_only=False)
+        codes, uniq = pd.factorize(pd.Series(g), sort=True)
+        k = len(uniq)
+        n = np.zeros(k, dtype=np.int64)
+        s = np.zeros(k, dtype=np.int64)
+        ss = np.zeros(k, dtype=np.int64)
+        np.add.at(n, codes, 1)
+        np.add.at(s, codes, c)
+        np.add.at(ss, codes, c * c)
+        return pa.table({"g": pa.array(uniq.astype(np.int64), pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "ss": pa.array(ss, pa.int64())})
+
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            cust.map_batches(moments, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["g"], [("n", "n", "sum"), ("s", "s", "sum"),
+                    ("ss", "ss", "sum")], small_result=True)),
+        {"g": "int64", "n": "int64", "s": "int64", "ss": "int64"})
+    if agg.empty:
+        return pd.DataFrame({"n_groups": pd.Series(dtype="int64"),
+                             "n_rows": pd.Series(dtype="int64"),
+                             "f_stat": pd.Series(dtype="float64")})
+    k = len(agg)
+    N = int(agg["n"].sum())
+    S = int(agg["s"].sum())
+    SS = int(agg["ss"].sum())
+    a = 0
+    for _, r in agg.iterrows():
+        term = 1000000 * (float(int(r["s"])) * int(r["s"])
+                          / int(r["n"]))
+        a += int(np_round_half_away(np.array([term]), 0)[0])
+    nf, sf, ssf = float(N), float(S), float(SS)
+    af = float(a) / 1000000.0
+    ssb = af - sf * sf / nf
+    ssw = ssf - af
+    f_stat = float("nan")
+    if k >= 2 and N > k and ssw > 0:
+        f_stat = float(np_round_half_away(np.array(
+            [(ssb / (float(k) - 1.0)) / (ssw / (nf - float(k)))]),
+            6)[0])
+    return pd.DataFrame({
+        "n_groups": pd.Series([k], dtype="int64"),
+        "n_rows": pd.Series([N], dtype="int64"),
+        "f_stat": pd.Series([f_stat], dtype="float64")})

@@ -2402,3 +2402,20 @@ def test_session_abandonment_fuzz(rows, users):
     ev = ev.append_column("event_id",
                           pa.array(range(n), pa.int64()))
     _check("events_session_abandonment", {"events": ev})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(min_value=0, max_value=4),
+                               _MONEY),
+                     min_size=1, max_size=30))
+def test_nation_anova_fuzz(rows):
+    # the order-sensitive sum of per-group s^2/n doubles is made
+    # order-free by micro-rounding each term before the exact sum —
+    # SSB/SSW must match the SQL HUGEINT fold for any group mix, and
+    # single-group / zero-within-variance designs agree as NaN
+    customer = pa.table({
+        "c_nationkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_acctbal": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("customer_nation_anova", {"customer": customer})
