@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "customer_balance_jackknife": q.customer_balance_jackknife,
+        "docs_lang_source_cramers_v": q.docs_lang_source_cramers_v,
         "customer_nation_anova": q.customer_nation_anova,
         "events_session_abandonment": q.events_session_abandonment,
         "docs_emb_length_norm_corr": q.docs_emb_length_norm_corr,
@@ -350,6 +352,75 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "customer_balance_jackknife": """
+            WITH c AS (
+                SELECT c_nationkey AS g,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS v
+                FROM customer),
+            m AS (SELECT g, count(*) AS n, sum(v) AS s
+                  FROM c GROUP BY 1),
+            t AS (SELECT count(*) AS k,
+                         CAST(sum(n) AS BIGINT) AS nn,
+                         CAST(sum(s) AS HUGEINT) AS stot
+                  FROM m),
+            p AS (SELECT CAST(round(1000000
+                              * (CAST(stot - s AS DOUBLE) / (nn - n)))
+                              AS HUGEINT) AS ti
+                  FROM m, t),
+            j AS (SELECT CAST(sum(ti) AS HUGEINT) AS st,
+                         CAST(sum(ti * ti) AS HUGEINT) AS st2
+                  FROM p)
+            SELECT t.k AS n_groups, t.nn AS n_rows,
+                   round(CAST(t.stot AS DOUBLE)
+                         / CAST(t.nn AS DOUBLE), 6) AS mean_cents,
+                   CASE WHEN t.k >= 2
+                        THEN round(sqrt((CAST(t.k AS DOUBLE) - 1.0)
+                                        / CAST(t.k AS DOUBLE)
+                                        * (CAST(j.st2 AS DOUBLE)
+                                           - CAST(j.st AS DOUBLE) * st
+                                             / CAST(t.k AS DOUBLE)))
+                                   / 1000000.0, 6)
+                        ELSE CAST('nan' AS DOUBLE) END
+                       AS jack_se_cents
+            FROM t, j WHERE t.nn > 0
+        """,
+        "docs_lang_source_cramers_v": """
+            WITH g AS (SELECT lang, source, count(*) AS c
+                       FROM documents GROUP BY 1, 2),
+            r AS (SELECT lang, CAST(sum(c) AS BIGINT) AS rn
+                  FROM g GROUP BY 1),
+            cl AS (SELECT source, CAST(sum(c) AS BIGINT) AS cn
+                   FROM g GROUP BY 1),
+            t AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM g),
+            dense AS (SELECT r.rn, cl.cn, COALESCE(g.c, 0) AS o
+                      FROM r CROSS JOIN cl
+                      LEFT JOIN g ON g.lang = r.lang
+                                 AND g.source = cl.source),
+            term AS (SELECT CAST(round(1000000
+                         * ((CAST(o AS DOUBLE)
+                             - CAST(rn AS DOUBLE) * cn / nn)
+                            * (CAST(o AS DOUBLE)
+                               - CAST(rn AS DOUBLE) * cn / nn)
+                            / (CAST(rn AS DOUBLE) * cn / nn)))
+                         AS HUGEINT) AS ti
+                     FROM dense, t),
+            s AS (SELECT CAST(sum(ti) AS HUGEINT) AS chim FROM term),
+            dims AS (SELECT (SELECT count(*) FROM r) AS r,
+                            (SELECT count(*) FROM cl) AS c)
+            SELECT t.nn AS n_rows, dims.r AS n_langs,
+                   dims.c AS n_sources,
+                   round(CAST(s.chim AS DOUBLE) / 1000000.0, 6)
+                       AS chi2,
+                   CASE WHEN least(dims.r - 1, dims.c - 1) >= 1
+                        THEN round(sqrt((CAST(s.chim AS DOUBLE)
+                                         / 1000000.0)
+                                        / (CAST(t.nn AS DOUBLE)
+                                           * CAST(least(dims.r - 1,
+                                                        dims.c - 1)
+                                                  AS DOUBLE))), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS cramers_v
+            FROM t, s, dims WHERE t.nn > 0
+        """,
         "customer_nation_anova": """
             WITH c AS (
                 SELECT c_nationkey AS g,

@@ -12672,3 +12672,109 @@ def customer_nation_anova(sf_dir: str):
         "n_groups": pd.Series([k], dtype="int64"),
         "n_rows": pd.Series([N], dtype="int64"),
         "f_stat": pd.Series([f_stat], dtype="float64")})
+
+
+def customer_balance_jackknife(sf_dir: str):
+    """Delete-a-group jackknife standard error of the mean account
+    balance (groups = nations) — resampling made deterministic and
+    distributed: the k leave-one-nation-out pseudo-means derive from
+    ONE bounded (n, sum) moment fold, and the order-sensitive sums of
+    pseudo-value doubles are made order-free by micro-rounding each
+    pseudo-value to an integer before the exact sum (the ANOVA/token-
+    entropy discipline). Single-group designs agree as NaN."""
+    cust = rel.load(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"g": batch.column("c_nationkey"),
+                         "v": _cents(batch.column("c_acctbal"))})
+
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            cust.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["g"], [("n", "", "count"), ("s", "v", "sum")],
+            small_result=True)),
+        {"g": "int64", "n": "int64", "s": "int64"})
+    if agg.empty:
+        return pd.DataFrame({"n_groups": pd.Series(dtype="int64"),
+                             "n_rows": pd.Series(dtype="int64"),
+                             "mean_cents": pd.Series(dtype="float64"),
+                             "jack_se_cents":
+                                 pd.Series(dtype="float64")})
+    k = len(agg)
+    N = int(agg["n"].sum())
+    S = int(agg["s"].sum())
+    theta = float(np_round_half_away(
+        np.array([float(S) / float(N)]), 6)[0])
+    se = float("nan")
+    if k >= 2:
+        st = st2 = 0
+        for _, r in agg.iterrows():
+            n_i, s_i = int(r["n"]), int(r["s"])
+            t = 1000000 * (float(S - s_i) / float(N - n_i))
+            ti = int(np_round_half_away(np.array([t]), 0)[0])
+            st += ti
+            st2 += ti * ti
+        kf = float(k)
+        stf, st2f = float(st), float(st2)
+        var_micro2 = st2f - stf * stf / kf
+        se = float(np_round_half_away(np.array(
+            [np.sqrt((kf - 1.0) / kf * var_micro2) / 1000000.0]),
+            6)[0])
+    return pd.DataFrame({
+        "n_groups": pd.Series([k], dtype="int64"),
+        "n_rows": pd.Series([N], dtype="int64"),
+        "mean_cents": pd.Series([theta], dtype="float64"),
+        "jack_se_cents": pd.Series([se], dtype="float64")})
+
+
+def docs_lang_source_cramers_v(sf_dir: str):
+    """Cramer's V association strength between language and source —
+    the effect size the chi-square independence test (dow_chisq
+    family) lacks. One |langs| x |sources|-bounded contingency
+    combine; the order-sensitive chi-square term sum is made
+    order-free by micro-rounding each (o-e)^2/e term before the exact
+    integer sum, so both engines aggregate identical operands in any
+    enumeration order. Degenerate tables (single row or column) agree
+    as NaN."""
+    docs = rel.load(sf_dir, "documents", ["lang", "source"])
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            docs, ["lang", "source"], [("c", "", "count")],
+            small_result=True)),
+        {"lang": "object", "source": "object", "c": "int64"})
+    if agg.empty:
+        return pd.DataFrame({"n_rows": pd.Series(dtype="int64"),
+                             "n_langs": pd.Series(dtype="int64"),
+                             "n_sources": pd.Series(dtype="int64"),
+                             "chi2": pd.Series(dtype="float64"),
+                             "cramers_v": pd.Series(dtype="float64")})
+    N = int(agg["c"].sum())
+    rows = agg.groupby("lang")["c"].sum().to_dict()
+    cols = agg.groupby("source")["c"].sum().to_dict()
+    r, c = len(rows), len(cols)
+    # the full dense table: absent cells have o=0 but e>0 and DO
+    # contribute to chi-square
+    chi_micro = 0
+    for lang, rn in rows.items():
+        for src, cn in cols.items():
+            o = 0
+            hit = agg[(agg["lang"] == lang) & (agg["source"] == src)]
+            if len(hit):
+                o = int(hit["c"].iloc[0])
+            e = float(int(rn)) * int(cn) / float(N)
+            term = 1000000 * ((float(o) - e) * (float(o) - e) / e)
+            chi_micro += int(np_round_half_away(np.array([term]), 0)[0])
+    chi2f = float(chi_micro) / 1000000.0
+    chi2 = float(np_round_half_away(np.array([chi2f]), 6)[0])
+    v = float("nan")
+    d = min(r - 1, c - 1)
+    if d >= 1:
+        v = float(np_round_half_away(np.array(
+            [np.sqrt(chi2f / (float(N) * float(d)))]), 6)[0])
+    return pd.DataFrame({
+        "n_rows": pd.Series([N], dtype="int64"),
+        "n_langs": pd.Series([r], dtype="int64"),
+        "n_sources": pd.Series([c], dtype="int64"),
+        "chi2": pd.Series([chi2], dtype="float64"),
+        "cramers_v": pd.Series([v], dtype="float64")})

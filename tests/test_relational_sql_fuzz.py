@@ -2419,3 +2419,36 @@ def test_nation_anova_fuzz(rows):
         "c_acctbal": pa.array([r[1] for r in rows], pa.float64()),
     })
     _check("customer_nation_anova", {"customer": customer})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(min_value=0, max_value=4),
+                               _MONEY),
+                     min_size=1, max_size=30))
+def test_jackknife_fuzz(rows):
+    # leave-one-group-out pseudo-values micro-round before the exact
+    # sum, so the SE matches the SQL HUGEINT fold in any group order;
+    # single-group designs agree as NaN
+    customer = pa.table({
+        "c_nationkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_acctbal": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("customer_balance_jackknife", {"customer": customer})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(pairs=st.lists(st.tuples(st.sampled_from(["en", "de", "fr"]),
+                                st.sampled_from(["web", "wiki"])),
+                      min_size=1, max_size=30))
+def test_cramers_v_fuzz(pairs):
+    # the dense expected grid (absent cells contribute!) and the
+    # micro-rounded chi-square terms must fold identically; 1xC and
+    # Rx1 tables agree as NaN effect size
+    documents = pa.table({
+        "doc_id": pa.array(range(len(pairs)), pa.int64()),
+        "lang": pa.array([p[0] for p in pairs], pa.string()),
+        "source": pa.array([p[1] for p in pairs], pa.string()),
+    })
+    _check("docs_lang_source_cramers_v", {"documents": documents})
