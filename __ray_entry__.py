@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "lineitem_tax_discount_grid": q.lineitem_tax_discount_grid,
+        "events_dayn_retention": q.events_dayn_retention,
         "customer_balance_jackknife": q.customer_balance_jackknife,
         "docs_lang_source_cramers_v": q.docs_lang_source_cramers_v,
         "customer_nation_anova": q.customer_nation_anova,
@@ -352,6 +354,42 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_tax_discount_grid": """
+            WITH c AS (
+                SELECT CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,
+                       CAST(round(l_discount * 100) AS BIGINT)
+                           AS disc_pct,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) * 100) AS BIGINT) AS v
+                FROM lineitem)
+            SELECT tax_pct, disc_pct, count(*) AS n_lines,
+                   round(CAST(sum(v) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS avg_charge
+            FROM c GROUP BY 1, 2
+        """,
+        "events_dayn_retention": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                           // 86400 AS day
+                FROM events WHERE user_id IS NOT NULL),
+            f AS (SELECT user_id, min(day) AS f FROM ud GROUP BY 1),
+            fl AS (SELECT ud.user_id,
+                          max(CASE WHEN ud.day = f.f + 1
+                                   THEN 1 ELSE 0 END) AS d1,
+                          max(CASE WHEN ud.day = f.f + 7
+                                   THEN 1 ELSE 0 END) AS d7
+                   FROM ud JOIN f ON ud.user_id = f.user_id
+                   GROUP BY 1),
+            m AS (SELECT count(*) AS n,
+                         CAST(COALESCE(sum(d1), 0) AS BIGINT) AS r1,
+                         CAST(COALESCE(sum(d7), 0) AS BIGINT) AS r7
+                  FROM fl)
+            SELECT n AS n_users, r1 AS d1_retained, r7 AS d7_retained,
+                   CAST((1000000 * r1) // n AS DOUBLE) AS d1_ppm,
+                   CAST((1000000 * r7) // n AS DOUBLE) AS d7_ppm
+            FROM m WHERE n > 0
+        """,
         "customer_balance_jackknife": """
             WITH c AS (
                 SELECT c_nationkey AS g,

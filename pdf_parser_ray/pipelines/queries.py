@@ -12778,3 +12778,140 @@ def docs_lang_source_cramers_v(sf_dir: str):
         "n_sources": pd.Series([c], dtype="int64"),
         "chi2": pd.Series([chi2], dtype="float64"),
         "cramers_v": pd.Series([v], dtype="float64")})
+
+
+def lineitem_tax_discount_grid(sf_dir: str):
+    """Tax x discount interaction grid: mean effective charge per
+    (tax-point, discount-point) lattice cell — the 2-factor pricing
+    interaction table. One ~99-cell bounded combine; each cell's mean
+    is the exact-cents ratio of sums (never a mean of per-row
+    doubles), so both engines divide identical integers."""
+    ds = rel.load(sf_dir, "lineitem",
+                  ["l_tax", "l_discount", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        charge = pc.multiply(
+            pc.multiply(batch.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    batch.column("l_discount"))),
+            pc.add(pa.scalar(1.0), batch.column("l_tax")))
+        tax = np_round_half_away_int(
+            batch.column("l_tax").to_numpy() * 100.0).astype(np.int64)
+        disc = np_round_half_away_int(
+            batch.column("l_discount").to_numpy() * 100.0) \
+            .astype(np.int64)
+        return pa.table({"tax_pct": pa.array(tax, pa.int64()),
+                         "disc_pct": pa.array(disc, pa.int64()),
+                         "c": _cents(charge)})
+
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["tax_pct", "disc_pct"],
+            [("n_lines", "", "count"), ("s", "c", "sum")],
+            small_result=True)),
+        {"tax_pct": "int64", "disc_pct": "int64", "n_lines": "int64",
+         "s": "int64"})
+    if agg.empty:
+        return pd.DataFrame({"tax_pct": pd.Series(dtype="int64"),
+                             "disc_pct": pd.Series(dtype="int64"),
+                             "n_lines": pd.Series(dtype="int64"),
+                             "avg_charge": pd.Series(dtype="float64")})
+    avg = [float(np_round_half_away(np.array(
+        [float(int(s)) / float(int(n))]), 6)[0])
+        for s, n in zip(agg["s"], agg["n_lines"])]
+    out = pd.DataFrame({
+        "tax_pct": agg["tax_pct"].astype("int64"),
+        "disc_pct": agg["disc_pct"].astype("int64"),
+        "n_lines": agg["n_lines"].astype("int64"),
+        "avg_charge": pd.Series(avg, dtype="float64")})
+    return rel.to_pandas_sorted(out, ["tax_pct", "disc_pct"])
+
+
+def events_dayn_retention(sf_dir: str):
+    """Day-1 / day-7 retention: of all users, how many return exactly
+    on the day after (and a week after) their first active day — the
+    canonical product-analytics bounce metric, complementing the
+    censored KM curve and weekly cohort matrix. Exchanges, all keyed
+    on user_id: a (user, day) distinct combine, a user-keyed first-day
+    re-combine, one user hash join back, and a user-keyed flag fold;
+    two integers per user cross the final bounded sum. Rates are exact
+    truncating ppm. NULL users drop (count-DISTINCT semantics)."""
+    ev = rel.load(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_valid(batch.column("user_id")))
+        day = pc.divide(pc.cast(kept.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        df = pa.table({"user_id": kept.column("user_id"),
+                       "day": day}).to_pandas()
+        g = df.drop_duplicates()
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "day": pa.array(g["day"], pa.int64())})
+
+    ud_schema = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+    ud = rel.ensure_schema(
+        rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id", "day"], [("n", "", "count")]).map_batches(
+                lambda b: b.select(["user_id", "day"]),
+                batch_format="pyarrow"),
+        ud_schema).materialize()
+    f_schema = pa.schema([("u", pa.int64()), ("f", pa.int64())])
+    first = rel.ensure_schema(
+        rel.grouped_agg(ud, ["user_id"], [("f", "day", "min")]),
+        pa.schema([("user_id", pa.int64()), ("f", pa.int64())])) \
+        .map_batches(lambda b: b.rename_columns(["u", "f"]),
+                     batch_format="pyarrow")
+    joined = rel.hash_join_nonempty(
+        ud, first, on="user_id", right_on="u",
+        num_partitions=rel.join_partitions(ud.count()),
+        left_schema=ud_schema, right_schema=f_schema)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        day = batch.column("day")
+        f = batch.column("f")
+        d1 = pc.cast(pc.equal(day, pc.add(f, pa.scalar(1, pa.int64()))),
+                     pa.int64())
+        d7 = pc.cast(pc.equal(day, pc.add(f, pa.scalar(7, pa.int64()))),
+                     pa.int64())
+        return pa.table({"user_id": batch.column("user_id"),
+                         "d1": d1, "d7": d7})
+
+    per_user = rel.ensure_schema(
+        rel.grouped_agg(
+            joined.map_batches(flags, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["user_id"], [("d1", "d1", "max"), ("d7", "d7", "max")]),
+        pa.schema([("user_id", pa.int64()), ("d1", pa.int64()),
+                   ("d7", pa.int64())]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "r1": pa.array([pc.sum(batch.column("d1")).as_py() or 0],
+                           pa.int64()),
+            "r7": pa.array([pc.sum(batch.column("d7")).as_py() or 0],
+                           pa.int64())})
+
+    parts = per_user.map_batches(fold, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    if parts.empty or int(parts["n"].sum()) == 0:
+        return pd.DataFrame({"n_users": pd.Series(dtype="int64"),
+                             "d1_retained": pd.Series(dtype="int64"),
+                             "d7_retained": pd.Series(dtype="int64"),
+                             "d1_ppm": pd.Series(dtype="float64"),
+                             "d7_ppm": pd.Series(dtype="float64")})
+    n = int(parts["n"].sum())
+    r1 = int(parts["r1"].sum())
+    r7 = int(parts["r7"].sum())
+    return pd.DataFrame({
+        "n_users": pd.Series([n], dtype="int64"),
+        "d1_retained": pd.Series([r1], dtype="int64"),
+        "d7_retained": pd.Series([r7], dtype="int64"),
+        "d1_ppm": pd.Series([float((1_000_000 * r1) // n)],
+                            dtype="float64"),
+        "d7_ppm": pd.Series([float((1_000_000 * r7) // n)],
+                            dtype="float64")})

@@ -262,7 +262,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "part_price_competition", "events_revenue_runs_test",
         "docs_emb_length_norm_corr", "events_session_abandonment",
         "customer_nation_anova", "customer_balance_jackknife",
-        "docs_lang_source_cramers_v"]
+        "docs_lang_source_cramers_v", "lineitem_tax_discount_grid",
+        "events_dayn_retention"]
 # events_error_pchart flags no hour on the shared fixture (uniform error
 # mix -> everything inside the 3-sigma band), so it gets a dedicated
 # invariance table below with one saturated-error hour.

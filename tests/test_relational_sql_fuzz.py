@@ -2452,3 +2452,37 @@ def test_cramers_v_fuzz(pairs):
         "source": pa.array([p[1] for p in pairs], pa.string()),
     })
     _check("docs_lang_source_cramers_v", {"documents": documents})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_LINES,
+       taxes=st.lists(st.integers(min_value=0, max_value=8).map(
+           lambda k: k / 100.0), min_size=1, max_size=30))
+def test_tax_discount_grid_fuzz(rows, taxes):
+    # 2-factor interaction lattice: cents ratio-of-sums per cell must
+    # divide identical integers on both engines, half-cent charges
+    # included (the shared fixture lacks l_tax, so append it)
+    li = _lineitem(rows)
+    n = len(li)
+    li = li.append_column(
+        "l_tax", pa.array([taxes[i % len(taxes)] for i in range(n)],
+                          pa.float64()))
+    _check("lineitem_tax_discount_grid", {"lineitem": li})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS,
+       users=st.lists(st.one_of(st.none(),
+                                st.integers(min_value=0, max_value=5)),
+                      min_size=1, max_size=30))
+def test_dayn_retention_fuzz(rows, users):
+    # first-day fold + flag join: day-1/day-7 presence must count per
+    # USER (not per event), NULL users drop, truncating ppm agrees
+    ev = _events(rows)
+    n = len(ev)
+    ev = ev.append_column(
+        "user_id", pa.array([users[i % len(users)] for i in range(n)],
+                            pa.int64()))
+    _check("events_dayn_retention", {"events": ev})
