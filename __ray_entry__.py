@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      below stays pinned by the full local gate
         #      (CORRECTNESS_LOCAL_r03.json) + its own fuzz/invariance
         #      tests) ----
+        "events_hourly_type_entropy": q.events_hourly_type_entropy,
+        "part_size_price_corr": q.part_size_price_corr,
         "lineitem_tax_discount_grid": q.lineitem_tax_discount_grid,
         "events_dayn_retention": q.events_dayn_retention,
         "customer_balance_jackknife": q.customer_balance_jackknife,
@@ -354,6 +356,57 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_hourly_type_entropy": """
+            WITH e AS (
+                SELECT (CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                        // 3600) % 24 AS hd,
+                       event_type
+                FROM events),
+            g AS (SELECT hd, event_type, count(*) AS c
+                  FROM e GROUP BY 1, 2),
+            a AS (SELECT hd,
+                         CAST(sum(c) AS BIGINT) AS n,
+                         CAST(sum(CAST(round(CAST(c AS DOUBLE)
+                                  * ln(CAST(c AS DOUBLE)) * 1000000)
+                                  AS HUGEINT)) AS HUGEINT) AS s_micro
+                  FROM g GROUP BY 1)
+            SELECT hd AS hour_of_day, n AS n_events,
+                   round(ln(CAST(n AS DOUBLE))
+                         - (CAST(s_micro AS DOUBLE) / 1000000.0)
+                           / CAST(n AS DOUBLE), 4) AS entropy
+            FROM a
+        """,
+        "part_size_price_corr": """
+            WITH c AS (
+                SELECT CAST(p_size AS BIGINT) AS x,
+                       CAST(round(p_retailprice * 100) AS BIGINT) AS y
+                FROM part),
+            m AS (SELECT count(*) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(x * x) AS HUGEINT) AS sxx,
+                         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT)
+                             AS syy,
+                         CAST(sum(x * y) AS HUGEINT) AS sxy
+                  FROM c),
+            f AS (SELECT n, CAST(n AS DOUBLE) AS nf,
+                         CAST(sx AS DOUBLE) AS sxf,
+                         CAST(sy AS DOUBLE) AS syf,
+                         CAST(sxx AS DOUBLE) AS sxxf,
+                         CAST(syy AS DOUBLE) AS syyf,
+                         CAST(sxy AS DOUBLE) AS sxyf
+                  FROM m),
+            v AS (SELECT n, nf, sxf, syf, sxyf,
+                         (nf * sxxf - sxf * sxf)
+                             * (nf * syyf - syf * syf) AS prod
+                  FROM f)
+            SELECT n AS n_parts,
+                   CASE WHEN prod > 0
+                        THEN round((nf * sxyf - sxf * syf)
+                                   / sqrt(prod), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS corr
+            FROM v WHERE n > 0
+        """,
         "lineitem_tax_discount_grid": """
             WITH c AS (
                 SELECT CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,

@@ -12915,3 +12915,96 @@ def events_dayn_retention(sf_dir: str):
                             dtype="float64"),
         "d7_ppm": pd.Series([float((1_000_000 * r7) // n)],
                             dtype="float64")})
+
+
+def events_hourly_type_entropy(sf_dir: str):
+    """Traffic-diversity clock: Shannon entropy of the event-type mix
+    per hour of day (0..23) — when is the traffic most varied. One
+    bounded (hour-of-day x type) count combine; each hour's entropy is
+    ln(N) - sum(c*ln(c))/N with the c*ln(c) terms micro-rounded before
+    the exact integer sum (the token-entropy discipline), so the sum is
+    enumeration-order-free on both engines. Rounded at 4 like the
+    token-entropy family."""
+    ev = rel.load(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hd = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()),
+            pa.scalar(3_600_000_000, pa.int64()))
+        hd = pc.subtract(hd, pc.multiply(
+            pc.divide(hd, pa.scalar(24, pa.int64())),
+            pa.scalar(24, pa.int64())))
+        return pa.table({"hd": hd,
+                         "event_type": batch.column("event_type")})
+
+    agg = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["hd", "event_type"], [("c", "", "count")],
+            small_result=True)),
+        {"hd": "int64", "event_type": "object", "c": "int64"})
+    if agg.empty:
+        return pd.DataFrame({"hour_of_day": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "entropy": pd.Series(dtype="float64")})
+    rows = []
+    for hd, grp in agg.groupby("hd", sort=True):
+        n = int(grp["c"].sum())
+        s_micro = 0
+        for c in grp["c"]:
+            c = float(int(c))
+            s_micro += int(np_round_half_away(
+                np.array([c * np.log(c) * 1_000_000]), 0)[0])
+        ent = float(np_round_half_away(np.array(
+            [np.log(float(n)) - (float(s_micro) / 1_000_000.0)
+             / float(n)]), 4)[0])
+        rows.append((int(hd), n, ent))
+    return pd.DataFrame({
+        "hour_of_day": pd.Series([r[0] for r in rows], dtype="int64"),
+        "n_events": pd.Series([r[1] for r in rows], dtype="int64"),
+        "entropy": pd.Series([r[2] for r in rows], dtype="float64")})
+
+
+def part_size_price_corr(sf_dir: str):
+    """Does size drive price? Pearson correlation of p_size vs retail
+    price over the part dimension — the catalog sanity check. One
+    O(blocks) exact-moment fold (size ints x price cents); the r comes
+    from identical doubles on identical int64 operands; degenerate
+    catalogs (constant size or price) agree as NaN."""
+    part = rel.load(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column("p_size"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = _cents(batch.column("p_retailprice")).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([str(sum(int(v) * int(v) for v in y))],
+                            pa.string()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    parts = part.map_batches(moments, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if parts.empty or int(parts["n"].sum()) == 0:
+        return pd.DataFrame({"n_parts": pd.Series(dtype="int64"),
+                             "corr": pd.Series(dtype="float64")})
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].astype("int64").sum())
+    sy = int(parts["sy"].astype("int64").sum())
+    sxx = int(parts["sxx"].astype("int64").sum())
+    syy = sum(int(s) for s in parts["syy"])
+    sxy = int(parts["sxy"].astype("int64").sum())
+    nf, sxf, syf = float(n), float(sx), float(sy)
+    sxxf, syyf, sxyf = float(sxx), float(syy), float(sxy)
+    num = nf * sxyf - sxf * syf
+    prod = (nf * sxxf - sxf * sxf) * (nf * syyf - syf * syf)
+    corr = (float(np_round_half_away(
+        np.array([num / np.sqrt(prod)]), 6)[0])
+        if prod > 0 else float("nan"))
+    return pd.DataFrame({"n_parts": pd.Series([n], dtype="int64"),
+                         "corr": pd.Series([corr], dtype="float64")})

@@ -175,6 +175,8 @@ def _part_table() -> pa.Table:
         "p_type": pa.array([types[i % 3] for i in range(n)], pa.string()),
         "p_size": pa.array(rng.randint(1, 40, n).astype(np.int32),
                            pa.int32()),
+        "p_retailprice": pa.array(rng.randint(100, 900000, n) / 100.0,
+                                  pa.float64()),
     })
 
 
@@ -263,7 +265,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_emb_length_norm_corr", "events_session_abandonment",
         "customer_nation_anova", "customer_balance_jackknife",
         "docs_lang_source_cramers_v", "lineitem_tax_discount_grid",
-        "events_dayn_retention"]
+        "events_dayn_retention", "events_hourly_type_entropy",
+        "part_size_price_corr"]
 # events_error_pchart flags no hour on the shared fixture (uniform error
 # mix -> everything inside the 3-sigma band), so it gets a dedicated
 # invariance table below with one saturated-error hour.

@@ -2486,3 +2486,28 @@ def test_dayn_retention_fuzz(rows, users):
         "user_id", pa.array([users[i % len(users)] for i in range(n)],
                             pa.int64()))
     _check("events_dayn_retention", {"events": ev})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=_EVENTS)
+def test_hourly_type_entropy_fuzz(rows):
+    # per-hour-of-day type-mix entropy: micro-rounded c*ln(c) terms
+    # fold order-free; single-type hours pin entropy to 0.0
+    _check("events_hourly_type_entropy", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(min_value=1, max_value=50),
+                               _MONEY),
+                     min_size=1, max_size=30))
+def test_part_size_price_corr_fuzz(rows):
+    # dimension-table moment fold with string-transported y^2: constant
+    # size or price degenerates to NaN via the DOUBLE-product gate
+    part = pa.table({
+        "p_partkey": pa.array(range(len(rows)), pa.int64()),
+        "p_size": pa.array([r[0] for r in rows], pa.int32()),
+        "p_retailprice": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    _check("part_size_price_corr", {"part": part})
