@@ -12330,11 +12330,14 @@ def part_price_competition(sf_dir: str):
                 batch_format="pyarrow"),
         c_schema).materialize()
     m1_schema = pa.schema([("pk", pa.int64()), ("p1", pa.int64())])
+    # materialized once: feeds BOTH the drop-the-min join and the final
+    # driver merge (a second aggregation of `distinct` would pay the
+    # groupby constant twice for identical rows)
     m1 = rel.ensure_schema(
         rel.grouped_agg(distinct, ["l_partkey"], [("p1", "p", "min")]),
         pa.schema([("l_partkey", pa.int64()), ("p1", pa.int64())])) \
         .map_batches(lambda b: b.rename_columns(["pk", "p1"]),
-                     batch_format="pyarrow")
+                     batch_format="pyarrow").materialize()
     joined = rel.hash_join_nonempty(
         distinct, m1, on="l_partkey", right_on="pk",
         num_partitions=rel.join_partitions(distinct.count()),
@@ -12355,10 +12358,7 @@ def part_price_competition(sf_dir: str):
             pa.schema([("l_partkey", pa.int64()), ("p2", pa.int64())]))),
         {"l_partkey": "int64", "p2": "int64"})
     m1_df = rel.ensure_columns(
-        rel.as_pandas(rel.ensure_schema(
-            rel.grouped_agg(distinct, ["l_partkey"],
-                            [("p1", "p", "min")]),
-            pa.schema([("l_partkey", pa.int64()), ("p1", pa.int64())]))),
+        m1.to_pandas().rename(columns={"pk": "l_partkey"}),
         {"l_partkey": "int64", "p1": "int64"})
     if m1_df.empty:
         return pd.DataFrame({
