@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_corpus": q.extract_corpus,
         "emb_topk_ivf": q.emb_topk_ivf,
         "media_features": q.media_features,
+        # ---- session-8 additions (oracled, never driver-checked)
+        "part_skyline": q.part_skyline,
+        "events_max_concurrency": q.events_max_concurrency,
         # ---- tier 1: oracled, no driver row yet (newest first; the
         #      driver checks the FIRST 50 entries, so the 50-slot
         #      window covers the latest additions while everything
@@ -356,6 +359,62 @@ _TOK = r"\S+"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "part_skyline": """
+            WITH c AS (
+                SELECT p_partkey,
+                       CAST(p_size AS BIGINT) AS p_size,
+                       CAST(round(p_retailprice * 100) AS BIGINT)
+                           AS price_cents
+                FROM part)
+            SELECT p.p_partkey, p.p_size, p.price_cents
+            FROM c p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM c q
+                WHERE q.price_cents <= p.price_cents
+                  AND q.p_size >= p.p_size
+                  AND (q.price_cents < p.price_cents
+                       OR q.p_size > p.p_size))
+            ORDER BY p.p_size, p.price_cents, p.p_partkey
+        """,
+        "events_max_concurrency": """
+            WITH e AS (
+                SELECT user_id, ts, event_id
+                FROM events WHERE user_id IS NOT NULL),
+            l AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM l),
+            si AS (
+                SELECT user_id, sid,
+                       min(ts) AS session_start,
+                       max(ts) AS session_end
+                FROM s GROUP BY user_id, sid),
+            b AS (
+                SELECT session_start AS ts, 1 AS d FROM si
+                UNION ALL
+                SELECT session_end, -1 FROM si),
+            cum AS (
+                SELECT ts, d,
+                       sum(d) OVER (ORDER BY ts, d DESC
+                                    ROWS UNBOUNDED PRECEDING) AS conc
+                FROM b),
+            m AS (SELECT max(conc) AS mx FROM cum)
+            SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
+                   (SELECT min(ts) FROM cum WHERE conc = m.mx) AS at_ts
+            FROM m
+        """,
         "events_hourly_type_entropy": """
             WITH e AS (
                 SELECT (CAST(epoch(date_trunc('hour', ts)) AS BIGINT)

@@ -7308,18 +7308,36 @@ def lineitem_basket_pairs(sf_dir: str, k: int = 20):
     joined = rel.hash_join(d, right, on="l_orderkey",
                            num_partitions=n_parts)
 
+    # pack the pair into ONE int64 key (a << 32 | b; partkeys < 2^31):
+    # Ray 2.49's sort-shuffle aggregate pays per-column comparator cost,
+    # and the (a, b) exchange over millions of distinct pairs is this
+    # pipeline's dominant stage — a single-int64 sort key measurably
+    # cuts it. pk order == (a, b) lexicographic order, so decode is free.
     def to_pairs(batch: pa.Table) -> pa.Table:
         keep = batch.filter(pc.less(batch.column("l_partkey"),
                                     batch.column("b")))
-        return pa.table({"a": keep.column("l_partkey").cast(pa.int64()),
-                         "b": keep.column("b").cast(pa.int64())})
+        a = keep.column("l_partkey").cast(pa.int64())
+        b = keep.column("b").cast(pa.int64())
+        pk = pc.bit_wise_or(pc.shift_left(a, 32), b)
+        return pa.table({"pk": pk})
 
     pairs = joined.map_batches(to_pairs, batch_format="pyarrow",
                                zero_copy_batch=True)
-    counts = rel.grouped_agg(pairs, ["a", "b"],
+    counts = rel.grouped_agg(pairs, ["pk"],
                              [("pair_count", "", "count")])
-    counts = rel.ensure_schema(counts, pa.schema([
-        ("a", pa.int64()), ("b", pa.int64()), ("pair_count", pa.int64())]))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").cast(pa.int64())
+        return pa.table({
+            "a": pc.shift_right(pk, 32),
+            "b": pc.bit_wise_and(pk, (1 << 32) - 1),
+            "pair_count": batch.column("pair_count").cast(pa.int64())})
+
+    counts = rel.ensure_schema(
+        counts.map_batches(decode, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                   ("pair_count", pa.int64())]))
     top = rel.local_topk(counts, [("pair_count", "descending"),
                                   ("a", "ascending"), ("b", "ascending")],
                          k)
@@ -13008,3 +13026,178 @@ def part_size_price_corr(sf_dir: str):
         if prod > 0 else float("nan"))
     return pd.DataFrame({"n_parts": pd.Series([n], dtype="int64"),
                          "corr": pd.Series([corr], dtype="float64")})
+
+
+def _skyline_mask(sizes: np.ndarray, prices: np.ndarray,
+                  keys: np.ndarray) -> np.ndarray:
+    """Exact 2-D maxima membership: True where no other point has
+    (price <=, size >=) with at least one strict. One sort-sweep:
+    order (price asc, size desc); within an equal-price group only the
+    group-max sizes can survive (same-price, larger-size dominates),
+    and against strictly cheaper points survival needs size strictly
+    above the running prefix max. Equal (price, size) duplicates never
+    dominate each other, so all of them survive together."""
+    n = len(sizes)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((keys, -sizes, prices))
+    p = prices[order]
+    s = sizes[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = p[1:] != p[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    gmax = s[new_grp]                      # size desc => group head is max
+    before = np.empty(len(gmax), dtype=np.int64)
+    before[0] = np.iinfo(np.int64).min
+    if len(gmax) > 1:
+        np.maximum.accumulate(gmax[:-1], out=before[1:])
+    survive_sorted = (s == gmax[grp_id]) & (s > before[grp_id])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = survive_sorted
+    return mask
+
+
+def part_skyline(sf_dir: str):
+    """Pareto skyline of the part catalog: the parts no other part
+    dominates in (cheaper-or-equal price, larger-or-equal size, strict
+    in at least one) — the "efficient frontier" a buyer actually
+    chooses from. Distributed 2-D maxima: every block computes its
+    LOCAL skyline with one vectorized sort-sweep (a globally
+    non-dominated point is non-dominated inside its block, so the
+    union of local frontiers is a superset of the global frontier);
+    only those O(frontier)-sized candidate sets cross to the driver,
+    which runs the identical sweep once over their union. Driver state
+    is bounded by sum-of-block-frontiers — O(blocks x log rows) for
+    random data and never more than a few frontiers' worth; the global
+    answer IS a frontier, so this is output-proportional, not
+    input-proportional. Prices compare in exact cents; output sorts
+    (p_size, price_cents, p_partkey) — a total order."""
+    part = rel.load(sf_dir, "part",
+                    ["p_partkey", "p_size", "p_retailprice"])
+
+    def local_sky(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch.column("p_partkey"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sizes = pc.cast(batch.column("p_size"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = _cents(batch.column("p_retailprice")).to_numpy(
+            zero_copy_only=False)
+        mask = _skyline_mask(sizes, cents, keys)
+        return pa.table({"p_partkey": pa.array(keys[mask], pa.int64()),
+                         "p_size": pa.array(sizes[mask], pa.int64()),
+                         "price_cents": pa.array(cents[mask], pa.int64())})
+
+    cand = part.map_batches(local_sky, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                             "p_size": pd.Series(dtype="int64"),
+                             "price_cents": pd.Series(dtype="int64")})
+    keys = cand["p_partkey"].to_numpy(np.int64)
+    sizes = cand["p_size"].to_numpy(np.int64)
+    cents = cand["price_cents"].to_numpy(np.int64)
+    mask = _skyline_mask(sizes, cents, keys)
+    out = pd.DataFrame({"p_partkey": keys[mask], "p_size": sizes[mask],
+                        "price_cents": cents[mask]})
+    return (out.sort_values(["p_size", "price_cents", "p_partkey"],
+                            kind="mergesort")
+            .reset_index(drop=True).astype("int64"))
+
+
+def events_max_concurrency(sf_dir: str, gap_minutes: int = 30):
+    """Peak load: the maximum number of simultaneously-open sessions
+    (30-minute-gap sessionization, NULL users dropped on both engines)
+    and the earliest instant it is reached — the capacity-planning
+    number behind provisioning. Touching sessions overlap (a start at
+    an end's exact timestamp counts both).
+
+    Plan: ONE user-keyed exchange emits each user's session intervals
+    (sorted diff inside map_groups); intervals explode to +1/-1
+    boundary rows; the global ordered cumulative sum runs as the same
+    two-level prefix scan as ``orders_running_revenue``, keyed by the
+    boundary's DAY (bounded cardinality): per-day d-sums are
+    order-free ints, the driver holds only the O(#days)
+    exclusive-offset map, and each day group sorts locally by
+    (ts, d desc) — starts before ends at equal instants — cumsums
+    against its carried offset and reports (local max, earliest ts at
+    it). Sessions may CROSS days: only their boundary rows are
+    day-keyed, and a +1 landing on an earlier day carries into every
+    later day through the exclusive prefix — exact by the scan
+    identity. Global winner: max over days, earliest ts tie-break."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+    empty = pd.DataFrame({
+        "max_concurrent": pd.Series(dtype="int64"),
+        "at_ts": pd.Series(dtype="datetime64[us]")})
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    ev = ds.map_batches(drop_null, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        new = g["ts"].diff().gt(gap) | g["ts"].diff().isna()
+        sid = new.cumsum()
+        agg = g.groupby(sid)["ts"].agg(["min", "max"])
+        # resolution-proof: pandas may hold ts as ns or us depending on
+        # the Arrow bridge; pin to exact int64 MICROseconds
+        start = agg["min"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        end = agg["max"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        return pd.DataFrame({"start_us": start, "end_us": end})
+
+    sess = ev.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        s = batch.column("start_us").to_numpy(zero_copy_only=False)
+        e = batch.column("end_us").to_numpy(zero_copy_only=False)
+        ts = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), np.int64),
+                            -np.ones(len(e), np.int64)])
+        return pa.table({"ts_us": pa.array(ts, pa.int64()),
+                         "d": pa.array(d, pa.int64()),
+                         "day": pa.array(ts // 86_400_000_000,
+                                         pa.int64())})
+
+    # materialize the (tiny: 2 int rows/session, object-store-resident
+    # and spillable) boundary stream — it feeds both the day-sum pass
+    # and the per-day scan, and re-deriving it would re-run the
+    # user-keyed sessionize exchange
+    bnd = sess.map_batches(boundaries, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    day_tot = rel.grouped_agg(bnd, ["day"], [("sum_d", "d", "sum")],
+                              small_result=True)
+    if day_tot.empty:
+        return empty
+    day_tot = day_tot.sort_values("day").reset_index(drop=True)
+    days = day_tot["day"].to_numpy(np.int64)
+    sums = day_tot["sum_d"].to_numpy(np.int64)
+    offsets = np.zeros(len(days), np.int64)
+    if len(days) > 1:
+        np.cumsum(sums[:-1], out=offsets[1:])
+    off_map = {int(d): int(o) for d, o in zip(days, offsets)}
+
+    def per_day(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts_us", "d"], kind="mergesort",
+                              ascending=[True, False])
+        run = off_map[int(g["day"].iloc[0])] + g["d"].to_numpy(
+            np.int64).cumsum()
+        best = int(run.max())
+        at = int(g["ts_us"].to_numpy(np.int64)[int(np.argmax(run))])
+        return pd.DataFrame({"best": [best], "at_us": [at]})
+
+    per = bnd.groupby("day").map_groups(per_day,
+                                        batch_format="pandas").to_pandas()
+    if per.empty:
+        return empty
+    mx = int(per["best"].max())
+    at_us = int(per.loc[per["best"] == mx, "at_us"].min())
+    return pd.DataFrame({
+        "max_concurrent": pd.Series([mx], dtype="int64"),
+        "at_ts": pd.Series(pd.to_datetime([at_us], unit="us"),
+                           dtype="datetime64[us]")})

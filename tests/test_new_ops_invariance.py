@@ -266,7 +266,8 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "customer_nation_anova", "customer_balance_jackknife",
         "docs_lang_source_cramers_v", "lineitem_tax_discount_grid",
         "events_dayn_retention", "events_hourly_type_entropy",
-        "part_size_price_corr"]
+        "part_size_price_corr", "part_skyline",
+        "events_max_concurrency"]
 # events_error_pchart flags no hour on the shared fixture (uniform error
 # mix -> everything inside the 3-sigma band), so it gets a dedicated
 # invariance table below with one saturated-error hour.
