@@ -691,7 +691,8 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT CAST(sum(e) AS DOUBLE)
                              / CAST(sum(n) AS DOUBLE) AS pbar
                   FROM h)
-            SELECT h.h AS hour, n AS n_events, e AS n_errors,
+            SELECT h.h AS hour, n AS n_events,
+                   CAST(e AS BIGINT) AS n_errors,
                    round(CAST(e AS DOUBLE) / CAST(n AS DOUBLE), 6)
                        AS p_hat
             FROM h, t
@@ -736,7 +737,8 @@ def oracle_sql() -> dict[str, str]:
                          2.0 * n1f * n0f * (2.0 * n1f * n0f - nf)
                              / (nf * nf * (nf - 1.0)) AS var
                   FROM f)
-            SELECT n AS n_hours, n1 AS n_above, runs AS n_runs,
+            SELECT n AS n_hours, CAST(n1 AS BIGINT) AS n_above,
+                   CAST(runs AS BIGINT) AS n_runs,
                    CASE WHEN n1 > 0 AND n - n1 > 0 AND n >= 2
                              AND var > 0
                         THEN round((rf - mu) / sqrt(var), 6)
@@ -756,9 +758,11 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY 1)
             SELECT count(*) AS n_parts,
                    count(p2) AS n_multi_price,
-                   COALESCE(sum(CASE WHEN 100 * p2 <= 101 * p1
-                                     THEN 1 ELSE 0 END), 0) AS n_tight,
-                   COALESCE(sum(p2 - p1), 0) AS gap_cents_total
+                   CAST(COALESCE(sum(CASE WHEN 100 * p2 <= 101 * p1
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_tight,
+                   CAST(COALESCE(sum(p2 - p1), 0) AS BIGINT)
+                       AS gap_cents_total
             FROM m1 LEFT JOIN m2 USING (l_partkey)
         """,
         "orders_seasonal_index": """
@@ -771,7 +775,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS nt,
                          CAST(sum(s) AS DOUBLE) AS st
                   FROM m)
-            SELECT month, n_orders, s AS sum_cents,
+            SELECT month, n_orders, CAST(s AS BIGINT) AS sum_cents,
                    CASE WHEN st / nt <> 0
                         THEN round((CAST(s AS DOUBLE)
                                     / CAST(n_orders AS DOUBLE))
@@ -836,12 +840,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_late_priority_split": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT',
-                                                     '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT',
-                                                     '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT',
+                                                          '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT',
+                                                          '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
@@ -965,7 +971,8 @@ def oracle_sql() -> dict[str, str]:
                       COALESCE(sum(y) FILTER (NOT we), 0) AS s_wd
                   FROM dd)
             SELECT n_we AS n_weekend_days, n_wd AS n_weekday_days,
-                   s_we AS weekend_cents, s_wd AS weekday_cents,
+                   CAST(s_we AS BIGINT) AS weekend_cents,
+                   CAST(s_wd AS BIGINT) AS weekday_cents,
                    CASE WHEN n_we > 0 AND n_wd > 0 AND s_wd <> 0
                         THEN round((CAST(s_we AS DOUBLE) / n_we)
                                    / (CAST(s_wd AS DOUBLE) / n_wd), 6)
@@ -989,7 +996,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 100 * cum <= 95 * total THEN 'B'
                         ELSE 'C' END AS abc_class,
                    count(*) AS n_parts,
-                   sum(value_cents) AS class_revenue_cents
+                   CAST(sum(value_cents) AS BIGINT)
+                       AS class_revenue_cents
             FROM c, t
             GROUP BY 1
         """,
@@ -1006,7 +1014,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM dense LEFT JOIN g USING (h)),
             m AS (SELECT count(*) AS nh, sum(c) AS n, sum(c * c) AS ss
                   FROM d)
-            SELECT nh AS n_hours, n AS n_events,
+            SELECT nh AS n_hours, CAST(n AS BIGINT) AS n_events,
                    round(((CAST(ss AS DOUBLE)
                            - CAST(n AS DOUBLE) * n / nh) / nh)
                          / (CAST(n AS DOUBLE) / nh), 6) AS dispersion
@@ -1107,7 +1115,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT CAST(COALESCE(sum(value_cents), 0) AS HUGEINT)
                       AS total
                   FROM v)
-            SELECT l_partkey, value_cents
+            SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
             FROM v, t
             WHERE CAST(value_cents AS HUGEINT) * 10000 > total
         """,
@@ -1259,8 +1267,9 @@ def oracle_sql() -> dict[str, str]:
         "q9_profit_by_nation_year": """
             SELECT n_name,
                    CAST(year(l_shipdate) AS BIGINT) AS o_year,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                  * 100) AS BIGINT)) AS profit_cents
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS profit_cents
             FROM lineitem
             JOIN supplier ON s_suppkey = l_suppkey
             JOIN nation ON n_nationkey = s_nationkey
@@ -1338,7 +1347,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_status_cube": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n_rows,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   CAST(sum(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)) AS BIGINT)
                        AS revenue_cents
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)

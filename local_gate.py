@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
-import math
 import time
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -32,15 +31,6 @@ def _canon(df):
     df = df[sorted(df.columns)].copy()
     return df.sort_values(list(df.columns),
                           kind="mergesort").reset_index(drop=True)
-
-
-def _values_equal(a, b) -> bool:
-    if isinstance(a, float) or isinstance(b, float):
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb
-    return a == b
 
 
 def _value_hash(df) -> str:
@@ -55,9 +45,13 @@ def _value_hash(df) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default="CORRECTNESS_LOCAL_r03.json")
+    ap.add_argument("--out", default="CORRECTNESS_LOCAL_r04.json")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated pipeline names to run "
+                         "(default: all)")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     import ray
 
@@ -79,6 +73,8 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     out: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         row: dict = {"rows_match": None, "schema_match": None,
                      "hash_match": None, "ray_rows": None,
@@ -94,17 +90,16 @@ def main() -> None:
                 row["oracle_rows"] = int(len(b))
                 row["rows_match"] = len(a) == len(b)
                 row["schema_match"] = list(a.columns) == list(b.columns)
-                eq = row["rows_match"] and row["schema_match"]
-                if eq:
-                    for col in a.columns:
-                        for x, y in zip(a[col], b[col]):
-                            if not _values_equal(x, y):
-                                eq = False
-                                break
-                        if not eq:
-                            break
-                row["hash_match"] = bool(eq)
-                row["ray_hash"] = _value_hash(a)
+                # repr-level hash compare, exactly as strict as the
+                # driver: dtype drift (int64 vs float64 repr) fails here
+                # even when the numeric values coincide.  Round 3 shipped
+                # 11 such drifts because the old compare coerced to float.
+                ha, hb = _value_hash(a), _value_hash(b)
+                row["hash_match"] = bool(row["rows_match"]
+                                         and row["schema_match"]
+                                         and ha == hb)
+                row["ray_hash"] = ha
+                row["oracle_hash"] = hb
             else:
                 row["err"] = "no_oracle"
                 # determinism: a second run must return identical bytes
