@@ -2744,13 +2744,15 @@ def oracle_sql() -> dict[str, str]:
                 JOIN nation ON n_nationkey = s_nationkey
                 JOIN orders ON o_orderkey = l_orderkey
                 WHERE p_type = 'STANDARD')
-            SELECT o_year, sum(rev_c) AS total_c,
-                   sum(CASE WHEN n_name = 'NATION_7'
-                       THEN rev_c ELSE 0 END) AS nation_c,
-                   CASE WHEN sum(rev_c) = 0 THEN NULL
+            SELECT o_year, CAST(sum(rev_c) AS BIGINT) AS total_c,
+                   CAST(sum(CASE WHEN n_name = 'NATION_7'
+                            THEN rev_c ELSE 0 END) AS BIGINT)
+                       AS nation_c,
+                   CAST(CASE WHEN sum(rev_c) = 0 THEN NULL
                         ELSE (sum(CASE WHEN n_name = 'NATION_7'
                                   THEN rev_c ELSE 0 END) * 1000000)
-                             // sum(rev_c) END AS mkt_share_ppm
+                             // sum(rev_c) END AS BIGINT)
+                       AS mkt_share_ppm
             FROM j GROUP BY o_year
         """,
         "q13_order_count_distribution": """
@@ -3680,7 +3682,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (
                 SELECT o_custkey, recency_days,
                        CAST(frequency AS BIGINT) AS frequency,
-                       m_c AS monetary_c,
+                       CAST(m_c AS BIGINT) AS monetary_c,
                        CAST(6 - (CASE WHEN recency_days <= b.r1 THEN 1
                                       WHEN recency_days <= b.r2 THEN 2
                                       WHEN recency_days <= b.r3 THEN 3

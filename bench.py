@@ -136,6 +136,9 @@ def run_queries(sf_dir: str, slow_reps: int = 2,
 
     fns = {n: f for n, f in entrymod.queries().items()
            if n != "extract_corpus"}  # headline covers this path at scale
+    if os.environ.get("GRAFT_BENCH_ONLY"):  # smoke-test hook
+        keep = set(os.environ["GRAFT_BENCH_ONLY"].split(","))
+        fns = {n: f for n, f in fns.items() if n in keep}
 
     def timed(fn):
         # each measurement is the pipeline's STANDALONE cost: the
@@ -214,13 +217,29 @@ def single_run(args) -> dict:
         }
 
     # full mode: corpus is on disk now — free every core, then measure
-    # the headline FIRST in fresh pinned children, then run the
-    # in-session suite
+    # the headline FIRST in fresh pinned children, then the scaling pair
+    # (also fresh children, quiet machine), then the in-session suite
     ray.shutdown()
     child_env = dict(os.environ, GRAFT_BENCH_DOCS=str(n_docs))
     reps = max(1, args.reps)
     best, headline_thr = _pinned_headline(num_cpus, reps, child_env)
     extraction = best["extraction"]
+
+    scaling = None
+    if args.inline_scaling_reps > 0:
+        sc_args = argparse.Namespace(low=args.low, high=args.high,
+                                     reps=args.inline_scaling_reps)
+        sc = scaling_run(sc_args)
+        scaling = {
+            "low_cpus": args.low, "high_cpus": args.high,
+            "reps": args.inline_scaling_reps,
+            "low_pages_per_sec": sc["low"]["pages_per_sec"],
+            "high_pages_per_sec": sc["high"]["pages_per_sec"],
+            "efficiency": sc["efficiency"],
+            "cpu_time_inflation": sc["cpu_time_inflation"],
+            "frequency_normalized_efficiency":
+                sc["frequency_normalized_efficiency"],
+        }
 
     _init_ray(num_cpus)
     # secondary timings: the skew path (explode + groupby(url)
@@ -231,11 +250,15 @@ def single_run(args) -> dict:
         "extract_actorpool": run_extraction(
             corpus_dir, parse_mode="actors")["wall_sec"],
     }
+    t_suite = time.time()
     queries = run_queries(sf_dir)
+    suite_wall = round(time.time() - t_suite, 1)
+    import ray
+
     ray.shutdown()
 
     total = extraction["wall_sec"] + sum(extras.values()) + sum(queries.values())
-    return {
+    detail = {
         "metric": "extraction+queries wall time",
         "value": round(total, 3),
         "unit": "sec",
@@ -245,6 +268,7 @@ def single_run(args) -> dict:
         "num_cpus": num_cpus,
         "extraction": extraction,
         "corpus": corpus_info,
+        "scaling": scaling,
         "methodology": {
             "headline": "fresh subprocess, taskset-pinned, run BEFORE "
                         "the in-session suite; best throughput kept",
@@ -252,8 +276,34 @@ def single_run(args) -> dict:
             "headline_pages_per_sec_reps": headline_thr,
             "query_reps": "1, best-of-2 for the 5 slowest",
             "extras_reps": 1,
+            "scaling": "fresh taskset-pinned processes, 3x corpus, "
+                       "best-of-reps per point (see BASELINE.md for the "
+                       "4->16 vs 8->32 pair rationale)",
         },
     }
+    # the driver captures only the tail of stdout (~2 KB): the final
+    # printed line must stay compact. Full per-query timings go to disk.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=2, sort_keys=True)
+    slowest = dict(sorted(queries.items(), key=lambda kv: kv[1],
+                          reverse=True)[:10])
+    compact = {
+        "metric": "extraction+queries wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"extract_headline": extraction["wall_sec"],
+                    **extras, **slowest},
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "pages_per_sec": extraction["pages_per_sec"],
+        "headline_pages_per_sec_reps": headline_thr,
+        "suite": {"n_queries": len(queries), "wall_sec": suite_wall},
+        "scaling": scaling,
+        "detail": "BENCH_DETAIL.json",
+    }
+    return compact
 
 
 def scaling_run(args) -> dict:
@@ -342,6 +392,10 @@ def main():
     # 8->32 pair can be requested explicitly; BASELINE.md records both.
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--inline-scaling-reps", type=int, default=2,
+                    help="full mode: also run the low/high scaling pair "
+                         "with this many reps per point and embed the "
+                         "efficiency in the final line (0 = skip)")
     ap.add_argument("--reps", type=int, default=3,
                     help="runs per scaling point / headline; best "
                          "throughput kept (single-box wall time is noisy: "
