@@ -7318,26 +7318,39 @@ def lineitem_basket_pairs(sf_dir: str, k: int = 20):
                                     batch.column("b")))
         a = keep.column("l_partkey").cast(pa.int64())
         b = keep.column("b").cast(pa.int64())
+        # runtime guard for the packed-key domain (a < 2^31 keeps the
+        # sign bit clear; b < 2^32 keeps the low word from bleeding into
+        # a): TPC-H partkeys exceed 2^31 around SF ~16k, and a silent
+        # wrap would corrupt pair identities, so fail loudly instead
+        if keep.num_rows:
+            hi_a = pc.max(a).as_py()
+            hi_b = pc.max(b).as_py()
+            if hi_a >= (1 << 31) or hi_b >= (1 << 32):
+                raise NotImplementedError(
+                    "packed int64 pair key needs partkey < 2^31 "
+                    f"(saw max a={hi_a}, b={hi_b}); use the two-column "
+                    "(a, b) exchange for this key domain")
         pk = pc.bit_wise_or(pc.shift_left(a, 32), b)
         return pa.table({"pk": pk})
 
     pairs = joined.map_batches(to_pairs, batch_format="pyarrow",
                                zero_copy_batch=True)
-    counts = rel.grouped_agg(pairs, ["pk"],
-                             [("pair_count", "", "count")])
+    # ensure_schema BEFORE decode: empty aggregate partitions emit
+    # schema-less blocks, and decode's batch.column("pk") would KeyError
+    # on them
+    counts = rel.ensure_schema(
+        rel.grouped_agg(pairs, ["pk"], [("pair_count", "", "count")]),
+        pa.schema([("pk", pa.int64()), ("pair_count", pa.int64())]))
 
     def decode(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pk").cast(pa.int64())
+        pk = batch.column("pk")
         return pa.table({
             "a": pc.shift_right(pk, 32),
             "b": pc.bit_wise_and(pk, (1 << 32) - 1),
-            "pair_count": batch.column("pair_count").cast(pa.int64())})
+            "pair_count": batch.column("pair_count")})
 
-    counts = rel.ensure_schema(
-        counts.map_batches(decode, batch_format="pyarrow",
-                           zero_copy_batch=True),
-        pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                   ("pair_count", pa.int64())]))
+    counts = counts.map_batches(decode, batch_format="pyarrow",
+                                zero_copy_batch=True)
     top = rel.local_topk(counts, [("pair_count", "descending"),
                                   ("a", "ascending"), ("b", "ascending")],
                          k)
@@ -11097,9 +11110,14 @@ def lineitem_status_cube(sf_dir: str):
             "n_rows": pd.Series(dtype="int64"),
             "revenue_cents": pd.Series(dtype="int64")})
     meas = ["n_rows", "revenue_cents"]
-    by_flag = (pair.groupby("l_returnflag", as_index=False)[meas].sum()
+    # dropna=False: a NULL data flag is its own group in SQL CUBE's
+    # coarser sets too (it renders identically to the CUBE marker NULL —
+    # the inherent GROUPING()-less ambiguity — but must not be dropped)
+    by_flag = (pair.groupby("l_returnflag", as_index=False,
+                            dropna=False)[meas].sum()
                .assign(l_linestatus=None))
-    by_status = (pair.groupby("l_linestatus", as_index=False)[meas].sum()
+    by_status = (pair.groupby("l_linestatus", as_index=False,
+                              dropna=False)[meas].sum()
                  .assign(l_returnflag=None))
     grand = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
                           "n_rows": [int(pair["n_rows"].sum())],
@@ -11838,17 +11856,17 @@ def events_user_type_breadth(sf_dir: str):
             "user_id": pa.array(g["user_id"], pa.int64()),
             "event_type": pa.array(g["event_type"], pa.string())})
 
-    ut_schema = pa.schema([("user_id", pa.int64()),
-                           ("event_type", pa.string())])
+    # ensure_schema BEFORE the select: empty aggregate partitions emit
+    # schema-less blocks on which b.select would KeyError
     ut = rel.ensure_schema(
         rel.grouped_agg(
             ev.map_batches(prep, batch_format="pyarrow",
                            zero_copy_batch=True),
-            ["user_id", "event_type"],
-            [("n", "", "count")]).map_batches(
-                lambda b: b.select(["user_id", "event_type"]),
-                batch_format="pyarrow"),
-        ut_schema)
+            ["user_id", "event_type"], [("n", "", "count")]),
+        pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                   ("n", pa.int64())])).map_batches(
+            lambda b: b.select(["user_id", "event_type"]),
+            batch_format="pyarrow")
     per_user = rel.ensure_schema(
         rel.grouped_agg(ut, ["user_id"], [("breadth", "", "count")]),
         pa.schema([("user_id", pa.int64()), ("breadth", pa.int64())]))
@@ -12339,14 +12357,17 @@ def part_price_competition(sf_dir: str):
                          "p": pa.array(g["p"], pa.int64())})
 
     c_schema = pa.schema([("l_partkey", pa.int64()), ("p", pa.int64())])
+    # ensure_schema BEFORE the select: empty aggregate partitions emit
+    # schema-less blocks on which b.select would KeyError
     distinct = rel.ensure_schema(
         rel.grouped_agg(
             line.map_batches(prep, batch_format="pyarrow",
                              zero_copy_batch=True),
-            ["l_partkey", "p"], [("n", "", "count")]).map_batches(
-                lambda b: b.select(["l_partkey", "p"]),
-                batch_format="pyarrow"),
-        c_schema).materialize()
+            ["l_partkey", "p"], [("n", "", "count")]),
+        pa.schema([("l_partkey", pa.int64()), ("p", pa.int64()),
+                   ("n", pa.int64())])).map_batches(
+            lambda b: b.select(["l_partkey", "p"]),
+            batch_format="pyarrow").materialize()
     m1_schema = pa.schema([("pk", pa.int64()), ("p1", pa.int64())])
     # materialized once: feeds BOTH the drop-the-min join and the final
     # driver merge (a second aggregation of `distinct` would pay the
@@ -12573,10 +12594,13 @@ def docs_emb_length_norm_corr(sf_dir: str):
     if parts.empty or int(parts["n"].sum()) == 0:
         return pd.DataFrame({"n_docs": pd.Series(dtype="int64"),
                              "corr": pd.Series(dtype="float64")})
-    n = int(parts["n"].sum())
-    sx = int(parts["sx"].astype("int64").sum())
-    sy = int(parts["sy"].astype("int64").sum())
-    sxx = int(parts["sxx"].astype("int64").sum())
+    # every driver-side fold is arbitrary-precision Python int: the
+    # per-batch partials are int64-bounded by block size, but their sum
+    # across a corpus is not (pandas int64 .sum() would wrap silently)
+    n = sum(int(v) for v in parts["n"])
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxx = sum(int(v) for v in parts["sxx"])
     sxy = sum(int(s) for s in parts["sxy"])
     syy = sum(int(s) for s in parts["syy"])
     nf, sxf, syf = float(n), float(sx), float(sy)
@@ -12869,14 +12893,17 @@ def events_dayn_retention(sf_dir: str):
                          "day": pa.array(g["day"], pa.int64())})
 
     ud_schema = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+    # ensure_schema BEFORE the select: empty aggregate partitions emit
+    # schema-less blocks on which b.select would KeyError
     ud = rel.ensure_schema(
         rel.grouped_agg(
             ev.map_batches(prep, batch_format="pyarrow",
                            zero_copy_batch=True),
-            ["user_id", "day"], [("n", "", "count")]).map_batches(
-                lambda b: b.select(["user_id", "day"]),
-                batch_format="pyarrow"),
-        ud_schema).materialize()
+            ["user_id", "day"], [("n", "", "count")]),
+        pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                   ("n", pa.int64())])).map_batches(
+            lambda b: b.select(["user_id", "day"]),
+            batch_format="pyarrow").materialize()
     f_schema = pa.schema([("u", pa.int64()), ("f", pa.int64())])
     first = rel.ensure_schema(
         rel.grouped_agg(ud, ["user_id"], [("f", "day", "min")]),
@@ -13011,12 +13038,14 @@ def part_size_price_corr(sf_dir: str):
     if parts.empty or int(parts["n"].sum()) == 0:
         return pd.DataFrame({"n_parts": pd.Series(dtype="int64"),
                              "corr": pd.Series(dtype="float64")})
-    n = int(parts["n"].sum())
-    sx = int(parts["sx"].astype("int64").sum())
-    sy = int(parts["sy"].astype("int64").sum())
-    sxx = int(parts["sxx"].astype("int64").sum())
+    # arbitrary-precision driver folds: per-batch partials are
+    # int64-bounded by block size, corpus-wide sums are not
+    n = sum(int(v) for v in parts["n"])
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxx = sum(int(v) for v in parts["sxx"])
     syy = sum(int(s) for s in parts["syy"])
-    sxy = int(parts["sxy"].astype("int64").sum())
+    sxy = sum(int(v) for v in parts["sxy"])
     nf, sxf, syf = float(n), float(sx), float(sy)
     sxxf, syyf, sxyf = float(sxx), float(syy), float(sxy)
     num = nf * sxyf - sxf * syf
