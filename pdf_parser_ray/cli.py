@@ -8,6 +8,13 @@ analyze), re-expressed for a Parquet corpus instead of a single PDF file:
     python -m pdf_parser_ray analyze INPUT... --url URL [--page N]
     python -m pdf_parser_ray synth   N -o OUT_DIR [--seed S]
 
+``parse`` also accepts raw PDF files directly (the reference cli.py:44-169
+single-file journey): ``parse docs/*.pdf -o OUT [--password PW]`` stages
+the files into (url, pdf) parquet shards under OUT/_staged_pdfs, then runs
+the standard checkpointed pipeline through the PyMuPDF seam
+(sources/pdfbytes.py) — extension/existence validation and password
+decryption included.
+
 The CLI owns its Ray session (guarded init); library code never calls
 ray.init.
 """
@@ -32,6 +39,56 @@ def _init_ray(num_cpus: int | None, verbose: bool = False):
         ray.init(**kwargs)
 
 
+def _stage_pdfs(pdf_paths: list[str], out_dir: str,
+                per_shard: int) -> list[str]:
+    """Stage raw PDF files into (url, pdf) parquet shards under
+    ``out_dir/_staged_pdfs`` — the front door for ``parse *.pdf``
+    (reference cli.py:44-169 ergonomics: extension + existence validated
+    up front). Deterministic shard names plus a manifest keyed on the
+    input list make re-runs resumable: an unchanged input reuses the
+    staging and run_checkpointed skips finished parts. File reads are
+    driver-side, bounded by the shell argv (a corpus-scale job feeds
+    parquet shards instead)."""
+    import hashlib
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths = [os.path.abspath(p) for p in pdf_paths]
+    for p in paths:
+        if not p.lower().endswith(".pdf"):
+            raise SystemExit(f"not a .pdf file: {p}")
+        if not os.path.isfile(p):
+            raise SystemExit(f"no such file: {p}")
+    staged_dir = os.path.join(out_dir, "_staged_pdfs")
+    key = hashlib.md5(
+        ("\n".join(paths) + f"|{per_shard}").encode()).hexdigest()
+    manifest = os.path.join(staged_dir, "_STAGED_OK")
+    n_shards = (len(paths) + per_shard - 1) // per_shard
+    shards = [os.path.join(staged_dir, f"pdfs-{i:05d}.parquet")
+              for i in range(n_shards)]
+    if (os.path.isfile(manifest)
+            and open(manifest).read().strip() == key
+            and all(os.path.isfile(s) for s in shards)):
+        return shards
+    shutil.rmtree(staged_dir, ignore_errors=True)
+    os.makedirs(staged_dir)
+    for i, shard in enumerate(shards):
+        group = paths[i * per_shard:(i + 1) * per_shard]
+        blobs = []
+        for p in group:
+            with open(p, "rb") as f:
+                blobs.append(f.read())
+        pq.write_table(
+            pa.table({"url": pa.array(group, pa.string()),
+                      "pdf": pa.array(blobs, pa.large_binary())}),
+            shard)
+    with open(manifest, "w") as f:
+        f.write(key)
+    return shards
+
+
 def cmd_parse(args) -> int:
     """Run the extraction pipeline over parquet shards, checkpointed."""
     from pdf_parser_ray.state.checkpoint import run_checkpointed
@@ -46,11 +103,21 @@ def cmd_parse(args) -> int:
         "end_page": args.end_page,
         "json_coordinates": args.coordinates,
     }
-    if args.pdf_column:
+    pdfs = [p for p in args.input if p.lower().endswith(".pdf")]
+    inputs = args.input
+    if pdfs:
+        if len(pdfs) != len(args.input):
+            print("cannot mix raw .pdf files and parquet shards in one "
+                  "parse invocation", file=sys.stderr)
+            return 1
+        inputs = _stage_pdfs(pdfs, args.output, args.pdfs_per_shard)
+        pipeline_kwargs["pdf_column"] = "pdf"
+        pipeline_kwargs["password"] = args.password
+    elif args.pdf_column:
         pipeline_kwargs["pdf_column"] = args.pdf_column
         pipeline_kwargs["password"] = args.password
     summary = run_checkpointed(
-        args.input, args.output,
+        inputs, args.output,
         files_per_part=args.files_per_part,
         pipeline_kwargs=pipeline_kwargs,
     )
@@ -219,8 +286,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="treat this input column as raw PDF bytes and "
                         "decode via PyMuPDF (sources/pdfbytes.py seam)")
     p.add_argument("--password", default=None,
-                   help="password for encrypted PDFs (with --pdf-column; "
-                        "reference core/document.py:104-119)")
+                   help="password for encrypted PDFs (with --pdf-column "
+                        "or raw .pdf inputs; reference "
+                        "core/document.py:104-119)")
+    p.add_argument("--pdfs-per-shard", type=int, default=64,
+                   help="raw .pdf inputs staged per parquet shard")
     p.set_defaults(fn=cmd_parse)
 
     p = sub.add_parser("info", help="corpus facts")

@@ -1109,10 +1109,10 @@ def q4_late_orders(sf_dir: str):
     # order split across batches just yields several candidate maxes, and
     # ANY of them exceeding the cutoff is sufficient)
     def batch_max(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        agg = df.groupby("l_orderkey", as_index=False, sort=False).agg(
-            max_ship=("l_shipdate", "max"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # Arrow-native grouped max: no pandas copy of the batch
+        agg = batch.group_by("l_orderkey").aggregate(
+            [("l_shipdate", "max")])
+        return agg.rename_columns(["l_orderkey", "max_ship"])
 
     line_max = line.map_batches(batch_max, batch_format="pyarrow",
                                 zero_copy_batch=True)
@@ -12292,39 +12292,56 @@ def orders_seasonal_index(sf_dir: str):
 
 def orders_top_decile_share(sf_dir: str):
     """Revenue concentration: the share of total order value held by
-    the top 10% of customers (k = floor((n+9)/10), ties broken by
-    custkey) — the whale-dependence metric. One custkey-keyed combine
-    (customers are a dimension, so the per-customer frame is
-    dimension-sized); the driver sorts the tiny frame and computes the
-    share as one double division gated on a nonzero total."""
+    the top 10% of customers (k = floor((n+9)/10)) — the
+    whale-dependence metric. The top-k SUM depends only on the
+    MULTISET of per-customer revenues (any tie-break at the boundary
+    picks customers with the same rev), so the scale path is a
+    cents-histogram walk (the orders_price_quantiles design): one
+    custkey-keyed combine builds per-customer revenue as a Dataset
+    that never leaves the cluster, a second rev-valued combine folds
+    it to a (rev_cents, n_customers) histogram, and the driver walks
+    that histogram descending — whole buckets until the decile fills,
+    the boundary bucket contributing remaining * rev. Driver state is
+    bounded by DISTINCT revenue values (a value-range bound), not by
+    customer count; all folds are exact Python ints."""
     orders = rel.load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table({"o_custkey": batch.column("o_custkey"),
                          "c": _cents(batch.column("o_totalprice"))})
 
-    per_cust = rel.ensure_columns(
+    per_cust = rel.ensure_schema(
+        rel.grouped_agg(
+            orders.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["o_custkey"], [("rev", "c", "sum")]),
+        pa.schema([("o_custkey", pa.int64()), ("rev", pa.int64())]))
+    hist = rel.ensure_columns(
         rel.as_pandas(rel.ensure_schema(
-            rel.grouped_agg(
-                orders.map_batches(prep, batch_format="pyarrow",
-                                   zero_copy_batch=True),
-                ["o_custkey"], [("rev", "c", "sum")]),
-            pa.schema([("o_custkey", pa.int64()),
-                       ("rev", pa.int64())]))),
-        {"o_custkey": "int64", "rev": "int64"})
-    if per_cust.empty:
+            rel.grouped_agg(per_cust, ["rev"], [("n", "", "count")]),
+            pa.schema([("rev", pa.int64()), ("n", pa.int64())]))),
+        {"rev": "int64", "n": "int64"})
+    if hist.empty:
         return pd.DataFrame({
             "n_customers": pd.Series(dtype="int64"),
             "top_decile_customers": pd.Series(dtype="int64"),
             "top_cents": pd.Series(dtype="int64"),
             "total_cents": pd.Series(dtype="int64"),
             "share": pd.Series(dtype="float64")})
-    per_cust = per_cust.sort_values(
-        ["rev", "o_custkey"], ascending=[False, True], kind="mergesort")
-    n = len(per_cust)
+    hist = hist.sort_values("rev", ascending=False, kind="mergesort")
+    revs = hist["rev"].to_numpy()
+    cnts = hist["n"].to_numpy()
+    n = sum(int(c) for c in cnts)
     k = (n + 9) // 10
-    top = int(per_cust["rev"].head(k).sum())
-    total = int(per_cust["rev"].sum())
+    total = sum(int(r) * int(c) for r, c in zip(revs, cnts))
+    top = 0
+    need = k
+    for r, c in zip(revs, cnts):
+        take = int(c) if int(c) < need else need
+        top += int(r) * take
+        need -= take
+        if need == 0:
+            break
     share = (float(np_round_half_away(
         np.array([float(top) / float(total)]), 6)[0])
         if total != 0 else float("nan"))

@@ -52,6 +52,24 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
     src_cols = sorted({src for _, src, op in spec if op != "count"})
 
     def partial(batch: pa.Table) -> pa.Table:
+        # Arrow fast path: grouped combine with no pandas roundtrip.
+        # pa.TableGroupBy keeps NULL key groups (== dropna=False) and
+        # use_threads=False pins per-group accumulation to row order.
+        # Gated to non-floating sources: float sums are order-sensitive
+        # and the pandas path is the pinned behaviour for those.
+        if all(not pa.types.is_floating(batch.schema.field(src).type)
+               for src in src_cols):
+            aggs = [(src, op) for _, src, op in spec if op != "count"]
+            if need_count:
+                aggs.append(([], "count_all"))
+            res = pa.TableGroupBy(
+                batch.select(keys + src_cols), keys,
+                use_threads=False).aggregate(aggs)
+            names = list(keys) + [out for out, _, op in spec
+                                  if op != "count"]
+            if need_count:
+                names.append(_PARTIAL_COUNT)
+            return res.rename_columns(names)
         df = batch.select(keys + src_cols).to_pandas()
         # dropna=False: SQL GROUP BY keeps NULL groups (DuckDB lockstep)
         gb = df.groupby(keys, as_index=False, sort=False, dropna=False)

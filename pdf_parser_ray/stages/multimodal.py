@@ -1,14 +1,23 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode libraries (PIL / torchaudio / video codecs) are NOT available in
-this environment, so the codec step is STUBBED: each actor probes for its
-library in ``__init__`` (once per actor — the actor-pool pattern the real
-model-loading stage would use) and, when absent, substitutes a
-clearly-marked deterministic fake decode (pure function of the payload
-bytes). Everything around the stub — schema, batch sizing for large binary
-payloads, actor signature, output layout — is real and tested; swapping the
-fake for a real codec changes only the inner function.
+Codec seams, mirroring the pdfbytes pattern (probe once per actor in
+``__init__``, degrade per row, identical output schema on every path):
+
+- image: PIL when importable; otherwise a REAL minimal PNG decoder
+  built on stdlib zlib + numpy (8-bit gray/RGB/RGBA, all five filter
+  types, non-interlaced) for ``\\x89PNG`` payloads; deterministic fake
+  features (backend="stub") for anything else.
+- audio: torchaudio when importable (seam only); otherwise a REAL WAV
+  decode via stdlib ``wave`` for RIFF/WAVE payloads; stub otherwise.
+- video: no stdlib codec exists, so the decode stays STUBBED (cv2 seam
+  probed; a deterministic fake marked backend="stub").
+
+The ``backend`` output column records which path produced each row, so
+a corpus mixing decodable and opaque payloads is auditable after the
+fact. Everything around the codecs — schema, batch sizing for large
+binary payloads, actor signature, single-scan dispatch — is identical
+on every path.
 
 Schema of the synthetic ``media`` table:
     media_id:int64  kind:string(image|audio|video)  payload:binary
@@ -18,13 +27,204 @@ Schema of the synthetic ``media`` table:
 
 from __future__ import annotations
 
+import io
 import json
+import struct
+import wave
 import zlib
 
 import numpy as np
 import pyarrow as pa
 
 FEATURE_DIM = 16
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_encode(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit gray/RGB/RGBA, one filter type for all
+    rows) — the test/synth-corpus twin of ``png_decode``; stdlib-only."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    bpp = nch
+    raw = bytearray()
+    prev = np.zeros((w * nch,), np.int32)
+    for y in range(h):
+        line = a[y].reshape(-1).astype(np.int32)
+        if filter_type == 0:
+            stored = line
+        else:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            up = prev
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if filter_type == 1:
+                pred = left
+            elif filter_type == 2:
+                pred = up
+            elif filter_type == 3:
+                pred = (left + up) >> 1
+            elif filter_type == 4:
+                p = left + up - upleft
+                pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - up),
+                                 np.abs(p - upleft))
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                np.where(pb_ <= pc_, up, upleft))
+            else:
+                raise ValueError(f"bad filter {filter_type}")
+            stored = (line - pred) & 0xFF
+        raw.append(filter_type)
+        raw.extend(stored.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Minimal PNG decoder (stdlib zlib + numpy): 8-bit depth, color
+    types 0/2/4/6, non-interlaced, all five filter types. Returns an
+    (H, W, C) uint8 array. Raises ValueError on anything else — callers
+    degrade to the stub path per row."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace})")
+    nch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    out = bytearray(h * stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        off = y * stride
+        po = off - stride
+        if f == 0:
+            out[off:off + stride] = line
+        elif f == 1:
+            for x in range(stride):
+                a = out[off + x - nch] if x >= nch else 0
+                out[off + x] = (line[x] + a) & 0xFF
+        elif f == 2:
+            for x in range(stride):
+                b = out[po + x] if y else 0
+                out[off + x] = (line[x] + b) & 0xFF
+        elif f == 3:
+            for x in range(stride):
+                a = out[off + x - nch] if x >= nch else 0
+                b = out[po + x] if y else 0
+                out[off + x] = (line[x] + ((a + b) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(stride):
+                a = out[off + x - nch] if x >= nch else 0
+                b = out[po + x] if y else 0
+                c = out[po + x - nch] if (y and x >= nch) else 0
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (da <= db and da <= dc) else (
+                    b if db <= dc else c)
+                out[off + x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+    return np.frombuffer(bytes(out), np.uint8).reshape(h, w, nch)
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal WAV writer (mono int16) — test/synth twin of the real
+    ``wave`` decode path."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode via stdlib ``wave``: RIFF/WAVE, 8- or 16-bit
+    PCM, any channel count (downmixed to mono float64 in [-1, 1])."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if sw == 2:
+        x = np.frombuffer(frames, np.int16).astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(frames, np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
+def image_grid_feature(arr: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Decoded image -> feature vector: 4x4 grid of mean luminance in
+    [0, 1] (blocks clamp to >= 1 px for tiny images)."""
+    a = arr.astype(np.float64)
+    if a.ndim == 2:
+        lum = a
+    elif a.shape[2] >= 3:
+        lum = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    else:  # gray / gray+alpha
+        lum = a[..., 0]
+    hgt, wid = lum.shape
+    g = int(np.sqrt(dim))
+    ys = np.linspace(0, hgt, g + 1).astype(int)
+    xs = np.linspace(0, wid, g + 1).astype(int)
+    out = np.empty(g * g, np.float64)
+    for i in range(g):
+        for j in range(g):
+            block = lum[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i * g + j] = float(block.mean()) / 255.0
+    return out
+
+
+def audio_rms_feature(x: np.ndarray, sr: int,
+                      dim: int = FEATURE_DIM) -> np.ndarray:
+    """Decoded mono samples -> per-second RMS energy, up to ``dim``
+    windows, zero-padded."""
+    out = np.zeros(dim, np.float64)
+    for i in range(min(dim, max(1, int(np.ceil(len(x) / max(sr, 1)))))):
+        win = x[i * sr:(i + 1) * sr]
+        if len(win):
+            out[i] = float(np.sqrt(np.mean(win * win)))
+    return out
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -39,19 +239,37 @@ MEDIA_BATCH_SIZE = 16
 
 
 def synth_media_table(n_rows: int, seed: int = 7) -> pa.Table:
-    """Deterministic fake media corpus (payload bytes are seeded noise)."""
+    """Deterministic media corpus. Image rows are REAL (tiny) PNGs and
+    audio rows REAL WAVs, so the registered pipeline exercises the real
+    decode paths even in this codec-less sandbox; every third image /
+    audio row is opaque seeded noise to keep the stub path covered.
+    Video payloads are noise (no stdlib codec exists)."""
     import random
 
     rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
     for i in range(n_rows):
         rng = random.Random(seed * 99991 + i)
         kind = ("image", "audio", "video")[i % 3]
-        payload = rng.randbytes(rng.randrange(256, 4096))
         if kind == "image":
-            meta = {"width": rng.choice([640, 1024]), "height": rng.choice([480, 768])}
+            w, h = rng.choice([(12, 8), (16, 16), (9, 13)])
+            meta = {"width": w, "height": h}
+            if i % 9 == 6:  # opaque payload -> stub path stays covered
+                payload = rng.randbytes(rng.randrange(256, 1024))
+            else:
+                nrng = np.random.RandomState(seed * 77 + i)
+                arr = nrng.randint(0, 256, (h, w, 3), np.uint8)
+                payload = png_encode(arr, filter_type=i % 5)
         elif kind == "audio":
-            meta = {"sample_rate": 16000, "seconds": rng.randrange(1, 30)}
+            sr, seconds = 800, rng.randrange(1, 4)
+            meta = {"sample_rate": sr, "seconds": seconds}
+            if i % 9 == 7:
+                payload = rng.randbytes(rng.randrange(256, 1024))
+            else:
+                nrng = np.random.RandomState(seed * 101 + i)
+                payload = wav_encode(
+                    (nrng.randn(sr * seconds) * 8000).astype(np.int16), sr)
         else:
+            payload = rng.randbytes(rng.randrange(256, 4096))
             meta = {"width": 640, "height": 480, "fps": 25,
                     "seconds": rng.randrange(1, 60)}
         rows["media_id"].append(i)
@@ -70,7 +288,9 @@ def _fake_vector(payload: bytes, dim: int) -> np.ndarray:
 
 class _MediaActor:
     """Base: library probe in __init__ (once per actor), batch work in
-    __call__. Subclasses set LIB and implement _process_row."""
+    __call__. Subclasses set LIB and implement _process_row, returning
+    (feature, info, backend) — backend is per ROW because one corpus can
+    mix decodable and opaque payloads."""
 
     LIB: str = ""
     KIND: str = ""
@@ -78,10 +298,9 @@ class _MediaActor:
     def __init__(self):
         try:
             __import__(self.LIB)
-            self._backend = self.LIB
+            self._lib_available = True
         except ImportError:
-            # STUB: deterministic fake decode (marked in the output)
-            self._backend = "stub"
+            self._lib_available = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -92,9 +311,10 @@ class _MediaActor:
         for mid, kind, payload, meta in zip(ids, kinds, payloads, metas):
             if kind != self.KIND:
                 continue
-            feature, info = self._process_row(payload, json.loads(meta))
+            feature, info, backend = self._process_row(payload,
+                                                       json.loads(meta))
             out["media_id"].append(mid)
-            out["backend"].append(self._backend)
+            out["backend"].append(backend)
             out["feature"].append(feature.tolist())
             out["info"].append(json.dumps(info, sort_keys=True))
         return pa.table({
@@ -109,52 +329,77 @@ class _MediaActor:
 
 
 class ImageFeatures(_MediaActor):
-    """decode -> resize(64x64) -> feature vector. Real path would use PIL;
-    stub path derives everything deterministically from the bytes."""
+    """decode -> 4x4 luminance-grid feature vector. PIL when importable;
+    the stdlib PNG decoder for \\x89PNG payloads; deterministic fake for
+    anything else (corrupt bytes degrade per row — never a failed task)."""
 
     LIB = "PIL"
     KIND = "image"
-    TARGET = (64, 64)
 
     def _process_row(self, payload: bytes, meta: dict):
-        if self._backend != "stub":  # pragma: no cover - PIL absent here
-            raise NotImplementedError("real PIL decode not wired in sandbox")
-        vec = _fake_vector(payload, FEATURE_DIM)
-        info = {"src_w": meta.get("width"), "src_h": meta.get("height"),
-                "resized_to": list(self.TARGET)}
-        return vec, info
+        try:
+            if self._lib_available:  # pragma: no cover - PIL absent here
+                from PIL import Image
+
+                arr = np.asarray(
+                    Image.open(io.BytesIO(payload)).convert("RGB"))
+                backend = "PIL"
+            else:
+                arr = png_decode(payload)
+                backend = "png"
+            vec = image_grid_feature(arr)
+            info = {"src_w": arr.shape[1], "src_h": arr.shape[0],
+                    "channels": int(arr.shape[2]) if arr.ndim == 3 else 1,
+                    "grid": [4, 4]}
+            return vec, info, backend
+        except Exception:  # opaque/corrupt payload -> deterministic fake
+            vec = _fake_vector(payload, FEATURE_DIM)
+            info = {"src_w": meta.get("width"), "src_h": meta.get("height"),
+                    "grid": [4, 4]}
+            return vec, info, "stub"
 
 
 class AudioFeatures(_MediaActor):
-    """decode -> 1 s windows -> per-window energy (stub: seeded)."""
+    """decode -> 1 s windows -> per-window RMS energy. Stdlib ``wave``
+    decodes RIFF/WAVE payloads for real (the torchaudio seam is probed
+    but stays a seam — not importable here); anything else is the
+    deterministic fake."""
 
     LIB = "torchaudio"
     KIND = "audio"
 
     def _process_row(self, payload: bytes, meta: dict):
-        if self._backend != "stub":  # pragma: no cover
-            raise NotImplementedError("real audio decode not wired in sandbox")
-        seconds = int(meta.get("seconds", 1))
-        vec = _fake_vector(payload, min(FEATURE_DIM, max(1, seconds)))
-        if len(vec) < FEATURE_DIM:
-            vec = np.pad(vec, (0, FEATURE_DIM - len(vec)))
-        return vec, {"windows": seconds, "sample_rate": meta.get("sample_rate")}
+        try:
+            x, sr = wav_decode(payload)
+            vec = audio_rms_feature(x, sr)
+            info = {"windows": int(np.ceil(len(x) / max(sr, 1))),
+                    "sample_rate": sr}
+            return vec, info, "wav"
+        except Exception:
+            seconds = int(meta.get("seconds", 1))
+            vec = _fake_vector(payload, min(FEATURE_DIM, max(1, seconds)))
+            if len(vec) < FEATURE_DIM:
+                vec = np.pad(vec, (0, FEATURE_DIM - len(vec)))
+            info = {"windows": seconds,
+                    "sample_rate": meta.get("sample_rate")}
+            return vec, info, "stub"
 
 
 class VideoFrameSample(_MediaActor):
-    """sample 1 frame/s up to 8 -> per-frame features (stub: seeded)."""
+    """sample 1 frame/s up to 8 -> per-frame features. STUB decode (no
+    stdlib video codec exists; the cv2 seam is probed per actor)."""
 
     LIB = "cv2"
     KIND = "video"
     MAX_FRAMES = 8
 
     def _process_row(self, payload: bytes, meta: dict):
-        if self._backend != "stub":  # pragma: no cover
+        if self._lib_available:  # pragma: no cover - cv2 absent here
             raise NotImplementedError("real video decode not wired in sandbox")
         n_frames = min(self.MAX_FRAMES, int(meta.get("seconds", 1)))
         frame_indices = [int(i * meta.get("fps", 25)) for i in range(n_frames)]
         vec = _fake_vector(payload, FEATURE_DIM)
-        return vec, {"sampled_frames": frame_indices}
+        return vec, {"sampled_frames": frame_indices}, "stub"
 
 
 class MediaFeatures:

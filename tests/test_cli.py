@@ -67,3 +67,79 @@ def test_page_range_semantics():
         layout.parse_bundle(bundle, start_page=0)
     with pytest.raises(ValueError):
         layout.parse_bundle(bundle, start_page=4, end_page=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_parse_pdf_front_door(tmp_path, capsys):
+    """parse *.pdf (reference cli.py:44-169 single-file journey): raw PDF
+    files are staged into (url, pdf) shards and run through the PyMuPDF
+    seam. fitz is genuinely absent in this sandbox's workers, so every
+    row degrades to a standard error row — the wiring itself (staging,
+    checkpoint parts, resume, row accounting) is what's under test."""
+    import json as _json
+
+    import duckdb
+
+    pdfs = []
+    for name in ("a.pdf", "b.pdf", "c.pdf"):
+        p = tmp_path / name
+        p.write_bytes(b"%PDF-1.4 fake " + name.encode())
+        pdfs.append(str(p))
+    out = str(tmp_path / "out")
+
+    assert main(["parse", *pdfs, "-o", out, "--pdfs-per-shard", "2",
+                 "--files-per-part", "1"]) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"parts_total": 2, "parts_skipped": 0,
+                       "parts_run": 2, "rows": 3}
+    rows = duckdb.sql(
+        f"SELECT url, error, text FROM '{out}/part-*/*.parquet' ORDER BY url"
+    ).fetchall()
+    assert [r[0] for r in rows] == pdfs  # one row per input file, url=path
+    assert all(r[1] != "" and r[2] == "" for r in rows)  # degraded, not lost
+
+    # resume: unchanged input reuses the staging and skips both parts
+    assert main(["parse", *pdfs, "-o", out, "--pdfs-per-shard", "2",
+                 "--files-per-part", "1"]) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["parts_skipped"] == 2 and summary["rows"] == 3
+
+
+def test_parse_pdf_front_door_validation(tmp_path, capsys):
+    (tmp_path / "real.pdf").write_bytes(b"%PDF")
+    (tmp_path / "shard.parquet").write_bytes(b"PAR1")
+    # mixing raw PDFs and parquet shards is an explicit error
+    assert main(["parse", str(tmp_path / "real.pdf"),
+                 str(tmp_path / "shard.parquet"),
+                 "-o", str(tmp_path / "out")]) == 1
+    assert "cannot mix" in capsys.readouterr().err
+    # a missing .pdf fails fast, before any Ray work
+    with pytest.raises(SystemExit, match="no such file"):
+        from pdf_parser_ray.cli import _stage_pdfs
+
+        _stage_pdfs([str(tmp_path / "ghost.pdf")],
+                    str(tmp_path / "out2"), 64)
+
+
+def test_stage_pdfs_deterministic_reuse(tmp_path):
+    """Unchanged input list -> staging shards are reused byte-identically
+    (no rewrite), so run_checkpointed's lineage check sees stable inputs;
+    a changed list re-stages."""
+    import os as _os
+
+    from pdf_parser_ray.cli import _stage_pdfs
+
+    p1 = tmp_path / "x.pdf"
+    p2 = tmp_path / "y.pdf"
+    p1.write_bytes(b"%PDF x")
+    p2.write_bytes(b"%PDF y")
+    out = str(tmp_path / "out")
+    shards = _stage_pdfs([str(p1), str(p2)], out, 1)
+    assert len(shards) == 2 and all(_os.path.isfile(s) for s in shards)
+    mtimes = [_os.path.getmtime(s) for s in shards]
+    again = _stage_pdfs([str(p1), str(p2)], out, 1)
+    assert again == shards
+    assert [_os.path.getmtime(s) for s in again] == mtimes  # untouched
+    # a different input list invalidates the staging manifest
+    third = _stage_pdfs([str(p1)], out, 1)
+    assert len(third) == 1

@@ -1,0 +1,96 @@
+"""Real in-sandbox media codecs (stages/multimodal.py): the stdlib PNG
+decoder (all five filter types, gray/RGB/RGBA/gray+alpha) and the stdlib
+WAV decode, plus the per-row backend degradation in the actor stages."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from pdf_parser_ray.stages import multimodal as mm
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("nch", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters_and_colors(filter_type, nch):
+    rng = np.random.RandomState(filter_type * 10 + nch)
+    arr = rng.randint(0, 256, (11, 7, nch), np.uint8)
+    data = mm.png_encode(arr, filter_type=filter_type)
+    assert data[:8] == mm.PNG_MAGIC
+    out = mm.png_decode(data)
+    assert out.shape == arr.shape
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_decode_rejects_non_png_and_truncation():
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.png_decode(b"\x89JPG garbage")
+    good = mm.png_encode(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError):
+        mm.png_decode(good[:20])  # header only, no IHDR/IDAT parsed
+
+
+def test_png_gray_2d_input():
+    arr = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    out = mm.png_decode(mm.png_encode(arr))
+    np.testing.assert_array_equal(out[:, :, 0], arr)
+
+
+def test_wav_roundtrip_and_rms():
+    sr = 800
+    x = (np.sin(np.linspace(0, 40, sr * 2)) * 16000).astype(np.int16)
+    data = mm.wav_encode(x, sr)
+    y, sr_out = mm.wav_decode(data)
+    assert sr_out == sr and len(y) == len(x)
+    np.testing.assert_allclose(y, x / 32768.0, atol=1e-9)
+    feat = mm.audio_rms_feature(y, sr)
+    assert len(feat) == mm.FEATURE_DIM
+    assert feat[0] > 0 and feat[1] > 0 and feat[2] == 0.0  # 2 s of audio
+
+
+def test_image_grid_feature_tiny_image_clamps():
+    arr = np.full((2, 3, 3), 255, np.uint8)  # smaller than the 4x4 grid
+    feat = mm.image_grid_feature(arr)
+    assert len(feat) == mm.FEATURE_DIM
+    np.testing.assert_allclose(feat, 1.0)
+
+
+def test_image_actor_mixes_real_and_stub_rows():
+    import pyarrow as pa
+
+    arr = np.random.RandomState(3).randint(0, 256, (8, 8, 3), np.uint8)
+    batch = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "kind": pa.array(["image", "image"], pa.string()),
+        "payload": pa.array([mm.png_encode(arr, filter_type=4),
+                             b"\xde\xad\xbe\xef opaque"], pa.binary()),
+        "meta": pa.array([json.dumps({"width": 8, "height": 8})] * 2,
+                         pa.string()),
+    })
+    out = mm.ImageFeatures()(batch)
+    assert out.column("backend").to_pylist() == ["png", "stub"]
+    info = json.loads(out.column("info")[0].as_py())
+    assert info["src_w"] == 8 and info["src_h"] == 8 and info["channels"] == 3
+    # the real feature is the luminance grid of the decoded pixels
+    np.testing.assert_allclose(
+        np.array(out.column("feature")[0].as_py()),
+        mm.image_grid_feature(arr))
+
+
+def test_audio_actor_wav_vs_opaque():
+    import pyarrow as pa
+
+    x = (np.random.RandomState(5).randn(1600) * 8000).astype(np.int16)
+    batch = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "kind": pa.array(["audio", "audio"], pa.string()),
+        "payload": pa.array([mm.wav_encode(x, 800), b"not audio"],
+                            pa.binary()),
+        "meta": pa.array([json.dumps({"sample_rate": 800, "seconds": 2})] * 2,
+                         pa.string()),
+    })
+    out = mm.AudioFeatures()(batch)
+    assert out.column("backend").to_pylist() == ["wav", "stub"]
+    assert json.loads(out.column("info")[0].as_py())["windows"] == 2

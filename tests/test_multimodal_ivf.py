@@ -18,8 +18,17 @@ def test_media_features_plumbing():
     out = multimodal.media_features(ds).to_pandas()
     assert len(out) == 30
     assert set(out.columns) == {"media_id", "backend", "feature", "info"}
-    # every backend is the stub in this sandbox and says so
-    assert set(out["backend"]) == {"stub"}
+    # PNG/WAV payloads decode for REAL (stdlib codecs); opaque payloads
+    # and video rows degrade to the marked stub — per row, not per actor
+    by_kind = {0: "png", 1: "wav", 2: "stub"}
+    for _, row in out.iterrows():
+        kind_i = row["media_id"] % 3
+        expect = by_kind[kind_i]
+        if kind_i == 0 and row["media_id"] % 9 == 6:
+            expect = "stub"  # seeded-noise image row
+        if kind_i == 1 and row["media_id"] % 9 == 7:
+            expect = "stub"  # seeded-noise audio row
+        assert row["backend"] == expect, (row["media_id"], row["backend"])
     assert all(len(v) == multimodal.FEATURE_DIM for v in out["feature"])
     # deterministic across runs
     out2 = multimodal.media_features(ds).to_pandas()
