@@ -47,6 +47,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import queries as q
 
     return {
+        # ================= ROUND-4 WINDOW (first 50 entries) =========
+        # Dict order is first-insertion, so this block IS the driver's
+        # 50-slot window; the duplicate keys further down are harmless
+        # (same callables) and take no slots. Composition:
+        #   slots 1-13 — the 13 oracle-dtype-drift queries fixed this
+        #     round (11 r3 hash-reds + q8_market_share / customer_rfm
+        #     caught by the strict gate): must re-land hash-green;
+        #   slots 14-18 — pipelines materially rewritten this round
+        #     (histogram decile share, ensure_schema-before-decode,
+        #     Arrow batch_max): re-verified under the driver;
+        #   slots 19-50 — 32 oracled pipelines with no driver row in
+        #     any round (166 remain unrecorded at 266 pipelines — the
+        #     50-slot cap cannot cover them all; the full local gate
+        #     (CORRECTNESS_LOCAL_r04.json, driver-identical repr-hash
+        #     compare since r3's fix) pins the rest every round).
+        "events_error_pchart": q.events_error_pchart,
+        "events_revenue_runs_test": q.events_revenue_runs_test,
+        "part_price_competition": q.part_price_competition,
+        "orders_seasonal_index": q.orders_seasonal_index,
+        "q12_late_priority_split": q.q12_late_priority_split,
+        "events_weekend_lift": q.events_weekend_lift,
+        "lineitem_abc_class": q.lineitem_abc_class,
+        "events_overdispersion": q.events_overdispersion,
+        "q11_important_parts": q.q11_important_parts,
+        "q9_profit_by_nation_year": q.q9_profit_by_nation_year,
+        "lineitem_status_cube": q.lineitem_status_cube,
+        "q8_market_share": q.q8_market_share,
+        "customer_rfm": q.customer_rfm,
+        "orders_top_decile_share": q.orders_top_decile_share,
+        "lineitem_basket_pairs": q.lineitem_basket_pairs,
+        "events_user_type_breadth": q.events_user_type_breadth,
+        "events_dayn_retention": q.events_dayn_retention,
+        "q4_late_orders": q.q4_late_orders,
+        "docs_dup_threshold_sweep": q.docs_dup_threshold_sweep,
+        "orders_customer_repeat_rate": q.orders_customer_repeat_rate,
+        "docs_field_completeness": q.docs_field_completeness,
+        "events_first_week_activation": q.events_first_week_activation,
+        "docs_simpson_index": q.docs_simpson_index,
+        "lineitem_qty_mode": q.lineitem_qty_mode,
+        "events_user_count_mad": q.events_user_count_mad,
+        "docs_bigram_entropy_rate": q.docs_bigram_entropy_rate,
+        "events_session_value": q.events_session_value,
+        "supplier_price_dispersion": q.supplier_price_dispersion,
+        "events_power_users_share": q.events_power_users_share,
+        "docs_quality_metric_hist": q.docs_quality_metric_hist,
+        "docs_token_coverage_curve": q.docs_token_coverage_curve,
+        "lineitem_discount_uplift": q.lineitem_discount_uplift,
+        "orders_top_growth_customers": q.orders_top_growth_customers,
+        "docs_source_median_chars": q.docs_source_median_chars,
+        "part_type_supplier_counts": q.part_type_supplier_counts,
+        "supplier_catalog_breadth": q.supplier_catalog_breadth,
+        "events_type_dow_matrix": q.events_type_dow_matrix,
+        "docs_quality_gate_attribution": q.docs_quality_gate_attribution,
+        "events_session_gap_sensitivity": q.events_session_gap_sensitivity,
+        "events_props_k_hist": q.events_props_k_hist,
+        "docs_pipeline_yield": q.docs_pipeline_yield,
+        "docs_token_len_hist": q.docs_token_len_hist,
+        "events_type_time_coverage": q.events_type_time_coverage,
+        "events_type_transition_entropy": q.events_type_transition_entropy,
+        "daily_activity_overlay": q.daily_activity_overlay,
+        "orders_lineitem_reconcile": q.orders_lineitem_reconcile,
+        "events_value_magnitude_hist": q.events_value_magnitude_hist,
+        "customer_spend_balance_corr": q.customer_spend_balance_corr,
+        "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
+        "lineitem_position_stats": q.lineitem_position_stats,
+        # ================= END ROUND-4 WINDOW =========================
         # ---- tier 0: the r2 verdict's explicit ask — pipelines with
         #      NO driver row in ANY round: emb_near_pairs_lsh is
         #      oracled (must land hash-green), the other three are
