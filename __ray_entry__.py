@@ -608,19 +608,31 @@ def oracle_sql() -> dict[str, str]:
             cl AS (SELECT source, CAST(sum(c) AS BIGINT) AS cn
                    FROM g GROUP BY 1),
             t AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM g),
-            dense AS (SELECT r.rn, cl.cn, COALESCE(g.c, 0) AS o
-                      FROM r CROSS JOIN cl
-                      LEFT JOIN g ON g.lang = r.lang
-                                 AND g.source = cl.source),
-            term AS (SELECT CAST(round(1000000
-                         * ((CAST(o AS DOUBLE)
+            -- sparse grid: only PRESENT cells get a per-cell rounded
+            -- term; absent-cell mass is the closed-form HUGEINT walk
+            present AS (SELECT g.c AS o, r.rn, cl.cn
+                        FROM g
+                        JOIN r ON g.lang IS NOT DISTINCT FROM r.lang
+                        JOIN cl ON g.source IS NOT DISTINCT FROM cl.source),
+            sp AS (SELECT CAST(sum(CAST(round(1000000
+                       * ((CAST(o AS DOUBLE)
+                           - CAST(rn AS DOUBLE) * cn / nn)
+                          * (CAST(o AS DOUBLE)
                              - CAST(rn AS DOUBLE) * cn / nn)
-                            * (CAST(o AS DOUBLE)
-                               - CAST(rn AS DOUBLE) * cn / nn)
-                            / (CAST(rn AS DOUBLE) * cn / nn)))
-                         AS HUGEINT) AS ti
-                     FROM dense, t),
-            s AS (SELECT CAST(sum(ti) AS HUGEINT) AS chim FROM term),
+                          / (CAST(rn AS DOUBLE) * cn / nn)))
+                       AS HUGEINT)) AS HUGEINT) AS chip,
+                          CAST(sum(CAST(rn AS HUGEINT) * cn)
+                               AS HUGEINT) AS s_present
+                   FROM present, t),
+            ab AS (SELECT CAST(1000000 AS HUGEINT)
+                          * (CAST(nn AS HUGEINT) * nn - s_present)
+                              AS num,
+                          CAST(nn AS HUGEINT) AS nh
+                   FROM t, sp),
+            s AS (SELECT sp.chip + (ab.num // ab.nh
+                         + CASE WHEN 2 * (ab.num % ab.nh) >= ab.nh
+                                THEN 1 ELSE 0 END) AS chim
+                  FROM sp, ab),
             dims AS (SELECT (SELECT count(*) FROM r) AS r,
                             (SELECT count(*) FROM cl) AS c)
             SELECT t.nn AS n_rows, dims.r AS n_langs,

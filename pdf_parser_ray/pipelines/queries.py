@@ -12790,12 +12790,15 @@ def customer_balance_jackknife(sf_dir: str):
 def docs_lang_source_cramers_v(sf_dir: str):
     """Cramer's V association strength between language and source —
     the effect size the chi-square independence test (dow_chisq
-    family) lacks. One |langs| x |sources|-bounded contingency
-    combine; the order-sensitive chi-square term sum is made
-    order-free by micro-rounding each (o-e)^2/e term before the exact
-    integer sum, so both engines aggregate identical operands in any
-    enumeration order. Degenerate tables (single row or column) agree
-    as NaN."""
+    family) lacks. SPARSE-GRID chi-square: only PRESENT contingency
+    cells get a per-cell micro-rounded (o-e)^2/e term (order-free
+    exact integer sum on both engines); the absent-cell mass has the
+    closed form sum_absent(e) = (N^2 - sum_present(rn*cn)) / N and is
+    added as ONE exactly-rounded term via pure-integer half-away
+    division (no N^2 double, no dense r x c driver grid — driver
+    state is O(present cells + r + c), so unbounded source/lang
+    domains never materialize their cross product). Degenerate tables
+    (single row or column) agree as NaN."""
     docs = rel.load(sf_dir, "documents", ["lang", "source"])
     agg = rel.ensure_columns(
         rel.as_pandas(rel.grouped_agg(
@@ -12809,21 +12812,24 @@ def docs_lang_source_cramers_v(sf_dir: str):
                              "chi2": pd.Series(dtype="float64"),
                              "cramers_v": pd.Series(dtype="float64")})
     N = int(agg["c"].sum())
-    rows = agg.groupby("lang")["c"].sum().to_dict()
-    cols = agg.groupby("source")["c"].sum().to_dict()
+    rows = agg.groupby("lang", dropna=False)["c"].sum().to_dict()
+    cols = agg.groupby("source", dropna=False)["c"].sum().to_dict()
     r, c = len(rows), len(cols)
-    # the full dense table: absent cells have o=0 but e>0 and DO
-    # contribute to chi-square
+    # present cells: per-cell micro-rounded term, exact margin-product
+    # running sum as arbitrary-precision Python int
     chi_micro = 0
-    for lang, rn in rows.items():
-        for src, cn in cols.items():
-            o = 0
-            hit = agg[(agg["lang"] == lang) & (agg["source"] == src)]
-            if len(hit):
-                o = int(hit["c"].iloc[0])
-            e = float(int(rn)) * int(cn) / float(N)
-            term = 1000000 * ((float(o) - e) * (float(o) - e) / e)
-            chi_micro += int(np_round_half_away(np.array([term]), 0)[0])
+    s_present = 0
+    for lang, src, o in zip(agg["lang"], agg["source"], agg["c"]):
+        rn, cn = int(rows[lang]), int(cols[src])
+        s_present += rn * cn
+        e = float(rn) * cn / float(N)
+        term = 1000000 * ((float(int(o)) - e) * (float(int(o)) - e) / e)
+        chi_micro += int(np_round_half_away(np.array([term]), 0)[0])
+    # absent cells, closed form: round_half_away(1e6 * (N^2 - S) / N)
+    # in pure integers (the SQL twin does the identical HUGEINT walk)
+    num = 1000000 * (N * N - s_present)
+    quot, rem = divmod(num, N)
+    chi_micro += int(quot) + (1 if 2 * rem >= N else 0)
     chi2f = float(chi_micro) / 1000000.0
     chi2 = float(np_round_half_away(np.array([chi2f]), 6)[0])
     v = float("nan")
