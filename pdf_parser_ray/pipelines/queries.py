@@ -1158,15 +1158,27 @@ def events_props_k(sf_dir: str):
 
 def docs_top_by_lang(sf_dir: str):
     """Top-3 longest documents per language (per-group top-k via
-    groupby(lang).map_groups; window row_number in SQL)."""
+    groupby(lang).map_groups; window row_number in SQL). A per-BATCH
+    top-3-per-lang combine prunes before the shuffle, so the grouped
+    stage sees <= 3 x |langs| rows per block instead of a whole
+    language in one pandas group (unbounded at corpus scale)."""
     ds = rel.load(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True],
+            kind="mergesort")
+        kept = df.groupby("lang", sort=False, dropna=False).head(3)
+        return pa.Table.from_pandas(kept, preserve_index=False)
 
     def top3(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["n_chars", "doc_id"],
                               ascending=[False, True], kind="mergesort")
         return g.head(3)[["lang", "doc_id", "n_chars"]]
 
-    out = ds.groupby("lang").map_groups(top3, batch_format="pandas")
+    out = (ds.map_batches(combine, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang").map_groups(top3, batch_format="pandas"))
     return rel.to_pandas_sorted(out.to_pandas(), ["lang", "doc_id"])
 
 
@@ -1260,11 +1272,22 @@ def docs_stratified_sample(sf_dir: str, per_lang: int = 5):
             "fp": pa.array([fingerprint(t) for t in texts], pa.string()),
         })
 
+    def combine(batch: pa.Table) -> pa.Table:
+        # per-batch per-lang head prunes before the shuffle: the
+        # grouped stage sees <= per_lang x |langs| rows per block, not
+        # a whole language in one pandas group
+        df = batch.to_pandas().sort_values(["fp", "doc_id"],
+                                           kind="mergesort")
+        kept = df.groupby("lang", sort=False, dropna=False).head(per_lang)
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
     def head_per_lang(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["fp", "doc_id"], kind="mergesort")
         return g.head(per_lang)[["lang", "doc_id", "fp"]]
 
     out = (ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+           .map_batches(combine, batch_format="pyarrow",
+                        zero_copy_batch=True)
            .groupby("lang").map_groups(head_per_lang, batch_format="pandas"))
     return rel.to_pandas_sorted(out.to_pandas(), ["lang", "doc_id"])
 
