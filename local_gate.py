@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import os
 import time
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -116,6 +117,12 @@ def main() -> None:
                   else row["err"] or "MISMATCH")
         print(f"{name:34s} {status:10s} {row['sec']:7.2f}s", flush=True)
 
+    if only is not None and os.path.exists(args.out):
+        # targeted rerun: refresh just those rows, keep the full record
+        with open(args.out) as f:
+            merged = json.load(f)
+        merged.update(out)
+        out = merged
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     greens = sum(1 for r in out.values() if r.get("hash_match"))
