@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_breadth": q.events_user_type_breadth,
         "events_dayn_retention": q.events_dayn_retention,
         "q4_late_orders": q.q4_late_orders,
+        # new this round: the bucketed point-in-interval RANGE JOIN
+        "events_purchase_session_overlap":
+            q.events_purchase_session_overlap,
         "docs_dup_threshold_sweep": q.docs_dup_threshold_sweep,
         "orders_customer_repeat_rate": q.orders_customer_repeat_rate,
         "docs_field_completeness": q.docs_field_completeness,
@@ -111,7 +114,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_magnitude_hist": q.events_value_magnitude_hist,
         "customer_spend_balance_corr": q.customer_spend_balance_corr,
         "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
-        "lineitem_position_stats": q.lineitem_position_stats,
         # ================= END ROUND-4 WINDOW =========================
         # ---- tier 0: the r2 verdict's explicit ask — pipelines with
         #      NO driver row in ANY round: emb_near_pairs_lsh is
@@ -4551,6 +4553,43 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # RANGE JOIN twin: DuckDB's inequality join (IEJoin) computes
+        # the same point-in-interval containment the bucketed plan does
+        "events_purchase_session_overlap": """
+            WITH e AS (SELECT user_id, ts, event_id, event_type
+                       FROM events WHERE user_id IS NOT NULL),
+            lagged AS (SELECT user_id, ts, event_id,
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                                  AS prev_ts
+                       FROM e),
+            marks AS (SELECT user_id, ts, event_id,
+                             CASE WHEN prev_ts IS NULL
+                                    OR ts - prev_ts > INTERVAL 30 MINUTE
+                                  THEN 1 ELSE 0 END AS new_s
+                      FROM lagged),
+            sid AS (SELECT user_id, ts,
+                           sum(new_s) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                               AS s
+                    FROM marks),
+            sessions AS (SELECT user_id AS s_user, s,
+                                min(ts) AS st, max(ts) AS en
+                         FROM sid GROUP BY 1, 2),
+            p AS (SELECT event_id, user_id AS p_user, ts
+                  FROM e WHERE event_type = 'purchase'),
+            ov AS (SELECT p.event_id, count(*) AS nc
+                   FROM p JOIN sessions s
+                     ON p.ts >= s.st AND p.ts <= s.en
+                        AND s.s_user <> p.p_user
+                   GROUP BY 1),
+            allp AS (SELECT p.event_id, coalesce(ov.nc, 0) AS nc
+                     FROM p LEFT JOIN ov USING (event_id))
+            SELECT nc AS n_concurrent,
+                   CAST(count(*) AS BIGINT) AS n_purchases
+            FROM allp GROUP BY 1 ORDER BY 1
         """,
         "events_sessions": """
             SELECT user_id,

@@ -13276,3 +13276,99 @@ def events_max_concurrency(sf_dir: str, gap_minutes: int = 30):
         "max_concurrent": pd.Series([mx], dtype="int64"),
         "at_ts": pd.Series(pd.to_datetime([at_us], unit="us"),
                            dtype="datetime64[us]")})
+
+
+def events_purchase_session_overlap(sf_dir: str, gap_minutes: int = 30,
+                                    bucket_hours: int = 1):
+    """RANGE JOIN (point-in-interval, big x big): for every purchase
+    event, how many OTHER users had an active session covering that
+    instant — the site-load-at-conversion profile, folded to a
+    (concurrency, n_purchases) histogram. No equality key links the
+    sides, so this is the operator class the brief names that Ray Data
+    lacks natively: rel.interval_point_join decomposes it into ONE
+    bucket equi-join (intervals replicate to each 1-hour bucket they
+    overlap — factor span/width + 1; points live in exactly one
+    bucket) plus a vectorized exact containment filter, so no candidate
+    pair is produced twice and nothing materializes on the driver.
+    Sessions reuse the events_sessions contract (30-min gap, (ts,
+    event_id) order); NULL users drop on both engines. Exchanges: one
+    user-keyed sessionization shuffle, one bucket-keyed join, one
+    event-keyed count combine, one histogram fold."""
+    ds = rel.load(sf_dir, "events",
+                  ["user_id", "ts", "event_id", "event_type"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+    bucket_us = bucket_hours * 3_600_000_000
+
+    def keep_users(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    ev = ds.map_batches(keep_users, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        starts = g["ts"].diff().gt(gap) | g["ts"].diff().isna()
+        sid = starts.cumsum()
+        t_us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        agg = pd.DataFrame({"sid": sid.to_numpy(np.int64),
+                            "t": t_us}).groupby("sid")["t"] \
+            .agg(["min", "max"])
+        return pd.DataFrame({
+            "s_user": np.full(len(agg), int(g["user_id"].iloc[0]),
+                              np.int64),
+            "st_us": agg["min"].to_numpy(np.int64),
+            "en_us": agg["max"].to_numpy(np.int64)})
+
+    i_schema = pa.schema([("s_user", pa.int64()), ("st_us", pa.int64()),
+                          ("en_us", pa.int64())])
+    sessions = ev.select_columns(["user_id", "ts", "event_id"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("event_type"),
+                                     pa.scalar("purchase")))
+        return pa.table({
+            "event_id": kept.column("event_id").cast(pa.int64()),
+            "p_user": kept.column("user_id").cast(pa.int64()),
+            "ts_us": pc.cast(kept.column("ts"), pa.int64())})
+
+    p_schema = pa.schema([("event_id", pa.int64()), ("p_user", pa.int64()),
+                          ("ts_us", pa.int64())])
+    pts = ev.map_batches(purchases, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    n_purchases_total = pts.count()
+    empty = pd.DataFrame({"n_concurrent": pd.Series(dtype="int64"),
+                          "n_purchases": pd.Series(dtype="int64")})
+    if n_purchases_total == 0:
+        return empty
+    joined = rel.interval_point_join(
+        pts, sessions, point_key="ts_us", start_key="st_us",
+        end_key="en_us", bucket_width=bucket_us,
+        point_schema=p_schema, interval_schema=i_schema,
+        num_partitions=rel.join_partitions(n_purchases_total))
+
+    def cross_user(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.not_equal(batch.column("p_user"),
+                                         batch.column("s_user")))
+        return pa.table({"event_id": keep.column("event_id")})
+
+    per_purchase = rel.ensure_schema(
+        rel.grouped_agg(
+            joined.map_batches(cross_user, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["event_id"], [("nc", "", "count")]),
+        pa.schema([("event_id", pa.int64()), ("nc", pa.int64())]))
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            per_purchase, ["nc"], [("n_purchases", "", "count")],
+            small_result=True)),
+        {"nc": "int64", "n_purchases": "int64"})
+    n_zero = n_purchases_total - int(hist["n_purchases"].sum())
+    rows = hist.rename(columns={"nc": "n_concurrent"})
+    if n_zero > 0:
+        rows = pd.concat([pd.DataFrame({"n_concurrent": [0],
+                                        "n_purchases": [n_zero]}),
+                          rows], ignore_index=True)
+    rows = rows.astype({"n_concurrent": "int64", "n_purchases": "int64"})
+    return rel.to_pandas_sorted(rows[["n_concurrent", "n_purchases"]],
+                                ["n_concurrent"])

@@ -17,8 +17,10 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
@@ -262,6 +264,69 @@ def hash_join_nonempty(left: ray.data.Dataset, right: ray.data.Dataset,
         _sentinel_row(right_schema, right_on, -2)))
     return hash_join(left, right, on=on, right_on=right_on,
                      num_partitions=num_partitions)
+
+
+def interval_point_join(points: ray.data.Dataset,
+                        intervals: ray.data.Dataset, *,
+                        point_key: str, start_key: str, end_key: str,
+                        bucket_width: int,
+                        point_schema: pa.Schema,
+                        interval_schema: pa.Schema,
+                        num_partitions: int) -> ray.data.Dataset:
+    """RANGE JOIN (point-in-interval, big x big) via the bucketed
+    decomposition: each interval replicates to every width-
+    ``bucket_width`` bucket it overlaps (replication factor
+    span/width + 1 — pick the width near the typical interval span);
+    each point lives in exactly ONE bucket, so the bucket equi-join
+    co-locates every candidate pair exactly once (no post-join dedup)
+    and the exact ``start <= point <= end`` predicate runs vectorized
+    per batch. In-bucket cost is |points_b| x |intervals_b| — the
+    inherent range-join cost; calendar-hot buckets are the salting
+    lever (split a hot bucket's intervals across salt replicas and
+    fan the bucket's points to every salt). Keys and bounds must be
+    int64 (cast timestamps to epoch microseconds); non-key column
+    names must not collide across sides. Returns the joined dataset
+    (with the ``bucket`` column) filtered to exact containment."""
+
+    def bucket_points(batch: pa.Table) -> pa.Table:
+        b = pc.divide(batch.column(point_key),
+                      pa.scalar(bucket_width, pa.int64()))
+        return batch.append_column("bucket", b)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        st = batch.column(start_key).to_numpy(zero_copy_only=False)
+        en = batch.column(end_key).to_numpy(zero_copy_only=False)
+        b0 = st // bucket_width
+        reps = (en // bucket_width - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(st), dtype=np.int64), reps)
+        # replica offset within each interval's bucket run
+        off = (np.arange(len(idx), dtype=np.int64)
+               - np.repeat(np.cumsum(reps) - reps, reps))
+        out = batch.take(pa.array(idx, pa.int64()))
+        return out.append_column("bucket",
+                                 pa.array(b0[idx] + off, pa.int64()))
+
+    p_schema = point_schema.append(pa.field("bucket", pa.int64()))
+    i_schema = interval_schema.append(pa.field("bucket", pa.int64()))
+    p = ensure_schema(points, point_schema).map_batches(
+        bucket_points, batch_format="pyarrow", zero_copy_batch=True)
+    i = ensure_schema(intervals, interval_schema).map_batches(
+        replicate, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join_nonempty(p, i, on="bucket", right_on="bucket",
+                                num_partitions=num_partitions,
+                                left_schema=p_schema,
+                                right_schema=i_schema)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less_equal(batch.column(start_key),
+                          batch.column(point_key)),
+            pc.less_equal(batch.column(point_key),
+                          batch.column(end_key)))
+        return batch.filter(keep)
+
+    return joined.map_batches(exact, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def local_topk(ds: ray.data.Dataset, sort_keys: list[tuple[str, str]],

@@ -2511,3 +2511,30 @@ def test_part_size_price_corr_fuzz(rows):
         "p_retailprice": pa.array([r[1] for r in rows], pa.float64()),
     })
     _check("part_size_price_corr", {"part": part})
+
+
+# --- round 4: bucketed point-in-interval RANGE JOIN ---------------------------
+
+_RJ_EVENT = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # user
+    st.integers(min_value=0, max_value=14_400),       # seconds offset (4 h)
+    st.sampled_from(["view", "click", "purchase"]),
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(_RJ_EVENT, min_size=1, max_size=40))
+def test_purchase_session_overlap_fuzz(rows):
+    """The bucketed range join must match DuckDB's inequality join on
+    adversarial inputs: NULL users, duplicate timestamps, sessions that
+    straddle bucket boundaries, exact 30-min gap ties, single-event
+    sessions whose interval is a point."""
+    events = pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    _check("events_purchase_session_overlap", {"events": events})

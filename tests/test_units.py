@@ -212,3 +212,32 @@ class TestJaccardVerify:
         out = verify_candidates_jaccard(docs, [(1, 2), (1, 3)], threshold=0.5)
         assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
         assert 0.5 <= out[0]["jaccard"] <= 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_point_join_exactly_once():
+    """An interval spanning many buckets must join a contained point
+    EXACTLY once (points live in one bucket; replicas are per-bucket
+    unique), and boundary containment is closed on both ends."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.pipelines import relational as rel
+
+    p_schema = pa.schema([("pid", pa.int64()), ("t", pa.int64())])
+    i_schema = pa.schema([("iid", pa.int64()), ("st", pa.int64()),
+                          ("en", pa.int64())])
+    # bucket width 10; interval 0 spans buckets 0..5, interval 1 is a
+    # point-interval on a bucket boundary
+    points = ray.data.from_arrow(pa.table(
+        {"pid": [1, 2, 3, 4], "t": [0, 37, 55, 56]}, schema=p_schema))
+    intervals = ray.data.from_arrow(pa.table(
+        {"iid": [10, 20], "st": [0, 50], "en": [55, 50]}, schema=i_schema))
+    out = rel.interval_point_join(
+        points, intervals, point_key="t", start_key="st", end_key="en",
+        bucket_width=10, point_schema=p_schema, interval_schema=i_schema,
+        num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["pid", "iid"]].itertuples(index=False)))
+    # pid 1 (t=0): in [0,55]; pid 2 (t=37): in [0,55]; pid 3 (t=55):
+    # closed end of [0,55]; pid 4 (t=56): in nothing; [50,50] holds none
+    assert got == [(1, 10), (2, 10), (3, 10)]
