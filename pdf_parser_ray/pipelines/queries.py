@@ -3133,7 +3133,13 @@ def events_value_percent_rank(sf_dir: str):
     min-rank of each value -> (rank - 1) / (n - 1). Integer ranks and a
     single double division keep both engines bit-identical; single-row
     groups define pr = 0 (SQL lockstep). groupby(event_type) shuffle +
-    in-group vectorized searchsorted."""
+    in-group vectorized searchsorted. Group bound: one event TYPE's
+    rows share a group, fine for a bounded type domain; if a single
+    type outgrows a worker, the named scale path is a (type, value)
+    histogram combine + distributed sort of the DISTINCT values +
+    block-offset prefix scan (the docs_token_bins technique) + a
+    (type, value)-keyed join back — ranks from counts, never a whole
+    type in one frame."""
     ds = rel.load(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def per_type(df: pd.DataFrame) -> pd.DataFrame:
