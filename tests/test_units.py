@@ -241,3 +241,51 @@ def test_interval_point_join_exactly_once():
     # pid 1 (t=0): in [0,55]; pid 2 (t=37): in [0,55]; pid 3 (t=55):
     # closed end of [0,55]; pid 4 (t=56): in nothing; [50,50] holds none
     assert got == [(1, 10), (2, 10), (3, 10)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_agg_arrow_partial_matches_pandas_path():
+    """The Arrow fast path in rel.grouped_agg's map-side combine must be
+    row-for-row identical to the pandas path it replaces: NULL key
+    groups kept (dropna=False semantics), count/sum/min/max over int,
+    string, and date sources; float sources must still take the pandas
+    path (order-sensitive sums stay pinned)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from pdf_parser_ray.pipelines import relational as rel
+
+    batch = pa.table({
+        "k": pa.array([1, 1, None, 2, None, 2], pa.int64()),
+        "s": pa.array(["b", "a", "c", "a", "d", "z"], pa.string()),
+        "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+        "d": pa.array([dt.date(2020, 1, i + 1) for i in range(6)],
+                      pa.date32()),
+        "f": pa.array([0.1, 0.2, 0.3, 0.4, 0.5, 0.6], pa.float64()),
+    })
+    spec = [("n", "", "count"), ("sv", "v", "sum"),
+            ("mn", "s", "min"), ("mx", "d", "max")]
+
+    # reconstruct both partial fns the way grouped_agg builds them
+    def run(tbl, keys, sp):
+        # call the inner partial through a 1-block dataset round trip
+        import ray.data
+
+        ds = ray.data.from_arrow(tbl)
+        return rel.grouped_agg(ds, keys, sp, small_result=True)
+
+    out = run(batch, ["k"], spec)
+    out = out.sort_values("k", na_position="last").reset_index(drop=True)
+    assert out["n"].tolist() == [2, 2, 2]
+    assert out["sv"].tolist() == [30, 100, 80]
+    assert out["mn"].tolist() == ["a", "a", "c"]
+    assert out["mx"].tolist() == [dt.date(2020, 1, 2), dt.date(2020, 1, 6),
+                                  dt.date(2020, 1, 5)]
+    assert pd.isna(out["k"].iloc[2])
+
+    # float source -> pandas path; result identical to a manual groupby
+    fout = run(batch, ["k"], [("sf", "f", "sum")])
+    fout = fout.sort_values("k", na_position="last").reset_index(drop=True)
+    assert fout["sf"].tolist() == pytest.approx([0.3, 1.0, 0.8])
