@@ -17,7 +17,7 @@ import duckdb
 import pandas as pd
 import pyarrow as pa
 import pytest
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 import __ray_entry__ as entrymod
@@ -896,7 +896,11 @@ def test_peak_hour_fuzz(rows):
 
 
 @pytest.mark.usefixtures("ray_session")
-@settings(max_examples=20, deadline=None)
+# the two domain assumes (no zero-cent rows, no zero-cent months) filter
+# heavily on seeds that cluster _MONEY near zero — a legitimate domain
+# constraint (DuckDB raises on the excluded inputs), not a distortion
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.filter_too_much])
 @given(rows=st.lists(
     st.tuples(st.integers(min_value=0, max_value=120),   # day offset
               _MONEY),
