@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_simhash": q.docs_simhash,
         "docs_simhash_pairs": q.docs_simhash_pairs,
+        "docs_simhash_eval": q.docs_simhash_eval,
         "docs_top_tokens": q.docs_top_tokens,
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -5000,6 +5001,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        # precision/recall of the simhash screen vs the exact-Jaccard
+        # truth set — composes the two oracles above/below verbatim
+        "docs_simhash_eval": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id, md5_number_upper(tok) AS h64 FROM toks
+            ), bits AS (
+                SELECT doc_id, b.b AS b,
+                       sum(CASE WHEN (h64 >> b.b) & 1 = 1
+                           THEN 1 ELSE -1 END) AS vote
+                FROM h, (SELECT unnest(range(0, 64)) AS b) b
+                GROUP BY doc_id, b.b
+            ), sig0 AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN vote > 0
+                            THEN (1::HUGEINT << CAST(b AS INTEGER))
+                            ELSE 0::HUGEINT END) AS UBIGINT) AS sig
+                FROM bits GROUP BY doc_id
+            ), sig AS (
+                SELECT d.doc_id, coalesce(sig, 0::UBIGINT) AS sig
+                FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id
+            ), cand AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.sig, b.sig)) <= 3
+            ), words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), truth AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+            ), m AS (
+                SELECT (SELECT count(*) FROM truth) AS n_truth,
+                       (SELECT count(*) FROM cand) AS n_cand,
+                       (SELECT count(*)
+                        FROM cand JOIN truth USING (doc_a, doc_b)) AS n_hit
+            )
+            SELECT CAST(n_truth AS BIGINT) AS n_truth,
+                   CAST(n_cand AS BIGINT) AS n_candidates,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit * 1000000 // n_cand AS DOUBLE)
+                        ELSE NULL END AS precision_ppm,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit * 1000000 // n_truth AS DOUBLE)
+                        ELSE NULL END AS recall_ppm
+            FROM m
         """,
         "docs_ngram_jaccard_pairs": r"""
             -- exact word-3-shingle Jaccard >= 0.6 over all pairs

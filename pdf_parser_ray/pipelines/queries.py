@@ -819,6 +819,40 @@ def docs_simhash_pairs(sf_dir: str):
     return rel.to_pandas_sorted(out, ["doc_a", "doc_b"])
 
 
+def docs_simhash_eval(sf_dir: str, truth_threshold: float = 0.6,
+                      max_hamming: int = 3):
+    """Candidate-quality eval of the SimHash near-dup screen against
+    the exact n-gram-Jaccard truth set (J >= 0.6): precision and recall
+    as exact truncating ppm — the "measure, don't guess" harness run
+    before trusting a cheap sketch screen at corpus scale (the simhash
+    sibling of emb_ann_recall). Both inputs are already-oracled
+    distributed plans (chunk-banded simhash pairs; inverted-index exact
+    Jaccard pairs); the eval merges the two OUTPUT-sized pair frames on
+    the driver (near-dup pairs are bounded by dup volume, the same
+    budget those pipelines already return to the caller). Degenerate
+    denominators (no candidates / no truth pairs) agree as NULL/NaN."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    cand = dedup.simhash_pairs(ds, max_hamming=max_hamming).to_pandas()
+    truth = _ngram_pairs(sf_dir, truth_threshold).to_pandas()
+    cset = (set(zip(cand["doc_a"].astype("int64"),
+                    cand["doc_b"].astype("int64")))
+            if len(cand) else set())
+    tset = (set(zip(truth["doc_a"].astype("int64"),
+                    truth["doc_b"].astype("int64")))
+            if len(truth) else set())
+    hit = len(cset & tset)
+    prec = (float(hit * 1_000_000 // len(cset)) if cset
+            else float("nan"))
+    rec = (float(hit * 1_000_000 // len(tset)) if tset
+           else float("nan"))
+    return pd.DataFrame({
+        "n_truth": pd.Series([len(tset)], dtype="int64"),
+        "n_candidates": pd.Series([len(cset)], dtype="int64"),
+        "n_hit": pd.Series([hit], dtype="int64"),
+        "precision_ppm": pd.Series([prec], dtype="float64"),
+        "recall_ppm": pd.Series([rec], dtype="float64")})
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------

@@ -2542,3 +2542,25 @@ def test_purchase_session_overlap_fuzz(rows):
         "event_type": pa.array([r[2] for r in rows], pa.string()),
     })
     _check("events_purchase_session_overlap", {"events": events})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+             min_size=0, max_size=10),
+    min_size=1, max_size=10))
+def test_simhash_eval_fuzz(docs):
+    """Composed candidate-quality eval: the simhash screen and the exact
+    Jaccard truth set are each independently oracled; this pins the
+    composition — set intersection, truncating ppm, and the NULL/NaN
+    degenerate denominators (empty docs make empty signatures and no
+    truth pairs)."""
+    from pdf_parser_ray.pipelines import queries as q
+
+    q.clear_session_caches()  # fake sf_dir keys must not hit stale memos
+    documents = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([" ".join(d) for d in docs], pa.string()),
+    })
+    _check("docs_simhash_eval", {"documents": documents})
