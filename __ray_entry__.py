@@ -374,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": q.docs_simhash,
         "docs_simhash_pairs": q.docs_simhash_pairs,
         "docs_simhash_eval": q.docs_simhash_eval,
+        "docs_minhash_eval": q.docs_minhash_eval,
+        "docs_lsh_recall_curve": q.docs_lsh_recall_curve,
         "docs_top_tokens": q.docs_top_tokens,
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -5065,6 +5067,125 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(n_hit * 1000000 // n_truth AS DOUBLE)
                         ELSE NULL END AS recall_ppm
             FROM m
+        """,
+        "docs_minhash_eval": r"""
+            -- md5-minhash LSH screen (64 perms, 16 bands x 4 rows;
+            -- BIGINT-only arithmetic: h = md5 >> 33 and a,b < 2^31 keep
+            -- every product under 2^62) vs exact n-gram Jaccard truth
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), perms AS (
+                SELECT CAST(p AS BIGINT) AS p,
+                       CAST(md5_number_upper('mh-a-' || p) % 2147483647
+                            + 1 AS BIGINT) AS a,
+                       CAST(md5_number_upper('mh-b-' || p) % 2147483648
+                            AS BIGINT) AS b
+                FROM (SELECT unnest(range(0, 64)) AS p)
+            ), sig AS (
+                SELECT doc_id, p, p // 4 AS band,
+                       min((a * CAST(md5_number_upper(s) >> 33 AS BIGINT)
+                            + b) % 2305843009213693951) AS v
+                FROM sh, perms GROUP BY doc_id, p
+            ), bandfp AS (
+                SELECT doc_id, band,
+                       string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS fp
+                FROM sig GROUP BY doc_id, band
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bandfp a JOIN bandfp b
+                  ON a.band = b.band AND a.fp = b.fp
+                 AND a.doc_id < b.doc_id
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), truth AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+            ), m AS (
+                SELECT (SELECT count(*) FROM truth) AS n_truth,
+                       (SELECT count(*) FROM cand) AS n_cand,
+                       (SELECT count(*)
+                        FROM cand JOIN truth USING (doc_a, doc_b)) AS n_hit
+            )
+            SELECT CAST(n_truth AS BIGINT) AS n_truth,
+                   CAST(n_cand AS BIGINT) AS n_candidates,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit * 1000000 // n_cand AS DOUBLE)
+                        ELSE NULL END AS precision_ppm,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit * 1000000 // n_truth AS DOUBLE)
+                        ELSE NULL END AS recall_ppm
+            FROM m
+        """,
+        "docs_lsh_recall_curve": r"""
+            -- md5-minhash LSH recall by true-Jaccard decile (same
+            -- signature/banding CTEs as docs_minhash_eval)
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), perms AS (
+                SELECT CAST(p AS BIGINT) AS p,
+                       CAST(md5_number_upper('mh-a-' || p) % 2147483647
+                            + 1 AS BIGINT) AS a,
+                       CAST(md5_number_upper('mh-b-' || p) % 2147483648
+                            AS BIGINT) AS b
+                FROM (SELECT unnest(range(0, 64)) AS p)
+            ), sig AS (
+                SELECT doc_id, p, p // 4 AS band,
+                       min((a * CAST(md5_number_upper(s) >> 33 AS BIGINT)
+                            + b) % 2305843009213693951) AS v
+                FROM sh, perms GROUP BY doc_id, p
+            ), bandfp AS (
+                SELECT doc_id, band,
+                       string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS fp
+                FROM sig GROUP BY doc_id, band
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bandfp a JOIN bandfp b
+                  ON a.band = b.band AND a.fp = b.fp
+                 AND a.doc_id < b.doc_id
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), truthj AS (
+                SELECT doc_a, doc_b,
+                       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS j
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+            ), b AS (
+                SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS j_band,
+                       count(*) AS n_truth,
+                       CAST(sum(CASE WHEN c.doc_a IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                FROM truthj t LEFT JOIN cand c USING (doc_a, doc_b)
+                GROUP BY 1
+            )
+            SELECT j_band, CAST(n_truth AS BIGINT) AS n_truth, n_hit,
+                   CAST(n_hit * 1000000 // n_truth AS DOUBLE) AS recall_ppm
+            FROM b
         """,
         "docs_ngram_jaccard_pairs": r"""
             -- exact word-3-shingle Jaccard >= 0.6 over all pairs

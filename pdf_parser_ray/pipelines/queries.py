@@ -771,6 +771,27 @@ def clear_session_caches() -> None:
     _VERIFIED_PAIRS_CACHE.clear()
     _NGRAM_PAIRS_CACHE.clear()
     _CLUSTER_CACHE.clear()
+    _MH_EVAL_CANDS_CACHE.clear()
+
+
+# Candidate pairs of the SQL-twinnable md5-minhash screen — shared by the
+# two LSH-quality harnesses below (same artifact discipline as
+# _ngram_pairs: computed once per session, dup-bounded output).
+_MH_EVAL_CANDS_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
+def _mh_eval_candidates(sf_dir: str) -> ray.data.Dataset:
+    key = _memo_key(sf_dir, -1.0)
+    if key not in _MH_EVAL_CANDS_CACHE:
+        ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+        # cap-free banding: the oracle has no star-edge notion, and the
+        # eval's point is the UNCAPPED screen quality. At web scale the
+        # harness runs on a sample (or re-enables the cap and measures
+        # the capped screen instead).
+        _MH_EVAL_CANDS_CACHE[key] = dedup.minhash_candidates(
+            ds, bucket_cap=1 << 40,
+            band_fn=dedup.md5_minhash_band_keys).materialize()
+    return _MH_EVAL_CANDS_CACHE[key]
 
 
 def docs_minhash_pairs(sf_dir: str):
@@ -851,6 +872,82 @@ def docs_simhash_eval(sf_dir: str, truth_threshold: float = 0.6,
         "n_hit": pd.Series([hit], dtype="int64"),
         "precision_ppm": pd.Series([prec], dtype="float64"),
         "recall_ppm": pd.Series([rec], dtype="float64")})
+
+
+def docs_minhash_eval(sf_dir: str, truth_threshold: float = 0.6):
+    """Candidate-quality eval of the MinHash-LSH near-dup screen against
+    the exact n-gram-Jaccard truth set (J >= 0.6): precision and recall
+    as exact truncating ppm — the minhash sibling of docs_simhash_eval,
+    and the number that justifies (or vetoes) replacing the exact
+    inverted-index dedup with the subquadratic LSH screen at corpus
+    scale. The production crc32 minhash has no SQL twin, so this harness
+    measures the md5-based variant at the SAME geometry (64 perms, 16
+    bands x 4 rows — `dedup.md5_minhash_band_keys`): hash family aside,
+    the banding math (and hence the measured recall curve) is identical.
+    Both inputs are distributed plans; the eval merges the two
+    OUTPUT-sized pair frames on the driver (dup-bounded, the same budget
+    those pipelines already return). Degenerate denominators agree as
+    NULL/NaN. Oracle: DuckDB recomputes signature, banding and truth from
+    scratch (md5_number_upper arithmetic is chosen to fit BIGINT)."""
+    cand = _mh_eval_candidates(sf_dir).to_pandas()
+    truth = _ngram_pairs(sf_dir, truth_threshold).to_pandas()
+    cset = (set(zip(cand["doc_a"].astype("int64"),
+                    cand["doc_b"].astype("int64")))
+            if len(cand) else set())
+    tset = (set(zip(truth["doc_a"].astype("int64"),
+                    truth["doc_b"].astype("int64")))
+            if len(truth) else set())
+    hit = len(cset & tset)
+    prec = (float(hit * 1_000_000 // len(cset)) if cset
+            else float("nan"))
+    rec = (float(hit * 1_000_000 // len(tset)) if tset
+           else float("nan"))
+    return pd.DataFrame({
+        "n_truth": pd.Series([len(tset)], dtype="int64"),
+        "n_candidates": pd.Series([len(cset)], dtype="int64"),
+        "n_hit": pd.Series([hit], dtype="int64"),
+        "precision_ppm": pd.Series([prec], dtype="float64"),
+        "recall_ppm": pd.Series([rec], dtype="float64")})
+
+
+def docs_lsh_recall_curve(sf_dir: str, truth_threshold: float = 0.6):
+    """Recall of the md5-minhash LSH screen BY TRUE-JACCARD DECILE — the
+    S-curve that tells you WHERE the screen loses pairs: banding theory
+    says P(candidate) = 1 - (1 - J^4)^16, so recall should climb from
+    ~0.89 at J = 0.6 to ~1 near J = 1; a miss bucket at high J flags a
+    hash-family or banding bug, misses at low J are the priced-in LSH
+    trade. One row per occupied decile (j_band = least(floor(J*10), 9)):
+    truth-pair count, candidate hits, truncating-ppm recall. Both pair
+    frames are dup-bounded; the decile fold is driver-side over output-
+    sized data (same budget as docs_minhash_eval, whose candidate
+    artifact it shares)."""
+    cand = _mh_eval_candidates(sf_dir).to_pandas()
+    truth = _ngram_pairs(sf_dir, truth_threshold).to_pandas()
+    if not len(truth):
+        return pd.DataFrame({
+            "j_band": pd.Series(dtype="int64"),
+            "n_truth": pd.Series(dtype="int64"),
+            "n_hit": pd.Series(dtype="int64"),
+            "recall_ppm": pd.Series(dtype="float64")})
+    cset = (set(zip(cand["doc_a"].astype("int64"),
+                    cand["doc_b"].astype("int64")))
+            if len(cand) else set())
+    # floor(J*10) is IEEE-identical on both engines: J is already the
+    # half-away-rounded 4-decimal double the SQL twin computes.
+    bands = np.minimum(np.floor(truth["jaccard"].to_numpy() * 10.0), 9.0)
+    hits = np.fromiter(
+        ((int(a), int(b)) in cset
+         for a, b in zip(truth["doc_a"], truth["doc_b"])),
+        dtype=bool, count=len(truth))
+    df = pd.DataFrame({"j_band": bands.astype("int64"), "hit": hits})
+    g = df.groupby("j_band", sort=True)
+    out = pd.DataFrame({
+        "j_band": g.size().index.astype("int64"),
+        "n_truth": g.size().to_numpy().astype("int64"),
+        "n_hit": g["hit"].sum().to_numpy().astype("int64")})
+    out["recall_ppm"] = (out["n_hit"] * 1_000_000 // out["n_truth"]
+                         ).astype("float64")
+    return rel.to_pandas_sorted(out, ["j_band"])
 
 
 # ---------------------------------------------------------------------------

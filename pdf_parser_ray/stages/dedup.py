@@ -146,6 +146,38 @@ def minhash_candidates(docs: ray.data.Dataset,
 _SHINGLE_SEP = "\n"
 
 
+# --- SQL-twinnable MinHash (the eval-harness variant) --------------------
+# The production minhash (functions/sketches.py) hashes shingles with
+# crc32, which DuckDB cannot replicate, so its LSH screen is rows-only.
+# This variant is built ONLY from operations an oracle can replay exactly:
+#   shingle hash  h = md5_number_upper(shingle) >> 33          (31 bits)
+#   permutation   v_p = (a_p * h + b_p) mod (2^61 - 1)
+# with a_p, b_p < 2^31 themselves md5-derived from the permutation index,
+# so every product fits int64/BIGINT on both engines — no HUGEINT, no
+# uint128 — and the whole signature is one numpy (S, P) broadcast.
+# Same geometry as production (64 perms, 16 bands x 4 rows): the measured
+# screen quality transfers.
+MH_MERSENNE = (1 << 61) - 1
+_MH_A = np.array([sketches._md5_64(f"mh-a-{p}") % (2 ** 31 - 1) + 1
+                  for p in range(sketches.N_PERM)], dtype=np.uint64)
+_MH_B = np.array([sketches._md5_64(f"mh-b-{p}") % (2 ** 31)
+                  for p in range(sketches.N_PERM)], dtype=np.uint64)
+
+
+def md5_minhash_band_keys(text: str) -> list[str]:
+    """LSH band keys for the md5-based (SQL-twinnable) minhash. Empty for
+    docs with no shingles (< 3 words) — the oracle's shingle CTE domain."""
+    sh = _sql_shingles(text)
+    if not sh:
+        return []
+    h = np.array([sketches._md5_64(s) >> 33 for s in sh], dtype=np.uint64)
+    v = (_MH_A[None, :] * h[:, None] + _MH_B[None, :]) % np.uint64(MH_MERSENNE)
+    sig = v.min(axis=0)
+    r = sketches.ROWS_PER_BAND
+    return [f"{b}:" + ",".join(str(int(sig[b * r + i])) for i in range(r))
+            for b in range(sketches.N_BANDS)]
+
+
 def _sql_shingles(text: str) -> set[str]:
     """Word 3-shingles with the SQL oracle's exact domain: docs with
     fewer than 3 words have NO shingles (the oracle's shingle CTE is

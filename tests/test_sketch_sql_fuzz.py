@@ -84,6 +84,42 @@ def test_winnow_sql_parity_fuzz(con, text):
 
 
 @settings(max_examples=40, deadline=None)
+@given(text=_TEXT)
+def test_md5_minhash_band_sql_parity_fuzz(con, text):
+    """md5-minhash band fingerprints (the SQL-twinnable LSH screen behind
+    docs_minhash_eval): the Python band keys must encode exactly the
+    (band, csv-of-minima) fingerprints DuckDB recomputes from scratch —
+    a divergence anywhere (tokenization, >> 33 truncation, BIGINT affine
+    arithmetic, per-band ordering) breaks the eval oracle silently."""
+    from pdf_parser_ray.stages import dedup
+
+    py = {tuple(k.split(":", 1)) for k in dedup.md5_minhash_band_keys(text)}
+    rows = con.execute(r"""
+        WITH words AS (SELECT regexp_extract_all(?, '\S+') AS w),
+        sh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+               FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+               WHERE len(w) >= 3),
+        perms AS (
+            SELECT CAST(p AS BIGINT) AS p,
+                   CAST(md5_number_upper('mh-a-' || p) % 2147483647 + 1
+                        AS BIGINT) AS a,
+                   CAST(md5_number_upper('mh-b-' || p) % 2147483648
+                        AS BIGINT) AS b
+            FROM (SELECT unnest(range(0, 64)) AS p)
+        ), sig AS (
+            SELECT p, p // 4 AS band,
+                   min((a * CAST(md5_number_upper(s) >> 33 AS BIGINT) + b)
+                       % 2305843009213693951) AS v
+            FROM sh, perms GROUP BY p
+        )
+        SELECT CAST(band AS VARCHAR),
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY p)
+        FROM sig GROUP BY band
+    """, [text]).fetchall()
+    assert py == {(r[0], r[1]) for r in rows}
+
+
+@settings(max_examples=40, deadline=None)
 @given(a=_TEXT, b=_TEXT)
 def test_shingle_jaccard_sql_parity_fuzz(con, a, b):
     """Exact 3-word-shingle Jaccard: python kernel vs the SQL formulation
