@@ -392,7 +392,11 @@ def main():
     # 8->32 pair can be requested explicitly; BASELINE.md records both.
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
-    ap.add_argument("--inline-scaling-reps", type=int, default=2,
+    # 3 reps: the 2-rep inline pair was the one artifact still exposed to
+    # single-box wall noise (a 2-rep run measured 0.776 where 3 reps
+    # measured 0.845 the same day); the recorded number should carry the
+    # same best-of-3 discipline as the standalone --scaling mode
+    ap.add_argument("--inline-scaling-reps", type=int, default=3,
                     help="full mode: also run the low/high scaling pair "
                          "with this many reps per point and embed the "
                          "efficiency in the final line (0 = skip)")

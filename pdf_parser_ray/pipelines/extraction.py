@@ -158,8 +158,14 @@ def extract_dataset(
     # per parse task; compacting before the groupby halves assembly time
     chunks = parsed.map_batches(only(False), batch_format="pyarrow",
                                 zero_copy_batch=True).repartition(cluster_cpus())
-    assembled = chunks.groupby("url").map_groups(assemble_group,
-                                                 batch_format="pyarrow")
+    # url is corpus-cardinality: exchange on a hashed partition id and
+    # replay per-url assembly inside each partition instead of paying a
+    # key-sorted shuffle (relational.salted_map_groups; byte-equality vs
+    # the sequential oracle is pinned by the explode parity tests)
+    from pdf_parser_ray.pipelines.relational import salted_map_groups
+
+    assembled = salted_map_groups(chunks, ["url"], assemble_group,
+                                  "pyarrow")
     return finals.union(assembled)
 
 

@@ -126,7 +126,8 @@ def q3_top_revenue_orders(sf_dir: str):
     line_f = line.map_batches(line_prep, batch_format="pyarrow", zero_copy_batch=True)
     joined = rel.hash_join(line_f, orders_f, on="l_orderkey",
                            right_on="o_orderkey", num_partitions=16)
-    agg = rel.grouped_agg(joined, ["l_orderkey"], [("revenue", "rev_c", "sum")])
+    agg = rel.grouped_agg(joined, ["l_orderkey"], [("revenue", "rev_c", "sum")],
+                          int_exact=True)  # rev_c is exact cents int64
     df = agg.to_pandas()
     df["revenue"] = _dollars(df["revenue"])
     df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
@@ -305,7 +306,8 @@ def q10_returned_items(sf_dir: str):
                               zero_copy_batch=True)
     joined = rel.hash_join(line_f, orders_f, on="l_orderkey",
                            right_on="o_orderkey", num_partitions=16)
-    agg = rel.grouped_agg(joined, ["o_custkey"], [("rev_c", "rev_c", "sum")])
+    agg = rel.grouped_agg(joined, ["o_custkey"], [("rev_c", "rev_c", "sum")],
+                          int_exact=True)  # rev_c is exact cents int64
     top = rel.local_topk(agg, [("rev_c", "descending"),
                                ("o_custkey", "ascending")], 20)
 
@@ -359,7 +361,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
             "n_events": [len(g)],
         })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = rel.salted_map_groups(ds, ["user_id"], per_user)
     return rel.to_pandas_sorted(out.to_pandas(), ["user_id"])
 
 
@@ -401,10 +403,10 @@ def events_sessions_salted(sf_dir: str, gap_minutes: int = 30):
             "n_events": [len(g)],
         })
 
-    slices = (ds.map_batches(add_day, batch_format="pyarrow",
-                             zero_copy_batch=True)
-              .groupby(["user_id", "day"])
-              .map_groups(per_slice, batch_format="pandas"))
+    slices = rel.salted_map_groups(
+        ds.map_batches(add_day, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "day"], per_slice)
 
     def merge_user(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("day", kind="mergesort")
@@ -417,8 +419,7 @@ def events_sessions_salted(sf_dir: str, gap_minutes: int = 30):
             "n_events": [int(g["n_events"].sum())],
         })
 
-    out = slices.groupby("user_id").map_groups(merge_user,
-                                               batch_format="pandas")
+    out = rel.salted_map_groups(slices, ["user_id"], merge_user)
     df = rel.ensure_columns(out.to_pandas(), {
         "user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
     return rel.to_pandas_sorted(df, ["user_id"])
@@ -553,7 +554,7 @@ def events_funnel(sf_dir: str):
         return pd.DataFrame({"viewed": [viewed], "clicked": [clicked],
                              "converted": [converted]})
 
-    flags = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    flags = rel.salted_map_groups(ds, ["user_id"], per_user)
     df = flags.to_pandas().sum()
     return pd.DataFrame({
         "n_viewed": [int(df["viewed"])],
@@ -1083,7 +1084,7 @@ def events_rolling(sf_dir: str):
             "avg3": series_round_half_away(avg3, 4),
         })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = rel.salted_map_groups(ds, ["user_id"], per_user)
     df = rel.ensure_columns(out.to_pandas(), {
         "event_id": "int64", "user_id": "int64", "avg3": "float64"})
     return rel.to_pandas_sorted(df, ["event_id"])
@@ -1164,7 +1165,7 @@ def events_asof_click(sf_dir: str):
                 joined["click_value"].fillna(0.0), 2),
         })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = rel.salted_map_groups(ds, ["user_id"], per_user)
     df = rel.ensure_columns(out.to_pandas(), {
         "event_id": "int64", "user_id": "int64",
         "click_id": "int64", "click_value": "float64"})
@@ -1533,7 +1534,7 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
     # document frequency: rows are already distinct (doc, tok), so df is
     # one grouped count per token — two-phase, distributed
     df_ds = rel.ensure_schema(
-        tf.groupby("tok").aggregate(Count(alias_name="df")),
+        rel.salted_agg(tf, ["tok"], [("tok", "count_all", "df")]),
         pa.schema([("tok", pa.string()), ("df", pa.int64())])).materialize()
     # hash-shuffle join on tok — partition count sized from the KEY
     # cardinality (the vocabulary), not the row count: Ray 2.49 joins
@@ -1808,7 +1809,7 @@ def events_error_click_window(sf_dir: str, window_s: int = 300):
             "n_recent_clicks": (hi - lo).astype("int64"),
         })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = rel.salted_map_groups(ds, ["user_id"], per_user)
     df = rel.ensure_columns(out.to_pandas(), {
         "event_id": "int64", "user_id": "int64",
         "n_recent_clicks": "int64"})
@@ -2720,8 +2721,7 @@ def _dup_marks(ds: "ray.data.Dataset", k: int,
             "starts": [",".join(str(s) for s in starts)],
         })
 
-    marks = marked.groupby("doc_id").map_groups(pack,
-                                                batch_format="pandas")
+    marks = rel.salted_map_groups(marked, ["doc_id"], pack)
     return "joined", rel.ensure_schema(
         marks, pa.schema([("doc_id", pa.int64()), ("starts", pa.string())]))
 
@@ -3090,8 +3090,7 @@ def events_debounce(sf_dir: str, window_s: int = 300):
             "event_type": out["event_type"].to_numpy(object),
         })
 
-    out = (ds.groupby(["user_id", "event_type"])
-           .map_groups(per_key, batch_format="pandas"))
+    out = rel.salted_map_groups(ds, ["user_id", "event_type"], per_key)
     df = rel.ensure_columns(out.to_pandas(), {
         "event_id": "int64", "user_id": "int64", "event_type": "object"})
     return rel.to_pandas_sorted(df, ["user_id", "event_type", "event_id"])
@@ -3120,7 +3119,7 @@ def events_interarrival(sf_dir: str):
             "delta_us": delta,
         })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = rel.salted_map_groups(ds, ["user_id"], per_user)
     df = rel.ensure_columns(out.to_pandas(), {
         "event_id": "int64", "user_id": "int64", "delta_us": "int64"})
     return rel.to_pandas_sorted(df, ["user_id", "event_id"])
@@ -3576,7 +3575,7 @@ def docs_postings(sf_dir: str):
             "postings": [",".join(str(x) for x in d)],
         })
 
-    out = rows.groupby("tok").map_groups(build, batch_format="pandas")
+    out = rel.salted_map_groups(rows, ["tok"], build)
     df = rel.ensure_columns(out.to_pandas(), {
         "tok": "object", "df": "int64", "postings": "object"})
     return rel.to_pandas_sorted(df, ["tok"])
@@ -3773,7 +3772,7 @@ def docs_pagerank(sf_dir: str, n_iters: int = 4,
                             on=("src",), right_on=("doc_id",))
         cands = joined.map_batches(
             contrib, batch_format="pyarrow").union(zeros)
-        agg = cands.groupby("dst").aggregate(Sum("contrib", alias_name="s"))
+        agg = rel.salted_agg(cands, ["dst"], [("contrib", "sum", "s")])
         scores = rel.ensure_schema(
             agg.map_batches(finish, batch_format="pyarrow"),
             score_schema).materialize()
@@ -4652,9 +4651,9 @@ def events_user_top_type(sf_dir: str):
             "n_top": [int(tot["n"].iloc[0])],
         })
 
-    out = (ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+    out = rel.salted_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
     return rel.to_pandas_sorted(out.to_pandas(), ["user_id"])
 
 
@@ -4689,9 +4688,9 @@ def events_type_affinity(sf_dir: str):
                 t2.append(types[j])
         return pd.DataFrame({"t1": t1, "t2": t2})
 
-    marks = (ds.map_batches(distinct_pairs, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+    marks = rel.salted_map_groups(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
     counts = rel.as_pandas(rel.grouped_agg(
         marks, ["t1", "t2"], [("n", "", "count")], small_result=True))
     singles = {r.t1: int(r.n) for r in counts.itertuples() if r.t2 == ""}
@@ -5062,8 +5061,7 @@ def events_markov(sf_dir: str):
         cnt["n"] = cnt["n"].astype("int64")
         return cnt
 
-    pairs = ds.groupby("user_id").map_groups(per_user,
-                                             batch_format="pandas")
+    pairs = rel.salted_map_groups(ds, ["user_id"], per_user)
     agg = rel.as_pandas(rel.grouped_agg(
         pairs, ["prev", "nxt"], [("n", "n", "sum")], small_result=True))
     agg["n"] = agg["n"].astype("int64")
@@ -5106,8 +5104,7 @@ def events_top_paths(sf_dir: str, k: int = 10):
         cnt["n"] = cnt["n"].astype("int64")
         return cnt
 
-    triples = ds.groupby("user_id").map_groups(per_user,
-                                               batch_format="pandas")
+    triples = rel.salted_map_groups(ds, ["user_id"], per_user)
     agg = rel.as_pandas(rel.grouped_agg(
         triples, ["e1", "e2", "e3"], [("n", "n", "sum")],
         small_result=True))
@@ -5583,10 +5580,9 @@ def customer_order_gaps(sf_dir: str):
             "median_gap_days": pd.Series([med], dtype="int64"),
             "max_gap_days": pd.Series([int(gaps[-1])], dtype="int64")})
 
-    out = (orders.map_batches(prep, batch_format="pyarrow",
-                              zero_copy_batch=True)
-           .groupby("o_custkey").map_groups(per_cust,
-                                            batch_format="pandas"))
+    out = rel.salted_map_groups(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True), ["o_custkey"], per_cust)
     df = rel.ensure_columns(out.to_pandas(), {
         "o_custkey": "int64", "n_gaps": "int64",
         "median_gap_days": "int64", "max_gap_days": "int64"})
@@ -5900,8 +5896,7 @@ def events_user_streaks(sf_dir: str):
             "active_days": pd.Series([len(days)], dtype="int64"),
         })
 
-    out = uday.groupby("user_id").map_groups(per_user,
-                                             batch_format="pandas")
+    out = rel.salted_map_groups(uday, ["user_id"], per_user)
     df = rel.ensure_columns(out.to_pandas(), {
         "user_id": "int64", "n_streaks": "int64",
         "longest_streak": "int64", "active_days": "int64"})
@@ -6689,8 +6684,7 @@ def events_user_burstiness(sf_dir: str):
             "ss": [np.int64((gap * gap).sum())],
         })
 
-    agg = (ds.groupby("user_id").map_groups(per_user,
-                                            batch_format="pandas")
+    agg = (rel.salted_map_groups(ds, ["user_id"], per_user)
            .to_pandas())
     agg = rel.ensure_columns(agg, {"user_id": "int64", "n_gaps": "int64",
                                    "s": "int64", "ss": "int64"})
@@ -7350,7 +7344,8 @@ def q18_large_orders(sf_dir: str, min_qty: float = 250.0):
     per_order = rel.grouped_agg(
         line.map_batches(prep, batch_format="pyarrow",
                          zero_copy_batch=True),
-        ["l_orderkey"], [("qc", "qc", "sum")])
+        ["l_orderkey"], [("qc", "qc", "sum")],
+        int_exact=True)  # qc is exact centi-quantity int64
     thresh = int(round(min_qty * 100))
     # aggregate outputs emit schema-less empty blocks, and the HAVING
     # filter can empty the survivor side entirely: normalize, size
@@ -7577,9 +7572,9 @@ def events_first_touch(sf_dir: str):
             "conv": pd.Series([conv], dtype="int64"),
             "gap_us": pd.Series([gap], dtype="int64")})
 
-    per = (ev.map_batches(prep, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+    per = rel.salted_map_groups(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
     agg = rel.grouped_agg(per, ["first_type"],
                           [("n_users", "", "count"),
                            ("n_converted", "conv", "sum"),
@@ -8662,8 +8657,8 @@ def docs_exactdup_savings(sf_dir: str):
 
     fps = docs.map_batches(prep, batch_format="pyarrow",
                            zero_copy_batch=True)
-    dup_partials = fps.groupby("fp").map_groups(
-        group_partial, batch_format="pyarrow")
+    dup_partials = rel.salted_map_groups(fps, ["fp"], group_partial,
+                                         "pyarrow")
     dup_agg = rel.grouped_agg(
         dup_partials, ["source"],
         [("n_dup_docs", "n_dup_docs", "sum"),
@@ -8759,9 +8754,9 @@ def events_session_length_hist(sf_dir: str, gap_minutes: int = 30):
     def drop_null(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_valid(batch.column("user_id")))
 
-    partials = ds.map_batches(drop_null, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    partials = rel.salted_map_groups(
+        ds.map_batches(drop_null, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
     agg = rel.grouped_agg(partials, ["session_len"],
                           [("n_sessions", "n_sessions", "sum")],
                           small_result=True)
@@ -9001,9 +8996,9 @@ def events_error_burst_sessions(sf_dir: str, gap_minutes: int = 30):
     def drop_null(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_valid(batch.column("user_id")))
 
-    partials = ds.map_batches(drop_null, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    partials = rel.salted_map_groups(
+        ds.map_batches(drop_null, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
     schema = pa.schema([("n_sessions", pa.int64()),
                         ("n_error_sessions", pa.int64())])
     partials = rel.ensure_schema(partials, schema).materialize()
@@ -9241,7 +9236,7 @@ def docs_source_vocab_jaccard(sf_dir: str):
                          "source_b": pa.array(b, pa.string())})
 
     inter = rel.grouped_agg(
-        vocab.groupby("tok").map_groups(tok_pairs, batch_format="pyarrow"),
+        rel.salted_map_groups(vocab, ["tok"], tok_pairs, "pyarrow"),
         ["source_a", "source_b"], [("n_shared", "", "count")],
         small_result=True)
     df = rel.ensure_columns(rel.as_pandas(inter), {
@@ -9502,7 +9497,7 @@ def docs_pipeline_yield(sf_dir: str):
         return group.take(idx[:1])
 
     keepers = rel.ensure_schema(
-        stats.groupby("fp").map_groups(keeper, batch_format="pyarrow"),
+        rel.salted_map_groups(stats, ["fp"], keeper, "pyarrow"),
         s_schema).materialize()
 
     def gate(batch: pa.Table) -> pa.Table:
@@ -9649,9 +9644,9 @@ def events_session_gap_sensitivity(sf_dir: str,
     def drop_null(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_valid(batch.column("user_id")))
 
-    partials = ds.map_batches(drop_null, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    partials = rel.salted_map_groups(
+        ds.map_batches(drop_null, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
     agg = rel.grouped_agg(partials, ["gap_minutes"],
                           [("n_sessions", "n_sessions", "sum")],
                           small_result=True)
@@ -10154,9 +10149,9 @@ def events_session_value(sf_dir: str, gap_minutes: int = 30):
     def drop_null(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_valid(batch.column("user_id")))
 
-    partials = ds.map_batches(drop_null, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    partials = rel.salted_map_groups(
+        ds.map_batches(drop_null, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
     schema = pa.schema([("n_sessions", pa.int64()), ("sum_c", pa.int64()),
                         ("max_c", pa.int64())])
     partials = rel.ensure_schema(partials, schema).materialize()
@@ -10473,9 +10468,9 @@ def events_first_week_activation(sf_dir: str, min_events: int = 5):
     def drop_null(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_valid(batch.column("user_id")))
 
-    partials = ds.map_batches(drop_null, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    partials = rel.salted_map_groups(
+        ds.map_batches(drop_null, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
     partials = rel.ensure_schema(
         partials, pa.schema([("activated", pa.int64())])).materialize()
     n_users = partials.count()
@@ -11644,11 +11639,13 @@ def q20_dominant_suppliers(sf_dir: str):
         rel.grouped_agg(
             line.map_batches(prep, batch_format="pyarrow",
                              zero_copy_batch=True),
-            ["l_partkey", "l_suppkey"], [("q", "q", "sum")]),
+            ["l_partkey", "l_suppkey"], [("q", "q", "sum")],
+            int_exact=True),  # q is exact centi-quantity int64
         pair_schema).materialize()
     tot_schema = pa.schema([("pk", pa.int64()), ("tq", pa.int64())])
     totals = rel.ensure_schema(
-        rel.grouped_agg(pairs, ["l_partkey"], [("tq", "q", "sum")]),
+        rel.grouped_agg(pairs, ["l_partkey"], [("tq", "q", "sum")],
+                        int_exact=True),
         pa.schema([("l_partkey", pa.int64()), ("tq", pa.int64())])) \
         .map_batches(lambda b: b.rename_columns(["pk", "tq"]),
                      batch_format="pyarrow")
@@ -12818,8 +12815,7 @@ def events_session_abandonment(sf_dir: str, gap_minutes: int = 30):
         conv = int(((per["c"] == 1) & (per["p"] == 1)).sum())
         return pd.DataFrame({"a": [a], "c": [conv]})
 
-    parts = ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").to_pandas()
+    parts = rel.salted_map_groups(ds, ["user_id"], per_user).to_pandas()
     a = int(parts["a"].sum()) if not parts.empty else 0
     c = int(parts["c"].sum()) if not parts.empty else 0
     ppm = float((1_000_000 * (a - c)) // a) if a > 0 else float("nan")
@@ -13362,8 +13358,7 @@ def events_max_concurrency(sf_dir: str, gap_minutes: int = 30):
             np.int64)
         return pd.DataFrame({"start_us": start, "end_us": end})
 
-    sess = ev.groupby("user_id").map_groups(per_user,
-                                            batch_format="pandas")
+    sess = rel.salted_map_groups(ev, ["user_id"], per_user)
 
     def boundaries(batch: pa.Table) -> pa.Table:
         s = batch.column("start_us").to_numpy(zero_copy_only=False)
@@ -13458,8 +13453,9 @@ def events_purchase_session_overlap(sf_dir: str, gap_minutes: int = 30,
 
     i_schema = pa.schema([("s_user", pa.int64()), ("st_us", pa.int64()),
                           ("en_us", pa.int64())])
-    sessions = ev.select_columns(["user_id", "ts", "event_id"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    sessions = rel.salted_map_groups(
+        ev.select_columns(["user_id", "ts", "event_id"]),
+        ["user_id"], per_user)
 
     def purchases(batch: pa.Table) -> pa.Table:
         kept = batch.filter(pc.equal(batch.column("event_type"),

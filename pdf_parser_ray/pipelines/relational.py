@@ -37,7 +37,9 @@ def load(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.
 
 def grouped_agg(ds: ray.data.Dataset, keys: list[str],
                 spec: list[tuple[str, str, str]],
-                small_result: bool = False):
+                small_result: bool = False,
+                int_exact: bool = False,
+                agg_partitions: int | None = None):
     """Two-phase grouped aggregation.
 
     ``spec`` entries are ``(out_name, src_col, op)`` with op in
@@ -49,6 +51,13 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
     rows happens on the driver instead of paying a whole sort-shuffle
     groupby (which costs seconds of fixed overhead per call). Returns a
     pandas DataFrame in that mode, a Dataset otherwise.
+
+    ``int_exact=True`` declares every aggregated source integer/string
+    (order-insensitive exact ops — the cents-int discipline): the final
+    combine then runs through ``salted_agg`` (hash-partitioned, sort-free;
+    see its docstring for the measured 59 s -> 0.74 s delta at 1M groups)
+    instead of Ray's key-sorted aggregate. Float sums must NOT set this:
+    their accumulation order is the pinned oracle behaviour.
     """
     need_count = any(op == "count" for _, _, op in spec)
     src_cols = sorted({src for _, src, op in spec if op != "count"})
@@ -110,6 +119,16 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
         final_df = gb.agg(**named)
         return final_df[keys + [out for out, _, _ in spec]]
 
+    # count/min/max are order-insensitive for EVERY dtype (count folds
+    # int partials; min/max are lattice ops), so sum-free specs always
+    # take the sort-free combine; sums need the caller's int_exact
+    # declaration because a float sum's accumulation order is pinned.
+    if int_exact or all(op in ("count", "min", "max") for _, _, op in spec):
+        aggs = [((_PARTIAL_COUNT, "sum", out) if op == "count"
+                 else (out, op, out)) for out, _, op in spec]
+        return salted_agg(partials, keys, aggs,
+                          num_partitions=agg_partitions)
+
     finals = []
     for out, _, op in spec:
         if op == "count":
@@ -123,6 +142,151 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
         else:
             raise ValueError(f"unsupported op {op}")
     return partials.groupby(keys).aggregate(*finals)
+
+
+# salted_agg constants: FNV-1a / golden-ratio mixing for the partition
+# hash; null sentinels only decide CO-LOCATION (the in-partition groupby
+# still separates real keys), so a collision with a genuine value is a
+# skew detail, never a correctness issue.
+_SALT_FNV = np.uint64(1099511628211)
+_SALT_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_NULL_INT_SENTINEL = -(1 << 62) + 12345
+_NULL_STR_SENTINEL = "\x00<NULL>"
+
+
+def default_agg_partitions() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, 2 * cpus)
+
+
+def _salt_column(batch: pa.Table, keys: list[str], p: int) -> pa.Array:
+    """Deterministic partition id per row from the key tuple. Hashing is
+    Arrow-canonicalized: a pandas roundtrip would hash the same logical
+    column as int64 in null-free batches and float64 in batches with
+    nulls, splitting equal keys across partitions (observed)."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in keys:
+        col = batch.column(c)
+        if (pa.types.is_integer(col.type) or pa.types.is_temporal(col.type)
+                or pa.types.is_boolean(col.type)):
+            x = pc.fill_null(pc.cast(col, pa.int64()), _NULL_INT_SENTINEL)
+            arr = x.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            s = pc.fill_null(pc.cast(col, pa.string()), _NULL_STR_SENTINEL)
+            arr = pd.util.hash_array(
+                s.to_numpy(zero_copy_only=False)).astype(np.uint64)
+        h = h * _SALT_FNV ^ (arr * _SALT_GOLDEN)
+    return pa.array((h % np.uint64(p)).astype(np.int64), pa.int64())
+
+
+def salted_agg(partials: ray.data.Dataset, keys: list[str],
+               aggs: list[tuple[str, str, str]],
+               num_partitions: int | None = None) -> ray.data.Dataset:
+    """Hash-partitioned final combine for two-phase aggregation — the
+    sort-free replacement for ``Dataset.groupby(keys).aggregate(...)``.
+
+    Ray 2.49's aggregate pays a full sort exchange keyed on the GROUP KEY
+    (measured 59 s for 4M partial rows / 1M int64 groups at 16 CPUs), but
+    a final combine only needs CO-LOCATION, not order: hash the key tuple
+    to one of ``num_partitions`` salt values, sort-exchange on THAT tiny
+    domain instead (0.74 s, same input — the sort collapses when the key
+    domain is the partition count), and run ONE vectorized
+    ``pa.TableGroupBy`` per partition. Exact for order-insensitive ops
+    (integer/string sum, min, max, count); float sums must stay on the
+    legacy path, whose accumulation order is the pinned behaviour.
+
+    ``aggs``: (src, op, out) triples over the PARTIAL columns; op in
+    {"sum", "min", "max", "count_all"}.
+
+    Scale: each partition holds its keys' partial rows as one in-memory
+    block, so size ``num_partitions`` to partial-row volume (callers that
+    know the key cardinality pass it — join_partitions discipline); the
+    default 2x cluster CPUs suits corpus-scale partials that map-side
+    combine has already reduced."""
+    p = num_partitions or default_agg_partitions()
+
+    def addpart(batch: pa.Table) -> pa.Table:
+        return batch.append_column("part", _salt_column(batch, keys, p))
+
+    spec = [(src, op) if op != "count_all" else ([], "count_all")
+            for src, op, _ in aggs]
+    out_names = list(keys) + [out for _, _, out in aggs]
+
+    def combine(group: pa.Table) -> pa.Table:
+        cols = [c for c in group.schema.names if c != "part"]
+        g = pa.TableGroupBy(group.select(cols), keys,
+                            use_threads=False).aggregate(spec)
+        # pyarrow names aggregate outputs "<src>_<op>" ("count_all" for
+        # the row count); select by name, then rename to the out names
+        picked = list(keys) + [
+            (f"{src}_{op}" if op != "count_all" else "count_all")
+            for src, op, _ in aggs]
+        return g.select(picked).rename_columns(out_names)
+
+    return (partials.map_batches(addpart, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("part").map_groups(combine, batch_format="pyarrow"))
+
+
+def salted_map_groups(ds: ray.data.Dataset, keys: list[str], fn,
+                      batch_format: str = "pandas",
+                      num_partitions: int | None = None) -> ray.data.Dataset:
+    """Group-integrity ``map_groups`` WITHOUT the key-sorted exchange:
+    the drop-in for ``ds.groupby(keys).map_groups(fn, batch_format=...)``
+    when the key is high-cardinality (user_id, band_key). The exchange
+    runs on a hashed partition id (tiny domain — the sort collapses, same
+    measured delta as salted_agg); group integrity still holds because
+    equal keys hash to the same partition, and the per-group ``fn`` is
+    replayed inside each partition by a local groupby.
+
+    pandas format: multi-key, NULL keys preserved (dropna=False — the
+    sorted-exchange path delivers NULL-key groups too). pyarrow format:
+    single NON-NULL key (sort_by + boundary slicing keeps everything
+    zero-copy; the band-key use cases guarantee non-null).
+
+    Groups arrive at ``fn`` sorted by key within each partition, matching
+    the sorted-exchange path's per-group contract (fn sees one whole
+    group; cross-group order was never guaranteed to callers)."""
+    p = num_partitions or default_agg_partitions()
+
+    def addpart(batch: pa.Table) -> pa.Table:
+        return batch.append_column("part", _salt_column(batch, keys, p))
+
+    salted = ds.map_batches(addpart, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    if batch_format == "pandas":
+        def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns=["part"])
+            outs = [fn(g) for _, g in df.groupby(keys, sort=True,
+                                                 dropna=False)]
+            return pd.concat(outs, ignore_index=True)
+
+        return salted.groupby("part").map_groups(wrapper,
+                                                 batch_format="pandas")
+
+    if len(keys) != 1:
+        raise ValueError("pyarrow salted_map_groups supports one key")
+    key = keys[0]
+
+    def wrapper_arrow(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"]).sort_by([(key, "ascending")])
+        if t.num_rows == 0:
+            return fn(t)
+        col = t.column(key).combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, len(col) - 1))
+        starts = np.flatnonzero(np.concatenate(
+            ([True], neq.to_numpy(zero_copy_only=False))))
+        bounds = np.append(starts, len(col))
+        outs = [fn(t.slice(int(s), int(e - s)))
+                for s, e in zip(bounds[:-1], bounds[1:])]
+        return pa.concat_tables(outs)
+
+    return salted.groupby("part").map_groups(wrapper_arrow,
+                                             batch_format="pyarrow")
 
 
 def broadcast_merge(ds: ray.data.Dataset, right: pd.DataFrame,

@@ -48,9 +48,12 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """-> (fp, doc_id): one row per distinct text, doc_id = min."""
     fps = docs.map_batches(fingerprint_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    from ray.data.aggregate import Min
+    # the fp key is corpus-cardinality (one group per distinct text):
+    # exactly where the sort-free hash-partitioned combine beats Ray's
+    # key-sorted aggregate (see relational.salted_agg)
+    from pdf_parser_ray.pipelines.relational import salted_agg
 
-    return fps.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
+    return salted_agg(fps, ["fp"], [("doc_id", "min", "doc_id")])
 
 
 def _make_band_rows(band_fn=None):
@@ -118,15 +121,21 @@ def minhash_candidates(docs: ray.data.Dataset,
     bands = docs.map_batches(_make_band_rows(band_fn),
                              batch_format="pyarrow",
                              zero_copy_batch=True)
-    pairs = bands.groupby("band_key").map_groups(
-        _make_emit_pairs(bucket_cap), batch_format="pyarrow")
+    # band_key cardinality is 16x the corpus: exchange on the hashed
+    # partition id instead of sorting the key (relational.salted_map_groups)
+    from pdf_parser_ray.pipelines.relational import salted_map_groups
+
+    pairs = salted_map_groups(bands, ["band_key"],
+                              _make_emit_pairs(bucket_cap), "pyarrow")
     # same pair can surface from several bands: dedupe. A pair is a star
     # edge only if NO band emitted it directly -> Min over the flag.
-    from ray.data.aggregate import Count, Min
+    # Candidate-pair cardinality is dup-bounded but can be large on
+    # boilerplate-heavy corpora: the sort-free combine applies.
+    from pdf_parser_ray.pipelines.relational import salted_agg
 
-    out = (pairs.groupby(["doc_a", "doc_b"])
-           .aggregate(Count(alias_name="n_bands"),
-                      Min("star", alias_name="star")))
+    out = salted_agg(pairs, ["doc_a", "doc_b"],
+                     [("doc_a", "count_all", "n_bands"),
+                      ("star", "min", "star")])
     if keep_star:
         return out
 
@@ -417,12 +426,13 @@ def minhash_verified_pairs(docs: ray.data.Dataset,
                                  threshold)
 
     # union + dedupe: a repaired pair may also exist as a direct
-    # candidate from a non-hot band (identical jaccard either way)
-    from ray.data.aggregate import Min
+    # candidate from a non-hot band (identical jaccard either way; min
+    # on float is order-insensitive, so the sort-free combine is exact)
+    from pdf_parser_ray.pipelines.relational import salted_agg
 
     union = _kept_only(scored).union(_kept_only(repaired))
-    deduped = union.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("jaccard", alias_name="jaccard"))
+    deduped = salted_agg(union, ["doc_a", "doc_b"],
+                         [("jaccard", "min", "jaccard")])
     return ensure_schema(deduped, pa.schema([
         ("doc_a", pa.int64()), ("doc_b", pa.int64()),
         ("jaccard", pa.float64())]))
@@ -493,8 +503,6 @@ def ngram_containment_pairs(docs: ray.data.Dataset, threshold: float = 0.8,
 def _ngram_metric_pairs(docs: ray.data.Dataset, threshold: float,
                         num_partitions: int | None,
                         metric: str) -> ray.data.Dataset:
-    from ray.data.aggregate import Min, Sum
-
     from pdf_parser_ray.pipelines.relational import (
         ensure_schema,
         join_partitions,
@@ -583,12 +591,17 @@ def _ngram_metric_pairs(docs: ray.data.Dataset, threshold: float,
 
     partials = joined.map_batches(orient, batch_format="pyarrow",
                                   zero_copy_batch=True)
-    aggs = [Sum("c", alias_name="i"), Min("n_a", alias_name="n_a"),
-            Min("n_b", alias_name="n_b")]
-    if packable:
-        inter = partials.groupby("pk").aggregate(*aggs)
-    else:
-        inter = partials.groupby(["doc_a", "doc_b"]).aggregate(*aggs)
+    # sort-free hash-partitioned final combine: the pair key space is the
+    # wide step here (sf0.1's dense vocabulary makes ~1M pair groups), and
+    # all three ops are order-insensitive integer folds — exactly
+    # salted_agg's contract (Ray's key-sorted aggregate was the measured
+    # ~14 s/1M-group constant this stage used to pay)
+    from pdf_parser_ray.pipelines.relational import salted_agg
+
+    pair_aggs = [("c", "sum", "i"), ("n_a", "min", "n_a"),
+                 ("n_b", "min", "n_b")]
+    inter = salted_agg(partials, ["pk"] if packable else ["doc_a", "doc_b"],
+                       pair_aggs, num_partitions=n_parts)
 
     def score(batch: pa.Table) -> pa.Table:
         empty = pa.table({"doc_a": pa.array([], pa.int64()),
@@ -707,12 +720,15 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
 
     banded = docs.map_batches(band_rows, batch_format="pyarrow",
                               zero_copy_batch=True)
-    pairs = banded.groupby("chunk_key").map_groups(bucket_pairs,
-                                                   batch_format="pyarrow")
-    from ray.data.aggregate import Min
+    from pdf_parser_ray.pipelines.relational import (
+        salted_agg,
+        salted_map_groups,
+    )
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    pairs = salted_map_groups(banded, ["chunk_key"], bucket_pairs,
+                              "pyarrow")
+    return salted_agg(pairs, ["doc_a", "doc_b"],
+                      [("hamming", "min", "hamming")])
 
 
 def verify_candidates_jaccard(docs: ray.data.Dataset,

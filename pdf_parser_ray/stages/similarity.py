@@ -302,12 +302,15 @@ def lsh_pairs_above(embs: ray.data.Dataset, threshold: float = 0.8,
 
     banded = embs.map_batches(band_rows, batch_format="pyarrow",
                               zero_copy_batch=True)
-    pairs = banded.groupby("band_key").map_groups(bucket_pairs,
-                                                  batch_format="pyarrow")
-    from ray.data.aggregate import Min
+    from pdf_parser_ray.pipelines.relational import (
+        salted_agg,
+        salted_map_groups,
+    )
 
-    deduped = pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        Min("cos_sim", alias_name="cos_sim"))
+    pairs = salted_map_groups(banded, ["band_key"], bucket_pairs,
+                              "pyarrow")
+    deduped = salted_agg(pairs, ["vec_a", "vec_b"],
+                         [("cos_sim", "min", "cos_sim")])
     out = deduped.to_pandas()
     if out.empty:
         out = pd.DataFrame({
