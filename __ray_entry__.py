@@ -5082,15 +5082,15 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(w) >= 3
             ), perms AS (
                 SELECT CAST(p AS BIGINT) AS p,
-                       CAST(md5_number_upper('mh-a-' || p) % 2147483647
+                       CAST(md5_number_upper('mh-a-' || p) % 2147483646
                             + 1 AS BIGINT) AS a,
-                       CAST(md5_number_upper('mh-b-' || p) % 2147483648
+                       CAST(md5_number_upper('mh-b-' || p) % 2147483647
                             AS BIGINT) AS b
                 FROM (SELECT unnest(range(0, 64)) AS p)
             ), sig AS (
                 SELECT doc_id, p, p // 4 AS band,
                        min((a * CAST(md5_number_upper(s) >> 33 AS BIGINT)
-                            + b) % 2305843009213693951) AS v
+                            + b) % 2147483647) AS v
                 FROM sh, perms GROUP BY doc_id, p
             ), bandfp AS (
                 SELECT doc_id, band,
@@ -5143,15 +5143,15 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(w) >= 3
             ), perms AS (
                 SELECT CAST(p AS BIGINT) AS p,
-                       CAST(md5_number_upper('mh-a-' || p) % 2147483647
+                       CAST(md5_number_upper('mh-a-' || p) % 2147483646
                             + 1 AS BIGINT) AS a,
-                       CAST(md5_number_upper('mh-b-' || p) % 2147483648
+                       CAST(md5_number_upper('mh-b-' || p) % 2147483647
                             AS BIGINT) AS b
                 FROM (SELECT unnest(range(0, 64)) AS p)
             ), sig AS (
                 SELECT doc_id, p, p // 4 AS band,
                        min((a * CAST(md5_number_upper(s) >> 33 AS BIGINT)
-                            + b) % 2305843009213693951) AS v
+                            + b) % 2147483647) AS v
                 FROM sh, perms GROUP BY doc_id, p
             ), bandfp AS (
                 SELECT doc_id, band,

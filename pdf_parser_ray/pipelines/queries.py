@@ -4489,8 +4489,7 @@ def emb_label_prop(sf_dir: str, k: int = 5, n_rounds: int = 2,
             nb_labs.map_batches(labeled_only, batch_format="pyarrow"),
             ["qid", "lab"], [("n", "", "count")])
         best = rel.ensure_schema(
-            votes.groupby("qid").map_groups(argmax_lab,
-                                            batch_format="pandas"),
+            rel.salted_map_groups(votes, ["qid"], argmax_lab),
             best_schema).materialize()
         joined = labels.join(best, "left_outer", n_parts,
                              on=("vec_id",), right_on=("qid",))
@@ -9390,7 +9389,8 @@ def orders_lineitem_reconcile(sf_dir: str):
         rel.grouped_agg(
             line.map_batches(lprep, batch_format="pyarrow",
                              zero_copy_batch=True),
-            ["l_orderkey"], [("line_c", "net_c", "sum")]),
+            ["l_orderkey"], [("line_c", "net_c", "sum")],
+            int_exact=True),  # net_c is exact cents int64
         pa.schema([("l_orderkey", pa.int64()), ("line_c", pa.int64())]))
     orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 

@@ -160,16 +160,22 @@ _SHINGLE_SEP = "\n"
 # crc32, which DuckDB cannot replicate, so its LSH screen is rows-only.
 # This variant is built ONLY from operations an oracle can replay exactly:
 #   shingle hash  h = md5_number_upper(shingle) >> 33          (31 bits)
-#   permutation   v_p = (a_p * h + b_p) mod (2^61 - 1)
-# with a_p, b_p < 2^31 themselves md5-derived from the permutation index,
-# so every product fits int64/BIGINT on both engines — no HUGEINT, no
-# uint128 — and the whole signature is one numpy (S, P) broadcast.
-# Same geometry as production (64 perms, 16 bands x 4 rows): the measured
-# screen quality transfers.
-MH_MERSENNE = (1 << 61) - 1
-_MH_A = np.array([sketches._md5_64(f"mh-a-{p}") % (2 ** 31 - 1) + 1
+#   permutation   v_p = (a_p * h + b_p) mod (2^31 - 1)
+# — the Carter-Wegman family over MERSENNE-31, with a_p in [1, M-1] and
+# b_p in [0, M) md5-derived from the permutation index. Every product
+# fits int64/BIGINT on both engines (a*h < 2^62) and the whole signature
+# is one numpy (S, P) broadcast. The modulus choice is load-bearing: an
+# earlier draft used mod 2^61-1 with the same 31-bit a, which the
+# docs_lsh_recall_curve harness caught red-handed — a*h wraps that
+# modulus at most twice, so each "permutation" is just a few monotone
+# runs of h and minima correlate across ALL perms (a measured J=0.974
+# subset pair agreed on only 8/64 perms where theory says ~62; under
+# Mersenne-31 the same pair agrees on 62). Same geometry as production
+# (64 perms, 16 bands x 4 rows): the measured screen quality transfers.
+MH_MERSENNE = (1 << 31) - 1
+_MH_A = np.array([sketches._md5_64(f"mh-a-{p}") % (MH_MERSENNE - 1) + 1
                   for p in range(sketches.N_PERM)], dtype=np.uint64)
-_MH_B = np.array([sketches._md5_64(f"mh-b-{p}") % (2 ** 31)
+_MH_B = np.array([sketches._md5_64(f"mh-b-{p}") % MH_MERSENNE
                   for p in range(sketches.N_PERM)], dtype=np.uint64)
 
 

@@ -101,15 +101,15 @@ def test_md5_minhash_band_sql_parity_fuzz(con, text):
                WHERE len(w) >= 3),
         perms AS (
             SELECT CAST(p AS BIGINT) AS p,
-                   CAST(md5_number_upper('mh-a-' || p) % 2147483647 + 1
+                   CAST(md5_number_upper('mh-a-' || p) % 2147483646 + 1
                         AS BIGINT) AS a,
-                   CAST(md5_number_upper('mh-b-' || p) % 2147483648
+                   CAST(md5_number_upper('mh-b-' || p) % 2147483647
                         AS BIGINT) AS b
             FROM (SELECT unnest(range(0, 64)) AS p)
         ), sig AS (
             SELECT p, p // 4 AS band,
                    min((a * CAST(md5_number_upper(s) >> 33 AS BIGINT) + b)
-                       % 2305843009213693951) AS v
+                       % 2147483647) AS v
             FROM sh, perms GROUP BY p
         )
         SELECT CAST(band AS VARCHAR),
