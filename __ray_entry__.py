@@ -57,11 +57,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   slots 14-18 — pipelines materially rewritten this round
         #     (histogram decile share, ensure_schema-before-decode,
         #     Arrow batch_max): re-verified under the driver;
-        #   slots 19-50 — 32 oracled pipelines with no driver row in
-        #     any round (166 remain unrecorded at 266 pipelines — the
+        #   slots 19-48 — oracled pipelines with no driver row in any
+        #     round (170 remain unrecorded at 270 pipelines — the
         #     50-slot cap cannot cover them all; the full local gate
         #     (CORRECTNESS_LOCAL_r04.json, driver-identical repr-hash
-        #     compare since r3's fix) pins the rest every round).
+        #     compare since r3's fix) pins the rest every round);
+        #   slots 49-50 — round-4b's new oracled LSH screen-quality
+        #     evals (docs_minhash_eval / docs_lsh_recall_curve).
         "events_error_pchart": q.events_error_pchart,
         "events_revenue_runs_test": q.events_revenue_runs_test,
         "part_price_competition": q.part_price_competition,
@@ -112,6 +114,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_activity_overlay": q.daily_activity_overlay,
         "orders_lineitem_reconcile": q.orders_lineitem_reconcile,
         "events_value_magnitude_hist": q.events_value_magnitude_hist,
+        # new in round 4b: the oracled MinHash-LSH screen-quality evals
+        # (the recall-curve harness that caught the Mersenne-61
+        # correlated-minima bug — see stages/dedup.py). Their insertion
+        # displaces customer_spend_balance_corr / docs_source_vocab_jaccard
+        # past the 50-slot cap; both remain hash-green in the full local
+        # gate (CORRECTNESS_LOCAL_r04.json).
+        "docs_minhash_eval": q.docs_minhash_eval,
+        "docs_lsh_recall_curve": q.docs_lsh_recall_curve,
         "customer_spend_balance_corr": q.customer_spend_balance_corr,
         "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
         # ================= END ROUND-4 WINDOW =========================
