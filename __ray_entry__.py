@@ -125,6 +125,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_balance_corr": q.customer_spend_balance_corr,
         "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
         # ================= END ROUND-4 WINDOW =========================
+        # ---- round-4c additions (oracled, never driver-checked):
+        #      rotate into the round-5 window
+        "events_rolling_median": q.events_rolling_median,
+        "events_user_churn_diff": q.events_user_churn_diff,
+        "events_purchase_streaks": q.events_purchase_streaks,
+        "docs_sample_quantiles": q.docs_sample_quantiles,
         # ---- tier 0: the r2 verdict's explicit ask — pipelines with
         #      NO driver row in ANY round: emb_near_pairs_lsh is
         #      oracled (must land hash-green), the other three are
@@ -5848,6 +5854,67 @@ def oracle_sql() -> dict[str, str]:
                   AND list_cosine_similarity(
                         CAST(b.embedding AS DOUBLE[]),
                         CAST(e.embedding AS DOUBLE[])) > 0.8)
+        """,
+        "events_rolling_median": """
+            -- per-user trailing-5 rolling median (discrete: an actual
+            -- element, so the double is bit-exact on both engines)
+            SELECT event_id, user_id,
+                   quantile_disc(value, 0.5) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+            FROM events
+        """,
+        "events_user_churn_diff": """
+            -- snapshot diff: active in days [0,14) vs [14, horizon)
+            WITH cut AS (SELECT min(ts) + INTERVAL 14 DAY AS c FROM events),
+            u AS (
+                SELECT user_id,
+                       max(CASE WHEN ts < (SELECT c FROM cut)
+                                THEN 1 ELSE 0 END) AS a,
+                       max(CASE WHEN ts >= (SELECT c FROM cut)
+                                THEN 1 ELSE 0 END) AS b
+                FROM events GROUP BY user_id)
+            SELECT CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_retained,
+                   CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_churned,
+                   CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new
+            FROM u
+        """,
+        "events_purchase_streaks": """
+            -- gaps-and-islands: longest consecutive-day purchase streak
+            -- per user, as a histogram
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events WHERE event_type = 'purchase'
+            ), r AS (
+                SELECT user_id,
+                       day - CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY day)
+                           AS INTEGER) AS anchor
+                FROM d
+            ), runs AS (
+                SELECT user_id, anchor, count(*) AS len
+                FROM r GROUP BY user_id, anchor
+            ), longest AS (
+                SELECT user_id, max(len) AS longest_streak
+                FROM runs GROUP BY user_id
+            )
+            SELECT longest_streak, CAST(count(*) AS BIGINT) AS n_users
+            FROM longest GROUP BY longest_streak
+        """,
+        "docs_sample_quantiles": """
+            -- KMV-style deterministic bottom-256 sample quantiles
+            WITH s AS (
+                SELECT n_chars FROM documents
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                LIMIT 256)
+            SELECT quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.50) AS p50,
+                   quantile_disc(n_chars, 0.75) AS p75,
+                   quantile_disc(n_chars, 0.90) AS p90
+            FROM s
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -13505,3 +13505,154 @@ def events_purchase_session_overlap(sf_dir: str, gap_minutes: int = 30,
     rows = rows.astype({"n_concurrent": "int64", "n_purchases": "int64"})
     return rel.to_pandas_sorted(rows[["n_concurrent", "n_purchases"]],
                                 ["n_concurrent"])
+
+
+def events_rolling_median(sf_dir: str):
+    """Order-statistic window function: per-user rolling median of
+    ``value`` over the trailing 5 events (ROWS 4 PRECEDING, ordered by
+    ts then event_id). Discrete-median (quantile_disc ceil-rank)
+    semantics select an actual element, so the double passes through
+    bit-exact — no interpolation, no rounding pin needed.
+
+    Plan: ONE groupby(user_id) exchange (salted_map_groups), then a
+    fully vectorized in-group kernel: numpy sliding_window_view + a
+    single axis-sort for the steady state, a tiny per-row loop only for
+    the <=4-row warmup head. Scale: the exchange is the per-user volume;
+    no global sort, no driver structure."""
+    ds = rel.load(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(dtype="float64")
+        n = len(v)
+        out = np.empty(n, dtype="float64")
+        head = min(n, 4)
+        for i in range(head):
+            w = np.sort(v[: i + 1])
+            # quantile_disc(0.5): 1-based rank ceil(0.5 * n_window)
+            out[i] = w[int(np.ceil(0.5 * (i + 1))) - 1]
+        if n > 4:
+            wins = np.lib.stride_tricks.sliding_window_view(v, 5)
+            out[4:] = np.sort(wins, axis=1)[:, 2]
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64").to_numpy(),
+            "user_id": g["user_id"].astype("int64").to_numpy(),
+            "med5": out,
+        })
+
+    out = rel.salted_map_groups(ds, ["user_id"], per_user)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "event_id": "int64", "user_id": "int64", "med5": "float64"})
+    return rel.to_pandas_sorted(df, ["event_id"])
+
+
+def events_user_churn_diff(sf_dir: str):
+    """Snapshot diff (full-outer-join shape, shuffle-free): users active
+    in the first 14 days vs the rest of the horizon -> retained / churned
+    / new counts. The outer join collapses into per-user presence FLAGS
+    (max of two indicators) folded by the existing two-phase grouped_agg,
+    so the whole diff costs one user-keyed exchange plus a 4-cell count.
+
+    Scale: no driver structure proportional to users; the cutoff is a
+    single min(ts) aggregate broadcast into the flag map."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts"])
+    min_ts = ds.min("ts")  # tiny aggregate; pandas Timestamp
+    cut_us = int(pd.Timestamp(min_ts).value // 1000) + 14 * 86400 * 10**6
+
+    def flags(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64())
+        a = pc.cast(pc.less(ts_us, pa.scalar(cut_us)), pa.int64())
+        return pa.table({"user_id": batch.column("user_id"),
+                         "a": a, "b": pc.subtract(pa.scalar(1, pa.int64()), a)})
+
+    per_user = rel.grouped_agg(
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("a", "a", "max"), ("b", "b", "max")])
+    cells = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(per_user, ["a", "b"],
+                                      [("n", "", "count")],
+                                      small_result=True)),
+        {"a": "int64", "b": "int64", "n": "int64"})
+    lut = {(int(r.a), int(r.b)): int(r.n) for r in cells.itertuples()}
+    return pd.DataFrame([{
+        "n_retained": lut.get((1, 1), 0),
+        "n_churned": lut.get((1, 0), 0),
+        "n_new": lut.get((0, 1), 0),
+    }]).astype("int64")
+
+
+def events_purchase_streaks(sf_dir: str):
+    """Gaps-and-islands: longest run of CONSECUTIVE purchase-active days
+    per user, reported as a histogram (longest_streak, n_users). The SQL
+    twin is the classic day - row_number() island anchor; the Ray plan is
+    distinct (user, day) via one grouped count, then a per-user
+    vectorized run-length kernel (diff != 1 split points) — runs never
+    leave the group, only (user, longest) does.
+
+    Scale: two bounded exchanges (distinct-day collapse, then the tiny
+    longest-streak histogram); day domain caps per-user volume."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch.column("event_type"),
+                                     pa.scalar("purchase")))
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(keep.column("ts").cast(pa.int64()), pa.float64()),
+            pa.scalar(86400.0 * 10**6))), pa.int64())
+        return pa.table({"user_id": keep.column("user_id"), "day": day})
+
+    distinct = rel.grouped_agg(
+        ds.map_batches(days, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "day"], [("n", "", "count")])
+
+    def longest(group: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(group["day"].to_numpy(dtype="int64"))
+        splits = np.flatnonzero(np.diff(d) != 1)
+        bounds = np.concatenate(([0], splits + 1, [len(d)]))
+        runs = np.diff(bounds)
+        return pd.DataFrame({"user_id": [int(group["user_id"].iloc[0])],
+                             "longest": [int(runs.max())]})
+
+    per_user = rel.salted_map_groups(distinct, ["user_id"], longest)
+    hist = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(per_user, ["longest"],
+                                      [("n_users", "", "count")],
+                                      small_result=True)),
+        {"longest": "int64", "n_users": "int64"})
+    hist = hist.rename(columns={"longest": "longest_streak"})
+    return rel.to_pandas_sorted(hist, ["longest_streak"])
+
+
+def docs_sample_quantiles(sf_dir: str, k: int = 256):
+    """Mergeable bottom-k quantile sketch (KMV-style): keep the k docs
+    with the smallest md5(doc_id) — a deterministic uniform sample whose
+    bottom-k set is associative under merge — then read p25/p50/p75/p90
+    of n_chars off the sample with quantile_disc ceil-rank semantics.
+
+    This is the APPROXIMATE, constant-exchange alternative to the exact
+    distributed value-histogram quantiles (orders_price_quantiles): per
+    block only <=k (fp, n_chars) rows travel, independent of corpus size
+    AND of value-domain cardinality — the right sketch when the value
+    domain is unbounded. Deterministic (no RNG) so the DuckDB twin is
+    value-exact, collisions and all."""
+    import hashlib
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        fps = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({"fp": pa.array(fps, pa.string()),
+                         "doc_id": batch.column("doc_id"),
+                         "n_chars": batch.column("n_chars")})
+
+    sample = rel.local_topk(
+        ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True),
+        [("fp", "ascending"), ("doc_id", "ascending")], k)
+    vals = np.sort(sample["n_chars"].to_numpy(dtype="int64"))
+    n = len(vals)
+    row = {}
+    for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75),
+                    ("p90", 0.9)):
+        row[name] = int(vals[int(np.ceil(q * n)) - 1])
+    return pd.DataFrame([row]).astype("int64")
