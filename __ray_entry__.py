@@ -108,8 +108,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_gap_sensitivity": q.events_session_gap_sensitivity,
         "events_props_k_hist": q.events_props_k_hist,
         "docs_pipeline_yield": q.docs_pipeline_yield,
-        "docs_token_len_hist": q.docs_token_len_hist,
-        "events_type_time_coverage": q.events_type_time_coverage,
+        # new in round 4d (tier-1): sorted-neighborhood dedup pairs (the
+        # sort-blocking complement to the LSH/inverted-index/simhash hash
+        # blockings) and the trailing-7-day rolling-WAU fan-out window.
+        # Their insertion displaces docs_token_len_hist /
+        # events_type_time_coverage past the cap (both already
+        # re-registered below; both remain hash-green in the local gate).
+        "docs_snm_pairs": q.docs_snm_pairs,
+        "events_rolling_wau": q.events_rolling_wau,
         # new in round 4c (tier-1: new-this-round oracled ops land inside
         # the window): rolling median, churn snapshot diff, purchase
         # streaks, KMV sample quantiles. Their insertion displaces the
@@ -5916,6 +5922,63 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.75) AS p75,
                    quantile_disc(n_chars, 0.90) AS p90
             FROM s
+        """,
+        "docs_snm_pairs": r"""
+            -- sorted-neighborhood dedup: rank docs by 16-char text
+            -- prefix (ties by doc_id), window w=5 self-join at rank
+            -- distance 1..4, keep pairs with exact word-3-shingle
+            -- Jaccard >= 0.6 (same shingle CTE domain as
+            -- docs_ngram_jaccard_pairs)
+            WITH ranked AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY substr(text, 1, 16), doc_id) AS rnk
+                FROM documents
+            ), cand AS (
+                SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                       greatest(a.doc_id, b.doc_id) AS doc_b
+                FROM ranked a JOIN ranked b
+                  ON b.rnk - a.rnk BETWEEN 1 AND 4
+            ), words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT c.doc_a, c.doc_b, count(*) AS ic
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.doc_a
+                JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+                GROUP BY 1, 2
+            )
+            SELECT x.doc_a, x.doc_b,
+                   round(CAST(ic AS DOUBLE) / (ca.n + cb.n - ic), 4)
+                       AS jaccard
+            FROM inter x
+            JOIN counts ca ON ca.doc_id = x.doc_a
+            JOIN counts cb ON cb.doc_id = x.doc_b
+            WHERE CAST(ic AS DOUBLE) / (ca.n + cb.n - ic) >= 0.6
+        """,
+        "events_rolling_wau": """
+            -- trailing-7-day rolling distinct active users, one row per
+            -- day present in the horizon; days whose trailing window has
+            -- only NULL-user events report 0 (left join)
+            WITH e AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                FROM events
+            ), days AS (SELECT DISTINCT day FROM e)
+            SELECT days.day AS day,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+            FROM days LEFT JOIN (
+                SELECT user_id, day FROM e WHERE user_id IS NOT NULL) a
+              ON a.day BETWEEN days.day - 6 AND days.day
+            GROUP BY days.day
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

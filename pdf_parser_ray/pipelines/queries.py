@@ -13656,3 +13656,98 @@ def docs_sample_quantiles(sf_dir: str, k: int = 256):
                     ("p90", 0.9)):
         row[name] = int(vals[int(np.ceil(q * n)) - 1])
     return pd.DataFrame([row]).astype("int64")
+
+
+def docs_snm_pairs(sf_dir: str, threshold: float = 0.6,
+                   window: int = 5, rows_per_part: int = 4096):
+    """Sorted-neighborhood (SNM) dedup pairs: docs sorted by a 16-char
+    text-prefix blocking key, each compared to its next ``window - 1``
+    sort neighbors, kept iff exact word-3-shingle Jaccard >= 0.6. The
+    SORT-blocking complement to the hash blockings already here (LSH
+    bands, inverted shingle index, simhash chunks): shared-prefix
+    near-dups meet even when every shingle they share is common. Plan:
+    stages/dedup.snm_pairs — range-partitioned by a sampled-boundary
+    key split, in-partition vectorized window pairs, driver-stitched
+    boundary strips (O(parts * window)), distributed Jaccard verify.
+    Oracle: row_number() window self-join at rank distance < window."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.snm_pairs(ds, threshold=threshold, window=window,
+                          rows_per_part=rows_per_part).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                            "doc_b": pd.Series(dtype="int64"),
+                            "jaccard": pd.Series(dtype="float64")})
+    return rel.to_pandas_sorted(out, ["doc_a", "doc_b"])
+
+
+def events_rolling_wau(sf_dir: str, window_days: int = 7):
+    """Trailing-window distinct count: for every day present in the
+    horizon, the number of distinct users active in [day-6, day] — the
+    rolling-WAU curve. COUNT DISTINCT under a sliding window resists
+    plain pre-aggregation; the scalable plan is the fan-out identity
+    (user active on day d is active-in-window for d..d+6):
+
+      1. distinct (user, day) — one grouped collapse of the raw events
+         (the only exchange proportional to event volume);
+      2. bounded x7 fan-out to (user, window_day), pruned to days that
+         exist (day domain broadcast — horizon-bounded);
+      3. distinct (user, window_day) collapse, then a tiny per-day count.
+
+    Days with events but zero non-null users in the trailing window
+    report wau=0 (left-join semantics, folded on the driver over the
+    bounded day domain)."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts"])
+    us_per_day = 86400 * 10**6
+
+    def day_rows(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(batch.column("ts").cast(pa.int64()), pa.float64()),
+            pa.scalar(float(us_per_day)))), pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "day": day})
+
+    days_ds = ds.map_batches(day_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    present = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(days_ds, ["day"], [("n", "", "count")],
+                                      small_result=True)),
+        {"day": "int64", "n": "int64"})
+    present_days = np.sort(present["day"].to_numpy(dtype="int64"))
+    dref = ray.put(pa.array(present_days, pa.int64()))
+
+    def nn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    distinct = rel.ensure_schema(
+        rel.grouped_agg(
+            days_ds.map_batches(nn, batch_format="pyarrow",
+                                zero_copy_batch=True),
+            ["user_id", "day"], [("n", "", "count")], int_exact=True),
+        pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                   ("n", pa.int64())]))
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        days = batch.column("day").to_numpy(zero_copy_only=False)
+        k = window_days
+        wday = (np.repeat(days, k)
+                + np.tile(np.arange(k, dtype="int64"), len(days)))
+        t = pa.table({"user_id": pa.array(np.repeat(users, k), pa.int64()),
+                      "wday": pa.array(wday, pa.int64())})
+        return t.filter(pc.is_in(t.column("wday"), value_set=ray.get(dref)))
+
+    fanned = distinct.map_batches(fan_out, batch_format="pyarrow")
+    pairs = rel.ensure_schema(
+        rel.grouped_agg(fanned, ["user_id", "wday"],
+                        [("n", "", "count")], int_exact=True),
+        pa.schema([("user_id", pa.int64()), ("wday", pa.int64()),
+                   ("n", pa.int64())]))
+    counts = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(pairs, ["wday"], [("wau", "", "count")],
+                                      small_result=True)),
+        {"wday": "int64", "wau": "int64"})
+    out = (pd.DataFrame({"day": present_days})
+           .merge(counts.rename(columns={"wday": "day"}), on="day",
+                  how="left")
+           .fillna({"wau": 0}))
+    out["wau"] = out["wau"].astype("int64")
+    return rel.to_pandas_sorted(out, ["day"])

@@ -766,3 +766,215 @@ def verify_candidates_jaccard(docs: ray.data.Dataset,
             out.append({"doc_a": a, "doc_b": b,
                         "jaccard": round_half_away(sim, 4)})
     return out
+
+
+# ---- sorted-neighborhood (SNM) dedup --------------------------------------
+
+SNM_WINDOW = 5       # each doc meets its 4 sort-order successors
+SNM_KEY_LEN = 16     # blocking key: first 16 code points of the text
+
+
+def _snm_cross_pairs(strips: list[dict], window: int) -> list[tuple[int, int]]:
+    """Stitch cross-partition window pairs from the boundary strips.
+
+    Strips carry (part, idx, size, doc_id) for every row within
+    ``window - 1`` of a partition edge, so EVERY row that can form a
+    cross-partition pair is present (a partition smaller than the strip
+    width is entirely inside its own strips, so gaps spanning >2
+    partitions are covered too). Global position = partition offset +
+    in-partition index; emit (min, max) for strip rows in DIFFERENT
+    partitions at global distance 1..window-1. Driver structure is
+    O(n_partitions * window), never corpus-proportional."""
+    sizes: dict[int, int] = {}
+    for r in strips:
+        sizes[int(r["part"])] = int(r["size"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    rows = sorted(
+        {(offsets[int(r["part"])] + int(r["idx"]), int(r["part"]),
+          int(r["doc_a"])) for r in strips})
+    out: list[tuple[int, int]] = []
+    for i, (pos_i, part_i, id_i) in enumerate(rows):
+        for j in range(i + 1, len(rows)):
+            pos_j, part_j, id_j = rows[j]
+            if pos_j - pos_i > window - 1:
+                break
+            if part_j != part_i:
+                out.append((min(id_i, id_j), max(id_i, id_j)))
+    return out
+
+
+def snm_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
+              window: int = SNM_WINDOW, key_len: int = SNM_KEY_LEN,
+              rows_per_part: int = 4096,
+              sample_mod: int = 64) -> ray.data.Dataset:
+    """Sorted-neighborhood dedup: sort all docs by a short blocking key
+    (text prefix, ties by doc_id), slide a ``window``-row window over the
+    sorted order, and keep the window pairs whose exact word-3-shingle
+    Jaccard >= ``threshold``. A SORT-based blocking strategy — the
+    classic complement to the hash blocking used by minhash/LSH and the
+    inverted-index join: near-dups with a shared prefix land adjacent
+    regardless of how rare their shingles are.
+
+    Distributed plan (no global sort operator, no driver text):
+      1. tiny projection (doc_id, key) — text never leaves the scan;
+      2. deterministic 1/``sample_mod`` key sample (doc_id % mod == 0,
+         RNG-free) -> contiguous range boundaries for
+         ~corpus/``rows_per_part`` partitions (the sample, not the
+         corpus, touches the driver — same contract as a range
+         partitioner's boundary sampling);
+      3. one hash exchange on the partition id (salted_map_groups), an
+         in-partition mergesort + vectorized shifted-array window pair
+         emission, plus (window-1)-row boundary strips;
+      4. cross-partition pairs stitched on the driver from the strips
+         (O(parts * window) rows — see _snm_cross_pairs);
+      5. exact Jaccard via the shared distributed double-join verifier
+         (_score_candidates), same oracle domain as ngram_jaccard_pairs.
+
+    Scale levers: ``rows_per_part`` bounds per-task memory;
+    ``sample_mod`` bounds the driver's boundary sample. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    import bisect
+
+    import pyarrow.compute as pc
+
+    from pdf_parser_ray.pipelines.relational import (
+        ensure_schema, join_partitions, salted_map_groups)
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "k": pc.cast(pc.utf8_slice_codeunits(
+                batch.column("text"), 0, key_len), pa.large_string()),
+        })
+
+    proj = docs.map_batches(key_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # -- boundary sample (deterministic, driver-bounded) --
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(
+            batch.column("doc_id"), pa.scalar(sample_mod - 1, pa.int64())),
+            pa.scalar(0, pa.int64()))
+        return batch.filter(keep)
+
+    assert sample_mod & (sample_mod - 1) == 0, "sample_mod must be 2^k"
+    sample = sorted((r["k"], r["doc_id"])
+                    for r in proj.map_batches(
+                        sample_rows, batch_format="pyarrow",
+                        zero_copy_batch=True).take_all())
+    est_n = max(1, len(sample)) * sample_mod
+    n_parts_snm = max(1, min(4096, -(-est_n // rows_per_part)))
+    if n_parts_snm > 1 and len(sample) >= n_parts_snm:
+        step = len(sample) / n_parts_snm
+        bounds = [sample[int(step * i)] for i in range(1, n_parts_snm)]
+    else:
+        bounds = []
+        n_parts_snm = 1
+    bkeys = [b[0] for b in bounds]
+    bref = ray.put((bkeys, bounds))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bk, bnd = ray.get(bref)
+        if not bnd:
+            part = np.zeros(batch.num_rows, dtype=np.int64)
+        else:
+            keys = batch.column("k").to_pylist()
+            ids = batch.column("doc_id").to_pylist()
+            karr = np.array(keys, dtype=object)
+            lo = np.searchsorted(bk, karr, side="left")
+            hi = np.searchsorted(bk, karr, side="right")
+            part = hi.astype(np.int64)
+            for i in np.flatnonzero(lo < hi):  # key ties a boundary key
+                part[i] = lo[i] + bisect.bisect_right(
+                    bnd, (keys[i], ids[i]), lo=int(lo[i]), hi=int(hi[i])) \
+                    - int(lo[i])
+        return batch.append_column("snm_part", pa.array(part, pa.int64()))
+
+    assigned = proj.map_batches(assign, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    w = window - 1  # strip width / max in-window gap
+
+    def per_part(g):
+        import pandas as pd
+
+        g = g.sort_values(["k", "doc_id"], kind="mergesort")
+        ids = g["doc_id"].to_numpy(dtype="int64")
+        n = len(ids)
+        part = int(g["snm_part"].iloc[0])
+        pa_list, pb_list = [], []
+        for d in range(1, min(window, n)):
+            pa_list.append(ids[:-d])
+            pb_list.append(ids[d:])
+        if pa_list:
+            a = np.concatenate(pa_list)
+            b = np.concatenate(pb_list)
+            doc_a, doc_b = np.minimum(a, b), np.maximum(a, b)
+        else:
+            doc_a = doc_b = np.array([], dtype="int64")
+        sidx = np.unique(np.concatenate(
+            [np.arange(min(n, w)), np.arange(max(0, n - w), n)]))
+        return pd.DataFrame({
+            "kind": np.concatenate([np.zeros(len(doc_a), dtype="int8"),
+                                    np.ones(len(sidx), dtype="int8")]),
+            "doc_a": np.concatenate([doc_a, ids[sidx]]),
+            "doc_b": np.concatenate([doc_b,
+                                     np.full(len(sidx), -1, "int64")]),
+            "part": np.full(len(doc_a) + len(sidx), part, "int64"),
+            "idx": np.concatenate([np.full(len(doc_a), -1, "int64"), sidx]),
+            "size": np.full(len(doc_a) + len(sidx), n, "int64"),
+        })
+
+    mixed = salted_map_groups(assigned, ["snm_part"], per_part)
+    mixed = ensure_schema(mixed, pa.schema([
+        ("kind", pa.int8()), ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("part", pa.int64()), ("idx", pa.int64()), ("size", pa.int64()),
+    ])).materialize()  # consumed twice (pairs + strips); int rows only
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("kind"),
+                                     pa.scalar(0, pa.int8())))
+        return kept.select(["doc_a", "doc_b"])
+
+    def strip_rows(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("kind"),
+                                     pa.scalar(1, pa.int8())))
+        return kept.select(["doc_a", "part", "idx", "size"])
+
+    strips = mixed.map_batches(strip_rows, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    cross = _snm_cross_pairs(strips, window) if n_parts_snm > 1 else []
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    cands = mixed.map_batches(pair_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if cross:
+        cands = cands.union(ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([p[0] for p in cross], pa.int64()),
+            "doc_b": pa.array([p[1] for p in cross], pa.int64()),
+        }, schema=pair_schema)))
+
+    def add_star(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "star", pa.array(np.zeros(batch.num_rows, dtype="int8"),
+                             pa.int8()))
+
+    cands = ensure_schema(cands, pair_schema).map_batches(
+        add_star, batch_format="pyarrow", zero_copy_batch=True)
+
+    n_cands = cands.count()
+    if n_cands == 0:  # singleton corpus: nothing to verify, and an
+        # empty Dataset.join input is schema-less (Acero rejects it)
+        return ray.data.from_arrow(_EMPTY_VERIFIED)
+
+    shingles = docs.map_batches(_shingle_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    n_parts = join_partitions(n_cands)
+    scored = _score_candidates(cands, shingles, n_parts, threshold)
+    return ensure_schema(_kept_only(scored), pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("jaccard", pa.float64())]))
