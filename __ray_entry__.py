@@ -105,9 +105,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_catalog_breadth": q.supplier_catalog_breadth,
         "events_type_dow_matrix": q.events_type_dow_matrix,
         "docs_quality_gate_attribution": q.docs_quality_gate_attribution,
-        "events_session_gap_sensitivity": q.events_session_gap_sensitivity,
-        "events_props_k_hist": q.events_props_k_hist,
-        "docs_pipeline_yield": q.docs_pipeline_yield,
+        # new in round 4d batch 2 (tier-1): incremental base-vs-incoming
+        # near-dedup (bipartite inverted index), per-doc n-gram novelty
+        # scoring, and the cross-source duplication (contamination)
+        # matrix. They displace events_session_gap_sensitivity /
+        # events_props_k_hist / docs_pipeline_yield past the cap (all
+        # three re-registered below, hash-green in the local gate).
+        "docs_incremental_dedup": q.docs_incremental_dedup,
+        "docs_novelty_scores": q.docs_novelty_scores,
+        "docs_cross_source_dup_matrix": q.docs_cross_source_dup_matrix,
         # new in round 4d (tier-1): sorted-neighborhood dedup pairs (the
         # sort-blocking complement to the LSH/inverted-index/simhash hash
         # blockings) and the trailing-7-day rolling-WAU fan-out window.
@@ -5922,6 +5928,90 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.75) AS p75,
                    quantile_disc(n_chars, 0.90) AS p90
             FROM s
+        """,
+        "docs_incremental_dedup": r"""
+            -- incremental near-dedup: incoming (odd doc_id) survives iff
+            -- no base (even doc_id) doc has word-3-shingle Jaccard >= 0.6
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS inc_id, b.doc_id AS base_id,
+                       count(*) AS ic
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                GROUP BY 1, 2
+            ), hits AS (
+                SELECT DISTINCT inc_id FROM inter
+                JOIN counts ca ON ca.doc_id = inc_id
+                JOIN counts cb ON cb.doc_id = base_id
+                WHERE CAST(ic AS DOUBLE) / (ca.n + cb.n - ic) >= 0.6
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT inc_id FROM hits)
+        """,
+        "docs_novelty_scores": r"""
+            -- per-doc gram novelty: fraction of its distinct
+            -- word-3-shingles first held (min doc_id) by this doc
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), firsts AS (
+                SELECT s, min(doc_id) AS fd FROM sh GROUP BY s
+            )
+            SELECT sh.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   round(CAST(sum(CASE WHEN f.fd = sh.doc_id
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS novelty
+            FROM sh JOIN firsts f ON f.s = sh.s
+            GROUP BY sh.doc_id
+        """,
+        "docs_cross_source_dup_matrix": r"""
+            -- verified near-dup pairs (exact Jaccard >= 0.6) attributed
+            -- to canonicalized source pairs
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(ic AS DOUBLE) / (ca.n + cb.n - ic) >= 0.6
+            )
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+            GROUP BY 1, 2
         """,
         "docs_snm_pairs": r"""
             -- sorted-neighborhood dedup: rank docs by 16-char text

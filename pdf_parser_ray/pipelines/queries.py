@@ -13751,3 +13751,182 @@ def events_rolling_wau(sf_dir: str, window_days: int = 7):
            .fillna({"wau": 0}))
     out["wau"] = out["wau"].astype("int64")
     return rel.to_pandas_sorted(out, ["day"])
+
+
+def docs_incremental_dedup(sf_dir: str, threshold: float = 0.6):
+    """Incremental-crawl near-dedup: the corpus is split into a standing
+    BASE (even doc_id) and an INCOMING shard (odd doc_id); incoming docs
+    are kept iff NO base doc near-duplicates them (word-3-shingle
+    Jaccard >= 0.6). The bipartite inverted-index plan
+    (stages/dedup.bipartite_jaccard_hits) crosses incoming x base grams
+    only — never base x base — which is the whole economics of deduping
+    a daily shard against a 100-TB standing corpus. Returns surviving
+    incoming doc_ids; the anti-join is a broadcast semi (hit volume is
+    dup-bounded), same discipline as the keep-list ops."""
+    docs = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(batch.column("doc_id"),
+                                            pa.scalar(1, pa.int64())),
+                            pa.scalar(parity, pa.int64()))
+            return batch.filter(keep)
+        return fn
+
+    base = docs.map_batches(side(0), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    inc = docs.map_batches(side(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    hits = dedup.bipartite_jaccard_hits(base, inc, threshold=threshold)
+    hit_arr = rel.collect_column(hits, "doc_id")  # dup-bounded
+    href = ray.put(hit_arr)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.invert(pc.is_in(
+            batch.column("doc_id"), value_set=ray.get(href))))
+        return kept.select(["doc_id"])
+
+    out = inc.map_batches(survivors, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {"doc_id": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def docs_novelty_scores(sf_dir: str):
+    """Per-doc n-gram NOVELTY (memorization-risk screen): the fraction
+    of a doc's distinct word-3-shingles whose corpus-wide FIRST holder
+    (minimum doc_id over docs containing the gram) is this doc. Low
+    novelty = the doc is assembled from grams older docs already carry —
+    boilerplate/recombination; the doc_id order stands in for crawl
+    order. Join-free plan: one (gram -> min doc) collapse, then the
+    per-doc 'new gram' counts ARE a groupby of that table by its min-doc
+    column — folded against per-doc gram totals via a zero-padded union
+    (left-join semantics with no join). Shingle-less docs (< 3 words)
+    are outside the domain, matching the oracle's shingle CTE."""
+    from pdf_parser_ray.functions import sketches
+
+    docs = rel.load(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_h, out_id = [], []
+        for doc_id, text in zip(ids, texts):
+            hs = [sketches._md5_64(s) for s in dedup._sql_shingles(text)]
+            out_h.extend(hs)
+            out_id.extend([doc_id] * len(hs))
+        return pa.table({
+            "h": pa.array(np.array(out_h, dtype=np.uint64)
+                          .view(np.int64), pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+        })
+
+    sh = docs.map_batches(gram_rows, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()  # 2 readers
+    firsts = rel.ensure_schema(
+        rel.grouped_agg(sh, ["h"], [("fd", "doc_id", "min")],
+                        int_exact=True),
+        pa.schema([("h", pa.int64()), ("fd", pa.int64())]))
+
+    def new_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("fd")})
+
+    n_new = rel.ensure_schema(
+        rel.grouped_agg(firsts.map_batches(new_rows,
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                        ["doc_id"], [("n_new", "", "count")],
+                        int_exact=True),
+        pa.schema([("doc_id", pa.int64()), ("n_new", pa.int64())]))
+    n_grams = rel.ensure_schema(
+        rel.grouped_agg(sh, ["doc_id"], [("n_grams", "", "count")],
+                        int_exact=True),
+        pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64())]))
+
+    def pad(has: str, missing: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            zero = pa.array(np.zeros(batch.num_rows, dtype="int64"),
+                            pa.int64())
+            t = batch.append_column(missing, zero)
+            return t.select(["doc_id", "n_grams", "n_new"])
+        return fn
+
+    both = (n_grams.map_batches(pad("n_grams", "n_new"),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .union(n_new.map_batches(pad("n_new", "n_grams"),
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)))
+    tot = rel.salted_agg(both, ["doc_id"],
+                         [("n_grams", "sum", "n_grams"),
+                          ("n_new", "sum", "n_new")])
+
+    def score(batch: pa.Table) -> pa.Table:
+        if "n_grams" not in batch.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_new": pa.array([], pa.int64()),
+                             "novelty": pa.array([], pa.float64())})
+        g = batch.column("n_grams").to_numpy(zero_copy_only=False)
+        nw = batch.column("n_new").to_numpy(zero_copy_only=False)
+        from pdf_parser_ray.functions.num import np_round_half_away
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": batch.column("n_grams"),
+            "n_new": batch.column("n_new"),
+            "novelty": pa.array(
+                np_round_half_away(nw.astype("float64") / g, 4),
+                pa.float64()),
+        })
+
+    out = tot.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_grams": "int64", "n_new": "int64",
+        "novelty": "float64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def docs_cross_source_dup_matrix(sf_dir: str, threshold: float = 0.6):
+    """Contamination matrix: verified near-dup pairs (exact n-gram
+    Jaccard >= 0.6, the memoized _ngram_pairs artifact) attributed to
+    their source pair — (source_a <= source_b, n_pairs). The standard
+    audit before mixing corpora: a hot off-diagonal cell means one
+    source republishes another. Two pair-volume-bounded hash joins
+    attach sources; the final count is a bounded-domain fold."""
+    pairs = _ngram_pairs(sf_dir, threshold)
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pd.DataFrame({"source_a": pd.Series(dtype="object"),
+                             "source_b": pd.Series(dtype="object"),
+                             "n_pairs": pd.Series(dtype="int64")})
+    src = rel.load(sf_dir, "documents", ["doc_id", "source"])
+    n_parts = rel.join_partitions(n_pairs)
+
+    def rename(cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(cols)
+        return fn
+
+    sa = src.map_batches(rename(["da", "source_a"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    sb = src.map_batches(rename(["db", "source_b"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    j1 = pairs.join(sa, "inner", n_parts, on=("doc_a",), right_on=("da",))
+    j2 = j1.join(sb, "inner", n_parts, on=("doc_b",), right_on=("db",))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("source_a").to_pylist(), dtype=object)
+        b = np.asarray(batch.column("source_b").to_pylist(), dtype=object)
+        lo = np.where(a <= b, a, b)
+        hi = np.where(a <= b, b, a)
+        return pa.table({"source_a": pa.array(lo.tolist(), pa.string()),
+                         "source_b": pa.array(hi.tolist(), pa.string())})
+
+    cells = rel.grouped_agg(
+        j2.map_batches(canon, batch_format="pyarrow"),
+        ["source_a", "source_b"], [("n_pairs", "", "count")],
+        small_result=True)
+    cells = rel.ensure_columns(rel.as_pandas(cells), {
+        "source_a": "object", "source_b": "object", "n_pairs": "int64"})
+    return rel.to_pandas_sorted(cells, ["source_a", "source_b"])

@@ -978,3 +978,125 @@ def snm_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
     return ensure_schema(_kept_only(scored), pa.schema([
         ("doc_a", pa.int64()), ("doc_b", pa.int64()),
         ("jaccard", pa.float64())]))
+
+
+# ---- incremental (base vs incoming) near-dedup -----------------------------
+
+def bipartite_jaccard_hits(base: ray.data.Dataset,
+                           incoming: ray.data.Dataset,
+                           threshold: float = 0.6,
+                           num_partitions: int | None = None,
+                           ) -> ray.data.Dataset:
+    """Incoming docs that near-duplicate SOME base doc (word-3-shingle
+    Jaccard >= threshold) — the incremental-crawl dedup primitive: a new
+    shard is deduped AGAINST the standing corpus without re-pairing the
+    corpus with itself. Same inverted-index plan as ngram_jaccard_pairs
+    but BIPARTITE: the gram join crosses incoming x base only, so the
+    base side never self-pairs — at web scale that is the whole point
+    (|base| >> |incoming| per increment, and base x base is the O(n^2)
+    term this avoids). Returns distinct incoming doc_ids with a hit.
+
+    Doc ids must be disjoint across the two sides (same corpus split or
+    globally unique ids). PPJoin length bound applies (Jaccard-lossless).
+    Stop-shingle df capping is the same web-scale lever as the self-join
+    variant."""
+    from pdf_parser_ray.pipelines.relational import (
+        ensure_schema, join_partitions, salted_agg)
+
+    def sh_rows(cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_h, out_id, out_n = [], [], []
+            for doc_id, text in zip(ids, texts):
+                hs = [sketches._md5_64(s) for s in _sql_shingles(text)]
+                out_h.extend(hs)
+                out_id.extend([doc_id] * len(hs))
+                out_n.extend([len(hs)] * len(hs))
+            return pa.table({
+                cols[0]: pa.array(np.array(out_h, dtype=np.uint64),
+                                  pa.uint64()),
+                cols[1]: pa.array(out_id, pa.int64()),
+                cols[2]: pa.array(out_n, pa.int64()),
+            })
+        return fn
+
+    sh_inc = incoming.map_batches(sh_rows(["h", "inc_id", "n_i"]),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    n_inc_rows = sh_inc.count()
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    if n_inc_rows == 0:
+        return ray.data.from_arrow(empty)
+    sh_base = base.map_batches(sh_rows(["h", "base_id", "n_b"]),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    if sh_base.count() == 0:  # gram-less base: nothing can hit, and an
+        # empty join side is schema-less (Acero rejects it)
+        return ray.data.from_arrow(empty)
+    n_parts = num_partitions or join_partitions(n_inc_rows,
+                                                rows_per_part=4000)
+    joined = sh_inc.join(sh_base, "inner", n_parts, on=("h",))
+
+    packable = (0 <= sh_inc.min("inc_id")
+                and sh_inc.max("inc_id") < 2 ** 31)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        a = batch.column("inc_id").to_numpy(zero_copy_only=False)
+        b = batch.column("base_id").to_numpy(zero_copy_only=False)
+        na = batch.column("n_i").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        ok = (np.minimum(na, nb).astype(np.float64)
+              >= threshold * np.maximum(na, nb))  # PPJoin (lossless)
+        a, b, na, nb = a[ok], b[ok], na[ok], nb[ok]
+        if packable and len(b) and 0 <= b.min() and b.max() < 2 ** 32:
+            pk = (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
+            keys, idx, cnts = np.unique(pk, return_index=True,
+                                        return_counts=True)
+            return pa.table({"pk": pa.array(keys, pa.int64()),
+                             "c": pa.array(cnts, pa.int64()),
+                             "n_a": pa.array(na[idx], pa.int64()),
+                             "n_b": pa.array(nb[idx], pa.int64())})
+        part = (pd.DataFrame({"pk": a, "base_id": b, "n_a": na, "n_b": nb})
+                .groupby(["pk", "base_id"], sort=False)
+                .agg(c=("n_a", "size"), n_a=("n_a", "first"),
+                     n_b=("n_b", "first")).reset_index())
+        return pa.table({"pk": pa.array(part["pk"], pa.int64()),
+                         "base_id": pa.array(part["base_id"], pa.int64()),
+                         "c": pa.array(part["c"], pa.int64()),
+                         "n_a": pa.array(part["n_a"], pa.int64()),
+                         "n_b": pa.array(part["n_b"], pa.int64())})
+
+    partials = joined.map_batches(combine, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    keys = ["pk"] if packable else ["pk", "base_id"]
+    inter = salted_agg(partials, keys,
+                       [("c", "sum", "i"), ("n_a", "min", "n_a"),
+                        ("n_b", "min", "n_b")],
+                       num_partitions=n_parts)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        if "i" not in batch.schema.names:  # schema-less empty block
+            return empty
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        inc = pk >> np.int64(32) if "base_id" not in batch.schema.names \
+            else pk
+        i = (batch.column("i").to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        keep = i / (na + nb - i) >= threshold
+        return pa.table({"doc_id": pa.array(np.unique(inc[keep]),
+                                            pa.int64())})
+
+    out = inter.map_batches(hits, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    # distinct across partitions (a hot incoming doc hits many base docs)
+    distinct = salted_agg(ensure_schema(out, empty.schema),
+                          ["doc_id"], [])
+    # the trailing zero-row union pins a typed block even when the
+    # shuffle emits NO blocks (ds.schema() would be None downstream)
+    return (ensure_schema(distinct, empty.schema)
+            .union(ray.data.from_arrow(empty)))

@@ -157,3 +157,85 @@ def test_snm_partition_invariance():
     single = run(rows_per_part=10**9, sample_mod=4)
     assert len(multi) > 0  # the salted dups must surface
     pd.testing.assert_frame_equal(multi, single)
+
+
+# ---- batch 2: incremental dedup, novelty, cross-source matrix ----------
+
+_DOCS_SRC = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.lists(st.integers(min_value=0, max_value=7),
+                 min_size=0, max_size=8),
+        st.sampled_from(["web", "wiki", "books"]),
+    ),
+    min_size=1, max_size=20, unique_by=lambda d: d[0])
+
+
+def _docs_src_table(rows) -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([" ".join(_VOCAB[i] for i in r[1]) for r in rows],
+                         pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+
+
+def _check_docs(query_name: str, tbl: pa.Table) -> None:
+    from pdf_parser_ray.pipelines import queries as q
+
+    q.clear_session_caches()  # _ngram_pairs memo keys on the fake sf_dir
+    try:
+        _check(query_name, tbl, "documents")
+    finally:
+        q.clear_session_caches()
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(rows=_DOCS_SRC)
+def test_incremental_dedup_fuzz(rows):
+    _check_docs("docs_incremental_dedup", _docs_src_table(rows))
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(rows=_DOCS_SRC)
+def test_novelty_scores_fuzz(rows):
+    _check_docs("docs_novelty_scores", _docs_src_table(rows))
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(rows=_DOCS_SRC)
+def test_cross_source_dup_matrix_fuzz(rows):
+    _check_docs("docs_cross_source_dup_matrix", _docs_src_table(rows))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_pinned():
+    """Pinned semantics: an odd doc identical to an even doc is dropped;
+    an odd doc identical only to another ODD doc survives (incoming
+    never self-pairs); shingle-less docs always survive."""
+    rows = [
+        (0, [0, 1, 2, 3], "web"),   # base
+        (1, [0, 1, 2, 3], "web"),   # incoming dup of base -> dropped
+        (3, [4, 5, 6, 7], "web"),   # incoming, dups only doc 5 -> kept
+        (5, [4, 5, 6, 7], "web"),   # incoming dup of odd 3 -> kept
+        (7, [0], "web"),            # shingle-less -> kept
+    ]
+    _check_docs("docs_incremental_dedup", _docs_src_table(rows))
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    tbl = _docs_src_table(rows)
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        out = q.docs_incremental_dedup("fuzz2")
+    finally:
+        q.rel.load = orig
+    assert out["doc_id"].tolist() == [3, 5, 7]
