@@ -101,8 +101,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_discount_uplift": q.lineitem_discount_uplift,
         "orders_top_growth_customers": q.orders_top_growth_customers,
         "docs_source_median_chars": q.docs_source_median_chars,
-        "part_type_supplier_counts": q.part_type_supplier_counts,
-        "supplier_catalog_breadth": q.supplier_catalog_breadth,
         "events_type_dow_matrix": q.events_type_dow_matrix,
         "docs_quality_gate_attribution": q.docs_quality_gate_attribution,
         # new in round 4d batch 2 (tier-1): incremental base-vs-incoming
@@ -122,6 +120,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-registered below; both remain hash-green in the local gate).
         "docs_snm_pairs": q.docs_snm_pairs,
         "events_rolling_wau": q.events_rolling_wau,
+        # new in round 4e (tier-1): per-nation NTILE(10) spend deciles
+        # (the window-function tiering shape) and out-of-order arrival
+        # accounting (the streaming watermark metric: ts inversions in
+        # each user's event_id ingest order). They displace the backlog
+        # entries part_type_supplier_counts / supplier_catalog_breadth
+        # past the cap (both re-registered below, hash-green in the
+        # local gate every round).
+        "customer_decile_by_nation": q.customer_decile_by_nation,
+        "events_out_of_order": q.events_out_of_order,
         # new in round 4c (tier-1: new-this-round oracled ops land inside
         # the window): rolling median, churn snapshot diff, purchase
         # streaks, KMV sample quantiles. Their insertion displaces the
@@ -6069,6 +6076,47 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, day FROM e WHERE user_id IS NOT NULL) a
               ON a.day BETWEEN days.day - 6 AND days.day
             GROUP BY days.day
+        """,
+        "customer_decile_by_nation": """
+            -- NTILE(10) spend deciles within each nation, rolled up to
+            -- the (nation, decile) grain; customers without orders are
+            -- excluded (inner join through the spend CTE)
+            WITH spend AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS spend_c
+                FROM orders GROUP BY o_custkey
+            ), j AS (
+                SELECT n.n_name, s.spend_c, c.c_custkey
+                FROM spend s
+                JOIN customer c ON c.c_custkey = s.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ), t AS (
+                SELECT n_name,
+                       NTILE(10) OVER (PARTITION BY n_name
+                                       ORDER BY spend_c DESC,
+                                                c_custkey) AS decile,
+                       spend_c
+                FROM j)
+            SELECT n_name, CAST(decile AS BIGINT) AS decile,
+                   count(*) AS n_customers,
+                   CAST(sum(spend_c) AS BIGINT) AS decile_spend_c
+            FROM t GROUP BY n_name, decile ORDER BY n_name, decile
+        """,
+        "events_out_of_order": """
+            -- watermark metric: per event type, how many events arrived
+            -- with a timestamp behind the previous arrival in the SAME
+            -- user's ingest sequence (event_id = arrival order)
+            WITH seq AS (
+                SELECT event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS prev_ts
+                FROM events)
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(*) FILTER (prev_ts IS NOT NULL
+                                    AND ts < prev_ts) AS n_out_of_order
+            FROM seq GROUP BY event_type ORDER BY event_type
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -13930,3 +13930,104 @@ def docs_cross_source_dup_matrix(sf_dir: str, threshold: float = 0.6):
     cells = rel.ensure_columns(rel.as_pandas(cells), {
         "source_a": "object", "source_b": "object", "n_pairs": "int64"})
     return rel.to_pandas_sorted(cells, ["source_a", "source_b"])
+
+
+def customer_decile_by_nation(sf_dir: str):
+    """NTILE(10) spend deciles within each nation — the classic
+    per-segment value-tiering window function, rolled up to the
+    (nation, decile) grain. Per-customer spend is ONE custkey-keyed
+    int-exact combine; the customer->nation map is a dimension
+    broadcast (same discipline as q5); the NTILE assignment runs
+    distributed per nation via salted_map_groups (25 groups, each
+    bounded by customers-per-nation, never on the driver). Tie rows
+    (equal spend) order by custkey exactly like the SQL window's
+    ORDER BY spend DESC, custkey — and because ties carry equal spend,
+    the decile SUM is tie-placement-invariant, which is the named
+    scale path (a bounded spend-histogram walk) if per-nation groups
+    ever outgrow a worker."""
+    orders = rel.load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "c": _cents(batch.column("o_totalprice"))})
+
+    per = rel.grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [("spend_c", "c", "sum")], int_exact=True)
+
+    cust = rel.load(sf_dir, "customer",
+                    ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = rel.load(sf_dir, "nation",
+                      ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey",
+                     right_on="n_nationkey")[["c_custkey", "n_name"]]
+    dim = dim.rename(columns={"c_custkey": "o_custkey"})
+
+    joined = rel.broadcast_merge(per, dim, on="o_custkey")
+
+    def ntile_rollup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["spend_c", "o_custkey"],
+                          ascending=[False, True], kind="mergesort")
+        n = len(g)
+        base, rem = divmod(n, 10)
+        sizes = np.array([base + 1] * rem + [base] * (10 - rem),
+                         dtype=np.int64)
+        buckets = np.repeat(np.arange(1, 11, dtype=np.int64), sizes)
+        out = pd.DataFrame({"n_name": g["n_name"].to_numpy(),
+                            "decile": buckets,
+                            "spend_c": g["spend_c"].to_numpy(np.int64)})
+        roll = (out.groupby(["n_name", "decile"], sort=True)
+                .agg(n_customers=("spend_c", "size"),
+                     decile_spend_c=("spend_c", "sum"))
+                .reset_index())
+        roll["n_customers"] = roll["n_customers"].astype("int64")
+        roll["decile_spend_c"] = roll["decile_spend_c"].astype("int64")
+        return roll
+
+    out = rel.salted_map_groups(joined, ["n_name"], ntile_rollup,
+                                batch_format="pandas")
+    df = rel.ensure_columns(rel.as_pandas(out), {
+        "n_name": "object", "decile": "int64",
+        "n_customers": "int64", "decile_spend_c": "int64"})
+    return rel.to_pandas_sorted(df, ["n_name", "decile"])
+
+
+def events_out_of_order(sf_dir: str):
+    """Out-of-order arrival accounting — the watermark/late-data metric
+    every streaming ingest needs: within each user's ARRIVAL sequence
+    (event_id is the ingest order), count events whose timestamp runs
+    backwards vs the previous arrival, broken down by event type. One
+    user-salted exchange (the sessionization plan); the per-type rollup
+    is a bounded combine. The LAG comparison is exact on int64
+    microseconds, so both engines agree bit-for-bit."""
+    ev = rel.load(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        late = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            late[1:] = ts[1:] < ts[:-1]
+        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                            "late": late.astype(np.int64)})
+        roll = (out.groupby("event_type", sort=False)
+                .agg(n_events=("late", "size"),
+                     n_out_of_order=("late", "sum"))
+                .reset_index())
+        return roll
+
+    partial = rel.salted_map_groups(ev, ["user_id"], per_user,
+                                    batch_format="pandas")
+    agg = rel.grouped_agg(
+        ray.data.from_pandas(rel.as_pandas(partial))
+        if isinstance(partial, pd.DataFrame) else partial,
+        ["event_type"],
+        [("n_events", "n_events", "sum"),
+         ("n_out_of_order", "n_out_of_order", "sum")],
+        small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "event_type": "object", "n_events": "int64",
+        "n_out_of_order": "int64"})
+    return rel.to_pandas_sorted(df, ["event_type"])

@@ -1,0 +1,172 @@
+"""Round-4e additions: per-nation NTILE(10) spend deciles and the
+out-of-order arrival (watermark) metric.
+
+Fuzz covers: nations with fewer than 10 customers (NTILE gives 1-row
+buckets and the empty tail deciles vanish from the rollup), exact spend
+ties (NTILE splits them across buckets by custkey order — the rollup sum
+must be tie-placement-invariant), customers without orders (excluded on
+both engines), NULL-user events (one shared lag partition on both
+engines), duplicate timestamps (not out-of-order: strict <), and strictly
+decreasing sequences (everything after the first arrival is late).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import __ray_entry__ as entrymod
+
+_BASE = dt.datetime(2024, 3, 1)
+
+# (custkey, nationkey) pool: 3 nations so small-n NTILE paths trigger
+_CUSTOMERS = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=30),
+              st.integers(min_value=0, max_value=2)),
+    min_size=1, max_size=12, unique_by=lambda c: c[0])
+
+# orders as (custkey index into the customer list, price in cents)
+_ORDERS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=11),
+              st.sampled_from([100, 100, 2500, 999999])),  # heavy ties
+    min_size=0, max_size=25)
+
+_EVENTS = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+              st.integers(min_value=0, max_value=500),      # seconds
+              st.sampled_from(["click", "purchase"])),
+    min_size=1, max_size=25)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns),
+                          kind="mergesort").reset_index(drop=True)
+
+
+def _check(query_name: str, tables: dict[str, pa.Table]) -> None:
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    orig = q.rel.load
+
+    def fake_load(sf, t, columns=None):
+        tbl = tables[t]
+        return ray.data.from_arrow(tbl.select(columns) if columns else tbl)
+
+    q.rel.load = fake_load
+    try:
+        ray_df = entrymod.queries()[query_name]("fuzz")
+    finally:
+        q.rel.load = orig
+    con = duckdb.connect()
+    for name, tbl in tables.items():
+        con.register(name, tbl)
+    sql_df = con.execute(entrymod.oracle_sql()[query_name]).df()
+    a, b = _canon(pd.DataFrame(ray_df)), _canon(sql_df)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{len(a)} != {len(b)}"
+    for col in a.columns:
+        for i, (x, y) in enumerate(zip(a[col], b[col])):
+            assert x == y, f"{query_name}.{col}[{i}]: {x!r} != {y!r}"
+
+
+def _rel_tables(customers, orders) -> dict[str, pa.Table]:
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": pa.array(["ALGERIA", "BRAZIL", "CANADA"], pa.string()),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array([c[0] for c in customers], pa.int64()),
+        "c_nationkey": pa.array([c[1] for c in customers], pa.int64()),
+    })
+    keys = [c[0] for c in customers]
+    rows = [(keys[idx % len(keys)], cents) for idx, cents in orders]
+    order_tbl = pa.table({
+        "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] / 100.0 for r in rows],
+                                 pa.float64()),
+    })
+    return {"nation": nation, "customer": customer, "orders": order_tbl}
+
+
+def _events_table(rows) -> pa.Table:
+    return pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=12, deadline=None)
+@given(customers=_CUSTOMERS, orders=_ORDERS)
+def test_decile_by_nation_fuzz(customers, orders):
+    _check("customer_decile_by_nation", _rel_tables(customers, orders))
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=_EVENTS)
+def test_out_of_order_fuzz(rows):
+    _check("events_out_of_order", {"events": _events_table(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_out_of_order_decreasing_and_ties():
+    """A strictly decreasing per-user sequence flags every arrival after
+    the first; a tied timestamp is NOT out of order (strict <)."""
+    rows = [(1, 300, "click"), (1, 200, "click"), (1, 100, "click"),
+            (2, 50, "purchase"), (2, 50, "purchase")]
+    _check("events_out_of_order", {"events": _events_table(rows)})
+
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    tbl = _events_table(rows)
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        out = q.events_out_of_order("fuzz")
+    finally:
+        q.rel.load = orig
+    got = dict(zip(out["event_type"], out["n_out_of_order"]))
+    assert got == {"click": 2, "purchase": 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decile_small_nation_sizes():
+    """n < 10 customers in a nation: NTILE hands one row to each of the
+    first n deciles; deciles n+1..10 must be absent, not zero-rows."""
+    customers = [(1, 0), (2, 0), (3, 0)]
+    orders = [(0, 300), (1, 200), (2, 100)]
+    tables = _rel_tables(customers, orders)
+    _check("customer_decile_by_nation", tables)
+
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tables[t].select(columns) if columns else tables[t])
+    try:
+        out = q.customer_decile_by_nation("fuzz")
+    finally:
+        q.rel.load = orig
+    assert out["decile"].tolist() == [1, 2, 3]
+    assert out["decile_spend_c"].tolist() == [300, 200, 100]
