@@ -100,9 +100,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_coverage_curve": q.docs_token_coverage_curve,
         "lineitem_discount_uplift": q.lineitem_discount_uplift,
         "orders_top_growth_customers": q.orders_top_growth_customers,
-        "docs_source_median_chars": q.docs_source_median_chars,
-        "events_type_dow_matrix": q.events_type_dow_matrix,
-        "docs_quality_gate_attribution": q.docs_quality_gate_attribution,
         # new in round 4d batch 2 (tier-1): incremental base-vs-incoming
         # near-dedup (bipartite inverted index), per-doc n-gram novelty
         # scoring, and the cross-source duplication (contamination)
@@ -129,6 +126,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # local gate every round).
         "customer_decile_by_nation": q.customer_decile_by_nation,
         "events_out_of_order": q.events_out_of_order,
+        # new in round 4e batch 2 (tier-1): interpolated quantile_cont
+        # percentiles, near-dup-graph degree assortativity (Newman r),
+        # and the Levene variance-homogeneity test. They displace the
+        # backlog entries docs_source_median_chars /
+        # events_type_dow_matrix / docs_quality_gate_attribution past
+        # the cap (all re-registered below, hash-green in the local
+        # gate every round).
+        "orders_percentile_cont": q.orders_percentile_cont,
+        "docs_dup_graph_assortativity": q.docs_dup_graph_assortativity,
+        "events_levene": q.events_levene,
         # new in round 4c (tier-1: new-this-round oracled ops land inside
         # the window): rolling median, churn snapshot diff, purchase
         # streaks, KMV sample quantiles. Their insertion displaces the
@@ -6117,6 +6124,147 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (prev_ts IS NOT NULL
                                     AND ts < prev_ts) AS n_out_of_order
             FROM seq GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_percentile_cont": """
+            -- quantile_cont semantics written explicitly (rank
+            -- h = q*(n-1), linear interpolation) so both engines share
+            -- the exact double expression, bit-for-bit
+            WITH v AS (
+                SELECT o_totalprice AS x,
+                       row_number() OVER (ORDER BY o_totalprice) - 1 AS r
+                FROM orders
+            ), n AS (SELECT count(*) AS n FROM orders),
+            qs AS (
+                SELECT CAST(q AS DOUBLE) AS p,
+                       CAST(q AS DOUBLE) * (n.n - 1) AS h
+                FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q),
+                     n
+                WHERE n.n > 0)
+            SELECT qs.p AS p,
+                   lo.x + (qs.h - floor(qs.h)) * (hi.x - lo.x) AS value
+            FROM qs
+            JOIN v lo ON lo.r = CAST(floor(qs.h) AS BIGINT)
+            JOIN v hi ON hi.r = CAST(ceil(qs.h) AS BIGINT)
+            ORDER BY p
+        """,
+        "docs_dup_graph_assortativity": r"""
+            -- Newman degree assortativity over the exact word-3-shingle
+            -- Jaccard >= 0.6 near-dup graph (same pairs CTE as
+            -- docs_ngram_jaccard_pairs); Pearson over the symmetrized
+            -- edge list, moments as HUGEINT, identical double finish
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+            ), deg AS (
+                SELECT doc_id, count(*) AS d
+                FROM (SELECT doc_a AS doc_id FROM pairs
+                      UNION ALL SELECT doc_b FROM pairs)
+                GROUP BY doc_id
+            ), e AS (
+                SELECT da.d AS x, db.d AS y
+                FROM pairs
+                JOIN deg da ON da.doc_id = pairs.doc_a
+                JOIN deg db ON db.doc_id = pairs.doc_b
+                UNION ALL
+                SELECT db.d, da.d
+                FROM pairs
+                JOIN deg da ON da.doc_id = pairs.doc_a
+                JOIN deg db ON db.doc_id = pairs.doc_b
+            ), m AS (
+                SELECT count(*) AS mm,
+                       CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                       CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                           AS sxx,
+                       CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)
+                           AS sxy
+                FROM e
+            ), f AS (
+                SELECT mm, CAST(mm AS DOUBLE) AS mf,
+                       CAST(sx AS DOUBLE) AS sxf,
+                       CAST(sxx AS DOUBLE) AS sxxf,
+                       CAST(sxy AS DOUBLE) AS sxyf
+                FROM m)
+            SELECT CAST(mm // 2 AS BIGINT) AS n_edges,
+                   CASE WHEN mm > 0 AND (mf * sxxf - sxf * sxf) > 0
+                        THEN round((mf * sxyf - sxf * sxf)
+                                   / (mf * sxxf - sxf * sxf), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS assortativity
+            FROM f
+        """,
+        "events_levene": """
+            -- mean-centred Levene W across event types: absolute
+            -- deviations fold as exact integers u = |v*n_g - s_g|
+            -- (z = u/n_g never floats mid-fold); cross-group double
+            -- reductions micro-round each term to 1e-6 and sum exactly
+            -- (the ANOVA discipline)
+            WITH c AS (
+                SELECT event_type AS g,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL
+            ), m AS (
+                SELECT g, count(*) AS n, CAST(sum(v) AS HUGEINT) AS s
+                FROM c GROUP BY g
+            ), u AS (
+                SELECT c.g, abs(CAST(c.v AS HUGEINT) * m.n - m.s) AS u
+                FROM c JOIN m ON c.g IS NOT DISTINCT FROM m.g
+            ), ug AS (
+                SELECT g, count(*) AS n, sum(u) AS uu,
+                       sum(u * u) AS qq
+                FROM u GROUP BY g
+            ), t AS (
+                SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+                       CAST(sum(CAST(round(1000000.0
+                            * (CAST(uu AS DOUBLE) / n)) AS HUGEINT))
+                            AS HUGEINT) AS a6
+                FROM ug
+            ), z AS (
+                SELECT k, nn,
+                       (CAST(a6 AS DOUBLE) / 1000000.0)
+                           / CAST(nn AS DOUBLE) AS zb
+                FROM t WHERE nn > 0
+            ), d AS (
+                SELECT z.k, z.nn,
+                       CAST(sum(CAST(round(1000000.0
+                            * (CAST(n AS DOUBLE)
+                               * (CAST(uu AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * n) - z.zb)
+                               * (CAST(uu AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * n) - z.zb)))
+                            AS HUGEINT)) AS HUGEINT) AS num6,
+                       CAST(sum(CAST(round(1000000.0
+                            * (CAST(qq AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * n)
+                               - CAST(uu AS DOUBLE) * uu
+                               / (CAST(n AS DOUBLE) * n * n)))
+                            AS HUGEINT)) AS HUGEINT) AS den6
+                FROM ug, z GROUP BY z.k, z.nn)
+            SELECT k AS n_groups, nn AS n_events,
+                   CASE WHEN k >= 2 AND nn > k AND den6 > 0
+                        THEN round(((CAST(nn AS DOUBLE) - k)
+                                    / (CAST(k AS DOUBLE) - 1.0))
+                                   * ((CAST(num6 AS DOUBLE) / 1000000.0)
+                                      / (CAST(den6 AS DOUBLE)
+                                         / 1000000.0)), 6)
+                        ELSE CAST('nan' AS DOUBLE) END AS levene_w
+            FROM d
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -14031,3 +14031,212 @@ def events_out_of_order(sf_dir: str):
         "event_type": "object", "n_events": "int64",
         "n_out_of_order": "int64"})
     return rel.to_pandas_sorted(df, ["event_type"])
+
+
+def orders_percentile_cont(sf_dir: str):
+    """Interpolated percentiles (quantile_cont semantics: rank
+    h = q*(n-1), linear interpolation between the two bracketing order
+    statistics) of the order price — the continuous complement to
+    orders_price_quantiles' quantile_disc. The value histogram runs
+    distributed keyed on the RAW double (no cents roundtrip — the
+    interpolated result must be built from the exact stored doubles,
+    and the distinct-price domain is range-bounded, not row-bounded);
+    the driver walks only the tiny (value, count) histogram. The
+    interpolation expression lo + (h - floor(h)) * (hi - lo) is
+    written identically in the SQL twin, so both engines are
+    bit-equal without rounding."""
+    orders = rel.load(sf_dir, "orders", ["o_totalprice"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        v = pc.value_counts(batch.column("o_totalprice"))
+        return pa.table({"x": v.field("values"),
+                         "n": pc.cast(v.field("counts"), pa.int64())})
+
+    hist = rel.grouped_agg(
+        orders.map_batches(vc, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["x"], [("n", "n", "sum")])
+    hdf = rel.as_pandas(hist)
+    empty = pd.DataFrame({"p": pd.Series(dtype="float64"),
+                          "value": pd.Series(dtype="float64")})
+    if hdf.empty:
+        return empty
+    hdf = hdf.sort_values("x").reset_index(drop=True)
+    values = hdf["x"].to_numpy(np.float64)
+    cum = np.cumsum(hdf["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+    rows = []
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        h = q * (n - 1)                      # 0-indexed fractional rank
+        lo = float(values[np.searchsorted(cum, int(np.floor(h)) + 1)])
+        hi = float(values[np.searchsorted(cum, int(np.ceil(h)) + 1)])
+        rows.append((q, lo + (h - np.floor(h)) * (hi - lo)))
+    return pd.DataFrame({"p": pd.Series([r[0] for r in rows],
+                                        dtype="float64"),
+                         "value": pd.Series([r[1] for r in rows],
+                                            dtype="float64")})
+
+
+def docs_dup_graph_assortativity(sf_dir: str, threshold: float = 0.6):
+    """Degree assortativity (Newman r) of the exact n-gram-Jaccard
+    near-dup graph: the Pearson correlation of endpoint degrees over
+    the symmetrized edge list. r > 0 means dup hubs connect to hubs
+    (template families recrawled together — band caps pay off); r < 0
+    means star topology (one boilerplate hub with leaf twins — the
+    star-capping case). Rides the memoized dup-bounded pair artifact;
+    degrees are ONE doc-keyed count; the moment fold is O(blocks) with
+    the >int64 moments (deg products) travelling as decimal strings.
+    Degenerate graphs (no edges, zero degree variance) agree as NaN."""
+    pairs = _ngram_pairs(sf_dir, threshold)
+    n_edges = pairs.count()
+    empty = pd.DataFrame({
+        "n_edges": pd.Series([0], dtype="int64"),
+        "assortativity": pd.Series([float("nan")], dtype="float64")})
+    if n_edges == 0:
+        return empty
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            batch.column("doc_a").to_numpy(zero_copy_only=False),
+            batch.column("doc_b").to_numpy(zero_copy_only=False)])
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64),
+                                            pa.int64())})
+
+    deg = rel.grouped_agg(
+        pairs.map_batches(endpoints, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["doc_id"], [("degree", "", "count")])
+
+    def rename(cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select(["doc_id", "degree"]).rename_columns(cols)
+        return fn
+
+    n_parts = rel.join_partitions(n_edges)
+    da = deg.map_batches(rename(["ida", "dega"]), batch_format="pyarrow")
+    db = deg.map_batches(rename(["idb", "degb"]), batch_format="pyarrow")
+    j1 = pairs.join(da, "inner", n_parts, on=("doc_a",),
+                    right_on=("ida",))
+    j2 = j1.join(db, "inner", n_parts, on=("doc_b",), right_on=("idb",))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        a = batch.column("dega").to_numpy(zero_copy_only=False)
+        b = batch.column("degb").to_numpy(zero_copy_only=False)
+        ai = [int(v) for v in a]
+        bi = [int(v) for v in b]
+        # symmetrized: each undirected edge contributes (a,b) AND (b,a)
+        m = 2 * len(ai)
+        sx = sum(ai) + sum(bi)
+        sxx = sum(v * v for v in ai) + sum(v * v for v in bi)
+        sxy = 2 * sum(x * y for x, y in zip(ai, bi))
+        return pa.table({"m": pa.array([m], pa.int64()),
+                         "sx": pa.array([str(sx)], pa.string()),
+                         "sxx": pa.array([str(sxx)], pa.string()),
+                         "sxy": pa.array([str(sxy)], pa.string())})
+
+    parts = j2.map_batches(moments, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    m = sum(int(v) for v in parts["m"])
+    sx = sum(int(v) for v in parts["sx"])
+    sxx = sum(int(v) for v in parts["sxx"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    mf, sxf, sxxf, sxyf = float(m), float(sx), float(sxx), float(sxy)
+    den = mf * sxxf - sxf * sxf
+    r = float("nan")
+    if m > 0 and den > 0:
+        r = float(np_round_half_away(np.array(
+            [(mf * sxyf - sxf * sxf) / den]), 6)[0])
+    return pd.DataFrame({
+        "n_edges": pd.Series([int(m // 2)], dtype="int64"),
+        "assortativity": pd.Series([r], dtype="float64")})
+
+
+def events_levene(sf_dir: str):
+    """Levene variance-homogeneity test (mean-centred) for event value
+    across event types — the gate before trusting the pooled-variance
+    assumptions of the ANOVA/t family. Two bounded passes: group
+    (n, sum) folds exactly in cents, then the absolute deviations fold
+    as EXACT integers u = |v*n_g - s_g| (z = u/n_g is never
+    materialized as a float), with the >int64 moments (sum u, sum u^2)
+    travelling as decimal strings. The three order-sensitive
+    cross-group reductions micro-round each per-group double term to
+    1e-6 and sum exactly (the ANOVA discipline), so group enumeration
+    order cannot flip a bit on either engine. Degenerate designs
+    (k < 2, N <= k, zero within-group deviation) agree as NaN."""
+    ev = rel.load(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        return pa.table({"g": t.column("event_type"),
+                         "v": _cents(t.column("value"))})
+
+    cents = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    gm = rel.ensure_columns(
+        rel.as_pandas(rel.grouped_agg(
+            cents, ["g"], [("n", "", "count"), ("s", "v", "sum")],
+            small_result=True)),
+        {"g": "object", "n": "int64", "s": "int64"})
+    empty = pd.DataFrame({"n_groups": pd.Series(dtype="int64"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "levene_w": pd.Series(dtype="float64")})
+    if gm.empty:
+        return empty
+    lookup = {(None if pd.isna(r["g"]) else r["g"]):
+              (int(r["n"]), int(r["s"])) for _, r in gm.iterrows()}
+
+    def dev_moments(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"g": [], "su": [], "suu": []}
+        for g, grp in df.groupby("g", sort=True, dropna=False):
+            key = None if pd.isna(g) else g
+            n_g, s_g = lookup[key]
+            u = [abs(int(v) * n_g - s_g) for v in grp["v"]]
+            out["g"].append(key)
+            out["su"].append(str(sum(u)))
+            out["suu"].append(str(sum(x * x for x in u)))
+        return pd.DataFrame({"g": pd.Series(out["g"], dtype="object"),
+                             "su": pd.Series(out["su"], dtype="object"),
+                             "suu": pd.Series(out["suu"],
+                                              dtype="object")})
+
+    parts = cents.map_batches(dev_moments,
+                              batch_format="pandas").to_pandas()
+    fold: dict = {}
+    for _, row in parts.iterrows():
+        key = None if pd.isna(row["g"]) else row["g"]
+        u0, q0 = fold.get(key, (0, 0))
+        fold[key] = (u0 + int(row["su"]), q0 + int(row["suu"]))
+
+    k = len(lookup)
+    N = sum(n for n, _ in lookup.values())
+    a6 = 0      # sum over groups of 1e6 * (U_g / n_g), micro-rounded
+    for key in sorted(lookup, key=lambda x: (x is None, x)):
+        n_g, _ = lookup[key]
+        u_g, _ = fold.get(key, (0, 0))
+        term = 1000000.0 * (float(u_g) / float(n_g))
+        a6 += int(np_round_half_away(np.array([term]), 0)[0])
+    nf, kf = float(N), float(k)
+    zb = (float(a6) / 1000000.0) / nf
+    num6 = 0
+    den6 = 0
+    for key in sorted(lookup, key=lambda x: (x is None, x)):
+        n_g, _ = lookup[key]
+        u_g, q_g = fold.get(key, (0, 0))
+        ngf, uf, qf = float(n_g), float(u_g), float(q_g)
+        d = uf / (ngf * ngf) - zb
+        num6 += int(np_round_half_away(np.array(
+            [1000000.0 * (ngf * d * d)]), 0)[0])
+        den6 += int(np_round_half_away(np.array(
+            [1000000.0 * (qf / (ngf * ngf)
+                          - uf * uf / (ngf * ngf * ngf))]), 0)[0])
+    w = float("nan")
+    if k >= 2 and N > k and den6 > 0:
+        w = float(np_round_half_away(np.array(
+            [((nf - kf) / (kf - 1.0))
+             * ((float(num6) / 1000000.0)
+                / (float(den6) / 1000000.0))]), 6)[0])
+    return pd.DataFrame({
+        "n_groups": pd.Series([k], dtype="int64"),
+        "n_events": pd.Series([N], dtype="int64"),
+        "levene_w": pd.Series([w], dtype="float64")})

@@ -13,6 +13,7 @@ decreasing sequences (everything after the first arrival is late).
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 import duckdb
 import pandas as pd
@@ -75,7 +76,10 @@ def _check(query_name: str, tables: dict[str, pa.Table]) -> None:
     assert len(a) == len(b), f"{len(a)} != {len(b)}"
     for col in a.columns:
         for i, (x, y) in enumerate(zip(a[col], b[col])):
-            assert x == y, f"{query_name}.{col}[{i}]: {x!r} != {y!r}"
+            both_nan = (isinstance(x, float) and isinstance(y, float)
+                        and math.isnan(x) and math.isnan(y))
+            assert x == y or both_nan, \
+                f"{query_name}.{col}[{i}]: {x!r} != {y!r}"
 
 
 def _rel_tables(customers, orders) -> dict[str, pa.Table]:
@@ -170,3 +174,106 @@ def test_decile_small_nation_sizes():
         q.rel.load = orig
     assert out["decile"].tolist() == [1, 2, 3]
     assert out["decile_spend_c"].tolist() == [300, 200, 100]
+
+
+# ---- round-4e batch 2: percentile_cont / assortativity / Levene ----
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+_DOCS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.lists(st.integers(min_value=0, max_value=7),
+                       min_size=0, max_size=8)),
+    min_size=1, max_size=16, unique_by=lambda d: d[0])
+
+_PRICES = st.lists(
+    st.sampled_from([1.0, 1.0, 2.5, 2.5, 99.99, 12345.67, 0.01]),
+    min_size=0, max_size=30)
+
+_LEVENE_EVENTS = st.lists(
+    st.tuples(st.one_of(st.none(),
+                        st.sampled_from(["click", "purchase", "view"])),
+              st.one_of(st.none(),
+                        st.floats(min_value=-1000, max_value=1000,
+                                  allow_nan=False, width=32))),
+    min_size=0, max_size=30)
+
+
+def _docs_table(rows) -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([" ".join(_VOCAB[i] for i in r[1]) for r in rows],
+                         pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(prices=_PRICES)
+def test_percentile_cont_fuzz(prices):
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(len(prices)), pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+    })
+    _check("orders_percentile_cont", {"orders": tbl})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(rows=_DOCS)
+def test_assortativity_fuzz(rows):
+    from pdf_parser_ray.pipelines import queries as q
+
+    q.clear_session_caches()   # fuzz re-binds rel.load under one key
+    _check("docs_dup_graph_assortativity", {"documents": _docs_table(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=_LEVENE_EVENTS)
+def test_levene_fuzz(rows):
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE] * len(rows), pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+    _check("events_levene", {"events": tbl})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assortativity_star_is_negative():
+    """A pure star (hub duplicated text with distinct leaves? no — a
+    clique of identical docs has uniform degree -> zero variance ->
+    NaN; a two-clique graph with different sizes has positive r).
+    Pin the exact-clique NaN case: 3 identical docs = triangle, all
+    degrees 2, zero degree variance."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    q.clear_session_caches()
+    text = "alpha beta gamma delta eps"
+    rows = [(i, text) for i in range(3)]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(text)] * 3, pa.int64()),
+    })
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        out = q.docs_dup_graph_assortativity("fuzz")
+    finally:
+        q.rel.load = orig
+        q.clear_session_caches()
+    assert out["n_edges"].tolist() == [3]
+    assert math.isnan(out["assortativity"].iloc[0])
