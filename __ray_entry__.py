@@ -98,8 +98,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_power_users_share": q.events_power_users_share,
         "docs_quality_metric_hist": q.docs_quality_metric_hist,
         "docs_token_coverage_curve": q.docs_token_coverage_curve,
-        "lineitem_discount_uplift": q.lineitem_discount_uplift,
-        "orders_top_growth_customers": q.orders_top_growth_customers,
         # new in round 4d batch 2 (tier-1): incremental base-vs-incoming
         # near-dedup (bipartite inverted index), per-doc n-gram novelty
         # scoring, and the cross-source duplication (contamination)
@@ -136,6 +134,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_percentile_cont": q.orders_percentile_cont,
         "docs_dup_graph_assortativity": q.docs_dup_graph_assortativity,
         "events_levene": q.events_levene,
+        # new in round 4e batch 3 (tier-1): order-status referential
+        # reconciliation (derived-from-lineitems vs stored status cross
+        # tab — exercises o_orderstatus, the last untouched testdata
+        # column) and hourly OHLC bars (windowed first/last/min/max with
+        # associative per-block candidates). They displace the backlog
+        # entries lineitem_discount_uplift / orders_top_growth_customers
+        # past the cap (both re-registered below, hash-green in the
+        # local gate every round).
+        "orders_status_reconcile": q.orders_status_reconcile,
+        "events_hourly_ohlc": q.events_hourly_ohlc,
         # new in round 4c (tier-1: new-this-round oracled ops land inside
         # the window): rolling median, churn snapshot diff, purchase
         # streaks, KMV sample quantiles. Their insertion displaces the
@@ -6265,6 +6273,45 @@ def oracle_sql() -> dict[str, str]:
                                          / 1000000.0)), 6)
                         ELSE CAST('nan' AS DOUBLE) END AS levene_w
             FROM d
+        """,
+        "orders_status_reconcile": """
+            -- derive order status from lineitems (all-F -> F, all-O ->
+            -- O, else P) and cross-tabulate vs the stored status
+            WITH d AS (
+                SELECT l_orderkey,
+                       CASE WHEN count(*) FILTER (l_linestatus = 'F')
+                                 = count(*) THEN 'F'
+                            WHEN count(*) FILTER (l_linestatus = 'O')
+                                 = count(*) THEN 'O'
+                            ELSE 'P' END AS derived
+                FROM lineitem GROUP BY l_orderkey)
+            SELECT o.o_orderstatus, d.derived, count(*) AS n_orders
+            FROM orders o JOIN d ON o.o_orderkey = d.l_orderkey
+            GROUP BY o.o_orderstatus, d.derived
+            ORDER BY o.o_orderstatus, d.derived
+        """,
+        "events_hourly_ohlc": """
+            -- hourly OHLC bars: open/close by (ts, event_id) order
+            -- within the hour, exact stored doubles end to end
+            WITH e AS (
+                SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                       ts, event_id, value
+                FROM events WHERE value IS NOT NULL
+            ), r AS (
+                SELECT hour, value,
+                       row_number() OVER (PARTITION BY hour
+                                          ORDER BY ts, event_id) AS rn,
+                       row_number() OVER (PARTITION BY hour
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rrn
+                FROM e)
+            SELECT hour,
+                   min(CASE WHEN rn = 1 THEN value END) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   min(CASE WHEN rrn = 1 THEN value END) AS close,
+                   count(*) AS n_events
+            FROM r GROUP BY hour ORDER BY hour
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -14240,3 +14240,157 @@ def events_levene(sf_dir: str):
         "n_groups": pd.Series([k], dtype="int64"),
         "n_events": pd.Series([N], dtype="int64"),
         "levene_w": pd.Series([w], dtype="float64")})
+
+
+def orders_status_reconcile(sf_dir: str):
+    """Referential status reconciliation: derive each order's status
+    from its lineitems (all-F -> 'F', all-O -> 'O', mixed -> 'P' — the
+    TPC-H generation rule) and cross-tabulate against the stored
+    o_orderstatus — the fact-vs-rollup consistency audit every
+    warehouse runs after a load. ONE orderkey-keyed int-exact combine
+    on lineitem (map-side Arrow groupby), then the single big-big
+    orderkey hash join (the q4 plan), then a 3x3-bounded rollup."""
+    line = rel.load(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        f = pc.cast(pc.equal(batch.column("l_linestatus"),
+                             pa.scalar("F")), pa.int64())
+        o = pc.cast(pc.equal(batch.column("l_linestatus"),
+                             pa.scalar("O")), pa.int64())
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "f": f, "o": o,
+                      "one": pa.array(np.ones(batch.num_rows, np.int64),
+                                      pa.int64())})
+        g = pa.TableGroupBy(t, ["l_orderkey"], use_threads=False) \
+            .aggregate([("f", "sum"), ("o", "sum"), ("one", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "f": g.column("f_sum"), "o": g.column("o_sum"),
+                         "n": g.column("one_sum")})
+
+    per_order = rel.grouped_agg(
+        line.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["l_orderkey"],
+        [("f", "f", "sum"), ("o", "o", "sum"), ("n", "n", "sum")],
+        int_exact=True)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        f = batch.column("f").to_numpy(zero_copy_only=False)
+        o = batch.column("o").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        derived = np.where(f == n, "F", np.where(o == n, "O", "P"))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "derived": pa.array(derived.tolist(),
+                                             pa.string())})
+
+    d_schema = pa.schema([("l_orderkey", pa.int64()),
+                          ("derived", pa.string())])
+    o_schema = pa.schema([("o_orderkey", pa.int64()),
+                          ("o_orderstatus", pa.string())])
+    derived_ds = rel.ensure_schema(
+        per_order.map_batches(derive, batch_format="pyarrow"), d_schema)
+    orders = rel.ensure_schema(
+        rel.load(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+        o_schema)
+    joined = rel.hash_join_nonempty(
+        orders, derived_ds, on="o_orderkey", right_on="l_orderkey",
+        num_partitions=rel.join_partitions(orders.count()),
+        left_schema=o_schema, right_schema=d_schema)
+    cells = rel.grouped_agg(
+        joined, ["o_orderstatus", "derived"],
+        [("n_orders", "", "count")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(cells), {
+        "o_orderstatus": "object", "derived": "object",
+        "n_orders": "int64"})
+    return rel.to_pandas_sorted(df, ["o_orderstatus", "derived"])
+
+
+def events_hourly_ohlc(sf_dir: str):
+    """Hourly OHLC bars over event value — the windowed first/last/
+    min/max aggregate of every market-data and metrics pipeline. Each
+    block emits one candidate row per hour it touches (open/close
+    carry their (ts, event_id) keys so the merge is associative); the
+    final fold runs on the driver over the time-bounded (hours x
+    blocks) candidate set — never per-event state. Open/close/high/low
+    are the exact stored doubles (no arithmetic), so both engines are
+    bit-equal; NULL values are excluded on both sides."""
+    ev = rel.load(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        if t.num_rows == 0:
+            return pa.table({
+                "hour": pa.array([], pa.int64()),
+                "o_ts": pa.array([], pa.int64()),
+                "o_id": pa.array([], pa.int64()),
+                "open": pa.array([], pa.float64()),
+                "c_ts": pa.array([], pa.int64()),
+                "c_id": pa.array([], pa.int64()),
+                "close": pa.array([], pa.float64()),
+                "low": pa.array([], pa.float64()),
+                "high": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64())})
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        out = {k: [] for k in ("hour", "o_ts", "o_id", "open", "c_ts",
+                               "c_id", "close", "low", "high", "n")}
+        order = np.lexsort((eid, ts, hour))
+        hs, tss, ids, vs = hour[order], ts[order], eid[order], val[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], hs[1:] != hs[:-1])))
+        bounds = np.append(starts, len(hs))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            out["hour"].append(int(hs[s]))
+            out["o_ts"].append(int(tss[s]))
+            out["o_id"].append(int(ids[s]))
+            out["open"].append(float(vs[s]))
+            out["c_ts"].append(int(tss[e - 1]))
+            out["c_id"].append(int(ids[e - 1]))
+            out["close"].append(float(vs[e - 1]))
+            out["low"].append(float(vs[s:e].min()))
+            out["high"].append(float(vs[s:e].max()))
+            out["n"].append(int(e - s))
+        return pa.table({
+            "hour": pa.array(out["hour"], pa.int64()),
+            "o_ts": pa.array(out["o_ts"], pa.int64()),
+            "o_id": pa.array(out["o_id"], pa.int64()),
+            "open": pa.array(out["open"], pa.float64()),
+            "c_ts": pa.array(out["c_ts"], pa.int64()),
+            "c_id": pa.array(out["c_id"], pa.int64()),
+            "close": pa.array(out["close"], pa.float64()),
+            "low": pa.array(out["low"], pa.float64()),
+            "high": pa.array(out["high"], pa.float64()),
+            "n": pa.array(out["n"], pa.int64())})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({
+        "hour": pd.Series(dtype="int64"),
+        "open": pd.Series(dtype="float64"),
+        "high": pd.Series(dtype="float64"),
+        "low": pd.Series(dtype="float64"),
+        "close": pd.Series(dtype="float64"),
+        "n_events": pd.Series(dtype="int64")})
+    if parts.empty:
+        return empty
+    rows = []
+    for hour, g in parts.groupby("hour", sort=True):
+        first = g.sort_values(["o_ts", "o_id"], kind="mergesort").iloc[0]
+        last = g.sort_values(["c_ts", "c_id"], ascending=[False, False],
+                             kind="mergesort").iloc[0]
+        rows.append((int(hour),
+                     float(first["open"]),
+                     float(g["high"].max()),
+                     float(g["low"].min()),
+                     float(last["close"]),
+                     int(g["n"].sum())))
+    return pd.DataFrame({
+        "hour": pd.Series([r[0] for r in rows], dtype="int64"),
+        "open": pd.Series([r[1] for r in rows], dtype="float64"),
+        "high": pd.Series([r[2] for r in rows], dtype="float64"),
+        "low": pd.Series([r[3] for r in rows], dtype="float64"),
+        "close": pd.Series([r[4] for r in rows], dtype="float64"),
+        "n_events": pd.Series([r[5] for r in rows], dtype="int64")})

@@ -277,3 +277,83 @@ def test_assortativity_star_is_negative():
         q.clear_session_caches()
     assert out["n_edges"].tolist() == [3]
     assert math.isnan(out["assortativity"].iloc[0])
+
+
+# ---- round-4e batch 3: status reconcile / hourly OHLC ----
+
+_LINESTATUS_ROWS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),      # orderkey
+              st.sampled_from(["F", "O"])),
+    min_size=0, max_size=25)
+
+_OHLC_EVENTS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=7300),   # seconds (~2h)
+              st.one_of(st.none(),
+                        st.sampled_from([1.5, -2.25, 0.0, 99.75]))),
+    min_size=0, max_size=30)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=_LINESTATUS_ROWS)
+def test_status_reconcile_fuzz(rows):
+    line = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_linestatus": pa.array([r[1] for r in rows], pa.string()),
+    })
+    keys = sorted({r[0] for r in rows} | {99})   # 99: order w/o lines
+    orders = pa.table({
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_orderstatus": pa.array(
+            ["F" if k % 3 == 0 else ("O" if k % 3 == 1 else "P")
+             for k in keys], pa.string()),
+    })
+    _check("orders_status_reconcile",
+           {"lineitem": line, "orders": orders})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=_OHLC_EVENTS)
+def test_hourly_ohlc_fuzz(rows):
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[0]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+    _check("events_hourly_ohlc", {"events": tbl})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hourly_ohlc_tie_order():
+    """Two events at the SAME timestamp: open/close tie-break by
+    event_id, matching the SQL window's (ts, event_id) order."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    rows = [(0, 10.0), (0, 20.0), (0, 30.0)]
+    tbl = pa.table({
+        "event_id": pa.array([2, 0, 1], pa.int64()),
+        "ts": pa.array([_BASE] * 3, pa.timestamp("us")),
+        "user_id": pa.array([1] * 3, pa.int64()),
+        "event_type": pa.array(["click"] * 3, pa.string()),
+        "value": pa.array([v for _, v in rows], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * 3, pa.string()),
+    })
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        out = q.events_hourly_ohlc("fuzz")
+    finally:
+        q.rel.load = orig
+    assert len(out) == 1
+    # event_id order at the tied ts: 0 (20.0) opens, 2 (10.0) closes
+    assert out["open"].iloc[0] == 20.0
+    assert out["close"].iloc[0] == 10.0
+    assert out["high"].iloc[0] == 30.0 and out["low"].iloc[0] == 10.0
