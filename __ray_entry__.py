@@ -95,9 +95,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_entropy_rate": q.docs_bigram_entropy_rate,
         "events_session_value": q.events_session_value,
         "supplier_price_dispersion": q.supplier_price_dispersion,
-        "events_power_users_share": q.events_power_users_share,
-        "docs_quality_metric_hist": q.docs_quality_metric_hist,
-        "docs_token_coverage_curve": q.docs_token_coverage_curve,
         # new in round 4d batch 2 (tier-1): incremental base-vs-incoming
         # near-dedup (bipartite inverted index), per-doc n-gram novelty
         # scoring, and the cross-source duplication (contamination)
@@ -144,6 +141,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # local gate every round).
         "orders_status_reconcile": q.orders_status_reconcile,
         "events_hourly_ohlc": q.events_hourly_ohlc,
+        # new in round 4e batch 4 (tier-1): SoftDeDup per-doc training
+        # weights (1/cluster_size over the dup-cluster artifact),
+        # session bounce rate, and the exact doc-length Gini. They
+        # displace the backlog entries events_power_users_share /
+        # docs_quality_metric_hist / docs_token_coverage_curve past the
+        # cap (all re-registered below, hash-green in the local gate).
+        "docs_soft_dedup_weights": q.docs_soft_dedup_weights,
+        "events_bounce_rate": q.events_bounce_rate,
+        "docs_length_gini": q.docs_length_gini,
         # new in round 4c (tier-1: new-this-round oracled ops land inside
         # the window): rolling median, churn snapshot diff, purchase
         # streaks, KMV sample quantiles. Their insertion displaces the
@@ -6312,6 +6318,93 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rrn = 1 THEN value END) AS close,
                    count(*) AS n_events
             FROM r GROUP BY hour ORDER BY hour
+        """,
+        "docs_soft_dedup_weights": r"""
+            -- SoftDeDup: weight_ppm = floor(1e6 / cluster_size) for
+            -- near-dup cluster members (exact-Jaccard >= 0.8 components,
+            -- the docs_dup_clusters CTE), 1e6 for singletons
+            WITH RECURSIVE words AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+            ), edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), reach(src, node) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+            ), lab AS (
+                SELECT src AS doc_id, min(node) AS cluster_id
+                FROM reach GROUP BY src
+            ), sz AS (
+                SELECT cluster_id, count(*) AS m FROM lab GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(1000000 // sz.m, 1000000) AS BIGINT)
+                       AS weight_ppm
+            FROM documents d
+            LEFT JOIN lab ON lab.doc_id = d.doc_id
+            LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
+            ORDER BY d.doc_id
+        """,
+        "events_bounce_rate": """
+            -- share of 30-min-gap sessions with exactly one event
+            WITH s AS (
+                SELECT user_id, ts, event_id,
+                       sum(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM (SELECT user_id, ts, event_id,
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                                 AS prev_ts
+                      FROM events WHERE user_id IS NOT NULL)),
+            l AS (SELECT user_id, sid, count(*) AS len
+                  FROM s GROUP BY 1, 2),
+            t AS (SELECT count(*) AS n_sessions,
+                         count(*) FILTER (len = 1) AS n_bounce
+                  FROM l)
+            SELECT n_sessions, n_bounce,
+                   CAST(CAST(n_bounce AS HUGEINT) * 1000000
+                        // n_sessions AS BIGINT) AS bounce_ppm
+            FROM t WHERE n_sessions > 0
+        """,
+        "docs_length_gini": """
+            -- exact Gini of document length; ties rank-invariant, so
+            -- row_number order among equal lengths cannot move the sum
+            WITH r AS (
+                SELECT n_chars AS n,
+                       row_number() OVER (ORDER BY n_chars) AS i
+                FROM documents)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_chars,
+                   CAST((2 * sum(CAST(i AS HUGEINT) * n)
+                         - (count(*) + 1) * CAST(sum(n) AS HUGEINT))
+                        * 1000000
+                        // (CAST(count(*) AS HUGEINT) * sum(n))
+                        AS BIGINT) AS gini_ppm
+            FROM r HAVING sum(n) > 0
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

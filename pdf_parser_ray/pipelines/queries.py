@@ -14394,3 +14394,128 @@ def events_hourly_ohlc(sf_dir: str):
         "low": pd.Series([r[3] for r in rows], dtype="float64"),
         "close": pd.Series([r[4] for r in rows], dtype="float64"),
         "n_events": pd.Series([r[5] for r in rows], dtype="int64")})
+
+
+def docs_soft_dedup_weights(sf_dir: str, threshold: float = 0.8):
+    """SoftDeDup-style training weights: instead of dropping near-dup
+    cluster members (docs_dedup_keep), every document keeps weight
+    1/cluster_size (exact truncating ppm) so a family of n near-copies
+    contributes ONE document's worth of gradient mass in aggregate.
+    Rides the memoized cluster artifact (dup-bounded); the id->weight
+    map broadcasts once (bounded by dup volume) and the corpus pass is
+    a vectorized index_in lookup — singletons never enter the map."""
+    key = _memo_key(sf_dir, threshold)
+    if key not in _CLUSTER_CACHE:
+        _CLUSTER_CACHE[key] = docs_dup_clusters(sf_dir,
+                                                threshold=threshold)
+    clusters = _CLUSTER_CACHE[key]
+    if clusters.empty:
+        ids = pa.array([], pa.int64())
+        wts = pa.array([], pa.int64())
+    else:
+        sizes = clusters.groupby("cluster_id")["doc_id"].transform("size")
+        ids = pa.array(clusters["doc_id"].to_numpy(np.int64), pa.int64())
+        wts = pa.array((1_000_000 // sizes.to_numpy(np.int64)),
+                       pa.int64())
+    iref = ray.put(ids)
+    wref = ray.put(wts)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch.column("doc_id"), value_set=ray.get(iref))
+        w = pc.coalesce(pc.take(ray.get(wref), pos),
+                        pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "weight_ppm": pc.cast(w, pa.int64())})
+
+    docs = rel.load(sf_dir, "documents", ["doc_id"])
+    out = docs.map_batches(weigh, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    df = rel.ensure_columns(rel.as_pandas(out.to_pandas()), {
+        "doc_id": "int64", "weight_ppm": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def events_bounce_rate(sf_dir: str, gap_minutes: int = 30):
+    """Bounce rate: the share of sessions containing exactly ONE event
+    (30-min gap sessionization, the events_sessions plan) — the
+    engagement KPI pinned next to session length. Per-user partials are
+    two ints (sessions, bounces); the rate is the exact truncating ppm
+    on both engines."""
+    ds = rel.load(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        starts = (g["ts"].diff().gt(gap) | g["ts"].diff().isna()) \
+            .to_numpy()
+        sid = np.cumsum(starts)
+        lens = pd.Series(sid).value_counts()
+        return pd.DataFrame({
+            "n_sessions": pd.Series([int(len(lens))], dtype="int64"),
+            "n_bounce": pd.Series([int((lens == 1).sum())],
+                                  dtype="int64")})
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    partials = rel.salted_map_groups(
+        ds.map_batches(drop_null, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
+    parts = rel.as_pandas(partials.to_pandas())
+    empty = pd.DataFrame({"n_sessions": pd.Series(dtype="int64"),
+                          "n_bounce": pd.Series(dtype="int64"),
+                          "bounce_ppm": pd.Series(dtype="int64")})
+    if parts.empty:
+        return empty
+    n_sessions = sum(int(v) for v in parts["n_sessions"])
+    n_bounce = sum(int(v) for v in parts["n_bounce"])
+    if n_sessions == 0:
+        return empty
+    return pd.DataFrame({
+        "n_sessions": pd.Series([n_sessions], dtype="int64"),
+        "n_bounce": pd.Series([n_bounce], dtype="int64"),
+        "bounce_ppm": pd.Series([n_bounce * 1_000_000 // n_sessions],
+                                dtype="int64")})
+
+
+def docs_length_gini(sf_dir: str):
+    """Exact Gini coefficient of document length (n_chars) — the
+    corpus-inequality diagnostic: a high length Gini means a few giant
+    documents dominate token mass, which skews both training mixes and
+    per-batch memory. Same sort-free plan as events_user_gini: lengths
+    collapse to a count-of-counts histogram (bounded by distinct
+    LENGTHS, not documents) and the driver walks the tiny histogram
+    with exact Python-int tie-rank arithmetic; all-zero-length corpora
+    (undefined Gini) return empty on both engines."""
+    ds = rel.load(sf_dir, "documents", ["n_chars"])
+
+    def count_of_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("n_chars"))
+        return pa.table({"v": vc.field("values"),
+                         "m": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = rel.grouped_agg(
+        ds.map_batches(count_of_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["v"], [("m", "m", "sum")], small_result=True)
+    empty = pd.DataFrame({"n_docs": pd.Series(dtype="int64"),
+                          "total_chars": pd.Series(dtype="int64"),
+                          "gini_ppm": pd.Series(dtype="int64")})
+    if hist.empty:
+        return empty
+    h = hist.sort_values("v").reset_index(drop=True)
+    vs = [int(x) for x in h["v"]]
+    ms = [int(x) for x in h["m"]]
+    n_docs = sum(ms)
+    s0 = sum(v * m for v, m in zip(vs, ms))
+    if s0 <= 0:
+        return empty
+    s1, r = 0, 0
+    for v, m in zip(vs, ms):
+        s1 += v * (m * r + m * (m + 1) // 2)
+        r += m
+    gini_ppm = (2 * s1 - (n_docs + 1) * s0) * 1_000_000 // (n_docs * s0)
+    return pd.DataFrame({
+        "n_docs": pd.Series([n_docs], dtype="int64"),
+        "total_chars": pd.Series([s0], dtype="int64"),
+        "gini_ppm": pd.Series([gini_ppm], dtype="int64")})

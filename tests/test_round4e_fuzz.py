@@ -357,3 +357,87 @@ def test_hourly_ohlc_tie_order():
     assert out["open"].iloc[0] == 20.0
     assert out["close"].iloc[0] == 10.0
     assert out["high"].iloc[0] == 30.0 and out["low"].iloc[0] == 10.0
+
+
+# ---- round-4e batch 4: soft-dedup weights / bounce rate / length gini ----
+
+_GINI_DOCS = st.lists(st.integers(min_value=0, max_value=50),
+                      min_size=0, max_size=25)
+
+_BOUNCE_EVENTS = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+              st.integers(min_value=0, max_value=7200)),
+    min_size=0, max_size=25)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(rows=_DOCS)
+def test_soft_dedup_weights_fuzz(rows):
+    from pdf_parser_ray.pipelines import queries as q
+
+    q.clear_session_caches()
+    try:
+        _check("docs_soft_dedup_weights",
+               {"documents": _docs_table(rows)})
+    finally:
+        q.clear_session_caches()
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=_BOUNCE_EVENTS)
+def test_bounce_rate_fuzz(rows):
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+    _check("events_bounce_rate", {"events": tbl})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(lens=_GINI_DOCS)
+def test_length_gini_fuzz(lens):
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(lens)), pa.int64()),
+        "text": pa.array(["x" * n for n in lens], pa.string()),
+        "lang": pa.array(["en"] * len(lens), pa.string()),
+        "source": pa.array(["s"] * len(lens), pa.string()),
+        "n_chars": pa.array(lens, pa.int64()),
+    })
+    _check("docs_length_gini", {"documents": tbl})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_soft_dedup_weight_values():
+    """A 3-clique of identical docs weighs 333333 ppm each; the
+    singleton keeps 1000000."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    text = "alpha beta gamma delta eps"
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 9], pa.int64()),
+        "text": pa.array([text, text, text, "zeta eta theta"],
+                         pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([len(text)] * 3 + [14], pa.int64()),
+    })
+    q.clear_session_caches()
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        out = q.docs_soft_dedup_weights("fuzz")
+    finally:
+        q.rel.load = orig
+        q.clear_session_caches()
+    assert out["weight_ppm"].tolist() == [333333, 333333, 333333, 1000000]
