@@ -93,8 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_mode": q.lineitem_qty_mode,
         "events_user_count_mad": q.events_user_count_mad,
         "docs_bigram_entropy_rate": q.docs_bigram_entropy_rate,
-        "events_session_value": q.events_session_value,
-        "supplier_price_dispersion": q.supplier_price_dispersion,
         # new in round 4d batch 2 (tier-1): incremental base-vs-incoming
         # near-dedup (bipartite inverted index), per-doc n-gram novelty
         # scoring, and the cross-source duplication (contamination)
@@ -150,6 +148,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_soft_dedup_weights": q.docs_soft_dedup_weights,
         "events_bounce_rate": q.events_bounce_rate,
         "docs_length_gini": q.docs_length_gini,
+        # new in round 4e batch 5 (tier-1): full-vocabulary Count-Min
+        # overestimate profile (sketch-quality audit) and the
+        # 60-min-windowed click->purchase funnel. They displace the
+        # backlog entries events_session_value /
+        # supplier_price_dispersion past the cap (both re-registered
+        # below, hash-green in the local gate every round).
+        "docs_cms_error_profile": q.docs_cms_error_profile,
+        "events_funnel_windowed": q.events_funnel_windowed,
         # new in round 4c (tier-1: new-this-round oracled ops land inside
         # the window): rolling median, churn snapshot diff, purchase
         # streaks, KMV sample quantiles. Their insertion displaces the
@@ -6405,6 +6411,67 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(count(*) AS HUGEINT) * sum(n))
                         AS BIGINT) AS gini_ppm
             FROM r HAVING sum(n) > 0
+        """,
+        "docs_cms_error_profile": r"""
+            -- replicate the 4x1024 CMS exactly, estimate EVERY token,
+            -- band the one-sided overestimate by decade
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), counts AS (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ), cms AS (
+                SELECT t.d,
+                       md5_number_upper(CAST(t.d AS VARCHAR) || ':' || tok)
+                           % 1024 AS bucket,
+                       sum(c) AS bc
+                FROM counts, LATERAL unnest(range(0, 4)) AS t(d)
+                GROUP BY 1, 2
+            ), est AS (
+                SELECT counts.tok, counts.c,
+                       CAST(min(cms.bc) AS BIGINT) AS e
+                FROM counts, LATERAL unnest(range(0, 4)) AS t(d)
+                JOIN cms ON cms.d = t.d
+                        AND cms.bucket =
+                            md5_number_upper(CAST(t.d AS VARCHAR) || ':'
+                                             || counts.tok) % 1024
+                GROUP BY 1, 2
+            ), b AS (
+                SELECT CASE WHEN e - c = 0 THEN 0
+                            WHEN e - c < 10 THEN 1
+                            WHEN e - c < 100 THEN 2
+                            WHEN e - c < 1000 THEN 3
+                            WHEN e - c < 10000 THEN 4
+                            ELSE 5 END AS overest_band,
+                       e - c AS overest
+                FROM est)
+            SELECT overest_band, count(*) AS n_tokens,
+                   CAST(sum(overest) AS BIGINT) AS total_overest
+            FROM b GROUP BY overest_band ORDER BY overest_band
+        """,
+        "events_funnel_windowed": """
+            -- users converting within 60 min of SOME click (strictly
+            -- after the click), over users with >= 1 click
+            WITH c AS (
+                SELECT user_id FROM events
+                WHERE user_id IS NOT NULL AND event_type = 'click'
+                GROUP BY user_id
+            ), conv AS (
+                SELECT DISTINCT e.user_id
+                FROM events e JOIN events p
+                  ON p.user_id = e.user_id
+                 AND p.event_type = 'purchase'
+                 AND p.ts > e.ts
+                 AND p.ts <= e.ts + INTERVAL 60 MINUTE
+                WHERE e.event_type = 'click'
+                  AND e.user_id IS NOT NULL)
+            SELECT (SELECT count(*) FROM c) AS n_clicked,
+                   (SELECT count(*) FROM conv) AS n_converted,
+                   CAST(CAST((SELECT count(*) FROM conv) AS HUGEINT)
+                        * 1000000
+                        // (SELECT count(*) FROM c) AS BIGINT)
+                       AS conversion_ppm
+            WHERE (SELECT count(*) FROM c) > 0
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -14519,3 +14519,153 @@ def docs_length_gini(sf_dir: str):
         "n_docs": pd.Series([n_docs], dtype="int64"),
         "total_chars": pd.Series([s0], dtype="int64"),
         "gini_ppm": pd.Series([gini_ppm], dtype="int64")})
+
+
+def docs_cms_error_profile(sf_dir: str):
+    """Count-Min sketch error profile over the FULL vocabulary: for
+    every token, the CMS overestimate (est - exact >= 0, the one-sided
+    CMS guarantee) banded by decade — the sketch-quality audit that
+    tells you whether 4x1024 counters are enough for THIS corpus's
+    skew before you drop the exact token shuffle. The sketch fold is
+    the docs_cms_top_tokens constant-size exchange; exact counts are
+    one vocab-keyed combine; the estimate pass broadcasts the tiny
+    matrix and emits band partials, so nothing driver-side scales with
+    vocabulary."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    ds = rel.load(sf_dir, "documents", ["text"])
+
+    def partial_cms(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = pc.value_counts(toks)
+        words = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for w, c in zip(words, counts):
+            for d in range(_CMS_D):
+                mat[d, _md5_64(f"{d}:{w}") % _CMS_W] += int(c)
+        rows, buckets = np.nonzero(mat)
+        return pa.table({
+            "row": pa.array(rows.astype(np.int64), pa.int64()),
+            "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+            "bc": pa.array(mat[rows, buckets], pa.int64())})
+
+    cms_df = rel.grouped_agg(
+        ds.map_batches(partial_cms, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["row", "bucket"], [("bc", "bc", "sum")], small_result=True)
+    mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    if len(cms_df):
+        mat[cms_df["row"].to_numpy().astype(np.int64),
+            cms_df["bucket"].to_numpy().astype(np.int64)] = \
+            cms_df["bc"].to_numpy().astype(np.int64)
+    mref = ray.put(mat)
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = pc.value_counts(toks)
+        return pa.table({"tok": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    exact = rel.grouped_agg(
+        ds.map_batches(tok_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["tok"], [("c", "c", "sum")], int_exact=True)
+
+    _BANDS = np.array([1, 10, 100, 1000, 10000], dtype=np.int64)
+
+    def band_partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        words = batch.column("tok").to_pylist()
+        cs = batch.column("c").to_numpy(zero_copy_only=False)
+        ests = np.fromiter(
+            (min(m[d, _md5_64(f"{d}:{w}") % _CMS_W]
+                 for d in range(_CMS_D)) for w in words),
+            dtype=np.int64, count=len(words))
+        over = ests - cs
+        bands = np.searchsorted(_BANDS, over, side="right")
+        out = {"overest_band": [], "n_tokens": [], "total_overest": []}
+        for b in np.unique(bands):
+            mask = bands == b
+            out["overest_band"].append(int(b))
+            out["n_tokens"].append(int(mask.sum()))
+            out["total_overest"].append(int(over[mask].sum()))
+        return pa.table({
+            "overest_band": pa.array(out["overest_band"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "total_overest": pa.array(out["total_overest"], pa.int64())})
+
+    agg = rel.grouped_agg(
+        exact.map_batches(band_partial, batch_format="pyarrow"),
+        ["overest_band"],
+        [("n_tokens", "n_tokens", "sum"),
+         ("total_overest", "total_overest", "sum")], small_result=True)
+    df = rel.ensure_columns(rel.as_pandas(agg), {
+        "overest_band": "int64", "n_tokens": "int64",
+        "total_overest": "int64"})
+    return rel.to_pandas_sorted(df, ["overest_band"])
+
+
+def events_funnel_windowed(sf_dir: str, window_minutes: int = 60):
+    """Windowed conversion funnel: of users with at least one click,
+    how many made a purchase STRICTLY after some click and within the
+    60-minute window — the time-bounded complement to events_funnel's
+    lifetime conversion. One user-salted exchange; per user the check
+    is a vectorized sorted-merge (searchsorted of each click into the
+    purchase timeline), and only two bits leave the group. The rate is
+    the exact truncating ppm on both engines."""
+    ev = rel.load(sf_dir, "events", ["user_id", "ts", "event_type"])
+    win_us = window_minutes * 60 * 1_000_000
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.is_valid(batch.column("user_id")),
+            pc.is_in(batch.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "event_type": t.column("event_type")})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = np.sort(
+            g.loc[g["event_type"] == "click", "ts"].to_numpy(np.int64))
+        if len(clicks) == 0:
+            return pd.DataFrame({
+                "clicked": pd.Series([0], dtype="int64"),
+                "converted": pd.Series([0], dtype="int64")})
+        purch = np.sort(
+            g.loc[g["event_type"] == "purchase", "ts"].to_numpy(np.int64))
+        converted = 0
+        if len(purch):
+            idx = np.searchsorted(purch, clicks, side="right")
+            ok = (idx < len(purch)) & \
+                (purch[np.minimum(idx, len(purch) - 1)]
+                 <= clicks + win_us)
+            converted = int(ok.any())
+        return pd.DataFrame({
+            "clicked": pd.Series([1], dtype="int64"),
+            "converted": pd.Series([converted], dtype="int64")})
+
+    partials = rel.salted_map_groups(
+        ev.map_batches(keep, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
+    parts = partials.to_pandas()
+    empty = pd.DataFrame({"n_clicked": pd.Series(dtype="int64"),
+                          "n_converted": pd.Series(dtype="int64"),
+                          "conversion_ppm": pd.Series(dtype="int64")})
+    if parts.empty:
+        return empty
+    n_clicked = sum(int(v) for v in parts["clicked"])
+    n_converted = sum(int(v) for v in parts["converted"])
+    if n_clicked == 0:
+        return empty
+    return pd.DataFrame({
+        "n_clicked": pd.Series([n_clicked], dtype="int64"),
+        "n_converted": pd.Series([n_converted], dtype="int64"),
+        "conversion_ppm": pd.Series(
+            [n_converted * 1_000_000 // n_clicked], dtype="int64")})

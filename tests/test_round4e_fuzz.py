@@ -441,3 +441,70 @@ def test_soft_dedup_weight_values():
         q.rel.load = orig
         q.clear_session_caches()
     assert out["weight_ppm"].tolist() == [333333, 333333, 333333, 1000000]
+
+
+# ---- round-4e batch 5: CMS error profile / windowed funnel ----
+
+_FUNNEL_EVENTS = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+              st.integers(min_value=0, max_value=7200),
+              st.sampled_from(["click", "purchase", "view"])),
+    min_size=0, max_size=25)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(rows=_DOCS)
+def test_cms_error_profile_fuzz(rows):
+    _check("docs_cms_error_profile", {"documents": _docs_table(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=15, deadline=None)
+@given(rows=_FUNNEL_EVENTS)
+def test_funnel_windowed_fuzz(rows):
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+    _check("events_funnel_windowed", {"events": tbl})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_window_boundaries():
+    """Purchase exactly AT the click ts does not convert (strict >);
+    purchase exactly at click + 60 min converts (inclusive <=);
+    purchase 1 us past the window does not."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    rows = [
+        (1, 0, "click"), (1, 0, "purchase"),          # tie: no
+        (2, 0, "click"), (2, 3600, "purchase"),       # boundary: yes
+        (3, 0, "click"), (3, 3601, "purchase"),       # past: no
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+    _check("events_funnel_windowed", {"events": tbl})
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        out = q.events_funnel_windowed("fuzz")
+    finally:
+        q.rel.load = orig
+    assert out["n_clicked"].tolist() == [3]
+    assert out["n_converted"].tolist() == [1]
