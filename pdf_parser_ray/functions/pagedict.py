@@ -90,13 +90,15 @@ def decode_span(sd: dict, _get=dict.get):
     )
 
 
-def decode_line(ld: dict) -> dict | None:
+def decode_line(ld: dict, _get=dict.get) -> dict | None:
     """Line payload -> line dict with gap-aware text, or None
-    (page.py:636-696)."""
+    (page.py:636-696). The span decode is inlined (identical semantics
+    to ``decode_span``, which remains the unit-tested single-span API)
+    — this loop runs once per span of every line in the corpus."""
     bb = _take_box(ld)
     if bb is None:
         return None
-    raw_spans = ld.get("spans", [])
+    raw_spans = _get(ld, "spans", ())
     if not raw_spans:
         return None
 
@@ -104,16 +106,32 @@ def decode_line(ld: dict) -> dict | None:
     pieces: list[str] = []
     prev_end: float | None = None
     prev_size = 12.0
+    _append_span = spans.append
+    _append_piece = pieces.append
     for sd in raw_spans:
-        span = decode_span(sd)
-        if span is None:
+        text = _get(sd, "text", "")
+        if not text:
             continue
-        spans.append(span)
-        text, sbox, size, _ = span
-        if prev_end is not None and sbox[0] - prev_end > prev_size * SPACE_RATIO:
-            pieces.append(" ")
-        pieces.append(text)
-        prev_end = sbox[2]
+        try:
+            sb = sd["bbox"]
+            x0 = float(sb[0]); y0 = float(sb[1])
+            x1 = float(sb[2]); y1 = float(sb[3])
+        except (KeyError, IndexError, ValueError):
+            continue
+        if x0 > x1 or y0 > y1:
+            continue
+        flags = _get(sd, "flags", 0)
+        size = float(_get(sd, "size", 12.0))
+        _append_span((
+            text,
+            (x0, y0, x1, y1),
+            size,
+            bool(flags & 16) or "bold" in _get(sd, "font", "unknown").lower(),
+        ))
+        if prev_end is not None and x0 - prev_end > prev_size * SPACE_RATIO:
+            _append_piece(" ")
+        _append_piece(text)
+        prev_end = x1
         prev_size = size
 
     text = "".join(pieces).strip()

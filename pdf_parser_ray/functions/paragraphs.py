@@ -90,19 +90,22 @@ def mean_span_size(block: dict) -> float:
 
 
 def _emit(group: list[dict], column_index: int) -> dict | None:
-    """One paragraph group -> text block dict (paragraphs.py:175-231)."""
+    """One paragraph group -> text block dict (paragraphs.py:175-231).
+    ``block_text`` is computed once per member and shared by the stitch
+    and classify passes (the reference recomputes it; same bytes)."""
     spans = [s for b in group for s in b["spans"]]
     if not spans:
         return None
+    member_texts = [block_text(b) for b in group]
     bb = g.union([b["box"] for b in group])
-    text = _stitch(group)
+    text = _stitch(member_texts)
     if not text.strip():
         return None
     indent = group[0]["box"][0] - bb[0] if len(group) > 1 else 0
     return {
         "text": text,
         "box": bb,
-        "type": _classify(group, spans),
+        "type": _classify(member_texts, spans),
         "spans": spans,
         "alignment": _alignment(group, bb),
         "indentation": max(0, indent),
@@ -111,11 +114,11 @@ def _emit(group: list[dict], column_index: int) -> dict | None:
     }
 
 
-def _stitch(group: list[dict]) -> str:
+def _stitch(member_texts: list[str]) -> str:
     """Join member texts; a trailing hyphen glues without a space
     (paragraphs.py:245-283). Single-member groups keep their internal
     newlines from block_text."""
-    texts = [t for t in (block_text(b).strip() for b in group) if t]
+    texts = [t for t in (mt.strip() for mt in member_texts) if t]
     if not texts:
         return ""
     parts = [texts[0]]
@@ -128,13 +131,13 @@ def _stitch(group: list[dict]) -> str:
     return "".join(parts)
 
 
-def _classify(group: list[dict], spans: list[dict]) -> str:
+def _classify(member_texts: list[str], spans: list[dict]) -> str:
     """HEADING / LIST_ITEM / PARAGRAPH heuristics (paragraphs.py:285-323)."""
     if not spans:
         return UNKNOWN
     avg_size = sum(s[SP_SIZE] for s in spans) / len(spans)
     any_bold = any(s[SP_BOLD] for s in spans)
-    full = " ".join(block_text(b) for b in group).strip()
+    full = " ".join(member_texts).strip()
     if len(full) < 100 and (
         any_bold or avg_size >= 14 or (full.isupper() and len(full) > 3)
     ):
