@@ -175,6 +175,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gate (CORRECTNESS_LOCAL_r04.json).
         "docs_minhash_eval": q.docs_minhash_eval,
         "docs_lsh_recall_curve": q.docs_lsh_recall_curve,
+        # new in round 4f (tier-1): the data-quality family — Deequ-style
+        # column profiler (exact distinct + canonical min/max per column)
+        # and constraint validation (pk/fk/domain/not-null/range report),
+        # plus linear multi-touch attribution and the Mann-Kendall trend
+        # test. They displace customer_spend_balance_corr /
+        # docs_source_vocab_jaccard past the cap (both re-registered
+        # below, hash-green in the full local gate every round).
+        "orders_profile": q.orders_profile,
+        "orders_constraint_report": q.orders_constraint_report,
+        "events_linear_attribution": q.events_linear_attribution,
+        "orders_mann_kendall": q.orders_mann_kendall,
         "customer_spend_balance_corr": q.customer_spend_balance_corr,
         "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
         # ================= END ROUND-4 WINDOW =========================
@@ -6472,6 +6483,123 @@ def oracle_sql() -> dict[str, str]:
                         // (SELECT count(*) FROM c) AS BIGINT)
                        AS conversion_ppm
             WHERE (SELECT count(*) FROM c) > 0
+        """,
+        "orders_profile": """
+            -- Deequ-style column profile; canonical reprs per type:
+            -- ints decimal, money half-away cents, timestamps dates
+            SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus), min(o_orderstatus),
+                   max(o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                   count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)),
+                   CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS VARCHAR),
+                   CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate),
+                   strftime(min(o_orderdate), '%Y-%m-%d'),
+                   strftime(max(o_orderdate), '%Y-%m-%d') FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority), min(o_orderpriority),
+                   max(o_orderpriority) FROM orders
+        """,
+        "orders_constraint_report": """
+            -- Deequ-style constraint validation report
+            SELECT 'pk_unique(o_orderkey)' AS "check",
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                       AS violations,
+                   count(*) = count(DISTINCT o_orderkey) AS passed
+            FROM orders
+            UNION ALL
+            SELECT 'fk(o_custkey -> customer.c_custkey)',
+                   CAST(count(*) FILTER (WHERE c.c_custkey IS NULL)
+                        AS BIGINT),
+                   count(*) FILTER (WHERE c.c_custkey IS NULL) = 0
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            UNION ALL
+            SELECT 'domain(o_orderstatus in {F,O,P})',
+                   CAST(count(*) - count(*) FILTER (
+                       WHERE o_orderstatus IN ('F', 'O', 'P')) AS BIGINT),
+                   count(*) = count(*) FILTER (
+                       WHERE o_orderstatus IN ('F', 'O', 'P')) FROM orders
+            UNION ALL
+            SELECT 'not_null(o_orderdate)',
+                   CAST(count(*) FILTER (WHERE o_orderdate IS NULL)
+                        AS BIGINT),
+                   count(*) FILTER (WHERE o_orderdate IS NULL) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'range(o_totalprice > 0)',
+                   CAST(count(*) FILTER (WHERE o_totalprice <= 0)
+                        AS BIGINT),
+                   count(*) FILTER (WHERE o_totalprice <= 0) = 0 FROM orders
+        """,
+        "events_linear_attribution": """
+            -- equal split of each purchase's micro-cents across that
+            -- user's non-purchase touches in the prior 60 minutes;
+            -- per-touch share is the truncating integer division
+            WITH p AS (
+                SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS vc
+                FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+            t AS (
+                SELECT p.user_id, p.ts AS pts, p.vc, e.event_type AS et
+                FROM p JOIN events e
+                  ON e.user_id = p.user_id
+                 AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+                 AND e.event_type <> 'purchase'),
+            c AS (
+                SELECT user_id, pts, vc, count(*) AS n
+                FROM t GROUP BY user_id, pts, vc)
+            SELECT t.et AS event_type,
+                   CAST(sum(CAST((c.vc * 1000000) // c.n AS HUGEINT))
+                        AS VARCHAR) AS attributed_micros
+            FROM t JOIN c USING (user_id, pts, vc)
+            GROUP BY t.et
+        """,
+        "orders_mann_kendall": """
+            -- Mann-Kendall on monthly order counts; var18 = 18*Var(S)
+            -- stays integral (tie-corrected); z is one final double
+            WITH m AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS c
+                FROM orders GROUP BY 1),
+            s AS (
+                SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1
+                                              WHEN b.c < a.c THEN -1
+                                              ELSE 0 END), 0) AS BIGINT)
+                    AS s_stat
+                FROM m a JOIN m b ON b.mon > a.mon),
+            t AS (
+                SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0)
+                            AS BIGINT) AS tie_term
+                FROM (SELECT count(*) AS tc FROM m GROUP BY c)),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS nm FROM m)
+            SELECT nm AS n_months, s_stat,
+                   nm * (nm - 1) * (2 * nm + 5) - tie_term AS var18,
+                   CASE WHEN s_stat = 0
+                             OR nm * (nm - 1) * (2 * nm + 5) - tie_term = 0
+                        THEN 0.0
+                        ELSE round((s_stat - sign(s_stat))
+                                   / sqrt((nm * (nm - 1) * (2 * nm + 5)
+                                           - tie_term) / 18.0), 6) END AS z
+            FROM n, s, t WHERE nm > 0
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

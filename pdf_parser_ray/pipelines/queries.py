@@ -14669,3 +14669,328 @@ def events_funnel_windowed(sf_dir: str, window_minutes: int = 60):
         "n_converted": pd.Series([n_converted], dtype="int64"),
         "conversion_ppm": pd.Series(
             [n_converted * 1_000_000 // n_clicked], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profiling / constraint validation (Deequ-style engine ops)
+# ---------------------------------------------------------------------------
+
+# (column, kind) — kind picks the canonical string repr shared with the
+# oracle: ints/cents -> decimal string, timestamps -> date string,
+# strings -> identity. Money profiles in half-away cents (the repo-wide
+# exact-sum discipline), so distinct/min/max are cent-exact.
+_ORDERS_PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_repr(kind: str, v):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return None
+    if kind in ("int", "money"):
+        return str(int(v))
+    if kind == "ts":
+        return pd.Timestamp(v).strftime("%Y-%m-%d")
+    return str(v)
+
+
+def orders_profile(sf_dir: str):
+    """Single-table column profiler (the Deequ/Spark-summary analog):
+    one row per column with row/null counts, EXACT distinct count and
+    canonical min/max — the first thing a pipeline owner runs against
+    a new 100-TB delivery.
+
+    Two bounded exchanges: (1) per-batch wide stats partials (one row
+    per batch, native-typed min/max folded on the driver), (2) the
+    distinct stream — per-batch-unique (col, repr) pairs through ONE
+    salted hash combine, so what shuffles is bounded by the table's
+    distinct values, never its rows. The named scale lever for
+    columns whose distinct count approaches row count (primary keys)
+    is the KMV swap (events_users_kmv): same plan, constant exchange."""
+    cols = [c for c, _ in _ORDERS_PROFILE_COLS]
+    ds = rel.load(sf_dir, "orders", cols)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        out = {"n_rows": pa.array([batch.num_rows], pa.int64())}
+        for name, kind in _ORDERS_PROFILE_COLS:
+            arr = batch.column(name)
+            out[name + "__nulls"] = pa.array([arr.null_count], pa.int64())
+            if kind == "money":
+                arr = _cents(arr)
+            out[name + "__min"] = pa.array([pc.min(arr).as_py()], arr.type)
+            out[name + "__max"] = pa.array([pc.max(arr).as_py()], arr.type)
+        return pa.table(out)
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        col_out, val_out = [], []
+        for name, kind in _ORDERS_PROFILE_COLS:
+            arr = batch.column(name)
+            if kind == "money":
+                arr = _cents(arr)
+            u = pc.unique(pc.drop_null(
+                arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+                else arr))
+            if kind == "ts":
+                reprs = [pd.Timestamp(x).strftime("%Y-%m-%d")
+                         for x in u.to_pylist()]
+            elif kind == "str":
+                reprs = u.to_pylist()
+            else:
+                reprs = [str(int(x)) for x in u.to_pylist()]
+            col_out.extend([name] * len(reprs))
+            val_out.extend(reprs)
+        return pa.table({"col": pa.array(col_out, pa.string()),
+                         "v": pa.array(val_out, pa.string())})
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    pairs = rel.grouped_agg(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["col", "v"], [("m", "", "count")], int_exact=True)
+
+    def fold_col(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("col"))
+        return pa.table({"col": vc.field("values"),
+                         "nd": pc.cast(vc.field("counts"), pa.int64())})
+
+    ndist = rel.grouped_agg(
+        pairs.map_batches(fold_col, batch_format="pyarrow"),
+        ["col"], [("n_distinct", "nd", "sum")], small_result=True)
+    nd_map = ({} if ndist.empty else
+              dict(zip(ndist["col"], (int(v) for v in ndist["n_distinct"]))))
+
+    n_rows = 0 if stats.empty else int(stats["n_rows"].sum())
+    rows = {"col": [], "n_rows": [], "n_nulls": [], "n_distinct": [],
+            "min_s": [], "max_s": []}
+    for name, kind in _ORDERS_PROFILE_COLS:
+        nulls = 0 if stats.empty else int(stats[name + "__nulls"].sum())
+        mins = [] if stats.empty else [v for v in stats[name + "__min"]
+                                       if v is not None and v == v]
+        maxs = [] if stats.empty else [v for v in stats[name + "__max"]
+                                       if v is not None and v == v]
+        rows["col"].append(name)
+        rows["n_rows"].append(n_rows)
+        rows["n_nulls"].append(nulls)
+        rows["n_distinct"].append(nd_map.get(name, 0))
+        rows["min_s"].append(_profile_repr(kind, min(mins) if mins else None))
+        rows["max_s"].append(_profile_repr(kind, max(maxs) if maxs else None))
+    return pd.DataFrame({
+        "col": pd.Series(rows["col"], dtype="object"),
+        "n_rows": pd.Series(rows["n_rows"], dtype="int64"),
+        "n_nulls": pd.Series(rows["n_nulls"], dtype="int64"),
+        "n_distinct": pd.Series(rows["n_distinct"], dtype="int64"),
+        "min_s": pd.Series(rows["min_s"], dtype="object"),
+        "max_s": pd.Series(rows["max_s"], dtype="object")})
+
+
+def orders_constraint_report(sf_dir: str):
+    """Deequ-style constraint validation over orders: primary-key
+    uniqueness, referential integrity to customer, a value-domain
+    check, a NOT NULL check, and a range check — one (check,
+    violations, passed) row each, the audit gate a corpus delivery
+    must pass before any downstream stage runs.
+
+    The four row-local checks fold map-side (one partial row per
+    batch, zero shuffle). Referential integrity broadcasts the
+    customer key set once via ray.put (dimension-bounded; the scale
+    path for a fact-sized right side is the bloom/hash anti-join,
+    docs_bloom_new_docs / customers_without_orders). The pk check is
+    the only key-cardinality exchange: one salted grouped count over
+    o_orderkey, then per-batch (count-1) fold."""
+    import ray as _ray
+
+    ds = rel.load(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice", "o_orderdate"])
+    cust = rel.load(sf_dir, "customer", ["c_custkey"]).to_pandas()
+    cust_ref = _ray.put(np.sort(cust["c_custkey"].to_numpy(np.int64)))
+    _STATUS = pa.array(["F", "O", "P"])
+
+    def local_checks(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(cust_ref)  # sorted once at put time
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        fk_viol = int(np.sum((pos >= len(keys)) | (keys[np.minimum(
+            pos, len(keys) - 1)] != ck)))
+        ok = pc.sum(pc.is_in(batch.column("o_orderstatus"),
+                             value_set=_STATUS)).as_py() or 0
+        dom_viol = batch.num_rows - int(ok)
+        neg = pc.sum(pc.cast(pc.less_equal(
+            batch.column("o_totalprice"), pa.scalar(0.0)),
+            pa.int64())).as_py() or 0
+        null_date = batch.column("o_orderdate").null_count
+        return pa.table({
+            "fk": pa.array([fk_viol], pa.int64()),
+            "dom": pa.array([dom_viol], pa.int64()),
+            "rng": pa.array([int(neg)], pa.int64()),
+            "nnull": pa.array([null_date], pa.int64())})
+
+    parts = ds.map_batches(local_checks, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    fk = 0 if parts.empty else int(parts["fk"].sum())
+    dom = 0 if parts.empty else int(parts["dom"].sum())
+    rng = 0 if parts.empty else int(parts["rng"].sum())
+    nnull = 0 if parts.empty else int(parts["nnull"].sum())
+
+    keycnt = rel.grouped_agg(
+        ds.map_batches(lambda b: b.select(["o_orderkey"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderkey"], [("cnt", "", "count")], int_exact=True)
+
+    def dup_fold(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        key_null = batch.column("o_orderkey").null_count
+        # count(*) - count(DISTINCT key): every all-NULL-key row is a
+        # violation; duplicated non-null keys contribute count-1 each
+        extra = int(cnt.sum() - len(cnt)) + key_null
+        return pa.table({"d": pa.array([extra], pa.int64())})
+
+    dup_parts = keycnt.map_batches(dup_fold, batch_format="pyarrow").to_pandas()
+    dups = 0 if dup_parts.empty else int(dup_parts["d"].sum())
+
+    checks = [
+        ("pk_unique(o_orderkey)", dups),
+        ("fk(o_custkey -> customer.c_custkey)", fk),
+        ("domain(o_orderstatus in {F,O,P})", dom),
+        ("not_null(o_orderdate)", nnull),
+        ("range(o_totalprice > 0)", rng),
+    ]
+    return pd.DataFrame({
+        "check": pd.Series([c for c, _ in checks], dtype="object"),
+        "violations": pd.Series([v for _, v in checks], dtype="int64"),
+        "passed": pd.Series([v == 0 for _, v in checks], dtype="bool")})
+
+
+def events_linear_attribution(sf_dir: str, window_minutes: int = 60):
+    """Linear multi-touch attribution: every purchase's value is split
+    equally across that user's non-purchase touches in the preceding
+    60-minute window, and the shares roll up per touch event_type —
+    the marketing-analytics counterpart to events_first_touch (which
+    awards the whole conversion to one event).
+
+    One user-salted exchange; per user the touch windows resolve by
+    sorted searchsorted, the per-touch share is the DuckDB-lockstep
+    truncating integer division of micro-cents, and only one bounded
+    row per (user, event_type) leaves the group. Purchases with no
+    in-window touch stay unattributed on both engines (the oracle's
+    inner join). The rollup travels as exact Python ints and ships as
+    a decimal string (micro-cent totals exceed int64 at corpus
+    scale)."""
+    ev = rel.load(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    win_us = window_minutes * 60 * 1_000_000
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("user_id")))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "vc": _cents(t.column("value"))})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        touches = g.loc[~is_p].sort_values("ts")
+        tts = touches["ts"].to_numpy(np.int64)
+        if len(tts) == 0 or not is_p.any():
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "micros": pd.Series(dtype="int64")})
+        ttype = touches["event_type"].to_numpy()
+        acc: dict = {}
+        for pts, vc in zip(g.loc[is_p, "ts"].to_numpy(np.int64),
+                           g.loc[is_p, "vc"].to_numpy(np.int64)):
+            lo = np.searchsorted(tts, pts - win_us, side="left")
+            hi = np.searchsorted(tts, pts, side="left")
+            n = hi - lo
+            if n == 0:
+                continue
+            v = int(vc) * 1_000_000
+            share = abs(v) // n
+            if v < 0:
+                share = -share
+            for et, cnt in zip(*np.unique(ttype[lo:hi], return_counts=True)):
+                acc[et] = acc.get(et, 0) + share * int(cnt)
+        if not acc:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "micros": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "event_type": pd.Series(list(acc.keys()), dtype="object"),
+            "micros": pd.Series(list(acc.values()), dtype="int64")})
+
+    partials = rel.salted_map_groups(
+        ev.map_batches(keep, batch_format="pyarrow",
+                       zero_copy_batch=True), ["user_id"], per_user)
+    parts = partials.to_pandas()
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "attributed_micros": pd.Series(dtype="object")})
+    if parts.empty:
+        return empty
+    acc: dict = {}
+    for et, m in zip(parts["event_type"], parts["micros"]):
+        acc[et] = acc.get(et, 0) + int(m)
+    ets = sorted(acc)
+    return pd.DataFrame({
+        "event_type": pd.Series(ets, dtype="object"),
+        "attributed_micros": pd.Series([str(acc[e]) for e in ets],
+                                       dtype="object")})
+
+
+def orders_mann_kendall(sf_dir: str):
+    """Mann-Kendall trend test on monthly order counts: the
+    nonparametric is-demand-trending answer (S statistic, tie-corrected
+    variance, z score) that needs no distributional assumption — the
+    time-series complement to the Kendall correlation ops.
+
+    One bounded month-keyed combine (the month domain is tiny); the
+    O(months^2) S fold and the tie correction run on the driver over
+    exact Python ints. var18 = 18*Var(S) stays integral; z is the one
+    final double (identical expression both engines, rounded at 6)."""
+    ds = rel.load(sf_dir, "orders", ["o_orderdate"])
+
+    def month_counts(batch: pa.Table) -> pa.Table:
+        mon = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
+        vc = pc.value_counts(mon)
+        return pa.table({"mon": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = rel.grouped_agg(
+        ds.map_batches(month_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["mon"], [("c", "c", "sum")], small_result=True)
+    empty = pd.DataFrame({"n_months": pd.Series(dtype="int64"),
+                          "s_stat": pd.Series(dtype="int64"),
+                          "var18": pd.Series(dtype="int64"),
+                          "z": pd.Series(dtype="float64")})
+    if hist.empty:
+        return empty
+    h = hist.sort_values("mon").reset_index(drop=True)
+    c = [int(v) for v in h["c"]]
+    n = len(c)
+    s = 0
+    for i in range(n):
+        ci = c[i]
+        for j in range(i + 1, n):
+            s += (c[j] > ci) - (c[j] < ci)
+    ties: dict = {}
+    for v in c:
+        ties[v] = ties.get(v, 0) + 1
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    if s == 0 or var18 == 0:
+        z = 0.0
+    else:
+        sign = 1 if s > 0 else -1
+        z = float(np_round_half_away(
+            np.array([(s - sign) / np.sqrt(var18 / 18.0)]), 6)[0])
+    return pd.DataFrame({
+        "n_months": pd.Series([n], dtype="int64"),
+        "s_stat": pd.Series([s], dtype="int64"),
+        "var18": pd.Series([var18], dtype="int64"),
+        "z": pd.Series([z], dtype="float64")})
