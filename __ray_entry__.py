@@ -186,8 +186,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_constraint_report": q.orders_constraint_report,
         "events_linear_attribution": q.events_linear_attribution,
         "orders_mann_kendall": q.orders_mann_kendall,
-        "customer_spend_balance_corr": q.customer_spend_balance_corr,
-        "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
+        # new in round 4f batch 2 (tier-1): the documents-table profiler
+        # (text profiled via md5 fingerprint, payloads never shuffle) and
+        # constraint report (with the n_chars = length(text) cross-field
+        # consistency check), the power-law MLE over user activity, and
+        # the Theil-T inequality decomposition by priority. They displace
+        # customer_spend_balance_corr / docs_source_vocab_jaccard past
+        # the cap (both re-registered below and hash-green in the full
+        # local gate every round).
+        "docs_profile": q.docs_profile,
+        "docs_constraint_report": q.docs_constraint_report,
+        "events_power_law_alpha": q.events_power_law_alpha,
+        "orders_theil_decomposition": q.orders_theil_decomposition,
         # ================= END ROUND-4 WINDOW =========================
         # ---- tier 0: the r2 verdict's explicit ask — pipelines with
         #      NO driver row in ANY round: emb_near_pairs_lsh is
@@ -6600,6 +6610,110 @@ def oracle_sql() -> dict[str, str]:
                                    / sqrt((nm * (nm - 1) * (2 * nm + 5)
                                            - tie_term) / 18.0), 6) END AS z
             FROM n, s, t WHERE nm > 0
+        """,
+        "docs_profile": """
+            -- documents profile; text profiled via md5 fingerprint
+            SELECT 'doc_id' AS col, count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_s,
+                   CAST(max(doc_id) AS VARCHAR) AS max_s FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang), min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source), min(source), max(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+                   CAST(max(n_chars) AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(*) - count(text),
+                   count(DISTINCT md5(text)), min(md5(text)),
+                   max(md5(text)) FROM documents
+        """,
+        "docs_constraint_report": """
+            SELECT 'pk_unique(doc_id)' AS "check",
+                   CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                       AS violations,
+                   count(*) = count(DISTINCT doc_id) AS passed
+            FROM documents
+            UNION ALL
+            SELECT 'consistency(n_chars = length(text))',
+                   CAST(count(*) - count(*) FILTER (
+                       WHERE n_chars = length(text)) AS BIGINT),
+                   count(*) = count(*) FILTER (
+                       WHERE n_chars = length(text)) FROM documents
+            UNION ALL
+            SELECT 'domain(lang in {de,en,es,fr,zh})',
+                   CAST(count(*) - count(*) FILTER (
+                       WHERE lang IN ('de','en','es','fr','zh'))
+                        AS BIGINT),
+                   count(*) = count(*) FILTER (
+                       WHERE lang IN ('de','en','es','fr','zh'))
+            FROM documents
+            UNION ALL
+            SELECT 'not_null(text)',
+                   CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT),
+                   count(*) FILTER (WHERE text IS NULL) = 0 FROM documents
+            UNION ALL
+            SELECT 'range(n_chars >= 0)',
+                   CAST(count(*) FILTER (WHERE n_chars < 0) AS BIGINT),
+                   count(*) FILTER (WHERE n_chars < 0) = 0 FROM documents
+        """,
+        "events_power_law_alpha": """
+            -- Hill MLE (xmin=1) over per-user counts via the
+            -- count-of-counts histogram; ln terms nano-rounded before
+            -- the integer fold; alpha NULL/NaN when sum_ln = 0
+            WITH uc AS (
+                SELECT user_id, count(*) AS c FROM events
+                WHERE user_id IS NOT NULL GROUP BY user_id),
+            h AS (SELECT c, count(*) AS m FROM uc GROUP BY c),
+            agg AS (
+                SELECT CAST(sum(m) AS BIGINT) AS n_users,
+                       CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1e9)
+                                     AS BIGINT) * m) AS BIGINT)
+                           AS sum_ln_nano
+                FROM h)
+            SELECT n_users, sum_ln_nano,
+                   CASE WHEN sum_ln_nano = 0 THEN NULL
+                        ELSE round(1.0 + n_users
+                                   / (CAST(sum_ln_nano AS DOUBLE) / 1e9),
+                                   6)
+                   END AS alpha
+            FROM agg WHERE n_users > 0
+        """,
+        "orders_theil_decomposition": """
+            -- Theil-T by priority: the x*ln(x) moment travels as an
+            -- exact integer (per-row nano-rounded ln); every double
+            -- below derives from exact group scalars, no cross-group
+            -- float accumulation
+            WITH x AS (
+                SELECT o_orderpriority AS p,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+                FROM orders
+                WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+            g AS (
+                SELECT p, count(*) AS n, sum(CAST(xc AS HUGEINT)) AS sx,
+                       sum(CAST(xc AS HUGEINT)
+                           * CAST(round(ln(CAST(xc AS DOUBLE)) * 1e9)
+                                  AS HUGEINT)) AS sxlnx
+                FROM x GROUP BY p),
+            tot AS (SELECT sum(n) AS n_tot, sum(sx) AS sx_tot FROM g)
+            SELECT p AS o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+                   round((CAST(sxlnx AS DOUBLE) / 1e9)
+                         / CAST(sx AS DOUBLE)
+                         - ln(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                       AS theil_within,
+                   round((CAST(sx AS DOUBLE) / CAST(sx_tot AS DOUBLE))
+                         * ln((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                              / (CAST(sx_tot AS DOUBLE)
+                                 / CAST(n_tot AS DOUBLE))), 6)
+                       AS between_term
+            FROM g, tot
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -14699,46 +14699,63 @@ def _profile_repr(kind: str, v):
     return str(v)
 
 
-def orders_profile(sf_dir: str):
-    """Single-table column profiler (the Deequ/Spark-summary analog):
-    one row per column with row/null counts, EXACT distinct count and
-    canonical min/max — the first thing a pipeline owner runs against
-    a new 100-TB delivery.
+def _md5_strings(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-row md5 hexdigest of a utf-8 string column (nulls stay null)
+    — DuckDB md5() lockstep; the same fingerprint exact dedup rides."""
+    import hashlib
+
+    vals = arr.to_pylist()
+    return pa.array([None if v is None
+                     else hashlib.md5(v.encode("utf-8")).hexdigest()
+                     for v in vals], pa.string())
+
+
+def _canon_column(arr, kind: str):
+    """Canonicalize a column for profiling per its kind."""
+    if kind == "money":
+        return _cents(arr)
+    if kind == "md5":
+        return _md5_strings(arr)
+    return arr
+
+
+def _profile_table(sf_dir: str, table: str, cols_spec) -> pd.DataFrame:
+    """Shared column-profiler plan: one row per column with row/null
+    counts, EXACT distinct count and canonical min/max.
 
     Two bounded exchanges: (1) per-batch wide stats partials (one row
     per batch, native-typed min/max folded on the driver), (2) the
     distinct stream — per-batch-unique (col, repr) pairs through ONE
     salted hash combine, so what shuffles is bounded by the table's
-    distinct values, never its rows. The named scale lever for
-    columns whose distinct count approaches row count (primary keys)
-    is the KMV swap (events_users_kmv): same plan, constant exchange."""
-    cols = [c for c, _ in _ORDERS_PROFILE_COLS]
-    ds = rel.load(sf_dir, "orders", cols)
+    distinct values, never its rows. Long text columns profile their
+    md5 fingerprint (kind "md5"), so full payloads never shuffle. The
+    named scale lever for columns whose distinct count approaches row
+    count (primary keys) is the KMV swap (events_users_kmv): same
+    plan, constant exchange."""
+    cols = [c for c, _ in cols_spec]
+    ds = rel.load(sf_dir, table, cols)
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         out = {"n_rows": pa.array([batch.num_rows], pa.int64())}
-        for name, kind in _ORDERS_PROFILE_COLS:
+        for name, kind in cols_spec:
             arr = batch.column(name)
             out[name + "__nulls"] = pa.array([arr.null_count], pa.int64())
-            if kind == "money":
-                arr = _cents(arr)
+            arr = _canon_column(arr, kind)
             out[name + "__min"] = pa.array([pc.min(arr).as_py()], arr.type)
             out[name + "__max"] = pa.array([pc.max(arr).as_py()], arr.type)
         return pa.table(out)
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         col_out, val_out = [], []
-        for name, kind in _ORDERS_PROFILE_COLS:
-            arr = batch.column(name)
-            if kind == "money":
-                arr = _cents(arr)
-            u = pc.unique(pc.drop_null(
-                arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
-                else arr))
+        for name, kind in cols_spec:
+            arr = _canon_column(batch.column(name), kind)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            u = pc.unique(pc.drop_null(arr))
             if kind == "ts":
                 reprs = [pd.Timestamp(x).strftime("%Y-%m-%d")
                          for x in u.to_pylist()]
-            elif kind == "str":
+            elif kind in ("str", "md5"):
                 reprs = u.to_pylist()
             else:
                 reprs = [str(int(x)) for x in u.to_pylist()]
@@ -14768,7 +14785,7 @@ def orders_profile(sf_dir: str):
     n_rows = 0 if stats.empty else int(stats["n_rows"].sum())
     rows = {"col": [], "n_rows": [], "n_nulls": [], "n_distinct": [],
             "min_s": [], "max_s": []}
-    for name, kind in _ORDERS_PROFILE_COLS:
+    for name, kind in cols_spec:
         nulls = 0 if stats.empty else int(stats[name + "__nulls"].sum())
         mins = [] if stats.empty else [v for v in stats[name + "__min"]
                                        if v is not None and v == v]
@@ -14778,8 +14795,11 @@ def orders_profile(sf_dir: str):
         rows["n_rows"].append(n_rows)
         rows["n_nulls"].append(nulls)
         rows["n_distinct"].append(nd_map.get(name, 0))
-        rows["min_s"].append(_profile_repr(kind, min(mins) if mins else None))
-        rows["max_s"].append(_profile_repr(kind, max(maxs) if maxs else None))
+        repr_kind = "str" if kind == "md5" else kind
+        rows["min_s"].append(
+            _profile_repr(repr_kind, min(mins) if mins else None))
+        rows["max_s"].append(
+            _profile_repr(repr_kind, max(maxs) if maxs else None))
     return pd.DataFrame({
         "col": pd.Series(rows["col"], dtype="object"),
         "n_rows": pd.Series(rows["n_rows"], dtype="int64"),
@@ -14787,6 +14807,30 @@ def orders_profile(sf_dir: str):
         "n_distinct": pd.Series(rows["n_distinct"], dtype="int64"),
         "min_s": pd.Series(rows["min_s"], dtype="object"),
         "max_s": pd.Series(rows["max_s"], dtype="object")})
+
+
+def orders_profile(sf_dir: str):
+    """Column profiler over orders (the Deequ/Spark-summary analog):
+    see _profile_table for the plan — the first thing a pipeline owner
+    runs against a new 100-TB delivery."""
+    return _profile_table(sf_dir, "orders", _ORDERS_PROFILE_COLS)
+
+
+_DOCS_PROFILE_COLS = (
+    ("doc_id", "int"),
+    ("lang", "str"),
+    ("source", "str"),
+    ("n_chars", "int"),
+    ("text", "md5"),
+)
+
+
+def docs_profile(sf_dir: str):
+    """Column profiler over the documents corpus: doc_id/lang/source/
+    n_chars natively, text via its md5 fingerprint — distinct count of
+    md5 IS the corpus's exact-dup signal, and the full text payload
+    never leaves the scan (only 32-hex-char fingerprints shuffle)."""
+    return _profile_table(sf_dir, "documents", _DOCS_PROFILE_COLS)
 
 
 def orders_constraint_report(sf_dir: str):
@@ -14994,3 +15038,198 @@ def orders_mann_kendall(sf_dir: str):
         "s_stat": pd.Series([s], dtype="int64"),
         "var18": pd.Series([var18], dtype="int64"),
         "z": pd.Series([z], dtype="float64")})
+
+
+def docs_constraint_report(sf_dir: str):
+    """Constraint validation over the documents corpus: pk uniqueness,
+    the n_chars = length(text) CROSS-FIELD consistency check (the
+    metadata-vs-payload drift detector — stale n_chars after a text
+    rewrite is a classic silent corpus bug), language-domain, NOT NULL
+    and range checks. Same report shape as orders_constraint_report;
+    all checks except the pk key exchange fold map-side."""
+    ds = rel.load(sf_dir, "documents",
+                  ["doc_id", "text", "lang", "n_chars"])
+    _LANGS = pa.array(["de", "en", "es", "fr", "zh"])
+
+    def local_checks(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok_lang = pc.sum(pc.is_in(batch.column("lang"),
+                                  value_set=_LANGS)).as_py() or 0
+        # consistency: rows where n_chars = length(text) is TRUE;
+        # NULL on either side is a violation (SQL count-filter twin)
+        eq = pc.equal(pc.cast(batch.column("n_chars"), pa.int64()),
+                      pc.cast(pc.utf8_length(batch.column("text")),
+                              pa.int64()))
+        ok_len = pc.sum(pc.cast(eq, pa.int64())).as_py() or 0
+        null_text = batch.column("text").null_count
+        neg = pc.sum(pc.cast(pc.less(batch.column("n_chars"),
+                                     pa.scalar(0)), pa.int64())).as_py() or 0
+        return pa.table({
+            "dom": pa.array([n - int(ok_lang)], pa.int64()),
+            "lenbad": pa.array([n - int(ok_len)], pa.int64()),
+            "ntext": pa.array([null_text], pa.int64()),
+            "rng": pa.array([int(neg)], pa.int64())})
+
+    parts = ds.map_batches(local_checks, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    dom = 0 if parts.empty else int(parts["dom"].sum())
+    lenbad = 0 if parts.empty else int(parts["lenbad"].sum())
+    ntext = 0 if parts.empty else int(parts["ntext"].sum())
+    rng = 0 if parts.empty else int(parts["rng"].sum())
+
+    keycnt = rel.grouped_agg(
+        ds.map_batches(lambda b: b.select(["doc_id"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id"], [("cnt", "", "count")], int_exact=True)
+
+    def dup_fold(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        extra = int(cnt.sum() - len(cnt)) + batch.column("doc_id").null_count
+        return pa.table({"d": pa.array([extra], pa.int64())})
+
+    dup_parts = keycnt.map_batches(dup_fold,
+                                   batch_format="pyarrow").to_pandas()
+    dups = 0 if dup_parts.empty else int(dup_parts["d"].sum())
+
+    checks = [
+        ("pk_unique(doc_id)", dups),
+        ("consistency(n_chars = length(text))", lenbad),
+        ("domain(lang in {de,en,es,fr,zh})", dom),
+        ("not_null(text)", ntext),
+        ("range(n_chars >= 0)", rng),
+    ]
+    return pd.DataFrame({
+        "check": pd.Series([c for c, _ in checks], dtype="object"),
+        "violations": pd.Series([v for _, v in checks], dtype="int64"),
+        "passed": pd.Series([v == 0 for _, v in checks], dtype="bool")})
+
+
+def events_power_law_alpha(sf_dir: str):
+    """Continuous-approximation power-law MLE (Hill estimator, xmin=1)
+    over per-user event counts: alpha = 1 + n / sum(ln c_i) — the
+    one-number heavy-tail check behind 'is user activity Zipfian, and
+    how hard will the hot keys skew my shuffles'.
+
+    One user-keyed exchange builds counts; counts collapse to a
+    count-of-counts histogram (bounded by distinct activity LEVELS),
+    and each histogram level's ln term is rounded to integer
+    nano-units BEFORE the multiply-and-sum, so both engines fold the
+    identical BIGINT sum regardless of accumulation order; alpha is
+    one final double rounded at 6 (NaN when every user has exactly
+    one event — DuckDB's x/0 is NULL, pandas' NaN, same repr)."""
+    ev = rel.load(sf_dir, "events", ["user_id"])
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("user_id")))
+
+    counts = rel.grouped_agg(
+        ev.map_batches(drop_null, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("c", "", "count")], int_exact=True)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("c"))
+        return pa.table({"c": pc.cast(vc.field("values"), pa.int64()),
+                         "m": pc.cast(vc.field("counts"), pa.int64())})
+
+    h = rel.grouped_agg(
+        counts.map_batches(hist, batch_format="pyarrow"),
+        ["c"], [("m", "m", "sum")], small_result=True)
+    empty = pd.DataFrame({"n_users": pd.Series(dtype="int64"),
+                          "sum_ln_nano": pd.Series(dtype="int64"),
+                          "alpha": pd.Series(dtype="float64")})
+    if h.empty:
+        return empty
+    cs = np.array([int(v) for v in h["c"]], np.float64)
+    ms = [int(v) for v in h["m"]]
+    n_users = sum(ms)
+    terms = np_round_half_away_int(np.log(cs) * 1e9)
+    sum_ln = sum(int(t) * m for t, m in zip(terms, ms))
+    if sum_ln == 0:
+        alpha = float("nan")
+    else:
+        alpha = float(np_round_half_away(
+            np.array([1.0 + n_users / (sum_ln / 1e9)]), 6)[0])
+    return pd.DataFrame({
+        "n_users": pd.Series([n_users], dtype="int64"),
+        "sum_ln_nano": pd.Series([sum_ln], dtype="int64"),
+        "alpha": pd.Series([alpha], dtype="float64")})
+
+
+def orders_theil_decomposition(sf_dir: str):
+    """Theil-T inequality of order value (exact cents) decomposed by
+    order priority: each group's within-group Theil plus its between-
+    group term — the revenue-concentration diagnostic that says
+    whether inequality lives inside priority classes or between them.
+
+    Map-side partials per group: n, sum of cents, and sum of
+    cents x round(ln(cents)*1e9) — the x*ln(x) moment as an exact
+    integer (per-row nano-rounded before the integer multiply), summed
+    as Python ints and shipped as decimal strings (the moment tops
+    int64 at corpus scale). Every output double derives from those
+    exact group scalars with an identical expression per row — no
+    cross-group float accumulation, so group order cannot move a bit.
+    Rows with non-positive cents are excluded (ln domain) on both
+    engines."""
+    ds = rel.load(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("o_totalprice"))
+        keep = pc.greater(cents, pa.scalar(0))
+        t = pa.table({"p": batch.column("o_orderpriority"),
+                      "xc": cents}).filter(keep)
+        df = t.to_pandas()
+        if df.empty:
+            return pa.table({"p": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.string()),
+                             "sxlnx": pa.array([], pa.string())})
+        xc = df["xc"].to_numpy(np.int64)
+        ln_nano = np_round_half_away_int(np.log(xc.astype(np.float64))
+                                         * 1e9)
+        rows = {"p": [], "n": [], "sx": [], "sxlnx": []}
+        for p, idx in df.groupby("p", sort=False, dropna=False).groups.items():
+            ii = df.index.get_indexer(idx)
+            rows["p"].append(p)
+            rows["n"].append(len(ii))
+            rows["sx"].append(str(sum(int(v) for v in xc[ii])))
+            rows["sxlnx"].append(str(sum(int(a) * int(b) for a, b in
+                                         zip(xc[ii], ln_nano[ii]))))
+        return pa.table({"p": pa.array(rows["p"], pa.string()),
+                         "n": pa.array(rows["n"], pa.int64()),
+                         "sx": pa.array(rows["sx"], pa.string()),
+                         "sxlnx": pa.array(rows["sxlnx"], pa.string())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                          "n_orders": pd.Series(dtype="int64"),
+                          "theil_within": pd.Series(dtype="float64"),
+                          "between_term": pd.Series(dtype="float64")})
+    if parts.empty:
+        return empty
+    acc: dict = {}
+    for p, n, sx, sxlnx in zip(parts["p"], parts["n"], parts["sx"],
+                               parts["sxlnx"]):
+        g = acc.setdefault(p, [0, 0, 0])
+        g[0] += int(n); g[1] += int(sx); g[2] += int(sxlnx)
+    n_tot = sum(g[0] for g in acc.values())
+    sx_tot = sum(g[1] for g in acc.values())
+    out = {"o_orderpriority": [], "n_orders": [], "theil_within": [],
+           "between_term": []}
+    for p in sorted(acc):
+        ng, sxg, sxlnxg = acc[p]
+        mu_g = sxg / ng
+        tg = (sxlnxg / 1e9) / sxg - np.log(mu_g)
+        bt = (sxg / sx_tot) * np.log(mu_g / (sx_tot / n_tot))
+        out["o_orderpriority"].append(p)
+        out["n_orders"].append(ng)
+        out["theil_within"].append(
+            float(np_round_half_away(np.array([tg]), 6)[0]))
+        out["between_term"].append(
+            float(np_round_half_away(np.array([bt]), 6)[0]))
+    return pd.DataFrame({
+        "o_orderpriority": pd.Series(out["o_orderpriority"], dtype="object"),
+        "n_orders": pd.Series(out["n_orders"], dtype="int64"),
+        "theil_within": pd.Series(out["theil_within"], dtype="float64"),
+        "between_term": pd.Series(out["between_term"], dtype="float64")})
