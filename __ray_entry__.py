@@ -6566,22 +6566,23 @@ def oracle_sql() -> dict[str, str]:
             -- user's non-purchase touches in the prior 60 minutes;
             -- per-touch share is the truncating integer division
             WITH p AS (
-                SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS vc
+                SELECT event_id AS pid, user_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS vc
                 FROM events
                 WHERE event_type = 'purchase' AND user_id IS NOT NULL),
             t AS (
-                SELECT p.user_id, p.ts AS pts, p.vc, e.event_type AS et
+                -- touches keyed by the purchase EVENT (pid), so two
+                -- purchases sharing (user, ts, value) split separately
+                SELECT p.pid, p.vc, e.event_type AS et
                 FROM p JOIN events e
                   ON e.user_id = p.user_id
                  AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
                  AND e.event_type <> 'purchase'),
-            c AS (
-                SELECT user_id, pts, vc, count(*) AS n
-                FROM t GROUP BY user_id, pts, vc)
+            c AS (SELECT pid, count(*) AS n FROM t GROUP BY pid)
             SELECT t.et AS event_type,
-                   CAST(sum(CAST((c.vc * 1000000) // c.n AS HUGEINT))
+                   CAST(sum(CAST((t.vc * 1000000) // c.n AS HUGEINT))
                         AS VARCHAR) AS attributed_micros
-            FROM t JOIN c USING (user_id, pts, vc)
+            FROM t JOIN c USING (pid)
             GROUP BY t.et
         """,
         "orders_mann_kendall": """
