@@ -86,13 +86,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchase_session_overlap":
             q.events_purchase_session_overlap,
         "docs_dup_threshold_sweep": q.docs_dup_threshold_sweep,
-        "orders_customer_repeat_rate": q.orders_customer_repeat_rate,
-        "docs_field_completeness": q.docs_field_completeness,
-        "events_first_week_activation": q.events_first_week_activation,
-        "docs_simpson_index": q.docs_simpson_index,
-        "lineitem_qty_mode": q.lineitem_qty_mode,
-        "events_user_count_mad": q.events_user_count_mad,
-        "docs_bigram_entropy_rate": q.docs_bigram_entropy_rate,
         # new in round 4d batch 2 (tier-1): incremental base-vs-incoming
         # near-dedup (bipartite inverted index), per-doc n-gram novelty
         # scoring, and the cross-source duplication (contamination)
@@ -173,8 +166,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaces customer_spend_balance_corr / docs_source_vocab_jaccard
         # past the 50-slot cap; both remain hash-green in the full local
         # gate (CORRECTNESS_LOCAL_r04.json).
-        "docs_minhash_eval": q.docs_minhash_eval,
-        "docs_lsh_recall_curve": q.docs_lsh_recall_curve,
         # new in round 4f (tier-1): the data-quality family — Deequ-style
         # column profiler (exact distinct + canonical min/max per column)
         # and constraint validation (pk/fk/domain/not-null/range report),
@@ -198,6 +189,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_constraint_report": q.docs_constraint_report,
         "events_power_law_alpha": q.events_power_law_alpha,
         "orders_theil_decomposition": q.orders_theil_decomposition,
+        # ... and the KMV-distinct profiler variant — the profiler's
+        # documented pk-column scale lever made real (constant exchange).
+        # The round-4f batch displaces 9 backlog window entries
+        # (field_completeness, first_week_activation, simpson_index,
+        # qty_mode, user_count_mad, bigram_entropy_rate,
+        # customer_repeat_rate, minhash_eval, lsh_recall_curve) past the
+        # cap; all nine stay registered below and hash-green in the full
+        # local gate (CORRECTNESS_LOCAL_r04.json, 291/299).
+        "docs_profile_kmv": q.docs_profile_kmv,
         # ================= END ROUND-4 WINDOW =========================
         # ---- tier 0: the r2 verdict's explicit ask — pipelines with
         #      NO driver row in ANY round: emb_near_pairs_lsh is
@@ -6715,6 +6715,109 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(n_tot AS DOUBLE))), 6)
                        AS between_term
             FROM g, tot
+        """,
+        "docs_profile_kmv": """
+            -- KMV-distinct profiler: same md5-64 hash space and exact
+            -- integer estimate as events_users_kmv (k = 256), per column
+            SELECT 'doc_id' AS col,
+                   (SELECT count(*) FROM documents) AS n_rows,
+                   (SELECT count(*) - count(doc_id) FROM documents)
+                       AS n_nulls,
+                   (WITH h AS (SELECT DISTINCT
+                                   md5_number_upper(CAST(doc_id AS VARCHAR))
+                                   AS hv
+                               FROM documents WHERE doc_id IS NOT NULL),
+                         rk AS (SELECT hv, row_number() OVER (ORDER BY hv)
+                                    AS r FROM h)
+                    SELECT CASE WHEN (SELECT count(*) FROM h) < 256
+                                THEN (SELECT count(*) FROM h)
+                                ELSE CAST((CAST(255 AS HUGEINT)
+                                           * CAST('18446744073709551616'
+                                                  AS HUGEINT))
+                                          // (SELECT CAST(hv AS HUGEINT)
+                                              FROM rk WHERE r = 256)
+                                          AS BIGINT)
+                           END) AS n_distinct_kmv,
+                   (SELECT CAST(min(doc_id) AS VARCHAR) FROM documents)
+                       AS min_s,
+                   (SELECT CAST(max(doc_id) AS VARCHAR) FROM documents)
+                       AS max_s
+            UNION ALL
+            SELECT 'lang', (SELECT count(*) FROM documents),
+                   (SELECT count(*) - count(lang) FROM documents),
+                   (WITH h AS (SELECT DISTINCT md5_number_upper(lang) AS hv
+                               FROM documents WHERE lang IS NOT NULL),
+                         rk AS (SELECT hv, row_number() OVER (ORDER BY hv)
+                                    AS r FROM h)
+                    SELECT CASE WHEN (SELECT count(*) FROM h) < 256
+                                THEN (SELECT count(*) FROM h)
+                                ELSE CAST((CAST(255 AS HUGEINT)
+                                           * CAST('18446744073709551616'
+                                                  AS HUGEINT))
+                                          // (SELECT CAST(hv AS HUGEINT)
+                                              FROM rk WHERE r = 256)
+                                          AS BIGINT)
+                           END),
+                   (SELECT min(lang) FROM documents),
+                   (SELECT max(lang) FROM documents)
+            UNION ALL
+            SELECT 'source', (SELECT count(*) FROM documents),
+                   (SELECT count(*) - count(source) FROM documents),
+                   (WITH h AS (SELECT DISTINCT md5_number_upper(source)
+                                   AS hv
+                               FROM documents WHERE source IS NOT NULL),
+                         rk AS (SELECT hv, row_number() OVER (ORDER BY hv)
+                                    AS r FROM h)
+                    SELECT CASE WHEN (SELECT count(*) FROM h) < 256
+                                THEN (SELECT count(*) FROM h)
+                                ELSE CAST((CAST(255 AS HUGEINT)
+                                           * CAST('18446744073709551616'
+                                                  AS HUGEINT))
+                                          // (SELECT CAST(hv AS HUGEINT)
+                                              FROM rk WHERE r = 256)
+                                          AS BIGINT)
+                           END),
+                   (SELECT min(source) FROM documents),
+                   (SELECT max(source) FROM documents)
+            UNION ALL
+            SELECT 'n_chars', (SELECT count(*) FROM documents),
+                   (SELECT count(*) - count(n_chars) FROM documents),
+                   (WITH h AS (SELECT DISTINCT
+                                   md5_number_upper(CAST(n_chars AS VARCHAR))
+                                   AS hv
+                               FROM documents WHERE n_chars IS NOT NULL),
+                         rk AS (SELECT hv, row_number() OVER (ORDER BY hv)
+                                    AS r FROM h)
+                    SELECT CASE WHEN (SELECT count(*) FROM h) < 256
+                                THEN (SELECT count(*) FROM h)
+                                ELSE CAST((CAST(255 AS HUGEINT)
+                                           * CAST('18446744073709551616'
+                                                  AS HUGEINT))
+                                          // (SELECT CAST(hv AS HUGEINT)
+                                              FROM rk WHERE r = 256)
+                                          AS BIGINT)
+                           END),
+                   (SELECT CAST(min(n_chars) AS VARCHAR) FROM documents),
+                   (SELECT CAST(max(n_chars) AS VARCHAR) FROM documents)
+            UNION ALL
+            SELECT 'text', (SELECT count(*) FROM documents),
+                   (SELECT count(*) - count(text) FROM documents),
+                   (WITH h AS (SELECT DISTINCT md5_number_upper(md5(text))
+                                   AS hv
+                               FROM documents WHERE text IS NOT NULL),
+                         rk AS (SELECT hv, row_number() OVER (ORDER BY hv)
+                                    AS r FROM h)
+                    SELECT CASE WHEN (SELECT count(*) FROM h) < 256
+                                THEN (SELECT count(*) FROM h)
+                                ELSE CAST((CAST(255 AS HUGEINT)
+                                           * CAST('18446744073709551616'
+                                                  AS HUGEINT))
+                                          // (SELECT CAST(hv AS HUGEINT)
+                                              FROM rk WHERE r = 256)
+                                          AS BIGINT)
+                           END),
+                   (SELECT min(md5(text)) FROM documents),
+                   (SELECT max(md5(text)) FROM documents)
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -15233,3 +15233,91 @@ def orders_theil_decomposition(sf_dir: str):
         "n_orders": pd.Series(out["n_orders"], dtype="int64"),
         "theil_within": pd.Series(out["theil_within"], dtype="float64"),
         "between_term": pd.Series(out["between_term"], dtype="float64")})
+
+
+def docs_profile_kmv(sf_dir: str, k: int = 256):
+    """The profiler's documented scale lever made real: same report
+    shape as docs_profile but n_distinct is the KMV bottom-k estimate
+    (exact below k) — the exchange is now CONSTANT per column (<= k
+    8-byte hashes per batch) instead of proportional to distinct
+    values, which is what you run when a pk-like column would otherwise
+    shuffle ~every row. Identical md5-64 hash space and exact-integer
+    estimate as events_users_kmv, so the DuckDB twin matches
+    bit-for-bit, collisions and all."""
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    cols_spec = _DOCS_PROFILE_COLS
+    cols = [c for c, _ in cols_spec]
+    ds = rel.load(sf_dir, "documents", cols)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        out = {"n_rows": pa.array([batch.num_rows], pa.int64())}
+        for name, kind in cols_spec:
+            arr = batch.column(name)
+            out[name + "__nulls"] = pa.array([arr.null_count], pa.int64())
+            arr = _canon_column(arr, kind)
+            out[name + "__min"] = pa.array([pc.min(arr).as_py()], arr.type)
+            out[name + "__max"] = pa.array([pc.max(arr).as_py()], arr.type)
+        return pa.table(out)
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        col_out, h_out = [], []
+        for name, kind in cols_spec:
+            arr = _canon_column(batch.column(name), kind)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            u = pc.unique(pc.drop_null(arr)).to_pylist()
+            if kind == "ts":
+                reprs = [pd.Timestamp(x).strftime("%Y-%m-%d") for x in u]
+            elif kind in ("str", "md5"):
+                reprs = u
+            else:
+                reprs = [str(int(x)) for x in u]
+            hs = np.fromiter((_md5_64(r) for r in reprs), dtype=np.uint64,
+                             count=len(reprs))
+            hs = np.unique(hs)[:k]
+            col_out.extend([name] * len(hs))
+            h_out.extend(hs.view(np.int64).tolist())
+        return pa.table({"col": pa.array(col_out, pa.string()),
+                         "h": pa.array(h_out, pa.int64())})
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    hparts = ds.map_batches(bottom_k, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+
+    nd_map: dict = {}
+    if len(hparts):
+        for name, grp in hparts.groupby("col", sort=False):
+            hs = np.unique(grp["h"].to_numpy(np.int64).view(np.uint64))
+            hs = np.sort(hs)[:k]
+            if len(hs) < k:
+                nd_map[name] = len(hs)
+            else:
+                nd_map[name] = ((k - 1) << 64) // int(hs[-1])
+
+    n_rows = 0 if stats.empty else int(stats["n_rows"].sum())
+    rows = {"col": [], "n_rows": [], "n_nulls": [], "n_distinct_kmv": [],
+            "min_s": [], "max_s": []}
+    for name, kind in cols_spec:
+        nulls = 0 if stats.empty else int(stats[name + "__nulls"].sum())
+        mins = [] if stats.empty else [v for v in stats[name + "__min"]
+                                       if v is not None and v == v]
+        maxs = [] if stats.empty else [v for v in stats[name + "__max"]
+                                       if v is not None and v == v]
+        rows["col"].append(name)
+        rows["n_rows"].append(n_rows)
+        rows["n_nulls"].append(nulls)
+        rows["n_distinct_kmv"].append(nd_map.get(name, 0))
+        repr_kind = "str" if kind == "md5" else kind
+        rows["min_s"].append(
+            _profile_repr(repr_kind, min(mins) if mins else None))
+        rows["max_s"].append(
+            _profile_repr(repr_kind, max(maxs) if maxs else None))
+    return pd.DataFrame({
+        "col": pd.Series(rows["col"], dtype="object"),
+        "n_rows": pd.Series(rows["n_rows"], dtype="int64"),
+        "n_nulls": pd.Series(rows["n_nulls"], dtype="int64"),
+        "n_distinct_kmv": pd.Series(rows["n_distinct_kmv"], dtype="int64"),
+        "min_s": pd.Series(rows["min_s"], dtype="object"),
+        "max_s": pd.Series(rows["max_s"], dtype="object")})
