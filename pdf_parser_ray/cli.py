@@ -251,6 +251,35 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Profile ANY parquet table: per column — row/null counts, exact
+    distinct count (text/binary via md5 fingerprints, so payloads never
+    shuffle) and canonical min/max. The generic front door to the
+    oracled profile_dataset plan (queries.py)."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines.queries import (
+        profile_dataset,
+        profile_spec_for_schema,
+    )
+
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
+    ds = ray.data.read_parquet(args.input)
+    spec = profile_spec_for_schema(ds.schema().base_schema
+                                   if hasattr(ds.schema(), "base_schema")
+                                   else ds.schema())
+    if not spec:
+        print("no profilable columns (nested-only schema?)",
+              file=sys.stderr)
+        return 1
+    df = profile_dataset(ds, spec)
+    for c in ("min_s", "max_s"):  # display-only: long text values
+        df[c] = df[c].map(lambda v: v if v is None or len(v) <= 48
+                          else v[:45] + "...")
+    print(df.to_string(index=False))
+    return 0
+
+
 def cmd_synth(args) -> int:
     """Generate a synthetic pages corpus (FIXTURES.md §1) to parquet."""
     from pdf_parser_ray.sources.pages import synth_dataset
@@ -321,6 +350,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("profile",
+                       help="column profile of any parquet table")
+    p.add_argument("input", nargs="+")
+    p.set_defaults(fn=cmd_profile)
     return ap
 
 

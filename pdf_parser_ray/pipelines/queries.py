@@ -14710,16 +14710,47 @@ def _md5_strings(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
                      for v in vals], pa.string())
 
 
+def _md5_binary(arr) -> pa.Array:
+    """Per-row md5 hexdigest of a binary column (nulls stay null)."""
+    import hashlib
+
+    return pa.array([None if v is None else hashlib.md5(v).hexdigest()
+                     for v in arr.to_pylist()], pa.string())
+
+
 def _canon_column(arr, kind: str):
     """Canonicalize a column for profiling per its kind."""
     if kind == "money":
         return _cents(arr)
     if kind == "md5":
         return _md5_strings(arr)
+    if kind == "bin":
+        return _md5_binary(arr)
     return arr
 
 
-def _profile_table(sf_dir: str, table: str, cols_spec) -> pd.DataFrame:
+def profile_spec_for_schema(schema: pa.Schema):
+    """Auto-derive a profiler cols_spec from an arbitrary Arrow schema
+    (the generic-CLI path; the oracled pipelines pin their specs
+    explicitly). Binary columns profile their md5 fingerprint; nested /
+    unsupported types are skipped."""
+    spec = []
+    for field in schema:
+        t = field.type
+        if pa.types.is_integer(t):
+            spec.append((field.name, "int"))
+        elif pa.types.is_floating(t):
+            spec.append((field.name, "float"))
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            spec.append((field.name, "str"))
+        elif pa.types.is_timestamp(t):
+            spec.append((field.name, "ts"))
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            spec.append((field.name, "bin"))
+    return spec
+
+
+def profile_dataset(ds: "ray.data.Dataset", cols_spec) -> pd.DataFrame:
     """Shared column-profiler plan: one row per column with row/null
     counts, EXACT distinct count and canonical min/max.
 
@@ -14732,8 +14763,7 @@ def _profile_table(sf_dir: str, table: str, cols_spec) -> pd.DataFrame:
     named scale lever for columns whose distinct count approaches row
     count (primary keys) is the KMV swap (events_users_kmv): same
     plan, constant exchange."""
-    cols = [c for c, _ in cols_spec]
-    ds = rel.load(sf_dir, table, cols)
+    ds = ds.select_columns([c for c, _ in cols_spec])
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         out = {"n_rows": pa.array([batch.num_rows], pa.int64())}
@@ -14755,8 +14785,10 @@ def _profile_table(sf_dir: str, table: str, cols_spec) -> pd.DataFrame:
             if kind == "ts":
                 reprs = [pd.Timestamp(x).strftime("%Y-%m-%d")
                          for x in u.to_pylist()]
-            elif kind in ("str", "md5"):
+            elif kind in ("str", "md5", "bin"):
                 reprs = u.to_pylist()
+            elif kind == "float":
+                reprs = [repr(float(x)) for x in u.to_pylist()]
             else:
                 reprs = [str(int(x)) for x in u.to_pylist()]
             col_out.extend([name] * len(reprs))
@@ -14795,7 +14827,7 @@ def _profile_table(sf_dir: str, table: str, cols_spec) -> pd.DataFrame:
         rows["n_rows"].append(n_rows)
         rows["n_nulls"].append(nulls)
         rows["n_distinct"].append(nd_map.get(name, 0))
-        repr_kind = "str" if kind == "md5" else kind
+        repr_kind = "str" if kind in ("md5", "bin") else kind
         rows["min_s"].append(
             _profile_repr(repr_kind, min(mins) if mins else None))
         rows["max_s"].append(
@@ -14809,9 +14841,14 @@ def _profile_table(sf_dir: str, table: str, cols_spec) -> pd.DataFrame:
         "max_s": pd.Series(rows["max_s"], dtype="object")})
 
 
+def _profile_table(sf_dir: str, table: str, cols_spec) -> pd.DataFrame:
+    return profile_dataset(
+        rel.load(sf_dir, table, [c for c, _ in cols_spec]), cols_spec)
+
+
 def orders_profile(sf_dir: str):
     """Column profiler over orders (the Deequ/Spark-summary analog):
-    see _profile_table for the plan — the first thing a pipeline owner
+    see profile_dataset for the plan — the first thing a pipeline owner
     runs against a new 100-TB delivery."""
     return _profile_table(sf_dir, "orders", _ORDERS_PROFILE_COLS)
 

@@ -143,3 +143,37 @@ def test_stage_pdfs_deterministic_reuse(tmp_path):
     # a different input list invalidates the staging manifest
     third = _stage_pdfs([str(p1)], out, 1)
     assert len(third) == 1
+
+
+def test_profile_any_parquet(tmp_path, capsys):
+    """The generic profile subcommand derives a spec from any schema
+    (ints, floats, strings, timestamps, binary-as-md5) and reports
+    exact distincts."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.cli import build_parser
+
+    tbl = pa.table({
+        "k": pa.array([1, 2, 2, None], pa.int64()),
+        "x": pa.array([0.5, 0.5, 1.5, 2.5], pa.float64()),
+        "s": pa.array(["a", "b", "a", None], pa.string()),
+        "t": pa.array([dt.datetime(2024, 1, 1)] * 4, pa.timestamp("us")),
+        "b": pa.array([b"xx", b"xx", b"yy", b"zz"], pa.binary()),
+        "nested": pa.array([[1], [2], [3], [4]],
+                           pa.list_(pa.int64())),  # skipped by the spec
+    })
+    path = tmp_path / "any.parquet"
+    pq.write_table(tbl, str(path))
+    args = build_parser().parse_args(["profile", str(path)])
+    assert args.fn(args) == 0
+    out = capsys.readouterr().out
+    lines = {ln.split()[0]: ln.split() for ln in out.strip().splitlines()[1:]}
+    assert set(lines) == {"k", "x", "s", "t", "b"}
+    assert lines["k"][1:4] == ["4", "1", "2"]     # rows, nulls, distinct
+    assert lines["x"][3] == "3"
+    assert lines["s"][3] == "2"
+    assert lines["t"][3] == "1"
+    assert lines["b"][3] == "3"                   # md5-fingerprint distinct
