@@ -159,7 +159,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_median": q.events_rolling_median,
         "events_user_churn_diff": q.events_user_churn_diff,
         "events_purchase_streaks": q.events_purchase_streaks,
-        "docs_sample_quantiles": q.docs_sample_quantiles,
         # new in round 4b: the oracled MinHash-LSH screen-quality evals
         # (the recall-curve harness that caught the Mersenne-61
         # correlated-minima bug — see stages/dedup.py). Their insertion
@@ -198,7 +197,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cap; all nine stay registered below and hash-green in the full
         # local gate (CORRECTNESS_LOCAL_r04.json, 291/299).
         "docs_profile_kmv": q.docs_profile_kmv,
+        # ... and the warehouse-wide FK report (every star-schema edge
+        # in one pass per fact table) — displacing docs_sample_quantiles
+        # (re-registered below, hash-green in the full local gate).
+        "testdata_fk_report": q.testdata_fk_report,
         # ================= END ROUND-4 WINDOW =========================
+        "docs_sample_quantiles": q.docs_sample_quantiles,
         # ---- tier 0: the r2 verdict's explicit ask — pipelines with
         #      NO driver row in ANY round: emb_near_pairs_lsh is
         #      oracled (must land hash-green), the other three are
@@ -6818,6 +6822,58 @@ def oracle_sql() -> dict[str, str]:
                            END),
                    (SELECT min(md5(text)) FROM documents),
                    (SELECT max(md5(text)) FROM documents)
+        """,
+        "testdata_fk_report": """
+            -- warehouse-wide FK edges; NULL FKs are not violations
+            SELECT 'lineitem.l_orderkey->orders' AS edge,
+                   CAST(count(*) FILTER (WHERE l.l_orderkey IS NOT NULL
+                                           AND o.o_orderkey IS NULL) AS BIGINT)
+                       AS violations,
+                   count(*) FILTER (WHERE l.l_orderkey IS NOT NULL
+                                      AND o.o_orderkey IS NULL) = 0 AS passed
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   CAST(count(*) FILTER (WHERE l.l_partkey IS NOT NULL
+                                           AND p.p_partkey IS NULL) AS BIGINT),
+                   count(*) FILTER (WHERE l.l_partkey IS NOT NULL
+                                      AND p.p_partkey IS NULL) = 0
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier',
+                   CAST(count(*) FILTER (WHERE l.l_suppkey IS NOT NULL
+                                           AND s.s_suppkey IS NULL) AS BIGINT),
+                   count(*) FILTER (WHERE l.l_suppkey IS NOT NULL
+                                      AND s.s_suppkey IS NULL) = 0
+            FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   CAST(count(*) FILTER (WHERE o.o_custkey IS NOT NULL
+                                           AND c.c_custkey IS NULL) AS BIGINT),
+                   count(*) FILTER (WHERE o.o_custkey IS NOT NULL
+                                      AND c.c_custkey IS NULL) = 0
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation',
+                   CAST(count(*) FILTER (WHERE c.c_nationkey IS NOT NULL
+                                           AND n.n_nationkey IS NULL) AS BIGINT),
+                   count(*) FILTER (WHERE c.c_nationkey IS NOT NULL
+                                      AND n.n_nationkey IS NULL) = 0
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation',
+                   CAST(count(*) FILTER (WHERE s.s_nationkey IS NOT NULL
+                                           AND n.n_nationkey IS NULL) AS BIGINT),
+                   count(*) FILTER (WHERE s.s_nationkey IS NOT NULL
+                                      AND n.n_nationkey IS NULL) = 0
+            FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT 'nation.n_regionkey->region',
+                   CAST(count(*) FILTER (WHERE n.n_regionkey IS NOT NULL
+                                           AND r.r_regionkey IS NULL) AS BIGINT),
+                   count(*) FILTER (WHERE n.n_regionkey IS NOT NULL
+                                      AND r.r_regionkey IS NULL) = 0
+            FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
         """,
         # docs_minhash_candidates, extract_corpus, emb_topk_ivf,
         # media_features, events_users_hll: not SQL-expressible (minhash

@@ -15358,3 +15358,83 @@ def docs_profile_kmv(sf_dir: str, k: int = 256):
         "n_distinct_kmv": pd.Series(rows["n_distinct_kmv"], dtype="int64"),
         "min_s": pd.Series(rows["min_s"], dtype="object"),
         "max_s": pd.Series(rows["max_s"], dtype="object")})
+
+
+def testdata_fk_report(sf_dir: str):
+    """Warehouse-wide referential-integrity report: every FK edge of
+    the star schema (lineitem -> orders/part/supplier, orders ->
+    customer, customer/supplier -> nation, nation -> region) validated
+    in one pass per fact table — the cross-TABLE completion of the
+    single-table constraint reports, and the first audit to run when a
+    100-TB delivery lands as independent per-table dumps.
+
+    Each right-side key set is per-batch-uniqued, gathered once, and
+    broadcast via ray.put as a sorted array (binary-search probe per
+    batch); all three lineitem edges probe in ONE fact scan. At web
+    scale a fact-sized right side swaps to the size-gated hash
+    anti-join (customers_without_orders' measured fallback) — the
+    probe loop is unchanged, only the key transport differs."""
+    import ray as _ray
+
+    def key_set(table: str, col: str) -> np.ndarray:
+        ds = rel.load(sf_dir, table, [col])
+
+        def uniq(batch: pa.Table) -> pa.Table:
+            return pa.table({col: pc.unique(pc.drop_null(
+                batch.column(col)))})
+
+        parts = ds.map_batches(uniq, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        return np.unique(parts[col].to_numpy(np.int64)) \
+            if len(parts) else np.empty(0, np.int64)
+
+    refs = {
+        "orders": _ray.put(key_set("orders", "o_orderkey")),
+        "part": _ray.put(key_set("part", "p_partkey")),
+        "supplier": _ray.put(key_set("supplier", "s_suppkey")),
+        "customer": _ray.put(key_set("customer", "c_custkey")),
+        "nation": _ray.put(key_set("nation", "n_nationkey")),
+        "region": _ray.put(key_set("region", "r_regionkey")),
+    }
+
+    def probe_fn(cols_to_refs):
+        def probe(batch: pa.Table) -> pa.Table:
+            out = {}
+            for col, ref_name in cols_to_refs:
+                keys = _ray.get(refs[ref_name])
+                v = batch.column(col).to_numpy(zero_copy_only=False)
+                valid = ~pd.isna(v)
+                vv = v[valid].astype(np.int64)
+                pos = np.searchsorted(keys, vv)
+                miss = int(np.sum((pos >= len(keys)) | (
+                    keys[np.minimum(pos, max(len(keys) - 1, 0))] != vv))) \
+                    if len(keys) else len(vv)
+                # NULL FKs are not violations (SQL LEFT JOIN semantics
+                # never match them, but the oracle counts only non-null
+                # misses; mirrored by the valid mask)
+                out[f"{col}->{ref_name}"] = pa.array([miss], pa.int64())
+            return pa.table(out)
+        return probe
+
+    edges = []
+    for table, cols_to_refs in [
+        ("lineitem", [("l_orderkey", "orders"), ("l_partkey", "part"),
+                      ("l_suppkey", "supplier")]),
+        ("orders", [("o_custkey", "customer")]),
+        ("customer", [("c_nationkey", "nation")]),
+        ("supplier", [("s_nationkey", "nation")]),
+        ("nation", [("n_regionkey", "region")]),
+    ]:
+        ds = rel.load(sf_dir, table, [c for c, _ in cols_to_refs])
+        parts = ds.map_batches(probe_fn(cols_to_refs),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        for col, ref in cols_to_refs:
+            key = f"{col}->{ref}"
+            viol = 0 if parts.empty else int(parts[key].sum())
+            edges.append((f"{table}.{key}", viol))
+
+    return pd.DataFrame({
+        "edge": pd.Series([e for e, _ in edges], dtype="object"),
+        "violations": pd.Series([v for _, v in edges], dtype="int64"),
+        "passed": pd.Series([v == 0 for _, v in edges], dtype="bool")})
