@@ -79,9 +79,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": q.customer_rfm,
         "orders_top_decile_share": q.orders_top_decile_share,
         "lineitem_basket_pairs": q.lineitem_basket_pairs,
-        "events_user_type_breadth": q.events_user_type_breadth,
+        # new in round 4g (tier-1): Okapi BM25 top-k retrieval against a
+        # fixed query (the IR-ranking shape; pinned written-order float
+        # adds + rounded-score ranking). Displaces
+        # events_user_type_breadth — hash-green r3 driver row, this
+        # round's change was a defensive guard only — which stays
+        # registered below and hash-green in the full local gate.
+        "docs_bm25_topk": q.docs_bm25_topk,
         "events_dayn_retention": q.events_dayn_retention,
-        "q4_late_orders": q.q4_late_orders,
+        # new in round 4g (tier-1): exact heavy hitters via a distributed
+        # Misra-Gries screen + exact verify (mergeable deterministic
+        # sketch with a pigeonhole-constant candidate set). Displaces
+        # q4_late_orders — hash-green in BOTH r1 and r2, the documented
+        # most-battle-tested spill rule — which stays registered below
+        # and hash-green in the full local gate.
+        "docs_heavy_hitters": q.docs_heavy_hitters,
         # new this round: the bucketed point-in-interval RANGE JOIN
         "events_purchase_session_overlap":
             q.events_purchase_session_overlap,
@@ -4768,6 +4780,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(n - i * 512, 512) AS BIGINT) AS n_tokens
             FROM toks, LATERAL unnest(range(0, CAST(ceil(n / 512.0) AS BIGINT)))
                  AS t(i)
+        """,
+        "docs_heavy_hitters": r"""
+            -- exact heavy hitters: tokens with share > 1/40 of all
+            -- tokens (the Ray side finds them with a Misra-Gries screen
+            -- + exact verify; the oracle is the direct definition)
+            WITH tf AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), tot AS (
+                SELECT count(*) AS n FROM tf
+            ), cnts AS (
+                SELECT tok, count(*) AS cnt FROM tf GROUP BY tok
+            )
+            SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(cnt * 1000000 // n AS BIGINT) AS share_ppm
+            FROM cnts, tot
+            WHERE cnt * 40 > n
+            ORDER BY tok
+        """,
+        "docs_bm25_topk": r"""
+            -- Okapi BM25 (k1=1.2, b=0.75) for the fixed query
+            -- "scan merge quantum"; per-term contributions are added in
+            -- the query's written order (SUM() order is unspecified,
+            -- float adds are not associative), ranking uses the ROUNDED
+            -- score, and 'quantum' (df=0, tf=0 everywhere) pins the
+            -- absent-term short-circuit at exactly 0.0
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), tfq AS (
+                SELECT doc_id,
+                       count(*) FILTER (tok = 'scan')    AS tf1,
+                       count(*) FILTER (tok = 'merge')   AS tf2,
+                       count(*) FILTER (tok = 'quantum') AS tf3,
+                       count(*) AS dl
+                FROM toks GROUP BY doc_id
+            ), stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE)
+                               / (SELECT count(*) FROM documents)
+                        FROM tfq) AS avgdl,
+                       (SELECT count(*) FROM tfq WHERE tf1 > 0) AS df1,
+                       (SELECT count(*) FROM tfq WHERE tf2 > 0) AS df2,
+                       (SELECT count(*) FROM tfq WHERE tf3 > 0) AS df3
+            ), scored AS (
+                SELECT d.doc_id,
+                       round(
+                           ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1)
+                               * (coalesce(t.tf1, 0) * 2.2)
+                               / (coalesce(t.tf1, 0) + 1.2 * (0.25
+                                  + (0.75 * coalesce(t.dl, 0)) / s.avgdl))
+                           + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1)
+                               * (coalesce(t.tf2, 0) * 2.2)
+                               / (coalesce(t.tf2, 0) + 1.2 * (0.25
+                                  + (0.75 * coalesce(t.dl, 0)) / s.avgdl))
+                           + ln((s.n - s.df3 + 0.5) / (s.df3 + 0.5) + 1)
+                               * (coalesce(t.tf3, 0) * 2.2)
+                               / (coalesce(t.tf3, 0) + 1.2 * (0.25
+                                  + (0.75 * coalesce(t.dl, 0)) / s.avgdl)),
+                           4) AS bm25
+                FROM documents d CROSS JOIN stats s
+                LEFT JOIN tfq t ON d.doc_id = t.doc_id
+            )
+            SELECT doc_id, bm25
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY bm25 DESC, doc_id) AS rn
+                  FROM scored)
+            WHERE rn <= 20
         """,
         "docs_tfidf_top_terms": r"""
             WITH tf AS (

@@ -15438,3 +15438,201 @@ def testdata_fk_report(sf_dir: str):
         "edge": pd.Series([e for e, _ in edges], dtype="object"),
         "violations": pd.Series([v for _, v in edges], dtype="int64"),
         "passed": pd.Series([v == 0 for _, v in edges], dtype="bool")})
+
+
+def docs_heavy_hitters(sf_dir: str, k: int = 64, denom: int = 40):
+    """Exact corpus heavy hitters: every whitespace token whose share of
+    ALL tokens exceeds 1/denom, with its EXACT count — via a distributed
+    Misra–Gries screen plus an exact verification pass (the classic
+    two-pass heavy-hitters plan; MG summaries are deterministic and
+    mergeable, Agarwal et al., "Mergeable Summaries").
+
+    Pass 1 (screen): each batch computes exact in-batch token counts with
+    the vectorized explode kernel, then MG-compresses them to <= k
+    survivors by subtracting the (k+1)-th largest count from every
+    counter (per-token deficit <= batch_tokens/(k+1)); one grouped sum
+    over the <= (k+1)-rows-per-batch summaries merges the partials, so
+    the total deficit is <= N/(k+1). Any token with true count > N/denom
+    therefore survives the merge with estimate > N*(1/denom - 1/(k+1)),
+    and — pigeonhole on the estimate mass — at most
+    1/(1/denom - 1/(k+1)) (~104 at denom=40, k=64) tokens can clear that
+    bar: the candidate set is a CONSTANT, however large the vocabulary,
+    and nothing driver-side scales with the corpus. Pass 2 (verify): the
+    candidate set broadcasts into a second scan that exact-counts ONLY
+    candidates; the final filter keeps cnt*denom > N. Text never
+    shuffles; both exchanges carry <= k+1 rows per batch."""
+    assert k + 1 > denom, "MG capacity must out-resolve the threshold"
+    ds = rel.load(sf_dir, "documents", ["text"])
+
+    def screen(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        n_batch = len(flat)
+        vc = pc.value_counts(flat)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        values = vc.field("values")
+        if len(counts) > k:
+            kth = int(np.partition(counts, len(counts) - (k + 1))[
+                len(counts) - (k + 1)])
+            keep = counts > kth
+            est = counts[keep] - kth
+            values = values.filter(pa.array(keep))
+        else:
+            est = counts
+        # the sentinel "" row carries this batch's token mass: "" can
+        # never collide with a real token (tokens match \S+), and the
+        # same grouped sum that merges the summaries then yields N
+        return pa.table({
+            "tok": pa.concat_arrays(
+                [values.cast(pa.string()), pa.array([""], pa.string())]),
+            "est": pa.array(np.concatenate([est, [n_batch]]), pa.int64()),
+        })
+
+    partials = ds.map_batches(screen, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    summed = rel.ensure_schema(
+        rel.salted_agg(partials, ["tok"], [("est", "sum", "est")]),
+        pa.schema([("tok", pa.string()), ("est", pa.int64())])).materialize()
+
+    total = summed.map_batches(
+        lambda b: b.filter(pc.equal(b.column("tok"), pa.scalar(""))),
+        batch_format="pyarrow").to_pandas()
+    n_total = int(total["est"].sum()) if len(total) else 0
+    if n_total == 0:
+        return pd.DataFrame({"tok": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64"),
+                             "share_ppm": pd.Series(dtype="int64")})
+
+    # merged-estimate bar: est > N*(1/denom - 1/(k+1)), exact in ints
+    lo_num = n_total * (k + 1 - denom)
+    lo_den = denom * (k + 1)
+
+    def cand_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(b.column("tok"), pa.scalar("")),
+                       pc.greater(pc.multiply(
+                           pc.cast(b.column("est"), pa.int64()),
+                           pa.scalar(lo_den, pa.int64())),
+                           pa.scalar(lo_num, pa.int64())))
+        return b.filter(keep)
+
+    cands = summed.map_batches(cand_filter,
+                               batch_format="pyarrow").to_pandas()
+    # a fully-filtered Dataset loses its schema at to_pandas
+    cand_toks = sorted(cands["tok"].tolist()) if "tok" in cands.columns else []
+    cand_set = pa.array(cand_toks, pa.string())
+    if len(cand_set) == 0:
+        return pd.DataFrame({"tok": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64"),
+                             "share_ppm": pd.Series(dtype="int64")})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.is_in(flat, value_set=cand_set))
+        vc = pc.value_counts(flat)
+        return pa.table({"tok": vc.field("values").cast(pa.string()),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    exact = rel.ensure_schema(
+        rel.salted_agg(ds.map_batches(verify, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       ["tok"], [("cnt", "sum", "cnt")]),
+        pa.schema([("tok", pa.string()), ("cnt", pa.int64())]))
+    df = exact.to_pandas()
+    df = df[df["cnt"] * denom > n_total].copy()
+    df["share_ppm"] = (df["cnt"].astype("int64") * 1_000_000) // n_total
+    df = rel.ensure_columns(df, {"tok": "object", "cnt": "int64",
+                                 "share_ppm": "int64"})
+    return rel.to_pandas_sorted(df[["tok", "cnt", "share_ppm"]], ["tok"])
+
+
+_BM25_TERMS = ("scan", "merge", "quantum")  # quantum: absent-term path
+
+
+def docs_bm25_topk(sf_dir: str, k_out: int = 20):
+    """Okapi BM25 ranking of the corpus against a fixed query
+    ("scan merge quantum"), top-k by score — the IR-retrieval shape
+    (k1 = 1.2, b = 0.75; idf = ln((N - df + 0.5)/(df + 0.5) + 1)).
+
+    One text scan produces the narrow per-doc feature table
+    (doc_id, tf_term..., dl) with the vectorized explode kernel; the
+    corpus statistics the score needs (N, avg dl, per-term df) fold from
+    constant-width per-batch partials (4 ints per batch — never a
+    vocabulary exchange, the query is fixed). Scoring then runs over the
+    materialized narrow table (16 B/doc in the object store, spillable;
+    the no-materialize alternative is a second text scan) and the top-k
+    is per-batch local top-k + an output-sized driver merge — no global
+    sort. Per-term contributions are added in the QUERY'S WRITTEN ORDER
+    on both engines (float addition is not associative; SQL SUM() order
+    is unspecified, a pivoted explicit c1+c2+c3 is pinned), and ranking
+    uses the ROUNDED score so float ulps cannot flip an order. The
+    absent term ('quantum', df = 0) exercises the tf = 0 short-circuit:
+    its contribution is exactly 0.0 on both engines."""
+    from pdf_parser_ray.stages.text import token_count_array
+
+    ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    terms = _BM25_TERMS
+
+    def features(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        cols = {"doc_id": ids,
+                "dl": pa.array(token_count_array(batch.column("text")),
+                               pa.int64())}
+        for i, t in enumerate(terms):
+            hit = pc.equal(flat, pa.scalar(t)).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[hit], minlength=len(ids)).astype(np.int64)
+            cols[f"tf{i + 1}"] = pa.array(tf, pa.int64())
+        return pa.table(cols)
+
+    feats = ds.map_batches(features, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        out = {"sum_dl": pa.array([int(pc.sum(batch.column("dl")).as_py()
+                                       or 0)], pa.int64())}
+        for i in range(len(terms)):
+            c = batch.column(f"tf{i + 1}")
+            out[f"df{i + 1}"] = pa.array(
+                [int(pc.sum(pc.cast(pc.greater(c, pa.scalar(0, pa.int64())),
+                                    pa.int64())).as_py() or 0)], pa.int64())
+        return pa.table(out)
+
+    sp = feats.map_batches(stat_partial, batch_format="pyarrow").to_pandas()
+    sum_dl = int(sp["sum_dl"].sum()) if len(sp) else 0
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+    idf = []
+    for i in range(len(terms)):
+        df_t = int(sp[f"df{i + 1}"].sum()) if len(sp) else 0
+        idf.append(float(np.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        # written-order sum c1 + c2 + c3 — pinned against the SQL twin
+        s = np.zeros(len(dl), dtype=np.float64)
+        for i in range(len(terms)):
+            tf = batch.column(f"tf{i + 1}").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            s = s + (idf[i] * (tf * 2.2)) / (
+                tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "bm25": pa.array(np_round_half_away(s, 4), pa.float64()),
+        })
+
+    top = rel.local_topk(feats.map_batches(score, batch_format="pyarrow"),
+                         [("bm25", "descending"), ("doc_id", "ascending")],
+                         k_out)
+    df = rel.ensure_columns(top, {"doc_id": "int64", "bm25": "float64"})
+    return rel.to_pandas_sorted(df[["doc_id", "bm25"]], ["doc_id"])

@@ -1,0 +1,181 @@
+"""Round-4g additions: exact heavy hitters (distributed Misra-Gries
+screen + exact verify) and Okapi BM25 top-k retrieval.
+
+The sf testdata's dense 31-token vocabulary never triggers MG
+compression (31 < k = 64), so the fuzz here builds corpora with
+VOCABULARIES WIDER THAN THE SKETCH plus planted heavy tokens — the
+decrement/merge path and the pigeonhole candidate bound do real work —
+and checks the two-pass plan still returns the exact heavy-hitter set
+with exact counts. BM25 fuzz covers empty documents (dl = 0), docs
+without any query term, tf ties, and block-layout invariance (the
+per-batch MG summaries and local top-k must not depend on batching).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import __ray_entry__ as entrymod
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns),
+                          kind="mergesort").reset_index(drop=True)
+
+
+def _check(query_name: str, tables: dict[str, pa.Table]) -> None:
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    orig = q.rel.load
+
+    def fake_load(sf, t, columns=None):
+        tbl = tables[t]
+        return ray.data.from_arrow(tbl.select(columns) if columns else tbl)
+
+    q.rel.load = fake_load
+    try:
+        ray_df = entrymod.queries()[query_name]("fuzz")
+    finally:
+        q.rel.load = orig
+    con = duckdb.connect()
+    for name, tbl in tables.items():
+        con.register(name, tbl)
+    sql_df = con.execute(entrymod.oracle_sql()[query_name]).df()
+    a, b = _canon(pd.DataFrame(ray_df)), _canon(sql_df)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{query_name}: {len(a)} != {len(b)}"
+    for col in a.columns:
+        for x, y in zip(a[col], b[col]):
+            both_nan = (isinstance(x, float) and isinstance(y, float)
+                        and math.isnan(x) and math.isnan(y))
+            assert both_nan or repr(x) == repr(y), \
+                f"{query_name}.{col}: {x!r} != {y!r}"
+
+
+def _docs(texts: list[str]) -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["src0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def _wide_vocab_corpus(seed: int, n_docs: int, heavy: list[tuple[str, int]],
+                       vocab: int = 400) -> list[str]:
+    """Docs over a vocabulary wider than the MG sketch (400 > 64), with
+    the given heavy tokens planted at the given per-doc repeat counts."""
+    rng = random.Random(seed)
+    texts = []
+    for _ in range(n_docs):
+        toks = [f"w{rng.randrange(vocab)}" for _ in range(rng.randrange(5, 40))]
+        for tok, reps in heavy:
+            toks.extend([tok] * reps)
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    return texts
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    def test_wide_vocab_planted_heavies(self):
+        # ~400-token tail vocabulary forces MG decrements in every batch;
+        # the two planted tokens dominate and MUST come back exactly
+        texts = _wide_vocab_corpus(7, 60, [("hot", 30), ("warm", 12)])
+        _check("docs_heavy_hitters", {"documents": _docs(texts)})
+
+    def test_no_heavy_hitters_empty_result(self):
+        # uniform wide vocabulary, nothing clears share > 1/40
+        texts = _wide_vocab_corpus(11, 80, [])
+        _check("docs_heavy_hitters", {"documents": _docs(texts)})
+
+    def test_empty_and_whitespace_docs(self):
+        texts = ["", "   ", "\t\n", "hot hot hot hot", "hot hot"]
+        _check("docs_heavy_hitters", {"documents": _docs(texts)})
+
+    def test_batch_layout_invariance(self):
+        # the MG screen runs per batch: tiny blocks change every partial
+        # summary, but the exact verify pass must erase the difference
+        import ray.data
+
+        from pdf_parser_ray.pipelines import queries as q
+
+        texts = _wide_vocab_corpus(23, 50, [("hot", 25)])
+        tbl = _docs(texts)
+        orig = q.rel.load
+
+        def load_blocks(n_blocks):
+            def fake_load(sf, t, columns=None):
+                t2 = tbl.select(columns) if columns else tbl
+                return ray.data.from_arrow(t2).repartition(n_blocks)
+            return fake_load
+
+        outs = []
+        for nb in (1, 7):
+            q.rel.load = load_blocks(nb)
+            try:
+                outs.append(_canon(q.docs_heavy_hitters("fuzz")))
+            finally:
+                q.rel.load = orig
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_fuzz_guarantee(self, seed):
+        rng = random.Random(seed)
+        heavy = [("hot", rng.randrange(10, 40))] if rng.random() < 0.7 else []
+        texts = _wide_vocab_corpus(seed, rng.randrange(20, 70), heavy,
+                                   vocab=rng.randrange(80, 600))
+        _check("docs_heavy_hitters", {"documents": _docs(texts)})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBM25:
+    def test_mixed_corpus(self):
+        rng = random.Random(3)
+        texts = []
+        for i in range(60):
+            toks = [f"w{rng.randrange(50)}" for _ in range(rng.randrange(0, 30))]
+            toks += ["scan"] * rng.randrange(0, 5)
+            toks += ["merge"] * rng.randrange(0, 3)
+            rng.shuffle(toks)
+            texts.append(" ".join(toks))
+        # empty doc, whitespace doc, term-only doc, no-term doc
+        texts += ["", "  \t ", "scan scan merge", "w1 w2 w3"]
+        _check("docs_bm25_topk", {"documents": _docs(texts)})
+
+    def test_absent_terms_score_zero(self):
+        # no doc contains any query term: every score is exactly 0.0 and
+        # the tie-break (doc_id) alone orders the top-k
+        texts = [f"w{i} w{i + 1} w{i + 2}" for i in range(30)]
+        _check("docs_bm25_topk", {"documents": _docs(texts)})
+
+    def test_fewer_docs_than_k(self):
+        texts = ["scan merge", "merge", "scan scan"]
+        _check("docs_bm25_topk", {"documents": _docs(texts)})
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_fuzz(self, seed):
+        rng = random.Random(seed)
+        texts = []
+        for _ in range(rng.randrange(1, 80)):
+            toks = ([f"w{rng.randrange(40)}"
+                     for _ in range(rng.randrange(0, 25))]
+                    + ["scan"] * rng.randrange(0, 4)
+                    + ["merge"] * rng.randrange(0, 4))
+            rng.shuffle(toks)
+            texts.append(" ".join(toks))
+        _check("docs_bm25_topk", {"documents": _docs(texts)})
