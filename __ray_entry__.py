@@ -86,7 +86,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round's change was a defensive guard only — which stays
         # registered below and hash-green in the full local gate.
         "docs_bm25_topk": q.docs_bm25_topk,
-        "events_dayn_retention": q.events_dayn_retention,
+        # new in round 4g (tier-1): per-source character-class mix (the
+        # charset/mojibake crawl-health audit; identical RE2 class
+        # patterns on both engines). Displaces events_dayn_retention —
+        # hash-green r3 driver row, this round's change was a defensive
+        # guard only — which stays registered below and hash-green in
+        # the full local gate.
+        "docs_script_mix": q.docs_script_mix,
         # new in round 4g (tier-1): exact heavy hitters via a distributed
         # Misra-Gries screen + exact verify (mergeable deterministic
         # sketch with a pigeonhole-constant candidate set). Displaces
@@ -4849,6 +4855,47 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY bm25 DESC, doc_id) AS rn
                   FROM scored)
             WHERE rn <= 20
+        """,
+        "docs_script_mix": r"""
+            -- per-source character-class mix; class count = codepoints
+            -- minus codepoints left after deleting the class (identical
+            -- RE2 pattern strings on both engines); truncating int ppm
+            WITH per_doc AS (
+                SELECT source,
+                       length(text) AS n_cp,
+                       length(text) - length(regexp_replace(
+                           text, '[A-Za-z]', '', 'g')) AS latin,
+                       length(text) - length(regexp_replace(
+                           text, '[0-9]', '', 'g')) AS digit,
+                       length(text) - length(regexp_replace(
+                           text, '\s', '', 'g')) AS space,
+                       length(text) - length(regexp_replace(
+                           text, '[^\x00-\x7f]', '', 'g')) AS non_ascii
+                FROM documents
+            ), agg AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(n_cp) AS BIGINT) AS n_cp,
+                       CAST(sum(latin) AS BIGINT) AS latin,
+                       CAST(sum(digit) AS BIGINT) AS digit,
+                       CAST(sum(space) AS BIGINT) AS space,
+                       CAST(sum(non_ascii) AS BIGINT) AS non_ascii
+                FROM per_doc GROUP BY source
+            )
+            SELECT source, n_docs, n_cp, latin, digit, space, non_ascii,
+                   CAST(CASE WHEN n_cp > 0
+                        THEN latin * 1000000 // n_cp ELSE 0 END
+                        AS BIGINT) AS latin_ppm,
+                   CAST(CASE WHEN n_cp > 0
+                        THEN digit * 1000000 // n_cp ELSE 0 END
+                        AS BIGINT) AS digit_ppm,
+                   CAST(CASE WHEN n_cp > 0
+                        THEN space * 1000000 // n_cp ELSE 0 END
+                        AS BIGINT) AS space_ppm,
+                   CAST(CASE WHEN n_cp > 0
+                        THEN non_ascii * 1000000 // n_cp ELSE 0 END
+                        AS BIGINT) AS non_ascii_ppm
+            FROM agg
+            ORDER BY source
         """,
         "docs_tfidf_top_terms": r"""
             WITH tf AS (

@@ -15636,3 +15636,58 @@ def docs_bm25_topk(sf_dir: str, k_out: int = 20):
                          k_out)
     df = rel.ensure_columns(top, {"doc_id": "int64", "bm25": "float64"})
     return rel.to_pandas_sorted(df[["doc_id", "bm25"]], ["doc_id"])
+
+
+_SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", r"\s"),
+    ("non_ascii", r"[^\x00-\x7f]"),
+)
+
+
+def docs_script_mix(sf_dir: str):
+    """Per-source character-class mix (web-corpus charset / mojibake
+    audit): counts and ppm shares of Latin letters, digits, whitespace
+    and non-ASCII codepoints. The classic encoding-health screen — a
+    crawl source whose non-ASCII share jumps usually switched charset or
+    started double-encoding. One pass of vectorized RE2 class counts
+    (pc.count_substring_regex — each single-codepoint class match is one
+    codepoint, exactly what the oracle's regexp_replace + length
+    computes), then a bounded grouped sum (source domain); shares are
+    truncating integer ppm so the ints match bit-for-bit. Pattern
+    strings are IDENTICAL on both engines (both are RE2)."""
+    from pdf_parser_ray.stages.text import _count_rx
+
+    ds = rel.load(sf_dir, "documents", ["source", "text"])
+
+    def classes(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        cols = {"source": batch.column("source"),
+                "n_cp": pa.array(
+                    pc.utf8_length(text).to_numpy(zero_copy_only=False)
+                    .astype(np.int64), pa.int64())}
+        for name, rx in _SCRIPT_CLASSES:
+            cols[name] = pa.array(_count_rx(text, rx).astype(np.int64),
+                                  pa.int64())
+        return pa.table(cols)
+
+    agg = rel.grouped_agg(
+        ds.map_batches(classes, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source"],
+        [("n_docs", "", "count"),
+         ("n_cp", "n_cp", "sum")]
+        + [(name, name, "sum") for name, _ in _SCRIPT_CLASSES],
+        small_result=True)
+    df = rel.as_pandas(agg)
+    for name, _ in _SCRIPT_CLASSES:
+        df[f"{name}_ppm"] = np.where(
+            df["n_cp"] > 0,
+            (df[name].astype("int64") * 1_000_000) // df["n_cp"].astype("int64"),
+            0).astype("int64")
+    df = rel.ensure_columns(df, {
+        "source": "object", "n_docs": "int64", "n_cp": "int64"}
+        | {name: "int64" for name, _ in _SCRIPT_CLASSES}
+        | {f"{name}_ppm": "int64" for name, _ in _SCRIPT_CLASSES})
+    return rel.to_pandas_sorted(df, ["source"])

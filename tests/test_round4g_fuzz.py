@@ -179,3 +179,48 @@ class TestBM25:
             rng.shuffle(toks)
             texts.append(" ".join(toks))
         _check("docs_bm25_topk", {"documents": _docs(texts)})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScriptMix:
+    def test_unicode_classes(self):
+        # NBSP is non-ASCII but NOT RE2 \s (ASCII-only class on both
+        # engines); emoji are single codepoints under length(); CJK and
+        # accents land in non_ascii only
+        texts = [
+            "hello world 123",
+            "café naïve résumé",
+            "你好世界 42",
+            "a b c",            # NBSP-joined
+            "tab\tnewline\nmix 7",
+            "\U0001f600\U0001f680 rocket",
+            "",
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0", "s1", "s0", "s1", "s0", "s1", "s0"],
+                               pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+        _check("docs_script_mix", {"documents": tbl})
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_fuzz(self, seed):
+        rng = random.Random(seed)
+        alphabet = ("abcXYZ019 \t\n" + "é世 "
+                    + "\U0001f600Жא")
+        texts = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randrange(0, 120)))
+                 for _ in range(rng.randrange(1, 40))]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array([f"s{rng.randrange(3)}" for _ in texts],
+                               pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+        _check("docs_script_mix", {"documents": tbl})
