@@ -78,7 +78,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": q.q8_market_share,
         "customer_rfm": q.customer_rfm,
         "orders_top_decile_share": q.orders_top_decile_share,
-        "lineitem_basket_pairs": q.lineitem_basket_pairs,
         # new in round 4g (tier-1): Okapi BM25 top-k retrieval against a
         # fixed query (the IR-ranking shape; pinned written-order float
         # adds + rounded-score ranking). Displaces
@@ -86,6 +85,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round's change was a defensive guard only — which stays
         # registered below and hash-green in the full local gate.
         "docs_bm25_topk": q.docs_bm25_topk,
+        # new in round 4g (tier-1): streaming watermark-drop accounting
+        # (allowed-lateness calibration; distributed running max as the
+        # n-derived-bucket two-level prefix scan). Displaces
+        # lineitem_basket_pairs into the backlog (re-registered below,
+        # hash-green in the full local gate; its plan-level audit lives
+        # in SCALE.md).
+        "events_watermark_drops": q.events_watermark_drops,
         # new in round 4g (tier-1): per-source character-class mix (the
         # charset/mojibake crawl-health audit; identical RE2 class
         # patterns on both engines). Displaces events_dayn_retention —
@@ -4855,6 +4861,26 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY bm25 DESC, doc_id) AS rn
                   FROM scored)
             WHERE rn <= 20
+        """,
+        "events_watermark_drops": """
+            -- replay in ingest (event_id) order: high watermark = max
+            -- event-time over STRICTLY EARLIER events; dropped if more
+            -- than 10 min behind the watermark
+            WITH w AS (
+                SELECT event_type, ts,
+                       max(ts) OVER (ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS hw
+                FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(count(*) FILTER (hw IS NOT NULL
+                        AND ts < hw - INTERVAL 10 MINUTE)
+                        AS BIGINT) AS n_dropped
+            FROM w
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "docs_script_mix": r"""
             -- per-source character-class mix; class count = codepoints

@@ -15691,3 +15691,74 @@ def docs_script_mix(sf_dir: str):
         | {name: "int64" for name, _ in _SCRIPT_CLASSES}
         | {f"{name}_ppm": "int64" for name, _ in _SCRIPT_CLASSES})
     return rel.to_pandas_sorted(df, ["source"])
+
+
+def events_watermark_drops(sf_dir: str, late_minutes: int = 10):
+    """Streaming watermark accounting: replay the event stream in ingest
+    (event_id) order with a high watermark = max event-time seen so far;
+    an event is DROPPED if its event-time lags the watermark by more
+    than ``late_minutes`` (the tuple a streaming engine with allowed
+    lateness would discard). Reports per-type totals — the calibration
+    number for choosing an allowed-lateness bound.
+
+    The running max over ingest order distributes as a two-level prefix
+    scan (the docs_bin_pack technique, max instead of sum): event_id
+    ranges hash to ~1024 buckets whose width DERIVES FROM n (driver
+    state stays constant-size at any corpus scale), a bounded per-bucket
+    max feeds driver-side exclusive prefix maxima (broadcast back via
+    ray.put), and each bucket finishes its own running max + drop flags
+    in map_groups. Integer microsecond arithmetic end-to-end — the SQL
+    window twin (max OVER ROWS 1 PRECEDING) is bit-exact."""
+    _SENT = np.int64(-(2 ** 63))
+    w_us = np.int64(late_minutes * 60 * 1_000_000)
+    ds = rel.load(sf_dir, "events", ["event_id", "ts", "event_type"])
+    n = ds.count()
+    bucket_w = max(n // 1024, 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bucket = pc.divide(batch.column("event_id"),
+                           pa.scalar(bucket_w, pa.int64()))
+        return pa.table({"event_id": batch.column("event_id"),
+                         "bucket": bucket,
+                         "ts": batch.column("ts"),
+                         "event_type": batch.column("event_type")})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    bmax = rel.as_pandas(rel.grouped_agg(
+        rows, ["bucket"], [("m", "ts", "max")], small_result=True))
+    bmax = bmax.sort_values("bucket").reset_index(drop=True)
+    maxes = bmax["m"].to_numpy("datetime64[us]").astype(np.int64)
+    # exclusive prefix max: carry into bucket i = max over buckets < i
+    carry = np.concatenate(
+        [[_SENT], np.maximum.accumulate(maxes)[:-1]]) if len(maxes) \
+        else np.array([], dtype=np.int64)
+    import ray as _ray
+    cref = _ray.put(dict(zip(bmax["bucket"].astype(np.int64), carry)))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(cref)
+        g = df.sort_values("event_id", kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        c = np.int64(offs[int(g["bucket"].iloc[0])])
+        run = np.maximum.accumulate(ts)
+        hw = np.maximum(np.concatenate([[_SENT], run[:-1]]), c)
+        dropped = (hw != _SENT) & (ts < hw - w_us)
+        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                            "dropped": dropped})
+        agg = (out.groupby("event_type", sort=False)
+               .agg(n_events=("dropped", "size"),
+                    n_dropped=("dropped", "sum")).reset_index())
+        agg["n_dropped"] = agg["n_dropped"].astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg
+
+    parts = rows.groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas")
+    final = rel.as_pandas(rel.grouped_agg(
+        parts, ["event_type"],
+        [("n_events", "n_events", "sum"), ("n_dropped", "n_dropped", "sum")],
+        small_result=True))
+    final = rel.ensure_columns(final, {
+        "event_type": "object", "n_events": "int64", "n_dropped": "int64"})
+    return rel.to_pandas_sorted(final, ["event_type"])

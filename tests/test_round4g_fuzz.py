@@ -224,3 +224,57 @@ class TestScriptMix:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         })
         _check("docs_script_mix", {"documents": tbl})
+
+
+def _events(rows) -> pa.Table:
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1)
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWatermarkDrops:
+    def test_out_of_order_stream(self):
+        # arrival order != event-time order: plant events far behind
+        rng = random.Random(5)
+        rows = []
+        for i in range(300):
+            sec = i * 30 + rng.randrange(-120, 120)
+            if rng.random() < 0.08:
+                sec -= 1200  # way late: beyond the 10-min allowance
+            rows.append((i, sec, rng.randrange(5),
+                         rng.choice(["click", "view", "purchase"]), 1.0))
+        _check("events_watermark_drops", {"events": _events(rows)})
+
+    def test_exact_boundary_not_dropped(self):
+        # lag == exactly 10 min: ts = hw - 600s is NOT < hw - 600s
+        rows = [(0, 1000, 1, "click", 1.0),
+                (1, 400, 1, "click", 1.0),     # exactly 600 behind: kept
+                (2, 399, 1, "view", 1.0),      # 601 behind: dropped
+                (3, 1000, 2, "view", 1.0)]     # ties with the watermark
+        _check("events_watermark_drops", {"events": _events(rows)})
+
+    def test_sparse_event_ids(self):
+        # holes in the id space: buckets go uneven, carry still exact
+        rows = [(i * 977, (i * 37) % 500, 1, "click", 1.0)
+                for i in range(100)]
+        _check("events_watermark_drops", {"events": _events(rows)})
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_fuzz(self, seed):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 400)
+        rows = [(i, rng.randrange(0, 3000), rng.randrange(4),
+                 rng.choice(["click", "view", "purchase", "error"]),
+                 float(rng.randrange(100)))
+                for i in range(n)]
+        _check("events_watermark_drops", {"events": _events(rows)})
