@@ -290,6 +290,109 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Dedup ANY parquet corpus from the command line — the training-data
+    front door to the dedup family. --mode exact keeps one row per
+    distinct text (md5 fingerprint; min-id representative); --mode near
+    runs the full MinHash-LSH -> exact-Jaccard-verify (>= --threshold)
+    -> connected-components loop and keeps the min-id representative of
+    each near-dup cluster. Writes the kept rows as parquet and prints a
+    one-line JSON report. Scale discipline matches the library: text
+    never shuffles (only (fingerprint, id) rows exchange), and the
+    removed-id set — bounded by dup volume, not corpus size — broadcasts
+    back as an anti-join filter over a second streaming pass. Non-int64
+    id columns (e.g. url) get a deterministic md5-derived int63 id
+    (reported as derived_ids)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_parser_ray.pipelines import relational as rel
+    from pdf_parser_ray.stages import dedup as dstage
+    from pdf_parser_ray.stages.text import fingerprint_batch
+
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
+    ds = ray.data.read_parquet(args.input)
+    schema = ds.schema()
+    names = list(schema.names)
+    if args.text_col not in names or args.id_col not in names:
+        print(f"need columns {args.id_col!r} and {args.text_col!r}; "
+              f"table has {names}", file=sys.stderr)
+        return 1
+    id_type = schema.base_schema.field(args.id_col).type \
+        if hasattr(schema, "base_schema") else schema.field(args.id_col).type
+    derived = not pa.types.is_integer(id_type)
+
+    def to_work(batch: pa.Table) -> pa.Table:
+        ids = batch.column(args.id_col)
+        if derived:
+            from pdf_parser_ray.functions.sketches import _md5_64
+            ids = pa.array([_md5_64(str(v)) & ((1 << 63) - 1)
+                            for v in ids.to_pylist()], pa.int64())
+        else:
+            ids = ids.cast(pa.int64())
+        return pa.table({"doc_id": ids, "text": batch.column(args.text_col)})
+
+    work = ds.map_batches(to_work, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    n_in = ds.count()
+
+    if args.mode == "exact":
+        fps = work.map_batches(fingerprint_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+        def non_min(g):
+            import pandas as pd
+            keep = g["doc_id"] != g["doc_id"].min()
+            return g.loc[keep, ["doc_id"]]
+
+        removed_ds = rel.salted_map_groups(fps, ["fp"], non_min)
+        removed_df = removed_ds.to_pandas()
+        removed = (sorted(removed_df["doc_id"].tolist())
+                   if "doc_id" in removed_df.columns else [])
+    else:
+        pairs = dstage.minhash_verified_pairs(
+            work, threshold=args.threshold).materialize()
+
+        def both_dirs(b: pa.Table) -> pa.Table:
+            fwd = pa.table({"u": b.column("doc_a"), "v": b.column("doc_b")})
+            rev = pa.table({"u": b.column("doc_b"), "v": b.column("doc_a")})
+            return pa.concat_tables([fwd, rev]).combine_chunks()
+
+        if pairs.count() == 0:
+            removed = []
+        else:
+            edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+            labels = rel.cc_min_labels(edges).to_pandas()
+            removed = sorted(labels.loc[labels["doc_id"] != labels["label"],
+                                        "doc_id"].tolist())
+
+    rref = ray.put(pa.array(removed, pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(args.id_col)
+        if derived:
+            from pdf_parser_ray.functions.sketches import _md5_64
+            ids = pa.array([_md5_64(str(v)) & ((1 << 63) - 1)
+                            for v in ids.to_pylist()], pa.int64())
+        else:
+            ids = ids.cast(pa.int64())
+        return batch.filter(
+            pc.invert(pc.is_in(ids, value_set=ray.get(rref))))
+
+    kept = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    kept.write_parquet(args.output)
+    n_out = ray.data.read_parquet(args.output).count()
+    print(_json.dumps({"mode": args.mode, "rows_in": n_in,
+                       "removed": len(removed), "rows_out": n_out,
+                       "threshold": (args.threshold
+                                     if args.mode == "near" else None),
+                       "derived_ids": derived}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="pdf_parser_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -350,6 +453,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("dedup",
+                       help="exact or near dedup of any parquet corpus")
+    p.add_argument("input", nargs="+")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--mode", choices=["exact", "near"], default="exact")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("profile",
                        help="column profile of any parquet table")

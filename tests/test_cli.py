@@ -177,3 +177,62 @@ def test_profile_any_parquet(tmp_path, capsys):
     assert lines["s"][3] == "2"
     assert lines["t"][3] == "1"
     assert lines["b"][3] == "3"                   # md5-fingerprint distinct
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_exact_and_near(tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 3 exact copies of A, a near-copy pair (B, B'), one unique doc
+    base_b = " ".join(f"tok{i}" for i in range(40))
+    texts = ["aaa bbb ccc"] * 3 + [base_b, base_b + " tail", "unique doc x"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+
+    out1 = str(tmp_path / "exact")
+    assert main(["dedup", src, "-o", out1]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_in"] == 6 and rep["removed"] == 2
+    import duckdb
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM '{out1}/*.parquet' ORDER BY doc_id").fetchall()]
+    assert ids == [0, 3, 4, 5]   # min-id representative of the A family
+
+    out2 = str(tmp_path / "near")
+    assert main(["dedup", src, "-o", out2, "--mode", "near",
+                 "--threshold", "0.8"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # near mode also folds the exact A-copies (J = 1) and the B pair
+    assert rep["removed"] >= 3
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM '{out2}/*.parquet' ORDER BY doc_id").fetchall()]
+    assert 0 in ids and 3 in ids and 5 in ids
+    assert 4 not in ids   # B' folded into B's cluster
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_derived_string_ids(tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "url": pa.array([f"https://ex.com/{i}" for i in range(4)],
+                        pa.string()),
+        "text": pa.array(["same body"] * 3 + ["other"], pa.string()),
+    })
+    src = str(tmp_path / "urls.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "out")
+    assert main(["dedup", src, "-o", out, "--id-col", "url"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["derived_ids"] is True
+    assert rep["rows_out"] == 2 and rep["removed"] == 2
