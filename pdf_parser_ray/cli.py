@@ -393,6 +393,96 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Run the composed LLM-corpus cleaning chain over ANY parquet
+    corpus and WRITE the cleaned text: exact dedup (md5, min-id winner)
+    -> C4-style quality gate (token count / alpha ratio / stopword
+    ratio) -> PII redaction (email/IPv4/account) -> ExactSubstr
+    duplicated-span surgery. The CLI twin of the oracled
+    ``docs_clean_corpus`` flagship (queries.py), which emits
+    fingerprints; here the survivors' cleaned text lands in parquet
+    with per-stage funnel counts in a one-line JSON report."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as qmod
+    from pdf_parser_ray.pipelines import relational as rel
+    from pdf_parser_ray.stages import dedup as dstage
+    from pdf_parser_ray.stages import text as textstage
+
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
+    ds = ray.data.read_parquet(args.input)
+    schema = ds.schema()
+    names = list(schema.names)
+    if args.text_col not in names or args.id_col not in names:
+        print(f"need columns {args.id_col!r} and {args.text_col!r}; "
+              f"table has {names}", file=sys.stderr)
+        return 1
+    id_type = schema.base_schema.field(args.id_col).type \
+        if hasattr(schema, "base_schema") else schema.field(args.id_col).type
+    derived = not pa.types.is_integer(id_type)
+
+    def to_work(batch: pa.Table) -> pa.Table:
+        ids = batch.column(args.id_col)
+        if derived:
+            from pdf_parser_ray.functions.sketches import _md5_64
+            ids = pa.array([_md5_64(str(v)) & ((1 << 63) - 1)
+                            for v in ids.to_pylist()], pa.int64())
+        else:
+            ids = ids.cast(pa.int64())
+        return pa.table({"doc_id": ids, "text": batch.column(args.text_col)})
+
+    work = ds.map_batches(to_work, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    n_in = work.count()
+
+    winners = rel.ensure_schema(
+        dstage.exact_dedup(work).select_columns(["doc_id"]),
+        pa.schema([("doc_id", pa.int64())]))
+    n_parts = rel.join_partitions(max(n_in, 1))
+    base = work.join(winners, "inner", n_parts, on=("doc_id",))
+    n_dedup = base.count()
+
+    min_tokens, min_alpha, min_stop = args.min_tokens, 0.5, 0.02
+
+    def gate_redact(batch: pa.Table) -> pa.Table:
+        st = textstage.stats_batch(batch)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(st.column("n_tokens"),
+                                 pa.scalar(min_tokens)),
+                pc.greater_equal(st.column("alpha_ratio"),
+                                 pa.scalar(min_alpha))),
+            pc.greater_equal(st.column("stop_ratio"), pa.scalar(min_stop)))
+        kept = batch.filter(keep)
+        red = qmod.pii_redact_batch(kept)
+        return pa.table({"doc_id": red.column("doc_id"),
+                         "text": red.column("redacted")})
+
+    survivors = base.map_batches(gate_redact, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    n_gate = survivors.count()
+
+    cleaned = qmod._cut_covered(survivors, args.k, with_fp=False)
+    cleaned.write_parquet(args.output)
+    out_ds = ray.data.read_parquet(args.output)
+    n_out = out_ds.count()
+    n_cut = 0
+    cut_parts = out_ds.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(pc.sum(b.column("n_cut")).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    if "s" in cut_parts.columns and len(cut_parts):
+        n_cut = int(cut_parts["s"].sum())
+    print(_json.dumps({"rows_in": n_in, "after_dedup": n_dedup,
+                       "after_gate": n_gate, "rows_out": n_out,
+                       "tokens_cut": n_cut, "derived_ids": derived}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="pdf_parser_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -463,6 +553,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("clean",
+                       help="dedup + quality gate + PII scrub + span "
+                            "surgery; writes cleaned text")
+    p.add_argument("input", nargs="+")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-tokens", type=int, default=30)
+    p.add_argument("-k", type=int, default=8,
+                   help="duplicated-span gram size")
+    p.set_defaults(fn=cmd_clean)
 
     p = sub.add_parser("profile",
                        help="column profile of any parquet table")

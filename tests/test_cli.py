@@ -236,3 +236,36 @@ def test_dedup_derived_string_ids(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["derived_ids"] is True
     assert rep["rows_out"] == 2 and rep["removed"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clean_writes_cleaned_text(tmp_path, capsys):
+    import json
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stop_pad = "the and is of to in a " * 6          # passes the C4 gate
+    good = stop_pad + "alpha words body mail me at a@b.com now"
+    dup_span = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"       # shared 8-gram run
+    texts = [good, good,                              # exact dup pair
+             stop_pad + dup_span + " left tail",      # shares the span
+             stop_pad + dup_span + " right tail",
+             "short"]                                 # gate-killed
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "clean")
+    assert main(["clean", src, "-o", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_in"] == 5 and rep["after_dedup"] == 4
+    assert rep["after_gate"] == 3 and rep["rows_out"] == 3
+    assert rep["tokens_cut"] > 0                      # span surgery fired
+    got = duckdb.sql(
+        f"SELECT text_clean FROM '{out}/*.parquet' ORDER BY doc_id").df()
+    assert "<EMAIL>" in got["text_clean"].iloc[0]     # PII scrub applied
+    assert "a@b.com" not in got["text_clean"].iloc[0]
