@@ -220,13 +220,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # customer_repeat_rate, minhash_eval, lsh_recall_curve) past the
         # cap; all nine stay registered below and hash-green in the full
         # local gate (CORRECTNESS_LOCAL_r04.json, 291/299).
-        "docs_profile_kmv": q.docs_profile_kmv,
+        # round 4g: the KMV profiler variant yields its slot to the
+        # exact-median radix selection below (docs_profile already
+        # carries the profiler family's driver row this round);
+        # docs_profile_kmv stays registered below, hash-green in the
+        # full local gate.
+        # new in round 4g (tier-1): EXACT float median by radix
+        # selection over the IEEE bit order — 4 bounded histogram scans
+        # per order statistic, no sort, no gather, bit-identical
+        # quantile_cont(0.5) twin.
+        "events_value_exact_median": q.events_value_exact_median,
         # ... and the warehouse-wide FK report (every star-schema edge
         # in one pass per fact table) — displacing docs_sample_quantiles
         # (re-registered below, hash-green in the full local gate).
         "testdata_fk_report": q.testdata_fk_report,
         # ================= END ROUND-4 WINDOW =========================
         "docs_sample_quantiles": q.docs_sample_quantiles,
+        "docs_profile_kmv": q.docs_profile_kmv,
+        "q4_late_orders": q.q4_late_orders,
+        "events_user_type_breadth": q.events_user_type_breadth,
+        "events_dayn_retention": q.events_dayn_retention,
+        "lineitem_basket_pairs": q.lineitem_basket_pairs,
         # ---- tier 0: the r2 verdict's explicit ask — pipelines with
         #      NO driver row in ANY round: emb_near_pairs_lsh is
         #      oracled (must land hash-green), the other three are
@@ -4861,6 +4875,14 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY bm25 DESC, doc_id) AS rn
                   FROM scored)
             WHERE rn <= 20
+        """,
+        "events_value_exact_median": """
+            -- the Ray side computes this EXACTLY by radix selection
+            -- (4 histogram scans per order statistic), interpolating
+            -- with quantile_cont's own lower + (upper-lower)*frac
+            SELECT count(*) AS n,
+                   quantile_cont(value, 0.5) AS median
+            FROM events
         """,
         "events_watermark_drops": """
             -- replay in ingest (event_id) order: high watermark = max

@@ -15762,3 +15762,85 @@ def events_watermark_drops(sf_dir: str, late_minutes: int = 10):
     final = rel.ensure_columns(final, {
         "event_type": "object", "n_events": "int64", "n_dropped": "int64"})
     return rel.to_pandas_sorted(final, ["event_type"])
+
+
+_F64_TOP = np.uint64(1) << np.uint64(63)
+_F64_ALL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _f64_sort_keys(v: np.ndarray) -> np.ndarray:
+    """IEEE-754 doubles -> uint64 keys whose UNSIGNED integer order is
+    the total order of the doubles (negatives flip all bits, positives
+    flip the sign bit — the classic radix-sort transform)."""
+    bits = v.view(np.uint64)
+    flip = np.where(bits >> np.uint64(63) == 1, _F64_ALL, _F64_TOP)
+    return bits ^ flip
+
+
+def _f64_from_key(key: int) -> float:
+    k = np.uint64(key)
+    bits = (k ^ _F64_TOP) if (k >> np.uint64(63)) == 1 else ~k
+    return float(bits.view(np.float64) if hasattr(bits, "view")
+                 else np.uint64(bits).view(np.float64))
+
+
+def events_value_exact_median(sf_dir: str):
+    """EXACT distributed median (SQL ``quantile_cont(0.5)``) of a float
+    column — no sort, no gather, no approximation: radix SELECTION over
+    the IEEE-754 order-preserving bit transform. Each order statistic
+    takes exactly 4 rounds of 2^16-bucket histograms (16 bits fixed per
+    round; 64 bits pins the value itself, so there is never a residual
+    candidate set to collect); driver state is one 65536-int histogram
+    per round and the selected rank's bit-prefix. An even row count
+    needs both middle statistics (8 bounded scans total) and
+    interpolates with DuckDB's own ``v0 + (v1 - v0) * frac`` expression,
+    so the result is bit-identical to the SQL twin. The named knob is
+    bucket width: 2^20-bucket rounds would fix 20 bits per pass (3
+    passes) at 8 MB of driver histogram."""
+    ds = rel.load(sf_dir, "events", ["value"])
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"n": pd.Series([0], dtype="int64"),
+                             "median": pd.Series([np.nan],
+                                                 dtype="float64")})
+
+    def select_kth(k: int) -> float:
+        prefix = 0
+        below = 0
+        for r in range(4):
+            shift = 48 - 16 * r
+
+            def hist(batch: pa.Table, r=r, shift=shift, prefix=prefix):
+                v = batch.column("value").to_numpy(zero_copy_only=False)
+                key = _f64_sort_keys(np.ascontiguousarray(v, np.float64))
+                if r > 0:
+                    key = key[(key >> np.uint64(shift + 16)) == prefix]
+                b = ((key >> np.uint64(shift))
+                     & np.uint64(0xFFFF)).astype(np.int64)
+                cnt = np.bincount(b, minlength=1)
+                nz = np.flatnonzero(cnt)
+                return pa.table({"bucket": pa.array(nz, pa.int64()),
+                                 "cnt": pa.array(cnt[nz], pa.int64())})
+
+            parts = ds.map_batches(hist, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+            counts = np.zeros(65536, np.int64)
+            if "bucket" in parts.columns and len(parts):
+                g = parts.groupby("bucket")["cnt"].sum()
+                counts[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+            cum = np.cumsum(counts)
+            rel_k = k - below
+            b_idx = int(np.searchsorted(cum, rel_k, side="right"))
+            below += int(cum[b_idx - 1]) if b_idx > 0 else 0
+            prefix = (prefix << 16) | b_idx
+        return _f64_from_key(prefix)
+
+    i0 = (n - 1) // 2
+    v0 = select_kth(i0)
+    if n % 2 == 0:
+        v1 = select_kth(i0 + 1)
+        med = v0 + (v1 - v0) * 0.5
+    else:
+        med = v0
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "median": pd.Series([med], dtype="float64")})

@@ -278,3 +278,49 @@ class TestWatermarkDrops:
                  float(rng.randrange(100)))
                 for i in range(n)]
         _check("events_watermark_drops", {"events": _events(rows)})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactMedian:
+    def _events_vals(self, vals):
+        import datetime as dt
+        base = dt.datetime(2024, 3, 1)
+        n = len(vals)
+        return pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([base] * n, pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+
+    def test_negatives_and_zero(self):
+        _check("events_value_exact_median",
+               {"events": self._events_vals(
+                   [-3.5, -1.25, 0.0, 2.5, 7.75, -100.0])})
+
+    def test_ties_and_odd(self):
+        _check("events_value_exact_median",
+               {"events": self._events_vals([5.0, 5.0, 5.0, 1.0, 9.0])})
+
+    def test_single_row(self):
+        _check("events_value_exact_median",
+               {"events": self._events_vals([42.125])})
+
+    def test_extreme_magnitudes(self):
+        _check("events_value_exact_median",
+               {"events": self._events_vals(
+                   [1e-308, 1e308, -1e308, 3.0])})
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_fuzz(self, seed):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 300)
+        vals = [rng.choice([-1, 1]) * rng.random()
+                * 10 ** rng.randrange(-3, 6) for _ in range(n)]
+        # sprinkle exact ties
+        for _ in range(min(10, n // 3)):
+            vals[rng.randrange(n)] = vals[rng.randrange(n)]
+        _check("events_value_exact_median", {"events": self._events_vals(vals)})
