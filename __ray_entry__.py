@@ -197,7 +197,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # docs_source_vocab_jaccard past the cap (both re-registered
         # below, hash-green in the full local gate every round).
         "orders_profile": q.orders_profile,
-        "orders_constraint_report": q.orders_constraint_report,
+        # round 4g: orders_constraint_report yields its slot to the
+        # global-NTILE range-shard export below (docs_constraint_report
+        # carries the constraint family's driver row this round — it is
+        # the more distinctive variant: n_chars cross-field check, md5
+        # text fingerprints); re-registered below, hash-green in the
+        # full local gate.
+        "docs_ntile_shards": q.docs_ntile_shards,
         "events_linear_attribution": q.events_linear_attribution,
         "orders_mann_kendall": q.orders_mann_kendall,
         # new in round 4f batch 2 (tier-1): the documents-table profiler
@@ -237,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================= END ROUND-4 WINDOW =========================
         "docs_sample_quantiles": q.docs_sample_quantiles,
         "docs_profile_kmv": q.docs_profile_kmv,
+        "orders_constraint_report": q.orders_constraint_report,
         "q4_late_orders": q.q4_late_orders,
         "events_user_type_breadth": q.events_user_type_breadth,
         "events_dayn_retention": q.events_dayn_retention,
@@ -4875,6 +4882,16 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY bm25 DESC, doc_id) AS rn
                   FROM scored)
             WHERE rn <= 20
+        """,
+        "docs_ntile_shards": """
+            -- global NTILE over (n_chars, doc_id): the range-sharded
+            -- export assignment. The Ray side computes the same rank
+            -- WITHOUT a global sort (value-histogram offsets +
+            -- in-tie-group rank) and applies NTILE's fill rule.
+            SELECT doc_id, n_chars,
+                   CAST(ntile(10) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS shard
+            FROM documents
         """,
         "events_value_exact_median": """
             -- the Ray side computes this EXACTLY by radix selection

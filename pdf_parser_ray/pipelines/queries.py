@@ -15844,3 +15844,54 @@ def events_value_exact_median(sf_dir: str):
         med = v0
     return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
                          "median": pd.Series([med], dtype="float64")})
+
+
+def docs_ntile_shards(sf_dir: str, k: int = 10):
+    """GLOBAL NTILE(k) over (n_chars, doc_id) — the range-sharded export
+    assignment (sorted-parquet shards for binary-searchable artifacts /
+    merge joins) — WITHOUT a global sort. Two-level exact rank: a
+    value-domain-bounded histogram of n_chars gives every row its
+    count-below offset (broadcast as a dict: |distinct lengths| entries,
+    not |rows|); the tie group's internal rank comes from an in-group
+    doc_id argsort under a salted group exchange. rank -> tile uses
+    SQL NTILE's own fill rule (first n%k tiles get one extra row), so
+    the twin is bit-exact. The only exchanges are the histogram combine
+    and the tie-group shuffle — both keyed on the bounded length domain,
+    never a sort of the corpus."""
+    ds = rel.load(sf_dir, "documents", ["doc_id", "n_chars"])
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_chars": pd.Series(dtype="int64"),
+                             "shard": pd.Series(dtype="int64")})
+    hist = rel.as_pandas(rel.grouped_agg(
+        ds, ["n_chars"], [("c", "", "count")], small_result=True))
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    below = np.concatenate(
+        [[0], np.cumsum(hist["c"].to_numpy(np.int64))[:-1]])
+    offs = dict(zip(hist["n_chars"].astype(np.int64), below))
+    oref = ray.put(offs)
+    # NTILE fill rule: tile sizes are n//k (+1 for the first n%k tiles)
+    size, rem = n // k, n % k
+    big_span = (size + 1) * rem  # ranks below this sit in the +1 tiles
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[int(df["n_chars"].iloc[0])]
+        g = df.sort_values("doc_id", kind="mergesort")
+        rank = off + np.arange(len(g), dtype=np.int64)  # 0-based global
+        if size == 0:
+            shard = rank + 1  # n < k: one row per tile (SQL rule)
+        else:
+            shard = np.where(
+                rank < big_span,
+                rank // (size + 1),
+                rem + (rank - big_span) // size) + 1
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_chars": g["n_chars"].to_numpy(np.int64),
+            "shard": shard.astype(np.int64)})
+
+    out = rel.salted_map_groups(ds, ["n_chars"], per_group)
+    df = rel.ensure_columns(out.to_pandas(), {
+        "doc_id": "int64", "n_chars": "int64", "shard": "int64"})
+    return rel.to_pandas_sorted(df, ["doc_id"])

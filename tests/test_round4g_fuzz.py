@@ -324,3 +324,39 @@ class TestExactMedian:
         for _ in range(min(10, n // 3)):
             vals[rng.randrange(n)] = vals[rng.randrange(n)]
         _check("events_value_exact_median", {"events": self._events_vals(vals)})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNtileShards:
+    def _docs_lengths(self, lengths):
+        return pa.table({
+            "doc_id": pa.array(range(len(lengths)), pa.int64()),
+            "text": pa.array(["x" * 3] * len(lengths), pa.string()),
+            "lang": pa.array(["en"] * len(lengths), pa.string()),
+            "source": pa.array(["s"] * len(lengths), pa.string()),
+            "n_chars": pa.array(lengths, pa.int64()),
+        })
+
+    def test_fewer_rows_than_tiles(self):
+        _check("docs_ntile_shards", {"documents": self._docs_lengths([7, 3, 9])})
+
+    def test_all_tied_lengths(self):
+        # one tie group spans every tile boundary: in-group doc_id rank
+        # alone decides the tile
+        _check("docs_ntile_shards",
+               {"documents": self._docs_lengths([50] * 23)})
+
+    def test_uneven_fill(self):
+        # n % k != 0: the first n%k tiles take the extra row
+        _check("docs_ntile_shards",
+               {"documents": self._docs_lengths(list(range(100, 73, -1)))})
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_fuzz(self, seed):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 200)
+        lengths = [rng.randrange(1, rng.choice([5, 50, 500]))
+                   for _ in range(n)]
+        _check("docs_ntile_shards",
+               {"documents": self._docs_lengths(lengths)})
