@@ -244,6 +244,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_quantiles": q.docs_sample_quantiles,
         "docs_profile_kmv": q.docs_profile_kmv,
         "orders_constraint_report": q.orders_constraint_report,
+        # round-4g, outside the window (the scalar exact-median carries
+        # the family's driver slot; the full local gate pins this one):
+        # grouped radix selection — all groups share the 4 scan rounds.
+        "events_value_median_by_type": q.events_value_median_by_type,
         "q4_late_orders": q.q4_late_orders,
         "events_user_type_breadth": q.events_user_type_breadth,
         "events_dayn_retention": q.events_dayn_retention,
@@ -4883,6 +4887,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rn <= 20
         """,
+        "events_value_median_by_type": """
+            -- grouped radix selection on the Ray side: every type
+            -- advances through the SAME 4 histogram scans
+            SELECT event_type, count(*) AS n,
+                   quantile_cont(value, 0.5) AS median
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
         "docs_ntile_shards": """
             -- global NTILE over (n_chars, doc_id): the range-sharded
             -- export assignment. The Ray side computes the same rank
@@ -4896,7 +4909,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_exact_median": """
             -- the Ray side computes this EXACTLY by radix selection
             -- (4 histogram scans per order statistic), interpolating
-            -- with quantile_cont's own lower + (upper-lower)*frac
+            -- with quantile_cont's own convex lo*(1-f) + hi*f form
             SELECT count(*) AS n,
                    quantile_cont(value, 0.5) AS median
             FROM events

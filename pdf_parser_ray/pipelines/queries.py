@@ -15793,8 +15793,8 @@ def events_value_exact_median(sf_dir: str):
     candidate set to collect); driver state is one 65536-int histogram
     per round and the selected rank's bit-prefix. An even row count
     needs both middle statistics (8 bounded scans total) and
-    interpolates with DuckDB's own ``v0 + (v1 - v0) * frac`` expression,
-    so the result is bit-identical to the SQL twin. The named knob is
+    interpolates with DuckDB's own convex ``v0*(1-frac) + v1*frac``
+    expression, so the result is bit-identical to the SQL twin. The named knob is
     bucket width: 2^20-bucket rounds would fix 20 bits per pass (3
     passes) at 8 MB of driver histogram."""
     ds = rel.load(sf_dir, "events", ["value"])
@@ -15839,7 +15839,10 @@ def events_value_exact_median(sf_dir: str):
     v0 = select_kth(i0)
     if n % 2 == 0:
         v1 = select_kth(i0 + 1)
-        med = v0 + (v1 - v0) * 0.5
+        # DuckDB's interpolator is the overflow-safe CONVEX form
+        # lo*(1-frac) + hi*frac (probed: it differs from lo+(hi-lo)*frac
+        # in the last ulp, and survives |lo+hi| > DBL_MAX)
+        med = v0 * 0.5 + v1 * 0.5
     else:
         med = v0
     return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
@@ -15895,3 +15898,90 @@ def docs_ntile_shards(sf_dir: str, k: int = 10):
     df = rel.ensure_columns(out.to_pandas(), {
         "doc_id": "int64", "n_chars": "int64", "shard": "int64"})
     return rel.to_pandas_sorted(df, ["doc_id"])
+
+
+def events_value_median_by_type(sf_dir: str):
+    """Per-type EXACT float medians (``quantile_cont(0.5) GROUP BY
+    event_type``) — the grouped radix selection: ALL groups advance
+    through the SAME 4 histogram rounds (16 bits per round over the
+    IEEE order-preserving keys), so the scan count stays 4 per order
+    statistic REGARDLESS of group count — the histogram exchange is
+    keyed (type, bucket) and each group tracks its own bit prefix on
+    the driver (|types| ints). Even-count groups get their second
+    middle statistic from a shared second selection pass set. Driver
+    state: |types| prefixes + sparse histograms; nothing scales with
+    row count."""
+    ds = rel.load(sf_dir, "events", ["event_type", "value"])
+    counts = rel.as_pandas(rel.grouped_agg(
+        ds, ["event_type"], [("n", "", "count")], small_result=True))
+    counts = counts.sort_values("event_type").reset_index(drop=True)
+    types = counts["event_type"].tolist()
+    ns = dict(zip(types, counts["n"].astype(np.int64)))
+    if not types:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "median": pd.Series(dtype="float64")})
+
+    def select_ranks(targets: dict[str, int]) -> dict[str, float]:
+        """One grouped selection: targets[type] = 0-based rank; all
+        groups share each round's scan."""
+        prefixes = {t: 0 for t in targets}
+        below = {t: 0 for t in targets}
+        for r in range(4):
+            shift = 48 - 16 * r
+
+            def hist(batch: pa.Table, r=r, shift=shift,
+                     prefixes=dict(prefixes)):
+                et = batch.column("event_type").to_numpy(
+                    zero_copy_only=False)
+                v = batch.column("value").to_numpy(zero_copy_only=False)
+                key = _f64_sort_keys(np.ascontiguousarray(v, np.float64))
+                out_t, out_b, out_c = [], [], []
+                for t, pref in prefixes.items():
+                    m = et == t
+                    kt = key[m]
+                    if r > 0:
+                        kt = kt[(kt >> np.uint64(shift + 16)) == pref]
+                    if not len(kt):
+                        continue
+                    b = ((kt >> np.uint64(shift))
+                         & np.uint64(0xFFFF)).astype(np.int64)
+                    cnt = np.bincount(b, minlength=1)
+                    nz = np.flatnonzero(cnt)
+                    out_t.extend([t] * len(nz))
+                    out_b.extend(nz.tolist())
+                    out_c.extend(cnt[nz].tolist())
+                return pa.table({
+                    "t": pa.array(out_t, pa.string()),
+                    "bucket": pa.array(out_b, pa.int64()),
+                    "cnt": pa.array(out_c, pa.int64())})
+
+            parts = ds.map_batches(hist, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+            for t in list(prefixes):
+                counts_t = np.zeros(65536, np.int64)
+                if "t" in parts.columns and len(parts):
+                    sel = parts[parts["t"] == t]
+                    if len(sel):
+                        g = sel.groupby("bucket")["cnt"].sum()
+                        counts_t[g.index.to_numpy(np.int64)] = \
+                            g.to_numpy(np.int64)
+                cum = np.cumsum(counts_t)
+                rel_k = targets[t] - below[t]
+                b_idx = int(np.searchsorted(cum, rel_k, side="right"))
+                below[t] += int(cum[b_idx - 1]) if b_idx > 0 else 0
+                prefixes[t] = (prefixes[t] << 16) | b_idx
+        return {t: _f64_from_key(p) for t, p in prefixes.items()}
+
+    lo_ranks = {t: (ns[t] - 1) // 2 for t in types}
+    v0 = select_ranks(lo_ranks)
+    even = {t: lo_ranks[t] + 1 for t in types if ns[t] % 2 == 0}
+    v1 = select_ranks(even) if even else {}
+    # convex interpolation — DuckDB's own form (see exact_median note)
+    med = {t: (v0[t] * 0.5 + v1[t] * 0.5) if t in v1 else v0[t]
+           for t in types}
+    return rel.to_pandas_sorted(pd.DataFrame({
+        "event_type": pd.Series(types, dtype="object"),
+        "n": pd.Series([int(ns[t]) for t in types], dtype="int64"),
+        "median": pd.Series([med[t] for t in types], dtype="float64"),
+    }), ["event_type"])

@@ -360,3 +360,39 @@ class TestNtileShards:
                    for _ in range(n)]
         _check("docs_ntile_shards",
                {"documents": self._docs_lengths(lengths)})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedMedian:
+    @settings(max_examples=6, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_fuzz(self, seed):
+        import datetime as dt
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 3, 1)
+        n = rng.randrange(1, 300)
+        rows = [(i, rng.choice(["a", "b", "c", "d"]),
+                 rng.choice([-1, 1]) * rng.random()
+                 * 10 ** rng.randrange(-2, 5)) for i in range(n)]
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base] * n, pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+        _check("events_value_median_by_type", {"events": tbl})
+
+    def test_single_row_groups(self):
+        import datetime as dt
+        base = dt.datetime(2024, 3, 1)
+        tbl = pa.table({
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array([base] * 2, pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["only_a", "only_b"], pa.string()),
+            "value": pa.array([-7.25, 0.0], pa.float64()),
+            "props": pa.array(["{}"] * 2, pa.string()),
+        })
+        _check("events_value_median_by_type", {"events": tbl})
