@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the family's driver slot; the full local gate pins this one):
         # grouped radix selection — all groups share the 4 scan rounds.
         "events_value_median_by_type": q.events_value_median_by_type,
+        "lineitem_weighted_median_price": q.lineitem_weighted_median_price,
         "q4_late_orders": q.q4_late_orders,
         "events_user_type_breadth": q.events_user_type_breadth,
         "events_dayn_retention": q.events_dayn_retention,
@@ -4886,6 +4887,23 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY bm25 DESC, doc_id) AS rn
                   FROM scored)
             WHERE rn <= 20
+        """,
+        "lineitem_weighted_median_price": """
+            -- quantity-weighted median: min price with 2*cum_weight >=
+            -- total (the Ray side selects the same weighted rank by
+            -- radix histogram scans)
+            WITH g AS (
+                SELECT l_extendedprice AS p,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                FROM lineitem GROUP BY p
+            ), t AS (
+                SELECT CAST(sum(w) AS BIGINT) AS tot FROM g
+            ), c AS (
+                SELECT p, CAST(sum(w) OVER (ORDER BY p) AS BIGINT) AS cw
+                FROM g
+            )
+            SELECT (SELECT tot FROM t) AS w_total, min(p) AS wmedian
+            FROM c, t WHERE cw * 2 >= tot
         """,
         "events_value_median_by_type": """
             -- grouped radix selection on the Ray side: every type

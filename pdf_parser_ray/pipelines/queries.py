@@ -15985,3 +15985,67 @@ def events_value_median_by_type(sf_dir: str):
         "n": pd.Series([int(ns[t]) for t in types], dtype="int64"),
         "median": pd.Series([med[t] for t in types], dtype="float64"),
     }), ["event_type"])
+
+
+def lineitem_weighted_median_price(sf_dir: str):
+    """Quantity-WEIGHTED exact median of l_extendedprice — the price
+    level at which half the shipped volume sits (inventory/procurement's
+    robust price gauge; the unweighted median over-counts small orders).
+    Same radix-selection machinery as the exact median, with bucket
+    COUNTS replaced by bucket WEIGHT SUMS (integer quantities, so the
+    cumulative compare is exact): 4 histogram scans find the value at
+    weighted rank ceil(W/2) — i.e. min p with 2*cum_qty(price <= p) >= W,
+    the SQL twin's window definition — with no sort and O(histogram)
+    driver state."""
+    ds = rel.load(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def wtot(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([int(q.astype(np.int64).sum())],
+                                       pa.int64())})
+
+    parts = ds.map_batches(wtot, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    w_total = int(parts["w"].sum()) if len(parts) else 0
+    if w_total == 0:
+        return pd.DataFrame({"w_total": pd.Series([0], dtype="int64"),
+                             "wmedian": pd.Series([np.nan],
+                                                  dtype="float64")})
+    k = (w_total + 1) // 2 - 1  # 0-based weighted rank of the median
+
+    prefix = 0
+    below = 0
+    for r in range(4):
+        shift = 48 - 16 * r
+
+        def hist(batch: pa.Table, r=r, shift=shift, prefix=prefix):
+            v = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)
+            w = batch.column("l_quantity").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            key = _f64_sort_keys(np.ascontiguousarray(v, np.float64))
+            if r > 0:
+                m = (key >> np.uint64(shift + 16)) == prefix
+                key, w = key[m], w[m]
+            b = ((key >> np.uint64(shift))
+                 & np.uint64(0xFFFF)).astype(np.int64)
+            cnt = np.bincount(b, weights=w, minlength=1).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"bucket": pa.array(nz, pa.int64()),
+                             "cnt": pa.array(cnt[nz], pa.int64())})
+
+        hp = ds.map_batches(hist, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+        counts = np.zeros(65536, np.int64)
+        if "bucket" in hp.columns and len(hp):
+            g = hp.groupby("bucket")["cnt"].sum()
+            counts[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        rel_k = k - below
+        b_idx = int(np.searchsorted(cum, rel_k, side="right"))
+        below += int(cum[b_idx - 1]) if b_idx > 0 else 0
+        prefix = (prefix << 16) | b_idx
+
+    return pd.DataFrame({
+        "w_total": pd.Series([w_total], dtype="int64"),
+        "wmedian": pd.Series([_f64_from_key(prefix)], dtype="float64")})

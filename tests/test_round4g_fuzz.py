@@ -396,3 +396,40 @@ class TestGroupedMedian:
             "props": pa.array(["{}"] * 2, pa.string()),
         })
         _check("events_value_median_by_type", {"events": tbl})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedMedian:
+    @settings(max_examples=6, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_fuzz(self, seed):
+        import datetime as dt
+        rng = random.Random(seed)
+        n = rng.randrange(1, 200)
+        prices = [round(rng.random() * 10 ** rng.randrange(1, 5), 2)
+                  for _ in range(n)]
+        # force price ties so groups carry summed weights
+        for _ in range(n // 3):
+            prices[rng.randrange(n)] = prices[rng.randrange(n)]
+        tbl = pa.table({
+            "l_orderkey": pa.array(range(n), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int64()),
+            "l_quantity": pa.array(
+                [float(rng.randrange(1, 51)) for _ in range(n)],
+                pa.float64()),
+            "l_extendedprice": pa.array(prices, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array([dt.datetime(2024, 1, 1)] * n,
+                                   pa.timestamp("us")),
+            "l_commitdate": pa.array([dt.datetime(2024, 1, 1)] * n,
+                                     pa.timestamp("us")),
+            "l_receiptdate": pa.array([dt.datetime(2024, 1, 1)] * n,
+                                      pa.timestamp("us")),
+            "l_shipmode": pa.array(["MAIL"] * n, pa.string()),
+        })
+        _check("lineitem_weighted_median_price", {"lineitem": tbl})
