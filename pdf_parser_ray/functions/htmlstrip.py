@@ -166,12 +166,12 @@ def strip_html_parts(raw: bytes | str) -> list[str]:
 # is specified over (tags with quoted attributes, char/entity refs,
 # comments, doctype, raw-text script/style); the HTMLParser builder above
 # stays as the reference twin, and tests/test_units.py pins builder parity
-# over the full synthetic corpus plus adversarial fragments. Inputs where
-# the two tokenizers could diverge are the pathological-markup tail
-# (unterminated comments/tags at EOF) — the tree contract there is
-# whatever THIS module emits; the stripper is this engine's own stage
-# (the reference repo has no HTML code), so the kernel, not html.parser,
-# owns the byte contract.
+# over the full synthetic corpus plus adversarial fragments. Since the
+# round-4g parity-fuzz fixes (bare-value slash absorption, junk-position
+# quotes, goahead EOF recovery) the two tokenizers agree on EVERY input
+# the 16-char adversarial fuzz can construct, padded or not — pinned by
+# tests/test_htmlstrip_tokenizer.py at 2x500 hypothesis examples per run
+# (10k-example sweeps run during round 4g).
 
 import re as _re
 from html import unescape as _unescape
@@ -191,6 +191,91 @@ _TOKEN_RE = _re.compile(
     _re.X | _re.S)
 
 _AMP_RE = _re.compile(r"&")
+
+# html.parser's start-tag machinery, replicated for the inputs where the
+# cheap lexer's answer can differ (caught by the round-4g parity fuzz):
+# quotes only protect '>' in VALUE position (<b/">"> ends at the FIRST
+# '>'), a trailing "/" is only a self-close marker when not absorbed by
+# a bare attribute value (<a href=foo/> is a plain start tag), an attrs
+# region the tolerant scan cannot finish cleanly is either JUNK (emit
+# the prefix as data, resume lexing) or INCOMPLETE (buffer to EOF;
+# close() flushes everything from '<' on as data). The scan only runs
+# for tags whose cheap-lexed attrs contain a quote or end with '/' —
+# clean markup never pays for it.
+_ATTR_WS_RE = _re.compile(r"(?:\s|/(?!>))*")
+_ATTR_RE = _re.compile(
+    r"""[^\s/>][^\s/=>]*             # attribute name
+        (?:\s*=+\s*                  # value indicator
+           (?:'[^']*'                # LITA-enclosed value
+             |"[^"]*"                # LIT-enclosed value
+             |(?!['"])[^>\s]*        # bare value (slash-hungry)
+           )
+        )?""",
+    _re.X)
+
+# strict clean-attrs screen: if the attrs region matches this, the cheap
+# lexer's answer is guaranteed correct (quotes only in value position,
+# no '>' inside quoted values, no trailing slash, single '='), so the
+# Python scan is skipped — one C-level fullmatch keeps clean corpus
+# throughput at the pre-fix level.
+_CLEAN_ATTRS_RE = _re.compile(
+    r"""(?:\s+[^\s/=>'"]+              # attribute name (no quotes/=)
+           (?:=(?:"[^"<>]*"            # quoted value, no embedded > or "
+               |'[^'<>]*'
+               |[^\s"'>]*              # bare value, no quotes
+           ))?
+        )*\s*""",
+    _re.X)
+
+_INCOMPLETE_NEXT = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=")
+
+
+def _scan_start_tag(raw: str, j: int) -> tuple[int, str]:
+    """Authoritative start-tag scan from just after the tag name,
+    mirroring html.parser's locatestarttagend_tolerant + attrfind loop
+    (incl. the (?<=['"\s/]) new-attribute lookbehind). Returns
+    (stop, kind) with kind in:
+      'start'      — raw[stop] is the closing '>'
+      'startend'   — raw[stop:stop+2] == '/>'
+      'junk'       — html.parser emits raw[tag_open:stop] as data and
+                     re-lexes from stop
+      'incomplete' — html.parser buffers to EOF; everything from the
+                     tag open onward is character data
+    """
+    n = len(raw)
+    j = _ATTR_WS_RE.match(raw, j).end()
+    while j < n and raw[j] not in ">/":
+        m = _ATTR_RE.match(raw, j)
+        if m is None or m.end() == j:
+            break
+        e = m.end()
+        j = _ATTR_WS_RE.match(raw, e).end()
+        if j == e and e < n and raw[e - 1] not in "\"'":
+            # next attribute would fail html.parser's lookbehind
+            j = e
+            break
+    if j >= n:
+        return j, "incomplete"
+    c = raw[j]
+    if c == ">":
+        return j, "start"
+    if c == "/":  # the ws-rule leaves '/' only when '/>' follows
+        return j, "startend" if raw.startswith("/>", j) else "incomplete"
+    if c in _INCOMPLETE_NEXT:
+        return j, "incomplete"
+    return j, "junk"
+
+
+def _eof_recover(raw: str, start: int) -> int:
+    """html.parser's goahead recovery for an incomplete construct at
+    EOF: emit data up to AND INCLUDING the next '>' (else up to the next
+    '<', else one char) and resume lexing there."""
+    k = raw.find(">", start + 1)
+    if k >= 0:
+        return k + 1
+    k = raw.find("<", start + 1)
+    return k if k >= 0 else start + 1
 
 
 def _fast_tree(raw: str) -> _Node:
@@ -213,16 +298,57 @@ def _fast_tree(raw: str) -> _Node:
             stack[-1].children.append(
                 _unescape(data) if "&" in data else data)
         pos = m.end()
+        c = m.group("comment")
+        d = m.group("decl")
+        pi = m.group("pi")
+        if ((c is not None and not c.endswith("-->"))
+                or (d is not None and not d.endswith(">"))
+                or (pi is not None and not pi.endswith(">"))):
+            # unterminated comment/decl/PI: html.parser's EOF recovery
+            # emits data up to the next '>' (inclusive) and RESUMES
+            # lexing there — markup after that '>' still parses
+            k = _eof_recover(raw, m.start())
+            data = raw[m.start():k]
+            stack[-1].children.append(
+                _unescape(data) if "&" in data else data)
+            pos = k
+            continue
         tag = m.group("starttag")
         if tag is not None:
             tag = tag.lower()
+            a = m.group("attrs")
+            selfclose = False
+            if (a.endswith("/") or '"' in a or "'" in a) and \
+                    _CLEAN_ATTRS_RE.fullmatch(a) is None:
+                name_end = m.start() + 1 + len(m.group("starttag"))
+                stop, kind = _scan_start_tag(raw, name_end)
+                if kind == "start":
+                    pos = stop + 1      # may be EARLIER than the cheap span
+                elif kind == "startend":
+                    selfclose = True
+                    pos = stop + 2
+                elif kind == "incomplete":
+                    # same goahead EOF recovery as comments: data to the
+                    # next '>' inclusive, then resume lexing
+                    k = _eof_recover(raw, m.start())
+                    data = raw[m.start():k]
+                    stack[-1].children.append(
+                        _unescape(data) if "&" in data else data)
+                    pos = k
+                    continue
+                else:  # junk: prefix is data, re-lex from the stop
+                    data = raw[m.start():stop]
+                    stack[-1].children.append(
+                        _unescape(data) if "&" in data else data)
+                    pos = stop
+                    continue
             if tag in VOID_TAGS:
                 if tag == "br":
                     stack[-1].children.append("\n")
                 continue
             node = _Node(tag)
             stack[-1].children.append(node)
-            if m.group("attrs").endswith("/"):
+            if selfclose:
                 # '/>' self-closing: empty element, never pushed and no
                 # raw-text mode (html.parser's handle_startendtag)
                 continue

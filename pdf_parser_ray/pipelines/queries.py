@@ -16001,8 +16001,10 @@ def lineitem_weighted_median_price(sf_dir: str):
 
     def wtot(batch: pa.Table) -> pa.Table:
         q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
-        return pa.table({"w": pa.array([int(q.astype(np.int64).sum())],
-                                       pa.int64())})
+        # np.rint = half-even, mirroring the oracle's CAST(... AS BIGINT)
+        # (astype would TRUNCATE: 2.5 -> 2 vs CAST's 2.5 -> 2)
+        return pa.table({"w": pa.array(
+            [int(np.rint(q).astype(np.int64).sum())], pa.int64())})
 
     parts = ds.map_batches(wtot, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
@@ -16021,8 +16023,8 @@ def lineitem_weighted_median_price(sf_dir: str):
         def hist(batch: pa.Table, r=r, shift=shift, prefix=prefix):
             v = batch.column("l_extendedprice").to_numpy(
                 zero_copy_only=False)
-            w = batch.column("l_quantity").to_numpy(
-                zero_copy_only=False).astype(np.int64)
+            w = np.rint(batch.column("l_quantity").to_numpy(
+                zero_copy_only=False)).astype(np.int64)
             key = _f64_sort_keys(np.ascontiguousarray(v, np.float64))
             if r > 0:
                 m = (key >> np.uint64(shift + 16)) == prefix
