@@ -290,6 +290,49 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def _id_prep(schema, id_col: str):
+    """Whether the id column needs the md5-derived int63 mapping."""
+    import pyarrow as pa
+
+    t = schema.base_schema.field(id_col).type \
+        if hasattr(schema, "base_schema") else schema.field(id_col).type
+    return not pa.types.is_integer(t)
+
+
+def _ids_int64(ids, derived: bool):
+    """Raw id column -> int64 ids (md5-derived int63 for non-integer
+    keys, e.g. url — deterministic, collision odds ~n^2/2^63)."""
+    import pyarrow as pa
+
+    if derived:
+        from pdf_parser_ray.functions.sketches import _md5_64
+        return pa.array([_md5_64(str(v)) & ((1 << 63) - 1)
+                         for v in ids.to_pylist()], pa.int64())
+    return ids.cast(pa.int64())
+
+
+def _work_dataset(ds, id_col: str, text_col: str, derived: bool):
+    """(any table) -> (doc_id:int64, text) work Dataset."""
+    import pyarrow as pa
+
+    def to_work(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": _ids_int64(batch.column(id_col), derived),
+                         "text": batch.column(text_col)})
+
+    return ds.map_batches(to_work, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _distinct_id_count(work) -> int:
+    """Exact distinct doc_id count (one id-keyed exchange) — the
+    duplicate-id guard for dedup/clean: with repeated ids the min-id
+    keep rule silently keeps or drops BOTH carriers of an id."""
+    from pdf_parser_ray.pipelines import relational as rel
+
+    return rel.salted_agg(work.select_columns(["doc_id"]), ["doc_id"],
+                          [("doc_id", "count_all", "c")]).count()
+
+
 def cmd_dedup(args) -> int:
     """Dedup ANY parquet corpus from the command line — the training-data
     front door to the dedup family. --mode exact keeps one row per
@@ -302,7 +345,9 @@ def cmd_dedup(args) -> int:
     removed-id set — bounded by dup volume, not corpus size — broadcasts
     back as an anti-join filter over a second streaming pass. Non-int64
     id columns (e.g. url) get a deterministic md5-derived int63 id
-    (reported as derived_ids)."""
+    (reported as derived_ids). Repeated id values break the min-id keep
+    rule (both carriers kept, or both dropped), so the report carries an
+    id_unique flag and a stderr warning."""
     import json as _json
 
     import pyarrow as pa
@@ -315,42 +360,30 @@ def cmd_dedup(args) -> int:
 
     _init_ray(args.num_cpus, getattr(args, 'verbose', False))
     ds = ray.data.read_parquet(args.input)
-    schema = ds.schema()
-    names = list(schema.names)
+    names = list(ds.schema().names)
     if args.text_col not in names or args.id_col not in names:
         print(f"need columns {args.id_col!r} and {args.text_col!r}; "
               f"table has {names}", file=sys.stderr)
         return 1
-    id_type = schema.base_schema.field(args.id_col).type \
-        if hasattr(schema, "base_schema") else schema.field(args.id_col).type
-    derived = not pa.types.is_integer(id_type)
-
-    def to_work(batch: pa.Table) -> pa.Table:
-        ids = batch.column(args.id_col)
-        if derived:
-            from pdf_parser_ray.functions.sketches import _md5_64
-            ids = pa.array([_md5_64(str(v)) & ((1 << 63) - 1)
-                            for v in ids.to_pylist()], pa.int64())
-        else:
-            ids = ids.cast(pa.int64())
-        return pa.table({"doc_id": ids, "text": batch.column(args.text_col)})
-
-    work = ds.map_batches(to_work, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    derived = _id_prep(ds.schema(), args.id_col)
+    work = _work_dataset(ds, args.id_col, args.text_col, derived)
     n_in = ds.count()
+    id_unique = _distinct_id_count(work) == n_in if n_in else True
+    if not id_unique:
+        print(f"warning: {args.id_col!r} has repeated values — the "
+              "min-id keep rule is per-id, so rows sharing an id are "
+              "kept or removed TOGETHER", file=sys.stderr)
 
     if args.mode == "exact":
         fps = work.map_batches(fingerprint_batch, batch_format="pyarrow",
                                zero_copy_batch=True)
 
         def non_min(g):
-            import pandas as pd
             keep = g["doc_id"] != g["doc_id"].min()
             return g.loc[keep, ["doc_id"]]
 
-        removed_ds = rel.salted_map_groups(fps, ["fp"], non_min)
-        removed_df = removed_ds.to_pandas()
-        removed = (sorted(removed_df["doc_id"].tolist())
+        removed_df = rel.salted_map_groups(fps, ["fp"], non_min).to_pandas()
+        removed = (sorted(set(removed_df["doc_id"].tolist()))
                    if "doc_id" in removed_df.columns else [])
     else:
         pairs = dstage.minhash_verified_pairs(
@@ -372,13 +405,7 @@ def cmd_dedup(args) -> int:
     rref = ray.put(pa.array(removed, pa.int64()))
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(args.id_col)
-        if derived:
-            from pdf_parser_ray.functions.sketches import _md5_64
-            ids = pa.array([_md5_64(str(v)) & ((1 << 63) - 1)
-                            for v in ids.to_pylist()], pa.int64())
-        else:
-            ids = ids.cast(pa.int64())
+        ids = _ids_int64(batch.column(args.id_col), derived)
         return batch.filter(
             pc.invert(pc.is_in(ids, value_set=ray.get(rref))))
 
@@ -389,7 +416,7 @@ def cmd_dedup(args) -> int:
                        "removed": len(removed), "rows_out": n_out,
                        "threshold": (args.threshold
                                      if args.mode == "near" else None),
-                       "derived_ids": derived}))
+                       "derived_ids": derived, "id_unique": id_unique}))
     return 0
 
 
@@ -399,84 +426,68 @@ def cmd_clean(args) -> int:
     -> C4-style quality gate (token count / alpha ratio / stopword
     ratio) -> PII redaction (email/IPv4/account) -> ExactSubstr
     duplicated-span surgery. The CLI twin of the oracled
-    ``docs_clean_corpus`` flagship (queries.py), which emits
-    fingerprints; here the survivors' cleaned text lands in parquet
-    with per-stage funnel counts in a one-line JSON report."""
+    ``docs_clean_corpus`` flagship (queries.py), running the IDENTICAL
+    shared gate kernel (make_gate_redact); the flagship emits
+    fingerprints, here the survivors' cleaned text lands in parquet
+    with per-stage funnel counts in a one-line JSON report. The
+    dedup-join result materializes ONCE (the funnel counters and the
+    downstream stages all read the materialized snapshot — no repeated
+    corpus scans)."""
     import json as _json
 
     import pyarrow as pa
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
     import ray.data
 
     from pdf_parser_ray.pipelines import queries as qmod
     from pdf_parser_ray.pipelines import relational as rel
     from pdf_parser_ray.stages import dedup as dstage
-    from pdf_parser_ray.stages import text as textstage
 
     _init_ray(args.num_cpus, getattr(args, 'verbose', False))
     ds = ray.data.read_parquet(args.input)
-    schema = ds.schema()
-    names = list(schema.names)
+    names = list(ds.schema().names)
     if args.text_col not in names or args.id_col not in names:
         print(f"need columns {args.id_col!r} and {args.text_col!r}; "
               f"table has {names}", file=sys.stderr)
         return 1
-    id_type = schema.base_schema.field(args.id_col).type \
-        if hasattr(schema, "base_schema") else schema.field(args.id_col).type
-    derived = not pa.types.is_integer(id_type)
-
-    def to_work(batch: pa.Table) -> pa.Table:
-        ids = batch.column(args.id_col)
-        if derived:
-            from pdf_parser_ray.functions.sketches import _md5_64
-            ids = pa.array([_md5_64(str(v)) & ((1 << 63) - 1)
-                            for v in ids.to_pylist()], pa.int64())
-        else:
-            ids = ids.cast(pa.int64())
-        return pa.table({"doc_id": ids, "text": batch.column(args.text_col)})
-
-    work = ds.map_batches(to_work, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    derived = _id_prep(ds.schema(), args.id_col)
+    work = _work_dataset(ds, args.id_col, args.text_col, derived)
     n_in = work.count()
 
     winners = rel.ensure_schema(
         dstage.exact_dedup(work).select_columns(["doc_id"]),
         pa.schema([("doc_id", pa.int64())]))
     n_parts = rel.join_partitions(max(n_in, 1))
-    base = work.join(winners, "inner", n_parts, on=("doc_id",))
+    base = work.join(winners, "inner", n_parts, on=("doc_id",)).materialize()
     n_dedup = base.count()
 
-    min_tokens, min_alpha, min_stop = args.min_tokens, 0.5, 0.02
-
-    def gate_redact(batch: pa.Table) -> pa.Table:
-        st = textstage.stats_batch(batch)
-        keep = pc.and_(
-            pc.and_(
-                pc.greater_equal(st.column("n_tokens"),
-                                 pa.scalar(min_tokens)),
-                pc.greater_equal(st.column("alpha_ratio"),
-                                 pa.scalar(min_alpha))),
-            pc.greater_equal(st.column("stop_ratio"), pa.scalar(min_stop)))
-        kept = batch.filter(keep)
-        red = qmod.pii_redact_batch(kept)
-        return pa.table({"doc_id": red.column("doc_id"),
-                         "text": red.column("redacted")})
-
-    survivors = base.map_batches(gate_redact, batch_format="pyarrow",
-                                 zero_copy_batch=True).materialize()
+    survivors = base.map_batches(
+        qmod.make_gate_redact(args.min_tokens, 0.5, 0.02),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     n_gate = survivors.count()
 
-    cleaned = qmod._cut_covered(survivors, args.k, with_fp=False)
-    cleaned.write_parquet(args.output)
-    out_ds = ray.data.read_parquet(args.output)
-    n_out = out_ds.count()
-    n_cut = 0
-    cut_parts = out_ds.map_batches(
-        lambda b: pa.table({"s": pa.array(
-            [int(pc.sum(b.column("n_cut")).as_py() or 0)], pa.int64())}),
-        batch_format="pyarrow").to_pandas()
-    if "s" in cut_parts.columns and len(cut_parts):
-        n_cut = int(cut_parts["s"].sum())
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("text_clean", pa.string()),
+                            ("n_cut", pa.int64())])
+    if n_gate == 0:
+        # nothing survived: write a typed empty shard (an empty Ray
+        # Dataset has no schema to write) and report the funnel
+        os.makedirs(args.output, exist_ok=True)
+        pq.write_table(out_schema.empty_table(),
+                       os.path.join(args.output, "part-empty.parquet"))
+        n_out, n_cut = 0, 0
+    else:
+        cleaned = qmod._cut_covered(survivors, args.k, with_fp=False)
+        cleaned.write_parquet(args.output)
+        out_ds = ray.data.read_parquet(args.output)
+        n_out = out_ds.count()
+        cut_parts = out_ds.map_batches(
+            lambda b: pa.table({"s": pa.array(
+                [int(pc.sum(b.column("n_cut")).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        n_cut = int(cut_parts["s"].sum()) \
+            if "s" in cut_parts.columns and len(cut_parts) else 0
     print(_json.dumps({"rows_in": n_in, "after_dedup": n_dedup,
                        "after_gate": n_gate, "rows_out": n_out,
                        "tokens_cut": n_cut, "derived_ids": derived}))

@@ -3332,6 +3332,29 @@ def events_type_value_stats(sf_dir: str):
 
 # --- composed end-to-end corpus cleaning -------------------------------------
 
+def make_gate_redact(min_tokens: int, min_alpha: float, min_stop: float):
+    """(doc_id, text) batch -> gated + PII-redacted (doc_id, text): the
+    C4-style quality gate fused with the PII scrub, parameterized once
+    so the oracled flagship (docs_clean_corpus) and the CLI `clean`
+    front door run the IDENTICAL kernel (fingerprint-parity is a test)."""
+
+    def gate_redact(batch: pa.Table) -> pa.Table:
+        st = textstage.stats_batch(batch)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(st.column("n_tokens"),
+                                 pa.scalar(min_tokens)),
+                pc.greater_equal(st.column("alpha_ratio"),
+                                 pa.scalar(min_alpha))),
+            pc.greater_equal(st.column("stop_ratio"), pa.scalar(min_stop)))
+        kept = batch.filter(keep)
+        red = pii_redact_batch(kept)
+        return pa.table({"doc_id": red.column("doc_id"),
+                         "text": red.column("redacted")})
+
+    return gate_redact
+
+
 def docs_clean_corpus(sf_dir: str, k: int = 8, min_tokens: int = 30,
                       min_alpha: float = 0.5, min_stop: float = 0.02):
     """The composed training-data cleaning pipeline — the LLM-corpus
@@ -3359,23 +3382,10 @@ def docs_clean_corpus(sf_dir: str, k: int = 8, min_tokens: int = 30,
     base = ds.join(winners, "inner", n_parts, on=("doc_id",))
 
     # 2.+3. quality gate on original-text metrics, then PII scrub —
-    # one fused, shuffle-free pass
-    def gate_redact(batch: pa.Table) -> pa.Table:
-        st = textstage.stats_batch(batch)
-        keep = pc.and_(
-            pc.and_(
-                pc.greater_equal(st.column("n_tokens"),
-                                 pa.scalar(min_tokens)),
-                pc.greater_equal(st.column("alpha_ratio"),
-                                 pa.scalar(min_alpha))),
-            pc.greater_equal(st.column("stop_ratio"), pa.scalar(min_stop)))
-        kept = batch.filter(keep)
-        red = pii_redact_batch(kept)
-        return pa.table({"doc_id": red.column("doc_id"),
-                         "text": red.column("redacted")})
-
-    survivors = base.map_batches(gate_redact, batch_format="pyarrow",
-                                 zero_copy_batch=True).materialize()
+    # one fused, shuffle-free pass (shared with the CLI `clean` twin)
+    survivors = base.map_batches(
+        make_gate_redact(min_tokens, min_alpha, min_stop),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     # 4. ExactSubstr surgery over the cleaned corpus (two passes over
     # the materialized survivors — size-gated dup-gram marking, then

@@ -269,3 +269,52 @@ def test_clean_writes_cleaned_text(tmp_path, capsys):
         f"SELECT text_clean FROM '{out}/*.parquet' ORDER BY doc_id").df()
     assert "<EMAIL>" in got["text_clean"].iloc[0]     # PII scrub applied
     assert "a@b.com" not in got["text_clean"].iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clean_all_rows_gated(tmp_path, capsys):
+    """Every doc fails the quality gate: the empty-survivors path must
+    write a typed empty shard, not crash (round-4g review catch)."""
+    import json
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["short", "tiny"], pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "clean")
+    assert main(["clean", src, "-o", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"rows_in": 2, "after_dedup": 2, "after_gate": 0,
+                   "rows_out": 0, "tokens_cut": 0, "derived_ids": False}
+    got = duckdb.sql(f"SELECT * FROM '{out}/*.parquet'").df()
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id", "text_clean", "n_cut"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_repeated_ids_warn(tmp_path, capsys):
+    """Repeated id values flip id_unique and warn (min-id keep is
+    per-id; rows sharing an id travel together)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 1, 2], pa.int64()),
+        "text": pa.array(["a a a", "b b b", "a a a"], pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "dd")
+    assert main(["dedup", src, "-o", out]) == 0
+    err = capsys.readouterr()
+    rep = json.loads(err.out.strip().splitlines()[-1])
+    assert rep["id_unique"] is False
+    assert "repeated values" in err.err
