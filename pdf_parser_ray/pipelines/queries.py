@@ -15713,20 +15713,40 @@ def events_watermark_drops(sf_dir: str, late_minutes: int = 10):
 
     The running max over ingest order distributes as a two-level prefix
     scan (the docs_bin_pack technique, max instead of sum): event_id
-    ranges hash to ~1024 buckets whose width DERIVES FROM n (driver
-    state stays constant-size at any corpus scale), a bounded per-bucket
-    max feeds driver-side exclusive prefix maxima (broadcast back via
-    ray.put), and each bucket finishes its own running max + drop flags
-    in map_groups. Integer microsecond arithmetic end-to-end — the SQL
-    window twin (max OVER ROWS 1 PRECEDING) is bit-exact."""
+    ranges hash to ~1024 buckets whose width DERIVES FROM THE ID SPAN
+    (max_id - min_id, NOT the row count — snowflake-style sparse 63-bit
+    ids would otherwise put every event in its own bucket and grow the
+    driver's offset map to O(n); round-4g review catch), so driver
+    state stays ~1024 rows at any corpus scale and any id layout. A
+    bounded per-bucket max feeds driver-side exclusive prefix maxima
+    (broadcast back via ray.put), and each bucket finishes its own
+    running max + drop flags in map_groups. Integer microsecond
+    arithmetic end-to-end — the SQL window twin (max OVER ROWS 1
+    PRECEDING) is bit-exact."""
     _SENT = np.int64(-(2 ** 63))
     w_us = np.int64(late_minutes * 60 * 1_000_000)
     ds = rel.load(sf_dir, "events", ["event_id", "ts", "event_type"])
     n = ds.count()
-    bucket_w = max(n // 1024, 1)
+
+    def id_bounds(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id")
+        return pa.table({
+            "lo": pa.array([pc.min(ids).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(ids).as_py()], pa.int64())})
+
+    if n == 0:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "n_dropped": pd.Series(dtype="int64")})
+    bp = ds.map_batches(id_bounds, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    id_lo = int(bp["lo"].min())
+    id_span = int(bp["hi"].max()) - id_lo + 1
+    bucket_w = max(id_span // 1024, 1)
 
     def prep(batch: pa.Table) -> pa.Table:
-        bucket = pc.divide(batch.column("event_id"),
+        bucket = pc.divide(pc.subtract(batch.column("event_id"),
+                                       pa.scalar(id_lo, pa.int64())),
                            pa.scalar(bucket_w, pa.int64()))
         return pa.table({"event_id": batch.column("event_id"),
                          "bucket": bucket,
@@ -15804,13 +15824,30 @@ def events_value_exact_median(sf_dir: str):
     per round and the selected rank's bit-prefix. An even row count
     needs both middle statistics (8 bounded scans total) and
     interpolates with DuckDB's own convex ``v0*(1-frac) + v1*frac``
-    expression, so the result is bit-identical to the SQL twin. The named knob is
-    bucket width: 2^20-bucket rounds would fix 20 bits per pass (3
-    passes) at 8 MB of driver histogram."""
+    expression, so the result is bit-identical to the SQL twin. The
+    named knob is bucket width: 2^20-bucket rounds would fix 20 bits per
+    pass (3 passes) at 8 MB of driver histogram. NULLs are excluded from
+    the selection but counted in n, exactly as SQL's
+    quantile_cont/count(*) pair behaves (precondition: no NaN VALUES —
+    DuckDB ranks NaN above +inf while this kernel excludes it with the
+    nulls)."""
     ds = rel.load(sf_dir, "events", ["value"])
     n = ds.count()
     if n == 0:
         return pd.DataFrame({"n": pd.Series([0], dtype="int64"),
+                             "median": pd.Series([np.nan],
+                                                 dtype="float64")})
+
+    def valid_counts(batch: pa.Table) -> pa.Table:
+        col = batch.column("value")
+        return pa.table({"c": pa.array([len(col) - col.null_count],
+                                       pa.int64())})
+
+    vp = ds.map_batches(valid_counts, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    n_valid = int(vp["c"].sum()) if len(vp) else 0
+    if n_valid == 0:
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
                              "median": pd.Series([np.nan],
                                                  dtype="float64")})
 
@@ -15821,7 +15858,8 @@ def events_value_exact_median(sf_dir: str):
             shift = 48 - 16 * r
 
             def hist(batch: pa.Table, r=r, shift=shift, prefix=prefix):
-                v = batch.column("value").to_numpy(zero_copy_only=False)
+                v = pc.drop_null(
+                    batch.column("value")).to_numpy(zero_copy_only=False)
                 key = _f64_sort_keys(np.ascontiguousarray(v, np.float64))
                 if r > 0:
                     key = key[(key >> np.uint64(shift + 16)) == prefix]
@@ -15845,9 +15883,9 @@ def events_value_exact_median(sf_dir: str):
             prefix = (prefix << 16) | b_idx
         return _f64_from_key(prefix)
 
-    i0 = (n - 1) // 2
+    i0 = (n_valid - 1) // 2
     v0 = select_kth(i0)
-    if n % 2 == 0:
+    if n_valid % 2 == 0:
         v1 = select_kth(i0 + 1)
         # DuckDB's interpolator is the overflow-safe CONVEX form
         # lo*(1-frac) + hi*frac (probed: it differs from lo+(hi-lo)*frac
@@ -15920,13 +15958,23 @@ def events_value_median_by_type(sf_dir: str):
     the driver (|types| ints). Even-count groups get their second
     middle statistic from a shared second selection pass set. Driver
     state: |types| prefixes + sparse histograms; nothing scales with
-    row count."""
+    row count. NULL values are excluded from each group's selection but
+    counted in its n (SQL lockstep); NaN VALUES are a documented
+    precondition (see events_value_exact_median)."""
     ds = rel.load(sf_dir, "events", ["event_type", "value"])
     counts = rel.as_pandas(rel.grouped_agg(
         ds, ["event_type"], [("n", "", "count")], small_result=True))
     counts = counts.sort_values("event_type").reset_index(drop=True)
     types = counts["event_type"].tolist()
     ns = dict(zip(types, counts["n"].astype(np.int64)))
+    nonnull = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    vcounts = rel.as_pandas(rel.grouped_agg(
+        nonnull, ["event_type"], [("n", "", "count")], small_result=True))
+    nvalid = {t: 0 for t in types}
+    for t, c in zip(vcounts.get("event_type", []), vcounts.get("n", [])):
+        nvalid[t] = int(c)
     if not types:
         return pd.DataFrame({"event_type": pd.Series(dtype="object"),
                              "n": pd.Series(dtype="int64"),
@@ -15942,6 +15990,7 @@ def events_value_median_by_type(sf_dir: str):
 
             def hist(batch: pa.Table, r=r, shift=shift,
                      prefixes=dict(prefixes)):
+                batch = batch.filter(pc.is_valid(batch.column("value")))
                 et = batch.column("event_type").to_numpy(
                     zero_copy_only=False)
                 v = batch.column("value").to_numpy(zero_copy_only=False)
@@ -15983,13 +16032,15 @@ def events_value_median_by_type(sf_dir: str):
                 prefixes[t] = (prefixes[t] << 16) | b_idx
         return {t: _f64_from_key(p) for t, p in prefixes.items()}
 
-    lo_ranks = {t: (ns[t] - 1) // 2 for t in types}
-    v0 = select_ranks(lo_ranks)
-    even = {t: lo_ranks[t] + 1 for t in types if ns[t] % 2 == 0}
+    sel_types = [t for t in types if nvalid[t] > 0]
+    lo_ranks = {t: (nvalid[t] - 1) // 2 for t in sel_types}
+    v0 = select_ranks(lo_ranks) if lo_ranks else {}
+    even = {t: lo_ranks[t] + 1 for t in sel_types if nvalid[t] % 2 == 0}
     v1 = select_ranks(even) if even else {}
-    # convex interpolation — DuckDB's own form (see exact_median note)
-    med = {t: (v0[t] * 0.5 + v1[t] * 0.5) if t in v1 else v0[t]
-           for t in types}
+    # convex interpolation — DuckDB's own form (see exact_median note);
+    # all-NULL groups report NaN (SQL: quantile_cont over no rows)
+    med = {t: ((v0[t] * 0.5 + v1[t] * 0.5) if t in v1 else v0[t])
+           if t in v0 else np.nan for t in types}
     return rel.to_pandas_sorted(pd.DataFrame({
         "event_type": pd.Series(types, dtype="object"),
         "n": pd.Series([int(ns[t]) for t in types], dtype="int64"),
@@ -16006,7 +16057,9 @@ def lineitem_weighted_median_price(sf_dir: str):
     cumulative compare is exact): 4 histogram scans find the value at
     weighted rank ceil(W/2) — i.e. min p with 2*cum_qty(price <= p) >= W,
     the SQL twin's window definition — with no sort and O(histogram)
-    driver state."""
+    driver state. Preconditions (both hold for lineitem): non-null
+    price/quantity; quantities are rounded half-even to ints (np.rint),
+    mirroring the oracle's CAST."""
     ds = rel.load(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
 
     def wtot(batch: pa.Table) -> pa.Table:

@@ -325,6 +325,16 @@ class TestExactMedian:
             vals[rng.randrange(n)] = vals[rng.randrange(n)]
         _check("events_value_exact_median", {"events": self._events_vals(vals)})
 
+    def test_nulls_excluded_but_counted(self):
+        # quantile_cont ignores NULLs; count(*) does not — both engines
+        vals = [5.0, None, 1.0, None, 9.0, 3.0]
+        _check("events_value_exact_median",
+               {"events": self._events_vals(vals)})
+
+    def test_all_null(self):
+        _check("events_value_exact_median",
+               {"events": self._events_vals([None, None])})
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestNtileShards:
@@ -384,6 +394,21 @@ class TestGroupedMedian:
         })
         _check("events_value_median_by_type", {"events": tbl})
 
+    def test_null_values_in_groups(self):
+        import datetime as dt
+        base = dt.datetime(2024, 3, 1)
+        types = ["a", "a", "a", "b", "b", "c"]
+        vals = [1.5, None, 7.5, None, None, 4.25]   # c all-valid, b all-null
+        tbl = pa.table({
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array([base] * 6, pa.timestamp("us")),
+            "user_id": pa.array([1] * 6, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * 6, pa.string()),
+        })
+        _check("events_value_median_by_type", {"events": tbl})
+
     def test_single_row_groups(self):
         import datetime as dt
         base = dt.datetime(2024, 3, 1)
@@ -417,7 +442,9 @@ class TestWeightedMedian:
             "l_suppkey": pa.array([1] * n, pa.int64()),
             "l_linenumber": pa.array([1] * n, pa.int64()),
             "l_quantity": pa.array(
-                [float(rng.randrange(1, 51)) for _ in range(n)],
+                [float(rng.randrange(1, 51))
+                 + rng.choice([0.0, 0.0, 0.5, 0.25])  # fractional: CAST
+                 for _ in range(n)],                   # rounds half-even
                 pa.float64()),
             "l_extendedprice": pa.array(prices, pa.float64()),
             "l_discount": pa.array([0.0] * n, pa.float64()),
