@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped radix selection — all groups share the 4 scan rounds.
         "events_value_median_by_type": q.events_value_median_by_type,
         "lineitem_weighted_median_price": q.lineitem_weighted_median_price,
+        "events_value_percentiles_exact": q.events_value_percentiles_exact,
         "q4_late_orders": q.q4_late_orders,
         "events_user_type_breadth": q.events_user_type_breadth,
         "events_dayn_retention": q.events_dayn_retention,
@@ -4887,6 +4888,21 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY bm25 DESC, doc_id) AS rn
                   FROM scored)
             WHERE rn <= 20
+        """,
+        "events_value_percentiles_exact": """
+            -- the Ray side selects every order statistic in ONE shared
+            -- 4-round radix run (prefix-deduped histograms)
+            WITH e AS (SELECT value FROM events)
+            SELECT 0.25 AS q, quantile_cont(value, 0.25) AS "value" FROM e
+            UNION ALL
+            SELECT 0.5, quantile_cont(value, 0.5) FROM e
+            UNION ALL
+            SELECT 0.75, quantile_cont(value, 0.75) FROM e
+            UNION ALL
+            SELECT 0.95, quantile_cont(value, 0.95) FROM e
+            UNION ALL
+            SELECT 0.99, quantile_cont(value, 0.99) FROM e
+            ORDER BY q
         """,
         "lineitem_weighted_median_price": """
             -- quantity-weighted median: min price with 2*cum_weight >=

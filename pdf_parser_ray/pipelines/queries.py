@@ -16114,3 +16114,101 @@ def lineitem_weighted_median_price(sf_dir: str):
     return pd.DataFrame({
         "w_total": pd.Series([w_total], dtype="int64"),
         "wmedian": pd.Series([_f64_from_key(prefix)], dtype="float64")})
+
+
+_PCTL_QS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def events_value_percentiles_exact(sf_dir: str):
+    """EXACT p25/p50/p75/p95/p99 of the value column in one shared
+    radix-selection run — the multi-quantile capstone of the selection
+    family: every needed order statistic advances through the SAME 4
+    histogram rounds, and ranks that still share a bit-prefix share ONE
+    histogram (round 0: all of them — the scan count is 4 rounds total
+    regardless of how many quantiles are asked for, plus per-round
+    dedup by prefix). Interpolation is DuckDB's convex form at
+    frac = (n_valid-1)*q - floor(...); NULLs excluded (SQL lockstep),
+    NaN values a documented precondition (see events_value_exact_median)."""
+    ds = rel.load(sf_dir, "events", ["value"])
+
+    def valid_counts(batch: pa.Table) -> pa.Table:
+        col = batch.column("value")
+        return pa.table({"c": pa.array([len(col) - col.null_count],
+                                       pa.int64())})
+
+    vp = ds.map_batches(valid_counts, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    n_valid = int(vp["c"].sum()) if len(vp) else 0
+    if n_valid == 0:
+        return pd.DataFrame({"q": pd.Series(_PCTL_QS, dtype="float64"),
+                             "value": pd.Series([np.nan] * len(_PCTL_QS),
+                                                dtype="float64")})
+
+    # ranks needed: floor and (if frac > 0) ceil order statistics
+    plan = []  # (q, i0, frac)
+    ranks = set()
+    for q in _PCTL_QS:
+        h = (n_valid - 1) * q
+        i0 = int(np.floor(h))
+        frac = h - i0
+        plan.append((q, i0, frac))
+        ranks.add(i0)
+        if frac > 0:
+            ranks.add(i0 + 1)
+
+    # shared multi-rank selection: each rank tracks (prefix, below);
+    # per round, distinct prefixes get one histogram each
+    state = {k: (0, 0) for k in ranks}
+    for r in range(4):
+        shift = 48 - 16 * r
+        prefixes = sorted({p for p, _ in state.values()})
+
+        def hist(batch: pa.Table, r=r, shift=shift,
+                 prefixes=tuple(prefixes)):
+            v = pc.drop_null(
+                batch.column("value")).to_numpy(zero_copy_only=False)
+            key = _f64_sort_keys(np.ascontiguousarray(v, np.float64))
+            out_p, out_b, out_c = [], [], []
+            for pref in prefixes:
+                kt = key if r == 0 else \
+                    key[(key >> np.uint64(shift + 16)) == pref]
+                if not len(kt):
+                    continue
+                b = ((kt >> np.uint64(shift))
+                     & np.uint64(0xFFFF)).astype(np.int64)
+                cnt = np.bincount(b, minlength=1)
+                nz = np.flatnonzero(cnt)
+                out_p.extend([pref] * len(nz))
+                out_b.extend(nz.tolist())
+                out_c.extend(cnt[nz].tolist())
+            return pa.table({"p": pa.array(out_p, pa.int64()),
+                             "bucket": pa.array(out_b, pa.int64()),
+                             "cnt": pa.array(out_c, pa.int64())})
+
+        parts = ds.map_batches(hist, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        new_state = {}
+        for k, (pref, below) in state.items():
+            counts = np.zeros(65536, np.int64)
+            if "p" in parts.columns and len(parts):
+                sel = parts[parts["p"] == pref]
+                if len(sel):
+                    g = sel.groupby("bucket")["cnt"].sum()
+                    counts[g.index.to_numpy(np.int64)] = \
+                        g.to_numpy(np.int64)
+            cum = np.cumsum(counts)
+            rel_k = k - below
+            b_idx = int(np.searchsorted(cum, rel_k, side="right"))
+            below += int(cum[b_idx - 1]) if b_idx > 0 else 0
+            new_state[k] = ((pref << 16) | b_idx, below)
+        state = new_state
+
+    val = {k: _f64_from_key(p) for k, (p, _) in state.items()}
+    out_v = []
+    for q, i0, frac in plan:
+        if frac > 0:
+            out_v.append(val[i0] * (1 - frac) + val[i0 + 1] * frac)
+        else:
+            out_v.append(val[i0])
+    return pd.DataFrame({"q": pd.Series(_PCTL_QS, dtype="float64"),
+                         "value": pd.Series(out_v, dtype="float64")})

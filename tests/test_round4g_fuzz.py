@@ -460,3 +460,28 @@ class TestWeightedMedian:
             "l_shipmode": pa.array(["MAIL"] * n, pa.string()),
         })
         _check("lineitem_weighted_median_price", {"lineitem": tbl})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPercentilesExact:
+    @settings(max_examples=8, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_fuzz(self, seed):
+        import datetime as dt
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 3, 1)
+        n = rng.randrange(1, 250)
+        vals = [None if rng.random() < 0.1 else
+                rng.choice([-1, 1]) * rng.random()
+                * 10 ** rng.randrange(-2, 5) for i in range(n)]
+        if all(v is None for v in vals):
+            vals[0] = 1.0
+        tbl = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([base] * n, pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+        _check("events_value_percentiles_exact", {"events": tbl})
