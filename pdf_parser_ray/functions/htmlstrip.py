@@ -227,6 +227,12 @@ _CLEAN_ATTRS_RE = _re.compile(
         )*\s*""",
     _re.X)
 
+# per-process memo of the clean-attrs screen: web markup is template-
+# heavy (the synthetic corpus has 40 distinct gated attrs over 12k
+# tags), so the screen's verdict is a near-perfect cache hit; capped
+# and cleared so adversarial all-unique attrs cannot grow it unbounded
+_clean_memo: dict = {}
+
 _INCOMPLETE_NEXT = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=")
 
@@ -318,8 +324,14 @@ def _fast_tree(raw: str) -> _Node:
             tag = tag.lower()
             a = m.group("attrs")
             selfclose = False
-            if (a.endswith("/") or '"' in a or "'" in a) and \
-                    _CLEAN_ATTRS_RE.fullmatch(a) is None:
+            clean = _clean_memo.get(a)
+            if clean is None:
+                if len(_clean_memo) >= 65536:   # cap: adversarial unique
+                    _clean_memo.clear()         # attrs can't grow it
+                clean = _clean_memo[a] = not (
+                    a.endswith("/") or '"' in a or "'" in a) or (
+                    _CLEAN_ATTRS_RE.fullmatch(a) is not None)
+            if not clean:
                 name_end = m.start() + 1 + len(m.group("starttag"))
                 stop, kind = _scan_start_tag(raw, name_end)
                 if kind == "start":
