@@ -336,10 +336,12 @@ def _distinct_id_count(work) -> int:
 def cmd_dedup(args) -> int:
     """Dedup ANY parquet corpus from the command line — the training-data
     front door to the dedup family. --mode exact keeps one row per
-    distinct text (md5 fingerprint; min-id representative); --mode near
-    runs the full MinHash-LSH -> exact-Jaccard-verify (>= --threshold)
-    -> connected-components loop and keeps the min-id representative of
-    each near-dup cluster. Writes the kept rows as parquet and prints a
+    distinct text (md5 fingerprint; min-id representative); the near-dup
+    modes each run a different blocking strategy into the SAME
+    connected-components keep rule: --mode near = MinHash-LSH ->
+    exact-Jaccard-verify (>= --threshold), --mode ngram = sketch-free
+    exact inverted-index Jaccard (>= --threshold), --mode simhash =
+    64-bit SimHash hamming <= 3 (chunk banding, exact by pigeonhole). Writes the kept rows as parquet and prints a
     one-line JSON report. Scale discipline matches the library: text
     never shuffles (only (fingerprint, id) rows exchange), and the
     removed-id set — bounded by dup volume, not corpus size — broadcasts
@@ -374,6 +376,22 @@ def cmd_dedup(args) -> int:
               "min-id keep rule is per-id, so rows sharing an id are "
               "kept or removed TOGETHER", file=sys.stderr)
 
+    def removed_from_pairs(pairs) -> list[int]:
+        """(doc_a, doc_b) near-dup pairs -> non-representative ids via
+        the shared connected-components loop (min-id representative)."""
+
+        def both_dirs(b: pa.Table) -> pa.Table:
+            fwd = pa.table({"u": b.column("doc_a"), "v": b.column("doc_b")})
+            rev = pa.table({"u": b.column("doc_b"), "v": b.column("doc_a")})
+            return pa.concat_tables([fwd, rev]).combine_chunks()
+
+        if pairs.count() == 0:
+            return []
+        edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+        labels = rel.cc_min_labels(edges).to_pandas()
+        return sorted(labels.loc[labels["doc_id"] != labels["label"],
+                                 "doc_id"].tolist())
+
     if args.mode == "exact":
         fps = work.map_batches(fingerprint_batch, batch_format="pyarrow",
                                zero_copy_batch=True)
@@ -385,22 +403,16 @@ def cmd_dedup(args) -> int:
         removed_df = rel.salted_map_groups(fps, ["fp"], non_min).to_pandas()
         removed = (sorted(set(removed_df["doc_id"].tolist()))
                    if "doc_id" in removed_df.columns else [])
-    else:
-        pairs = dstage.minhash_verified_pairs(
-            work, threshold=args.threshold).materialize()
-
-        def both_dirs(b: pa.Table) -> pa.Table:
-            fwd = pa.table({"u": b.column("doc_a"), "v": b.column("doc_b")})
-            rev = pa.table({"u": b.column("doc_b"), "v": b.column("doc_a")})
-            return pa.concat_tables([fwd, rev]).combine_chunks()
-
-        if pairs.count() == 0:
-            removed = []
-        else:
-            edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
-            labels = rel.cc_min_labels(edges).to_pandas()
-            removed = sorted(labels.loc[labels["doc_id"] != labels["label"],
-                                        "doc_id"].tolist())
+    elif args.mode == "near":
+        removed = removed_from_pairs(dstage.minhash_verified_pairs(
+            work, threshold=args.threshold).materialize())
+    elif args.mode == "ngram":
+        # sketch-free exact n-gram Jaccard (inverted-index self-join)
+        removed = removed_from_pairs(dstage.ngram_jaccard_pairs(
+            work, threshold=args.threshold).materialize())
+    else:  # simhash: hamming <= 3 over 64-bit signatures
+        removed = removed_from_pairs(
+            dstage.simhash_pairs(work).materialize())
 
     rref = ray.put(pa.array(removed, pa.int64()))
 
@@ -415,7 +427,8 @@ def cmd_dedup(args) -> int:
     print(_json.dumps({"mode": args.mode, "rows_in": n_in,
                        "removed": len(removed), "rows_out": n_out,
                        "threshold": (args.threshold
-                                     if args.mode == "near" else None),
+                                     if args.mode in ("near", "ngram")
+                                     else None),
                        "derived_ids": derived, "id_unique": id_unique}))
     return 0
 
@@ -559,7 +572,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="exact or near dedup of any parquet corpus")
     p.add_argument("input", nargs="+")
     p.add_argument("-o", "--output", required=True)
-    p.add_argument("--mode", choices=["exact", "near"], default="exact")
+    p.add_argument("--mode",
+                   choices=["exact", "near", "ngram", "simhash"],
+                   default="exact",
+                   help="exact=md5; near=MinHash-LSH+verify; ngram=exact "
+                        "inverted-index Jaccard; simhash=hamming<=3")
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")

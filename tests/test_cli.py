@@ -318,3 +318,27 @@ def test_dedup_repeated_ids_warn(tmp_path, capsys):
     rep = json.loads(err.out.strip().splitlines()[-1])
     assert rep["id_unique"] is False
     assert "repeated values" in err.err
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_ngram_and_simhash_modes(tmp_path, capsys):
+    """All four blocking strategies feed the same CC keep rule; on an
+    obvious near-dup pair every mode folds it."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    texts = [base, base + " tail", "completely different words here"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    for mode in ("ngram", "simhash"):
+        out = str(tmp_path / mode)
+        assert main(["dedup", src, "-o", out, "--mode", mode]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["removed"] == 1 and rep["rows_out"] == 2, mode
