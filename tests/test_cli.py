@@ -329,8 +329,11 @@ def test_dedup_ngram_and_simhash_modes(tmp_path, capsys):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    base = " ".join(f"tok{i}" for i in range(60))
-    texts = [base, base + " tail", "completely different words here"]
+    # 200-token docs: one replaced token keeps simhash hamming <= 3
+    # (measured 2) while n-gram Jaccard stays >= 0.8
+    base = " ".join(f"tok{i}" for i in range(200))
+    texts = [base, base.replace("tok5", "tokX", 1),
+             "completely different words here"]
     tbl = pa.table({
         "doc_id": pa.array(range(len(texts)), pa.int64()),
         "text": pa.array(texts, pa.string()),
