@@ -316,8 +316,13 @@ def _work_dataset(ds, id_col: str, text_col: str, derived: bool):
     import pyarrow as pa
 
     def to_work(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null text -> "" so the fingerprint/shingle/simhash kernels
+        # never see None (an empty doc can only exact-dup other empties)
         return pa.table({"doc_id": _ids_int64(batch.column(id_col), derived),
-                         "text": batch.column(text_col)})
+                         "text": pc.fill_null(
+                             pc.cast(batch.column(text_col), "string"), "")})
 
     return ds.map_batches(to_work, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -410,9 +415,12 @@ def cmd_dedup(args) -> int:
         # sketch-free exact n-gram Jaccard (inverted-index self-join)
         removed = removed_from_pairs(dstage.ngram_jaccard_pairs(
             work, threshold=args.threshold).materialize())
-    else:  # simhash: hamming <= 3 over 64-bit signatures
-        removed = removed_from_pairs(
-            dstage.simhash_pairs(work).materialize())
+    else:  # simhash: hamming <= --max-hamming over 64-bit signatures
+        if args.threshold != 0.8:
+            print("warning: --threshold is a Jaccard bound (near/ngram "
+                  "modes); simhash uses --max-hamming", file=sys.stderr)
+        removed = removed_from_pairs(dstage.simhash_pairs(
+            work, max_hamming=args.max_hamming).materialize())
 
     rref = ray.put(pa.array(removed, pa.int64()))
 
@@ -569,7 +577,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("dedup",
-                       help="exact or near dedup of any parquet corpus")
+                       help="dedup any parquet corpus (exact md5 / "
+                            "minhash-verified / exact n-gram / simhash)")
     p.add_argument("input", nargs="+")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--mode",
@@ -577,7 +586,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="exact",
                    help="exact=md5; near=MinHash-LSH+verify; ngram=exact "
                         "inverted-index Jaccard; simhash=hamming<=3")
-    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="Jaccard bound for near/ngram modes")
+    p.add_argument("--max-hamming", type=int, default=3,
+                   help="simhash-mode hamming bound (<= 3 stays exact "
+                        "under the 16-bit chunk banding)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.set_defaults(fn=cmd_dedup)

@@ -324,13 +324,21 @@ def _fast_tree(raw: str) -> _Node:
             tag = tag.lower()
             a = m.group("attrs")
             selfclose = False
-            clean = _clean_memo.get(a)
-            if clean is None:
-                if len(_clean_memo) >= 65536:   # cap: adversarial unique
-                    _clean_memo.clear()         # attrs can't grow it
-                clean = _clean_memo[a] = not (
+            if len(a) > 256:
+                # never memoize jumbo attrs (data: URIs, srcset blobs):
+                # the cap below bounds entry COUNT, so only short keys
+                # may enter — worst case 65536 x 256 B = 16 MB
+                clean = not (
                     a.endswith("/") or '"' in a or "'" in a) or (
                     _CLEAN_ATTRS_RE.fullmatch(a) is not None)
+            else:
+                clean = _clean_memo.get(a)
+                if clean is None:
+                    if len(_clean_memo) >= 65536:
+                        _clean_memo.clear()
+                    clean = _clean_memo[a] = not (
+                        a.endswith("/") or '"' in a or "'" in a) or (
+                        _CLEAN_ATTRS_RE.fullmatch(a) is not None)
             if not clean:
                 name_end = m.start() + 1 + len(m.group("starttag"))
                 stop, kind = _scan_start_tag(raw, name_end)

@@ -16126,45 +16126,16 @@ def events_value_percentiles_exact(sf_dir: str):
     histogram rounds, and ranks that still share a bit-prefix share ONE
     histogram (round 0: all of them — the scan count is 4 rounds total
     regardless of how many quantiles are asked for, plus per-round
-    dedup by prefix). Interpolation is DuckDB's convex form at
+    dedup by prefix). The non-null count itself falls out of round 0's
+    histogram sum (no separate counting scan — review catch: the op is
+    pitched as scan-count-optimal, so it is exactly 4 scans).
+    Interpolation is DuckDB's convex form at
     frac = (n_valid-1)*q - floor(...); NULLs excluded (SQL lockstep),
     NaN values a documented precondition (see events_value_exact_median)."""
     ds = rel.load(sf_dir, "events", ["value"])
 
-    def valid_counts(batch: pa.Table) -> pa.Table:
-        col = batch.column("value")
-        return pa.table({"c": pa.array([len(col) - col.null_count],
-                                       pa.int64())})
-
-    vp = ds.map_batches(valid_counts, batch_format="pyarrow",
-                        zero_copy_batch=True).to_pandas()
-    n_valid = int(vp["c"].sum()) if len(vp) else 0
-    if n_valid == 0:
-        return pd.DataFrame({"q": pd.Series(_PCTL_QS, dtype="float64"),
-                             "value": pd.Series([np.nan] * len(_PCTL_QS),
-                                                dtype="float64")})
-
-    # ranks needed: floor and (if frac > 0) ceil order statistics
-    plan = []  # (q, i0, frac)
-    ranks = set()
-    for q in _PCTL_QS:
-        h = (n_valid - 1) * q
-        i0 = int(np.floor(h))
-        frac = h - i0
-        plan.append((q, i0, frac))
-        ranks.add(i0)
-        if frac > 0:
-            ranks.add(i0 + 1)
-
-    # shared multi-rank selection: each rank tracks (prefix, below);
-    # per round, distinct prefixes get one histogram each
-    state = {k: (0, 0) for k in ranks}
-    for r in range(4):
-        shift = 48 - 16 * r
-        prefixes = sorted({p for p, _ in state.values()})
-
-        def hist(batch: pa.Table, r=r, shift=shift,
-                 prefixes=tuple(prefixes)):
+    def make_hist(r: int, shift: int, prefixes: tuple):
+        def hist(batch: pa.Table) -> pa.Table:
             v = pc.drop_null(
                 batch.column("value")).to_numpy(zero_copy_only=False)
             key = _f64_sort_keys(np.ascontiguousarray(v, np.float64))
@@ -16184,19 +16155,55 @@ def events_value_percentiles_exact(sf_dir: str):
             return pa.table({"p": pa.array(out_p, pa.int64()),
                              "bucket": pa.array(out_b, pa.int64()),
                              "cnt": pa.array(out_c, pa.int64())})
+        return hist
 
-        parts = ds.map_batches(hist, batch_format="pyarrow",
+    def fold(parts: pd.DataFrame, pref: int) -> np.ndarray:
+        counts = np.zeros(65536, np.int64)
+        if "p" in parts.columns and len(parts):
+            sel = parts[parts["p"] == pref]
+            if len(sel):
+                g = sel.groupby("bucket")["cnt"].sum()
+                counts[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+        return counts
+
+    # round 0: one histogram serves every rank AND yields n_valid
+    parts0 = ds.map_batches(make_hist(0, 48, (0,)),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    counts0 = fold(parts0, 0)
+    n_valid = int(counts0.sum())
+    if n_valid == 0:
+        return pd.DataFrame({"q": pd.Series(_PCTL_QS, dtype="float64"),
+                             "value": pd.Series([np.nan] * len(_PCTL_QS),
+                                                dtype="float64")})
+
+    plan = []  # (q, i0, frac)
+    ranks = set()
+    for q in _PCTL_QS:
+        h = (n_valid - 1) * q
+        i0 = int(np.floor(h))
+        frac = h - i0
+        plan.append((q, i0, frac))
+        ranks.add(i0)
+        if frac > 0:
+            ranks.add(i0 + 1)
+
+    # finish round 0 on the driver, then rounds 1-3 distributed
+    cum0 = np.cumsum(counts0)
+    state = {}
+    for k in ranks:
+        b_idx = int(np.searchsorted(cum0, k, side="right"))
+        below = int(cum0[b_idx - 1]) if b_idx > 0 else 0
+        state[k] = (b_idx, below)
+    for r in range(1, 4):
+        shift = 48 - 16 * r
+        prefixes = tuple(sorted({p for p, _ in state.values()}))
+        parts = ds.map_batches(make_hist(r, shift, prefixes),
+                               batch_format="pyarrow",
                                zero_copy_batch=True).to_pandas()
         new_state = {}
         for k, (pref, below) in state.items():
-            counts = np.zeros(65536, np.int64)
-            if "p" in parts.columns and len(parts):
-                sel = parts[parts["p"] == pref]
-                if len(sel):
-                    g = sel.groupby("bucket")["cnt"].sum()
-                    counts[g.index.to_numpy(np.int64)] = \
-                        g.to_numpy(np.int64)
-            cum = np.cumsum(counts)
+            cum = np.cumsum(fold(parts, pref))
             rel_k = k - below
             b_idx = int(np.searchsorted(cum, rel_k, side="right"))
             below += int(cum[b_idx - 1]) if b_idx > 0 else 0
