@@ -267,7 +267,14 @@ _OPS = ["docs_dup_spans", "docs_cut_dup_spans", "docs_postings",
         "docs_lang_source_cramers_v", "lineitem_tax_discount_grid",
         "events_dayn_retention", "events_hourly_type_entropy",
         "part_size_price_corr", "part_skyline",
-        "events_max_concurrency"]
+        "events_max_concurrency",
+        # round-4g additions: selection family, retrieval, streaming,
+        # range sharding (heavy hitters has its own dedicated
+        # layout-invariance test in test_round4g_fuzz.py)
+        "docs_bm25_topk", "docs_script_mix", "events_watermark_drops",
+        "events_value_exact_median", "events_value_median_by_type",
+        "events_value_percentiles_exact", "docs_ntile_shards",
+        "lineitem_weighted_median_price"]
 # events_error_pchart flags no hour on the shared fixture (uniform error
 # mix -> everything inside the 3-sigma band), so it gets a dedicated
 # invariance table below with one saturated-error hour.
