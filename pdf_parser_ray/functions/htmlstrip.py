@@ -304,24 +304,12 @@ def _fast_tree(raw: str) -> _Node:
             stack[-1].children.append(
                 _unescape(data) if "&" in data else data)
         pos = m.end()
-        c = m.group("comment")
-        d = m.group("decl")
-        pi = m.group("pi")
-        if ((c is not None and not c.endswith("-->"))
-                or (d is not None and not d.endswith(">"))
-                or (pi is not None and not pi.endswith(">"))):
-            # unterminated comment/decl/PI: html.parser's EOF recovery
-            # emits data up to the next '>' (inclusive) and RESUMES
-            # lexing there — markup after that '>' still parses
-            k = _eof_recover(raw, m.start())
-            data = raw[m.start():k]
-            stack[-1].children.append(
-                _unescape(data) if "&" in data else data)
-            pos = k
-            continue
-        tag = m.group("starttag")
-        if tag is not None:
-            tag = tag.lower()
+        # dispatch on lastgroup: ONE attribute read instead of probing
+        # every named group per token (the group() calls were ~10% of
+        # the kernel — profiled)
+        g = m.lastgroup
+        if g == "attrs" or g == "starttag":
+            tag = m.group("starttag").lower()
             a = m.group("attrs")
             selfclose = False
             if len(a) > 256:
@@ -340,7 +328,7 @@ def _fast_tree(raw: str) -> _Node:
                         a.endswith("/") or '"' in a or "'" in a) or (
                         _CLEAN_ATTRS_RE.fullmatch(a) is not None)
             if not clean:
-                name_end = m.start() + 1 + len(m.group("starttag"))
+                name_end = m.start() + 1 + len(tag)
                 stop, kind = _scan_start_tag(raw, name_end)
                 if kind == "start":
                     pos = stop + 1      # may be EARLIER than the cheap span
@@ -387,9 +375,8 @@ def _fast_tree(raw: str) -> _Node:
                     stack[-1].children.append(raw[pos:pos + end_m.start()])
                     pos = pos + end_m.start()
             continue
-        tag = m.group("endtag")
-        if tag is not None:
-            tag = tag.lower()
+        if g == "endtag":
+            tag = m.group("endtag").lower()
             if tag in VOID_TAGS:
                 continue
             for i in range(len(stack) - 1, 0, -1):
@@ -397,7 +384,26 @@ def _fast_tree(raw: str) -> _Node:
                     del stack[i:]
                     break
             continue
-        # comments / declarations / processing instructions: dropped
+        if g == "comment":
+            if not m.group("comment").endswith("-->"):
+                # unterminated comment: html.parser's EOF recovery emits
+                # data up to the next '>' (inclusive) and RESUMES lexing
+                # there — markup after that '>' still parses
+                k = _eof_recover(raw, m.start())
+                data = raw[m.start():k]
+                stack[-1].children.append(
+                    _unescape(data) if "&" in data else data)
+                pos = k
+            continue
+        if g == "decl" or g == "pi":
+            if not m.group(g).endswith(">"):
+                k = _eof_recover(raw, m.start())
+                data = raw[m.start():k]
+                stack[-1].children.append(
+                    _unescape(data) if "&" in data else data)
+                pos = k
+            continue
+        # bogus end tags: consumed, dropped
     return root
 
 
