@@ -515,6 +515,48 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_quantile(args) -> int:
+    """Exact quantile_cont over ANY parquet numeric column — the CLI
+    front door to the radix-selection family (stages/selection.py): no
+    sort, no gather, 4 histogram scans for ANY number of quantiles,
+    bit-identical to DuckDB's quantile_cont. NULLs are excluded and
+    counted; NaN values are a documented precondition."""
+    import ray.data
+
+    from pdf_parser_ray.stages.selection import exact_quantiles
+
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
+    ds = ray.data.read_parquet(args.input)
+    names = list(ds.schema().names)
+    if args.col not in names:
+        print(f"no column {args.col!r}; table has {names}", file=sys.stderr)
+        return 1
+    try:
+        qs = [float(x) for x in args.q.split(",")]
+    except ValueError:
+        print(f"bad -q value {args.q!r} (want e.g. 0.5,0.95)",
+              file=sys.stderr)
+        return 1
+    if not all(0.0 <= q <= 1.0 for q in qs):
+        print("quantiles must be in [0, 1]", file=sys.stderr)
+        return 1
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def as_double(batch: pa.Table) -> pa.Table:
+        return pa.table({args.col: pc.cast(batch.column(args.col),
+                                           pa.float64())})
+
+    vals, n_valid = exact_quantiles(
+        ds.map_batches(as_double, batch_format="pyarrow",
+                       zero_copy_batch=True), args.col, qs)
+    import json as _json
+    print(_json.dumps({"column": args.col, "n_valid": n_valid,
+                       "quantiles": dict(zip(map(str, qs), vals))}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="pdf_parser_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -606,6 +648,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", type=int, default=8,
                    help="duplicated-span gram size")
     p.set_defaults(fn=cmd_clean)
+
+    p = sub.add_parser("quantile",
+                       help="exact quantile_cont over any numeric "
+                            "column (radix selection, no sort)")
+    p.add_argument("input", nargs="+")
+    p.add_argument("--col", required=True)
+    p.add_argument("-q", default="0.25,0.5,0.75,0.95,0.99",
+                   help="comma-separated quantiles in [0,1]")
+    p.set_defaults(fn=cmd_quantile)
 
     p = sub.add_parser("profile",
                        help="column profile of any parquet table")

@@ -16121,101 +16121,17 @@ _PCTL_QS = (0.25, 0.5, 0.75, 0.95, 0.99)
 
 def events_value_percentiles_exact(sf_dir: str):
     """EXACT p25/p50/p75/p95/p99 of the value column in one shared
-    radix-selection run — the multi-quantile capstone of the selection
-    family: every needed order statistic advances through the SAME 4
-    histogram rounds, and ranks that still share a bit-prefix share ONE
-    histogram (round 0: all of them — the scan count is 4 rounds total
-    regardless of how many quantiles are asked for, plus per-round
-    dedup by prefix). The non-null count itself falls out of round 0's
-    histogram sum (no separate counting scan — review catch: the op is
-    pitched as scan-count-optimal, so it is exactly 4 scans).
-    Interpolation is DuckDB's convex form at
-    frac = (n_valid-1)*q - floor(...); NULLs excluded (SQL lockstep),
-    NaN values a documented precondition (see events_value_exact_median)."""
+    radix-selection run (stages/selection.py — the multi-quantile
+    capstone of the selection family: every order statistic shares the
+    SAME 4 histogram scans, ranks with a common bit-prefix share one
+    histogram, n_valid falls out of round 0, and interpolation is
+    DuckDB's convex form — the result is bit-identical to the
+    quantile_cont twin; NULLs excluded, NaN a documented precondition).
+    The same machinery fronts ANY parquet column via
+    `python -m pdf_parser_ray quantile`."""
+    from pdf_parser_ray.stages.selection import exact_quantiles
+
     ds = rel.load(sf_dir, "events", ["value"])
-
-    def make_hist(r: int, shift: int, prefixes: tuple):
-        def hist(batch: pa.Table) -> pa.Table:
-            v = pc.drop_null(
-                batch.column("value")).to_numpy(zero_copy_only=False)
-            key = _f64_sort_keys(np.ascontiguousarray(v, np.float64))
-            out_p, out_b, out_c = [], [], []
-            for pref in prefixes:
-                kt = key if r == 0 else \
-                    key[(key >> np.uint64(shift + 16)) == pref]
-                if not len(kt):
-                    continue
-                b = ((kt >> np.uint64(shift))
-                     & np.uint64(0xFFFF)).astype(np.int64)
-                cnt = np.bincount(b, minlength=1)
-                nz = np.flatnonzero(cnt)
-                out_p.extend([pref] * len(nz))
-                out_b.extend(nz.tolist())
-                out_c.extend(cnt[nz].tolist())
-            return pa.table({"p": pa.array(out_p, pa.int64()),
-                             "bucket": pa.array(out_b, pa.int64()),
-                             "cnt": pa.array(out_c, pa.int64())})
-        return hist
-
-    def fold(parts: pd.DataFrame, pref: int) -> np.ndarray:
-        counts = np.zeros(65536, np.int64)
-        if "p" in parts.columns and len(parts):
-            sel = parts[parts["p"] == pref]
-            if len(sel):
-                g = sel.groupby("bucket")["cnt"].sum()
-                counts[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
-        return counts
-
-    # round 0: one histogram serves every rank AND yields n_valid
-    parts0 = ds.map_batches(make_hist(0, 48, (0,)),
-                            batch_format="pyarrow",
-                            zero_copy_batch=True).to_pandas()
-    counts0 = fold(parts0, 0)
-    n_valid = int(counts0.sum())
-    if n_valid == 0:
-        return pd.DataFrame({"q": pd.Series(_PCTL_QS, dtype="float64"),
-                             "value": pd.Series([np.nan] * len(_PCTL_QS),
-                                                dtype="float64")})
-
-    plan = []  # (q, i0, frac)
-    ranks = set()
-    for q in _PCTL_QS:
-        h = (n_valid - 1) * q
-        i0 = int(np.floor(h))
-        frac = h - i0
-        plan.append((q, i0, frac))
-        ranks.add(i0)
-        if frac > 0:
-            ranks.add(i0 + 1)
-
-    # finish round 0 on the driver, then rounds 1-3 distributed
-    cum0 = np.cumsum(counts0)
-    state = {}
-    for k in ranks:
-        b_idx = int(np.searchsorted(cum0, k, side="right"))
-        below = int(cum0[b_idx - 1]) if b_idx > 0 else 0
-        state[k] = (b_idx, below)
-    for r in range(1, 4):
-        shift = 48 - 16 * r
-        prefixes = tuple(sorted({p for p, _ in state.values()}))
-        parts = ds.map_batches(make_hist(r, shift, prefixes),
-                               batch_format="pyarrow",
-                               zero_copy_batch=True).to_pandas()
-        new_state = {}
-        for k, (pref, below) in state.items():
-            cum = np.cumsum(fold(parts, pref))
-            rel_k = k - below
-            b_idx = int(np.searchsorted(cum, rel_k, side="right"))
-            below += int(cum[b_idx - 1]) if b_idx > 0 else 0
-            new_state[k] = ((pref << 16) | b_idx, below)
-        state = new_state
-
-    val = {k: _f64_from_key(p) for k, (p, _) in state.items()}
-    out_v = []
-    for q, i0, frac in plan:
-        if frac > 0:
-            out_v.append(val[i0] * (1 - frac) + val[i0 + 1] * frac)
-        else:
-            out_v.append(val[i0])
+    vals, _ = exact_quantiles(ds, "value", list(_PCTL_QS))
     return pd.DataFrame({"q": pd.Series(_PCTL_QS, dtype="float64"),
-                         "value": pd.Series(out_v, dtype="float64")})
+                         "value": pd.Series(vals, dtype="float64")})

@@ -345,3 +345,31 @@ def test_dedup_ngram_and_simhash_modes(tmp_path, capsys):
         assert main(["dedup", src, "-o", out, "--mode", mode]) == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["removed"] == 1 and rep["rows_out"] == 2, mode
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_any_column(tmp_path, capsys):
+    """The quantile subcommand matches DuckDB's quantile_cont exactly on
+    an int column (cast to double) with NULLs present."""
+    import json
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [5, 1, None, 9, 3, 7, None, 2]
+    tbl = pa.table({"x": pa.array(vals, pa.int64())})
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, src)
+    assert main(["quantile", src, "--col", "x", "-q", "0.5,0.9"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_valid"] == 6
+    d = duckdb.sql(
+        f"SELECT quantile_cont(CAST(x AS DOUBLE), 0.5), "
+        f"quantile_cont(CAST(x AS DOUBLE), 0.9) FROM '{src}'").fetchone()
+    assert repr(rep["quantiles"]["0.5"]) == repr(d[0])
+    assert repr(rep["quantiles"]["0.9"]) == repr(d[1])
+
+    # bad input handling
+    assert main(["quantile", src, "--col", "nope"]) == 1
+    assert main(["quantile", src, "--col", "x", "-q", "1.5"]) == 1
