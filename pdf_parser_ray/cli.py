@@ -557,6 +557,74 @@ def cmd_quantile(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """BM25 keyword search over ANY parquet corpus — the CLI front door
+    to the shared retrieval kernel (stages/retrieval.py, the oracled
+    docs_bm25_topk pipeline's engine): whitespace-token query terms,
+    one text scan, constant-width stat partials, local-top-k merge.
+    Prints the top-k (id, score) plus a snippet of each hit."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.stages.retrieval import bm25_topk
+
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
+    ds = ray.data.read_parquet(args.input)
+    names = list(ds.schema().names)
+    if args.text_col not in names or args.id_col not in names:
+        print(f"need columns {args.id_col!r} and {args.text_col!r}; "
+              f"table has {names}", file=sys.stderr)
+        return 1
+    terms = tuple(t for t in args.query.split() if t)
+    if not terms:
+        print("empty query", file=sys.stderr)
+        return 1
+    derived = _id_prep(ds.schema(), args.id_col)
+    work = _work_dataset(ds, args.id_col, args.text_col, derived)
+    top = bm25_topk(work, terms, args.k)
+    hits = dict(zip(top["doc_id"].tolist(), top["bm25"].tolist()))
+
+    # one more streaming pass collects ONLY the hits' display fields
+    import pyarrow.compute as pc
+
+    href = None
+    if hits:
+        import ray as _ray
+
+        href = _ray.put(pa.array(sorted(hits), pa.int64()))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids = _ids_int64(batch.column(args.id_col), derived)
+        mask = pc.is_in(ids, value_set=_ray.get(href))
+        kept = batch.filter(mask)
+        kept_ids = _ids_int64(kept.column(args.id_col), derived)
+        snip = pc.utf8_slice_codeunits(
+            pc.fill_null(pc.cast(kept.column(args.text_col), "string"),
+                         ""), 0, args.snippet)
+        return pa.table({"id": pc.cast(kept.column(args.id_col),
+                                       pa.string()),
+                         "docid": kept_ids,
+                         "snippet": snip})
+
+    rows = []
+    if hits:
+        shown = ds.map_batches(pick, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        if "docid" in shown.columns:
+            for _, r in shown.iterrows():
+                rows.append({"id": r["id"], "score": hits[int(r["docid"])],
+                             "snippet": r["snippet"]})
+    rows.sort(key=lambda r: (-r["score"], r["id"]))
+    for r in rows:
+        print(f"{r['score']:10.4f}  {r['id']}  {r['snippet']!r}")
+    print(_json.dumps({"query": " ".join(terms), "hits": len(rows)}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="pdf_parser_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -657,6 +725,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-q", default="0.25,0.5,0.75,0.95,0.99",
                    help="comma-separated quantiles in [0,1]")
     p.set_defaults(fn=cmd_quantile)
+
+    p = sub.add_parser("search",
+                       help="BM25 keyword search over any parquet corpus")
+    p.add_argument("input", nargs="+")
+    p.add_argument("--query", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--snippet", type=int, default=80)
+    p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("profile",
                        help="column profile of any parquet table")

@@ -15567,94 +15567,20 @@ _BM25_TERMS = ("scan", "merge", "quantum")  # quantum: absent-term path
 def docs_bm25_topk(sf_dir: str, k_out: int = 20):
     """Okapi BM25 ranking of the corpus against a fixed query
     ("scan merge quantum"), top-k by score — the IR-retrieval shape
-    (k1 = 1.2, b = 0.75; idf = ln((N - df + 0.5)/(df + 0.5) + 1)).
-
-    One text scan produces the narrow per-doc feature table
-    (doc_id, tf_term..., dl) with the vectorized explode kernel; the
-    corpus statistics the score needs (N, avg dl, per-term df) fold from
-    constant-width per-batch partials (4 ints per batch — never a
-    vocabulary exchange, the query is fixed). Scoring then runs over the
-    materialized narrow table (16 B/doc in the object store, spillable;
-    the no-materialize alternative is a second text scan) and the top-k
-    is per-batch local top-k + an output-sized driver merge — no global
-    sort. Per-term contributions are added in the QUERY'S WRITTEN ORDER
-    on both engines (float addition is not associative; SQL SUM() order
-    is unspecified, a pivoted explicit c1+c2+c3 is pinned), and ranking
-    uses the ROUNDED score so float ulps cannot flip an order. The
-    absent term ('quantum', df = 0) exercises the tf = 0 short-circuit:
-    its contribution is exactly 0.0 on both engines."""
-    from pdf_parser_ray.stages.text import token_count_array
+    (k1 = 1.2, b = 0.75; idf = ln((N - df + 0.5)/(df + 0.5) + 1)),
+    implemented by the shared stages/retrieval.py kernel (also fronted
+    by `python -m pdf_parser_ray search` for arbitrary queries/corpora).
+    One text scan -> narrow per-doc feature table; constant-width stat
+    partials (never a vocabulary exchange); per-term contributions add
+    in the QUERY'S WRITTEN ORDER on both engines (float addition is not
+    associative; SQL SUM() order is unspecified, a pivoted explicit
+    c1+c2+c3 is pinned), ranking uses the ROUNDED score, and the absent
+    term ('quantum', df = 0) pins the tf = 0 short-circuit at exactly
+    0.0 on both engines."""
+    from pdf_parser_ray.stages.retrieval import bm25_topk
 
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = ds.count()
-    terms = _BM25_TERMS
-
-    def features(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").cast(pa.int64())
-        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        cols = {"doc_id": ids,
-                "dl": pa.array(token_count_array(batch.column("text")),
-                               pa.int64())}
-        for i, t in enumerate(terms):
-            hit = pc.equal(flat, pa.scalar(t)).to_numpy(zero_copy_only=False)
-            tf = np.bincount(parents[hit], minlength=len(ids)).astype(np.int64)
-            cols[f"tf{i + 1}"] = pa.array(tf, pa.int64())
-        return pa.table(cols)
-
-    feats = ds.map_batches(features, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
-
-    def stat_partial(batch: pa.Table) -> pa.Table:
-        out = {"sum_dl": pa.array([int(pc.sum(batch.column("dl")).as_py()
-                                       or 0)], pa.int64())}
-        for i in range(len(terms)):
-            c = batch.column(f"tf{i + 1}")
-            out[f"df{i + 1}"] = pa.array(
-                [int(pc.sum(pc.cast(pc.greater(c, pa.scalar(0, pa.int64())),
-                                    pa.int64())).as_py() or 0)], pa.int64())
-        return pa.table(out)
-
-    sp = feats.map_batches(stat_partial, batch_format="pyarrow").to_pandas()
-    sum_dl = int(sp["sum_dl"].sum()) if len(sp) else 0
-    avgdl = sum_dl / n_docs if n_docs else 0.0
-    idf = []
-    for i in range(len(terms)):
-        df_t = int(sp[f"df{i + 1}"].sum()) if len(sp) else 0
-        idf.append(float(np.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1)))
-
-    def score(batch: pa.Table) -> pa.Table:
-        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(
-            np.float64)
-        # written-order sum c1 + c2 + c3 — pinned against the SQL twin
-        s = np.zeros(len(dl), dtype=np.float64)
-        for i in range(len(terms)):
-            tf = batch.column(f"tf{i + 1}").to_numpy(
-                zero_copy_only=False).astype(np.float64)
-            s = s + (idf[i] * (tf * 2.2)) / (
-                tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "bm25": pa.array(np_round_half_away(s, 4), pa.float64()),
-        })
-
-    top = rel.local_topk(feats.map_batches(score, batch_format="pyarrow"),
-                         [("bm25", "descending"), ("doc_id", "ascending")],
-                         k_out)
-    df = rel.ensure_columns(top, {"doc_id": "int64", "bm25": "float64"})
-    return rel.to_pandas_sorted(df[["doc_id", "bm25"]], ["doc_id"])
-
-
-_SCRIPT_CLASSES = (
-    ("latin", "[A-Za-z]"),
-    ("digit", "[0-9]"),
-    ("space", r"\s"),
-    ("non_ascii", r"[^\x00-\x7f]"),
-)
-
+    return bm25_topk(ds, _BM25_TERMS, k_out)
 
 def docs_script_mix(sf_dir: str):
     """Per-source character-class mix (web-corpus charset / mojibake

@@ -373,3 +373,29 @@ def test_quantile_any_column(tmp_path, capsys):
     # bad input handling
     assert main(["quantile", src, "--col", "nope"]) == 1
     assert main(["quantile", src, "--col", "x", "-q", "1.5"]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_search_bm25(tmp_path, capsys):
+    """search ranks the term-dense doc first and respects -k; string ids
+    ride through the derived-id mapping."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "url": pa.array([f"u{i}" for i in range(4)], pa.string()),
+        "text": pa.array(["alpha beta beta", "beta", "gamma delta",
+                          "alpha alpha beta"], pa.string()),
+    })
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(tbl, src)
+    assert main(["search", src, "--query", "alpha beta", "-k", "2",
+                 "--id-col", "url"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rep = json.loads(out[-1])
+    assert rep["hits"] == 2
+    first = out[0].split()
+    assert first[1] in ("u0", "u3")   # the two alpha+beta docs win
+    assert main(["search", src, "--query", "   "]) == 1
