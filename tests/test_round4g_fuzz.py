@@ -485,3 +485,62 @@ class TestPercentilesExact:
             "props": pa.array(["{}"] * n, pa.string()),
         })
         _check("events_value_percentiles_exact", {"events": tbl})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRetrievalModule:
+    """stages/retrieval.bm25_topk with ARBITRARY terms (the oracle only
+    pins the fixed 3-term query): verified against a brute-force python
+    reference on random corpora."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_vs_bruteforce(self, seed):
+        import math
+
+        import ray.data
+
+        from pdf_parser_ray.stages.retrieval import bm25_topk
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = [" ".join(rng.choice(vocab)
+                          for _ in range(rng.randrange(0, 30)))
+                 for _ in range(rng.randrange(2, 50))]
+        terms = tuple(rng.sample(vocab, rng.randrange(1, 4)))
+        k = rng.randrange(1, 10)
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        got = bm25_topk(ray.data.from_arrow(tbl).repartition(3), terms, k)
+
+        # brute force (same formula, same written-order adds)
+        n = len(texts)
+        toks = [t.split() for t in texts]
+        dl = [len(x) for x in toks]
+        avgdl = sum(dl) / n
+        scores = []
+        for d in range(n):
+            s = 0.0
+            for t in terms:
+                df = sum(1 for x in toks if t in x)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+                tf = toks[d].count(t)
+                s = s + (idf * (tf * 2.2)) / (
+                    tf + 1.2 * (0.25 + (0.75 * dl[d]) / avgdl))
+            scores.append(round_ref(s))
+        order = sorted(range(n), key=lambda d: (-scores[d], d))[:k]
+        want = pd.DataFrame({
+            "doc_id": pd.Series(sorted(order), dtype="int64"),
+            "bm25": pd.Series([scores[d] for d in sorted(order)],
+                              dtype="float64")})
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def round_ref(x: float) -> float:
+    """Half-away rounding to 4, matching num.np_round_half_away."""
+    import numpy as np
+
+    from pdf_parser_ray.functions.num import np_round_half_away
+    return float(np_round_half_away(np.array([x]), 4)[0])
