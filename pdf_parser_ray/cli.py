@@ -625,6 +625,39 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_hot(args) -> int:
+    """Exact heavy hitters over ANY parquet text column — the CLI front
+    door to the Misra-Gries screen + exact-verify kernel
+    (stages/heavy.py): every whitespace token holding more than
+    1/--denom of all tokens, with its EXACT count. Two streaming scans,
+    driver state bounded by a pigeonhole constant."""
+    import json as _json
+
+    import ray.data
+
+    from pdf_parser_ray.stages.heavy import exact_heavy_hitters
+
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
+    ds = ray.data.read_parquet(args.input)
+    names = list(ds.schema().names)
+    if args.col not in names:
+        print(f"no column {args.col!r}; table has {names}", file=sys.stderr)
+        return 1
+    if args.k + 1 <= args.denom:
+        print(f"need k+1 > denom (got k={args.k}, denom={args.denom}): "
+              "the MG sketch must out-resolve the threshold",
+              file=sys.stderr)
+        return 1
+    df = exact_heavy_hitters(ds, args.col, k=args.k, denom=args.denom)
+    for _, r in df.sort_values(["cnt", "tok"],
+                               ascending=[False, True]).iterrows():
+        print(f"{int(r['cnt']):12d}  {int(r['share_ppm']):8d}ppm  "
+              f"{r['tok']}")
+    print(_json.dumps({"column": args.col, "denom": args.denom,
+                       "hitters": len(df)}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="pdf_parser_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -735,6 +768,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-col", default="text")
     p.add_argument("--snippet", type=int, default=80)
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("hot",
+                       help="exact heavy-hitter tokens (Misra-Gries "
+                            "screen + exact verify)")
+    p.add_argument("input", nargs="+")
+    p.add_argument("--col", default="text")
+    p.add_argument("--denom", type=int, default=40,
+                   help="report tokens with share > 1/denom")
+    p.add_argument("-k", type=int, default=64,
+                   help="MG counters per batch (must be > denom)")
+    p.set_defaults(fn=cmd_hot)
 
     p = sub.add_parser("profile",
                        help="column profile of any parquet table")

@@ -399,3 +399,32 @@ def test_search_bm25(tmp_path, capsys):
     first = out[0].split()
     assert first[1] in ("u0", "u3")   # the two alpha+beta docs win
     assert main(["search", src, "--query", "   "]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_heavy_hitters(tmp_path, capsys):
+    """hot finds the planted heavy token with its exact count over a
+    wide vocabulary (MG compression engaged), and validates k > denom."""
+    import json
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(9)
+    texts = []
+    for _ in range(50):
+        toks = [f"w{rng.randrange(300)}" for _ in range(20)] + ["hot"] * 25
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    tbl = pa.table({"body": pa.array(texts, pa.string())})
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, src)
+    assert main(["hot", src, "--col", "body", "--denom", "40"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rep = json.loads(out[-1])
+    assert rep["hitters"] == 1                      # only the plant
+    assert out[0].split()[-1] == "hot"
+    assert int(out[0].split()[0]) == 50 * 25        # exact count
+    assert main(["hot", src, "--col", "body", "--denom", "64",
+                 "-k", "63"]) == 1                  # k+1 <= denom rejected
