@@ -15463,6 +15463,9 @@ def docs_heavy_hitters(sf_dir: str, k: int = 64, denom: int = 40):
     ds = rel.load(sf_dir, "documents", ["text"])
     return exact_heavy_hitters(ds, "text", k=k, denom=denom)
 
+_BM25_TERMS = ("scan", "merge", "quantum")  # quantum: absent-term path
+
+
 def docs_bm25_topk(sf_dir: str, k_out: int = 20):
     """Okapi BM25 ranking of the corpus against a fixed query
     ("scan merge quantum"), top-k by score — the IR-retrieval shape
@@ -15480,6 +15483,14 @@ def docs_bm25_topk(sf_dir: str, k_out: int = 20):
 
     ds = rel.load(sf_dir, "documents", ["doc_id", "text"])
     return bm25_topk(ds, _BM25_TERMS, k_out)
+
+_SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", r"\s"),
+    ("non_ascii", r"[^\x00-\x7f]"),
+)
+
 
 def docs_script_mix(sf_dir: str):
     """Per-source character-class mix (web-corpus charset / mojibake
