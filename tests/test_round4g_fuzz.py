@@ -544,3 +544,38 @@ def round_ref(x: float) -> float:
 
     from pdf_parser_ray.functions.num import np_round_half_away
     return float(np_round_half_away(np.array([x]), 4)[0])
+
+
+class TestRoundingBand:
+    """floor(y+0.5) vs C round(y) divergence band [2^52, 2^53): the
+    round-4g ANOVA fuzz caught an F ~ 8.6e9 whose 6-decimal scaling
+    lands inside it (odd integral doubles got bumped +1 vs DuckDB)."""
+
+    def test_band_matches_duckdb(self):
+        import duckdb
+
+        from pdf_parser_ray.functions.num import (
+            np_round_half_away,
+            round_half_away,
+        )
+
+        cases = [8567963952.9259253,        # the caught F statistic
+                 (float((1 << 52) + 1)) / 1e6,   # odd integral, in band
+                 (float((1 << 52) + 2)) / 1e6,   # even integral, in band
+                 float((1 << 53) + 2) / 1e6,     # past the band
+                 4503599627370495.5 / 1e6,       # just below the band
+                 -8567963952.9259253]
+        con = duckdb.connect()
+        for x in cases:
+            want = con.execute(
+                "SELECT round(CAST(? AS DOUBLE), 6)", [x]).fetchone()[0]
+            assert repr(round_half_away(x, 6)) == repr(want), x
+            assert repr(float(np_round_half_away([x], 6)[0])) \
+                == repr(want), x
+
+    def test_small_values_unchanged(self):
+        from pdf_parser_ray.functions.num import round_half_away
+
+        assert round_half_away(0.03125, 4) == 0.0313   # half away, not even
+        assert round_half_away(-0.03125, 4) == -0.0313
+        assert round_half_away(2.5, 0) == 3.0
