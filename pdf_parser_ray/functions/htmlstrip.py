@@ -238,7 +238,7 @@ _INCOMPLETE_NEXT = frozenset(
 
 
 def _scan_start_tag(raw: str, j: int) -> tuple[int, str]:
-    """Authoritative start-tag scan from just after the tag name,
+    r"""Authoritative start-tag scan from just after the tag name,
     mirroring html.parser's locatestarttagend_tolerant + attrfind loop
     (incl. the (?<=['"\s/]) new-attribute lookbehind). Returns
     (stop, kind) with kind in:
@@ -385,7 +385,13 @@ def _fast_tree(raw: str) -> _Node:
                     break
             continue
         if g == "comment":
-            if not m.group("comment").endswith("-->"):
+            # terminated only when the '-->' is disjoint from the '!--'
+            # opener (group len >= 6 puts the closer at group index >= 3,
+            # mirroring html.parser's rawdata.find('-->', i+4)); '<!-->'
+            # and '<!--->' match via the '$' branch and merely END with
+            # '-->' — html.parser buffers them and emits literal data
+            cg = m.group("comment")
+            if not (cg.endswith("-->") and len(cg) >= 6):
                 # unterminated comment: html.parser's EOF recovery emits
                 # data up to the next '>' (inclusive) and RESUMES lexing
                 # there — markup after that '>' still parses

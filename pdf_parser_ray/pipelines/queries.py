@@ -15609,7 +15609,10 @@ def events_watermark_drops(sf_dir: str, late_minutes: int = 10):
         c = np.int64(offs[int(g["bucket"].iloc[0])])
         run = np.maximum.accumulate(ts)
         hw = np.maximum(np.concatenate([[_SENT], run[:-1]]), c)
-        dropped = (hw != _SENT) & (ts < hw - w_us)
+        # NULL ts encodes as NaT == _SENT; SQL's `ts < hw - INTERVAL` is
+        # NULL for a NULL ts (excluded), so mask those rows out of the
+        # drop test explicitly (ADVICE r5)
+        dropped = (hw != _SENT) & (ts != _SENT) & (ts < hw - w_us)
         out = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
                             "dropped": dropped})
         agg = (out.groupby("event_type", sort=False)
@@ -15801,7 +15804,10 @@ def events_value_median_by_type(sf_dir: str):
     counts = rel.as_pandas(rel.grouped_agg(
         ds, ["event_type"], [("n", "", "count")], small_result=True))
     counts = counts.sort_values("event_type").reset_index(drop=True)
-    types = counts["event_type"].tolist()
+    # the NULL group key comes back as float NaN from pandas — normalize
+    # to None so the is-null dispatch below fires (ADVICE r5)
+    types = [None if pd.isnull(t) else t
+             for t in counts["event_type"].tolist()]
     ns = dict(zip(types, counts["n"].astype(np.int64)))
     nonnull = ds.map_batches(
         lambda b: b.filter(pc.is_valid(b.column("value"))),
@@ -15810,7 +15816,7 @@ def events_value_median_by_type(sf_dir: str):
         nonnull, ["event_type"], [("n", "", "count")], small_result=True))
     nvalid = {t: 0 for t in types}
     for t, c in zip(vcounts.get("event_type", []), vcounts.get("n", [])):
-        nvalid[t] = int(c)
+        nvalid[None if pd.isnull(t) else t] = int(c)
     if not types:
         return pd.DataFrame({"event_type": pd.Series(dtype="object"),
                              "n": pd.Series(dtype="int64"),
@@ -15833,7 +15839,10 @@ def events_value_median_by_type(sf_dir: str):
                 key = _f64_sort_keys(np.ascontiguousarray(v, np.float64))
                 out_t, out_b, out_c = [], [], []
                 for t, pref in prefixes.items():
-                    m = et == t
+                    # NULL group key: equality never matches None, so use
+                    # an is-null mask — DuckDB computes a real
+                    # quantile_cont for the NULL event_type group (ADVICE r5)
+                    m = pd.isnull(et) if t is None else (et == t)
                     kt = key[m]
                     if r > 0:
                         kt = kt[(kt >> np.uint64(shift + 16)) == pref]
@@ -15856,7 +15865,8 @@ def events_value_median_by_type(sf_dir: str):
             for t in list(prefixes):
                 counts_t = np.zeros(65536, np.int64)
                 if "t" in parts.columns and len(parts):
-                    sel = parts[parts["t"] == t]
+                    sel = (parts[parts["t"].isnull()] if t is None
+                           else parts[parts["t"] == t])
                     if len(sel):
                         g = sel.groupby("bucket")["cnt"].sum()
                         counts_t[g.index.to_numpy(np.int64)] = \

@@ -59,6 +59,11 @@ EDGE_FRAGMENTS = [
     "<a/1=/>x x", "<a href=foo/>in", '<a href="q"/>out',
     "<a foo=bar baz/>x", '<b/">">x x', '<b/1=">x x', "<!-->x x",
     "<!--no close <p>still data</p>", '<b x=" <p>also data',
+    # round-5 ADVICE regression: a '-->' overlapping the '<!--' opener is
+    # NOT a terminator (html.parser searches from i+4); these match the
+    # tokenizer's '$' branch and merely end with '-->'
+    "<!-->", "<!--->", "<!---->", "<!-->tail", "<p><!-->x</p>",
+    "<!--->x-->", "<!----->",
     "<p>éü unicode café</p>",
 ]
 

@@ -1,0 +1,158 @@
+"""Round-5 ADVICE regressions: NULL-key / NULL-value semantics in the
+events family, pinned against live DuckDB oracles on hand-built nullable
+tables (the synthetic testdata is non-null, so the sf gate can't catch
+these), plus the overlapping-comment-terminator tokenizer fix.
+
+- events_value_median_by_type: a NULL event_type group must get DuckDB's
+  real quantile_cont over its non-null values (equality `et == None`
+  never matches, which previously fed the radix selection zero counts
+  and produced a garbage f64_from_key median).
+- events_watermark_drops: a NULL ts encodes as NaT == the _SENT
+  sentinel; SQL's `ts < hw - INTERVAL` is NULL (excluded) for those
+  rows, so they must count in n_events but never in n_dropped.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import __ray_entry__ as entrymod
+
+_BASE = dt.datetime(2024, 3, 1)
+
+
+def _events_table(rows) -> pa.Table:
+    """rows: (event_id, seconds_or_None, event_type_or_None, value_or_None)."""
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [None if r[1] is None else _BASE + dt.timedelta(seconds=r[1])
+             for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([1 + (r[0] % 3) for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+
+
+def _run_both(query_name: str, tbl: pa.Table):
+    import ray.data
+
+    from pdf_parser_ray.pipelines import queries as q
+
+    orig = q.rel.load
+    q.rel.load = lambda sf, t, columns=None: ray.data.from_arrow(
+        tbl.select(columns) if columns else tbl)
+    try:
+        ray_df = entrymod.queries()[query_name]("fuzz")
+    finally:
+        q.rel.load = orig
+    con = duckdb.connect()
+    con.register("events", tbl)
+    sql_df = con.execute(entrymod.oracle_sql()[query_name]).df()
+    con.close()
+    return ray_df, sql_df
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    key = df.astype(object).where(df.notnull(), None).astype(str)
+    order = key.sort_values(list(key.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
+
+
+def _assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
+    a, b = _canon(a), _canon(b)
+    assert list(a.columns) == list(b.columns), name
+    assert len(a) == len(b), f"{name}: {len(a)} != {len(b)}"
+    for col in a.columns:
+        for i, (x, y) in enumerate(zip(a[col], b[col])):
+            if pd.isnull(x) and pd.isnull(y):
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12), \
+                    f"{name}.{col}[{i}]: {x!r} != {y!r}"
+            else:
+                assert x == y, f"{name}.{col}[{i}]: {x!r} != {y!r}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNullableEvents:
+    def test_median_by_type_null_group(self):
+        # NULL event_type group with real values (odd count), a normal
+        # group, and a group whose values are ALL NULL (median = NaN)
+        rows = [
+            (0, 10, None, 5.0),
+            (1, 20, None, 1.0),
+            (2, 30, None, 9.0),
+            (3, 40, "click", 2.0),
+            (4, 50, "click", 4.0),
+            (5, 60, "view", None),
+            (6, 70, "view", None),
+            (7, 80, None, None),  # null value inside the NULL group
+        ]
+        ray_df, sql_df = _run_both(
+            "events_value_median_by_type", _events_table(rows))
+        _assert_frames_equal(ray_df, sql_df, "median_by_type")
+        # the NULL group's median must be the real 5.0, not garbage
+        null_row = ray_df[ray_df["event_type"].isnull()]
+        assert len(null_row) == 1
+        assert float(null_row["median"].iloc[0]) == 5.0
+
+    def test_median_by_type_null_group_even(self):
+        rows = [
+            (0, 10, None, 2.0),
+            (1, 20, None, 8.0),
+            (2, 30, "click", 1.0),
+        ]
+        ray_df, sql_df = _run_both(
+            "events_value_median_by_type", _events_table(rows))
+        _assert_frames_equal(ray_df, sql_df, "median_by_type_even")
+        null_row = ray_df[ray_df["event_type"].isnull()]
+        assert float(null_row["median"].iloc[0]) == 5.0
+
+    def test_watermark_drops_null_ts(self):
+        # event 2 has NULL ts AFTER a high watermark exists: SQL's
+        # three-valued `ts < hw - 10min` excludes it from n_dropped but
+        # count(*) keeps it in n_events. Event 3 is genuinely late.
+        rows = [
+            (0, 0, "click", 1.0),
+            (1, 3600, "click", 1.0),
+            (2, None, "click", 1.0),
+            (3, 60, "click", 1.0),       # 59 min behind the watermark
+            (4, 3700, "view", 1.0),
+            (5, None, "view", 1.0),
+        ]
+        ray_df, sql_df = _run_both(
+            "events_watermark_drops", _events_table(rows))
+        _assert_frames_equal(ray_df, sql_df, "watermark_drops")
+        click = ray_df[ray_df["event_type"] == "click"].iloc[0]
+        assert int(click["n_events"]) == 4
+        assert int(click["n_dropped"]) == 1  # only event 3
+
+
+class TestCommentTerminatorRegression:
+    def test_overlapping_closer_is_not_terminator(self):
+        from pdf_parser_ray.functions.htmlstrip import (
+            _TreeBuilder, _fast_tree)
+
+        def twin(raw):
+            b = _TreeBuilder()
+            b.feed(raw)
+            b.close()
+            return b.root
+
+        def flat(n):
+            return [c if isinstance(c, str) else (c.tag, flat(c))
+                    for c in n.children]
+
+        for s in ["<!-->", "<!--->", "<!---->", "<!-->tail",
+                  "<p><!-->x</p>", "<!--->x-->", "<!----->",
+                  "<!-- ok --><p>after</p>"]:
+            assert flat(_fast_tree(s)) == flat(twin(s)), s
