@@ -772,6 +772,7 @@ def clear_session_caches() -> None:
     _VERIFIED_PAIRS_CACHE.clear()
     _NGRAM_PAIRS_CACHE.clear()
     _CLUSTER_CACHE.clear()
+    _CLUSTER_DS_CACHE.clear()
     _MH_EVAL_CANDS_CACHE.clear()
 
 
@@ -1687,18 +1688,33 @@ def nation_acctbal_median(sf_dir: str):
     return rel.to_pandas_sorted(df[["n_name", "median_acctbal"]], ["n_name"])
 
 
-def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
-    """Dedup clustering: connected components over the verified near-dup
-    pair graph, as iterative distributed min-label propagation (converges
-    in O(component diameter) rounds; dup components are tiny, so 2-3
-    rounds — the fixpoint loop lives in rel.cc_min_labels, shared with
-    emb_snn_keep). Output: (doc_id, cluster_id=min doc_id in component)
-    for every doc in at least one pair. Oracle: recursive CTE
-    reachability."""
+_CLUSTER_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("cluster_id", pa.int64())])
+# cluster labels over the gate stay a Dataset and consumers hash-join;
+# under it they broadcast (same r3 gate size as the ExactSubstr gram set:
+# ~80 MB of (doc_id, cluster_id) int64 pairs)
+_CLUSTER_BROADCAST_MAX = 5_000_000
+_CLUSTER_DS_CACHE: dict[tuple, tuple] = {}   # key -> (labels_ds, n_labels)
+_CLUSTER_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
+def _cluster_labels(sf_dir: str, threshold: float = 0.8):
+    """The near-dup cluster-membership artifact as a MATERIALIZED
+    Dataset (doc_id, cluster_id) plus its row count, memoized per
+    session. On a web corpus dups are a constant FRACTION of the corpus,
+    so consumers must not assume the labels fit the driver — they branch
+    on the count against ``_CLUSTER_BROADCAST_MAX`` (broadcast below,
+    distributed hash-join above), mirroring the ExactSubstr gram-set
+    gate (_dup_marks)."""
+    key = _memo_key(sf_dir, threshold)
+    hit = _CLUSTER_DS_CACHE.get(key)
+    if hit is not None:
+        return hit
     edges = _verified_pairs(sf_dir, threshold)
     if edges.count() == 0:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "cluster_id": pd.Series(dtype="int64")})
+        labels = ray.data.from_arrow(_CLUSTER_SCHEMA.empty_table())
+        _CLUSTER_DS_CACHE[key] = (labels, 0)
+        return _CLUSTER_DS_CACHE[key]
 
     # undirected edge list (both directions) and the initial labels
     # (label = own id), all as Dataset programs — edges never gather on
@@ -1712,36 +1728,86 @@ def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
 
     edge_ds = edges.map_batches(both_dirs, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
-    labels = rel.cc_min_labels(edge_ds)
-    df = labels.to_pandas().rename(columns={"label": "cluster_id"})
-    return rel.to_pandas_sorted(df, ["doc_id"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "cluster_id": batch.column("label")})
+
+    labels = rel.ensure_schema(
+        rel.cc_min_labels(edge_ds).map_batches(
+            rename, batch_format="pyarrow", zero_copy_batch=True),
+        _CLUSTER_SCHEMA).materialize()
+    _CLUSTER_DS_CACHE[key] = (labels, labels.count())
+    return _CLUSTER_DS_CACHE[key]
 
 
-_CLUSTER_CACHE: dict[tuple, pd.DataFrame] = {}
-
-
-def docs_dedup_keep(sf_dir: str, threshold: float = 0.8):
-    """The end product of near-dup dedup: the KEEP list — every document
-    except non-representative members of a dup cluster (representative =
-    min doc_id in the connected component). Non-representatives are
-    removed via a broadcast anti-join (the removed set is bounded by the
-    near-dup pair volume, tiny relative to the corpus)."""
+def _cluster_frame(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Below-gate pandas form of the cluster labels (memoized). Only the
+    broadcast branches of the consumers touch this — above the gate the
+    labels stay a Dataset and never land on the driver."""
     key = _memo_key(sf_dir, threshold)
     if key not in _CLUSTER_CACHE:
-        _CLUSTER_CACHE[key] = docs_dup_clusters(sf_dir, threshold=threshold)
-    clusters = _CLUSTER_CACHE[key]
-    removed = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
-                           "doc_id"]
+        labels, _ = _cluster_labels(sf_dir, threshold)
+        df = rel.ensure_columns(labels.to_pandas(), {
+            "doc_id": "int64", "cluster_id": "int64"})
+        _CLUSTER_CACHE[key] = rel.to_pandas_sorted(df, ["doc_id"])
+    return _CLUSTER_CACHE[key]
+
+
+def docs_dup_clusters(sf_dir: str, threshold: float = 0.8):
+    """Dedup clustering: connected components over the verified near-dup
+    pair graph, as iterative distributed min-label propagation (converges
+    in O(component diameter) rounds; dup components are tiny, so 2-3
+    rounds — the fixpoint loop lives in rel.cc_min_labels, shared with
+    emb_snn_keep). Output: (doc_id, cluster_id=min doc_id in component)
+    for every doc in at least one pair. Oracle: recursive CTE
+    reachability."""
+    return _cluster_frame(sf_dir, threshold).copy()
+
+
+def docs_dedup_keep(sf_dir: str, threshold: float = 0.8,
+                    broadcast_max: int = _CLUSTER_BROADCAST_MAX):
+    """The end product of near-dup dedup: the KEEP list — every document
+    except non-representative members of a dup cluster (representative =
+    min doc_id in the connected component). Size-gated like the
+    ExactSubstr gram set: under ``broadcast_max`` labels the removed ids
+    broadcast once and filter via a vectorized is_in; above it (web-
+    corpus dup volumes) the removed set stays a Dataset and the keep
+    list is a distributed LEFT ANTI hash join — nothing corpus-fraction-
+    sized ever gathers on the driver."""
+    labels, n_labels = _cluster_labels(sf_dir, threshold)
     docs = rel.load(sf_dir, "documents", ["doc_id", "lang"])
-    rref = ray.put(pa.array(sorted(removed.tolist()), pa.int64()))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(batch.column("doc_id"),
-                                  value_set=ray.get(rref)))
-        return batch.filter(mask)
+    def non_rep(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("doc_id"),
+                            batch.column("cluster_id"))
+        return batch.filter(keep).select(["doc_id"])
 
-    out = docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    return rel.to_pandas_sorted(out.to_pandas(), ["doc_id"])
+    removed_schema = pa.schema([("doc_id", pa.int64())])
+    removed_ds = rel.ensure_schema(
+        labels.map_batches(non_rep, batch_format="pyarrow",
+                           zero_copy_batch=True), removed_schema)
+
+    if n_labels <= broadcast_max:
+        rref = ray.put(rel.collect_column(removed_ds, "doc_id"))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column("doc_id"),
+                                      value_set=ray.get(rref)))
+            return batch.filter(mask)
+
+        out = docs.map_batches(keep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    else:
+        docs_schema = pa.schema([("doc_id", pa.int64()),
+                                 ("lang", pa.string())])
+        out = rel.hash_join_guarded(
+            rel.ensure_schema(docs, docs_schema), removed_ds,
+            "doc_id", "doc_id", rel.join_partitions(n_labels),
+            docs_schema, removed_schema, join_type="left_anti")
+    df = rel.ensure_columns(out.to_pandas(),
+                            {"doc_id": "int64", "lang": "object"})
+    return rel.to_pandas_sorted(df, ["doc_id"])
 
 
 def docs_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
@@ -5131,7 +5197,8 @@ def events_top_paths(sf_dir: str, k: int = 10):
 
 
 def docs_split_leakage_safe(sf_dir: str, threshold: float = 0.8,
-                            val_mod: int = 10):
+                            val_mod: int = 10,
+                            broadcast_max: int = _CLUSTER_BROADCAST_MAX):
     """Leakage-safe train/val split: the split hash is keyed by the
     near-dup CLUSTER representative (min doc_id in the verified-pair
     connected component), not the document id, so near-duplicates can
@@ -5139,33 +5206,20 @@ def docs_split_leakage_safe(sf_dir: str, threshold: float = 0.8,
     contamination bug in web-corpus training (a val doc whose twin sits
     in train). Docs outside any cluster key on their own id.
 
-    Plan: the cluster map is the docs_dup_clusters output (bounded by
-    dup-pair volume, tiny vs the corpus — the same broadcast argument
-    as docs_dedup_keep); assignment is then ONE shuffle-free streaming
-    pass (sorted-array lookup + md5 bucket). Deterministic and
-    parallelism-invariant: md5(group_key) % val_mod == 0 -> 'val'
-    (DuckDB lockstep via md5_number_upper)."""
+    Plan: the cluster map is the memoized labels artifact, SIZE-GATED
+    (the dedup_keep discipline): under the gate it broadcasts and
+    assignment is ONE shuffle-free streaming pass (sorted-array lookup
+    + md5 bucket); above it the labels stay a Dataset and the group key
+    comes from a distributed LEFT OUTER hash join (coalesce cluster_id
+    -> own id). Deterministic and parallelism-invariant either way:
+    md5(group_key) % val_mod == 0 -> 'val' (DuckDB lockstep via
+    md5_number_upper)."""
     from pdf_parser_ray.functions.sketches import _md5_64
 
-    key = _memo_key(sf_dir, threshold)
-    if key not in _CLUSTER_CACHE:
-        _CLUSTER_CACHE[key] = docs_dup_clusters(sf_dir, threshold=threshold)
-    clusters = _CLUSTER_CACHE[key]
-    cids = clusters["doc_id"].to_numpy(np.int64)
-    order = np.argsort(cids)
-    cref = ray.put((cids[order],
-                    clusters["cluster_id"].to_numpy(np.int64)[order]))
-
+    labels, n_labels = _cluster_labels(sf_dir, threshold)
     docs = rel.load(sf_dir, "documents", ["doc_id"])
 
-    def assign(batch: pa.Table) -> pa.Table:
-        ids_s, reps = ray.get(cref)
-        d = batch.column("doc_id").to_numpy().astype(np.int64)
-        gk = d.copy()
-        if len(ids_s):
-            pos = np.clip(np.searchsorted(ids_s, d), 0, len(ids_s) - 1)
-            hit = ids_s[pos] == d
-            gk[hit] = reps[pos[hit]]
+    def split_of(gk: np.ndarray, d: np.ndarray) -> pa.Table:
         # short-string md5 per row; the bucket count is val_mod so the
         # loop body is one digest — vectorize via a hashed int column if
         # this stage ever dominates (it is I/O-bound today)
@@ -5177,8 +5231,51 @@ def docs_split_leakage_safe(sf_dir: str, threshold: float = 0.8,
             "split": pa.array(split, pa.string()),
         })
 
-    out = docs.map_batches(assign, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    if n_labels <= broadcast_max:
+        clusters = _cluster_frame(sf_dir, threshold)
+        cids = clusters["doc_id"].to_numpy(np.int64)
+        order = np.argsort(cids)
+        cref = ray.put((cids[order],
+                        clusters["cluster_id"].to_numpy(np.int64)[order]))
+
+        def assign(batch: pa.Table) -> pa.Table:
+            ids_s, reps = ray.get(cref)
+            d = batch.column("doc_id").to_numpy().astype(np.int64)
+            gk = d.copy()
+            if len(ids_s):
+                pos = np.clip(np.searchsorted(ids_s, d), 0, len(ids_s) - 1)
+                hit = ids_s[pos] == d
+                gk[hit] = reps[pos[hit]]
+            return split_of(gk, d)
+
+        out = docs.map_batches(assign, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    else:
+        docs_schema = pa.schema([("doc_id", pa.int64())])
+
+        def as_member(batch: pa.Table) -> pa.Table:
+            return pa.table({"m_doc_id": batch.column("doc_id"),
+                             "cluster_id": batch.column("cluster_id")})
+
+        member_schema = pa.schema([("m_doc_id", pa.int64()),
+                                   ("cluster_id", pa.int64())])
+        member = rel.ensure_schema(
+            labels.map_batches(as_member, batch_format="pyarrow",
+                               zero_copy_batch=True), member_schema)
+        joined = rel.hash_join_guarded(
+            rel.ensure_schema(docs, docs_schema), member,
+            "doc_id", "m_doc_id", rel.join_partitions(n_labels),
+            docs_schema, member_schema, join_type="left_outer")
+
+        def assign_joined(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy().astype(np.int64)
+            gk = pc.coalesce(batch.column("cluster_id"),
+                             batch.column("doc_id")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return split_of(gk, d)
+
+        out = joined.map_batches(assign_joined, batch_format="pyarrow",
+                                 zero_copy_batch=True)
     df = rel.ensure_columns(out.to_pandas(), {
         "doc_id": "int64", "group_key": "int64", "split": "object"})
     return rel.to_pandas_sorted(df, ["doc_id"])
@@ -5977,35 +6074,58 @@ def orders_open_backlog(sf_dir: str):
     return rel.to_pandas_sorted(agg[["day", "backlog"]], ["day"])
 
 
-def docs_dup_rate_by_source(sf_dir: str, threshold: float = 0.8):
+def docs_dup_rate_by_source(sf_dir: str, threshold: float = 0.8,
+                            broadcast_max: int = _CLUSTER_BROADCAST_MAX):
     """Near-duplication incidence per source — the corpus-health
     dashboard metric that tells you WHICH feed is flooding the corpus
     with copies (a crawl gone wrong shows up here first). A doc is
     'dup-involved' if it sits in any verified near-dup cluster.
 
-    Plan: the (tiny, dup-pair-bounded) cluster membership set broadcasts
-    once (the dedup_keep argument); the per-source tally is then one
-    shuffle-free marking pass + a source-bounded grouped agg. Rate is
-    exact integer ppm."""
-    key = _memo_key(sf_dir, threshold)
-    if key not in _CLUSTER_CACHE:
-        _CLUSTER_CACHE[key] = docs_dup_clusters(sf_dir, threshold=threshold)
-    member = _CLUSTER_CACHE[key]["doc_id"]
-    mref = ray.put(pa.array(sorted(member.tolist()), pa.int64()))
-
+    Plan, SIZE-GATED on the label count (the dedup_keep discipline):
+    under the gate the membership set broadcasts once and the tally is
+    a shuffle-free marking pass; above it (web-corpus dup volumes) the
+    dup-involved docs come from a distributed LEFT SEMI hash join and
+    the two per-source tallies (total / dup) are source-bounded grouped
+    aggs merged on the driver. Rate is exact integer ppm either way."""
+    labels, n_labels = _cluster_labels(sf_dir, threshold)
     ds = rel.load(sf_dir, "documents", ["doc_id", "source"])
 
-    def mark(batch: pa.Table) -> pa.Table:
-        dup = pc.cast(pc.is_in(batch.column("doc_id"),
-                               value_set=ray.get(mref)), pa.int64())
-        return pa.table({"source": batch.column("source"),
-                         "is_dup": dup})
+    if n_labels <= broadcast_max:
+        member_ds = labels.select_columns(["doc_id"])
+        mref = ray.put(rel.collect_column(member_ds, "doc_id"))
 
-    agg = rel.as_pandas(rel.grouped_agg(
-        ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True),
-        ["source"],
-        [("n_docs", "", "count"), ("n_dup", "is_dup", "sum")],
-        small_result=True))
+        def mark(batch: pa.Table) -> pa.Table:
+            dup = pc.cast(pc.is_in(batch.column("doc_id"),
+                                   value_set=ray.get(mref)), pa.int64())
+            return pa.table({"source": batch.column("source"),
+                             "is_dup": dup})
+
+        agg = rel.as_pandas(rel.grouped_agg(
+            ds.map_batches(mark, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["source"],
+            [("n_docs", "", "count"), ("n_dup", "is_dup", "sum")],
+            small_result=True))
+        agg = rel.ensure_columns(agg, {
+            "source": "object", "n_docs": "int64", "n_dup": "int64"})
+    else:
+        docs_schema = pa.schema([("doc_id", pa.int64()),
+                                 ("source", pa.string())])
+        member_schema = pa.schema([("doc_id", pa.int64())])
+        member = rel.ensure_schema(labels.select_columns(["doc_id"]),
+                                   member_schema)
+        dup_docs = rel.hash_join_guarded(
+            rel.ensure_schema(ds, docs_schema), member,
+            "doc_id", "doc_id", rel.join_partitions(n_labels),
+            docs_schema, member_schema, join_type="left_semi")
+        totals = rel.ensure_columns(rel.as_pandas(rel.grouped_agg(
+            ds, ["source"], [("n_docs", "", "count")],
+            small_result=True)), {"source": "object", "n_docs": "int64"})
+        dups = rel.ensure_columns(rel.as_pandas(rel.grouped_agg(
+            dup_docs, ["source"], [("n_dup", "", "count")],
+            small_result=True)), {"source": "object", "n_dup": "int64"})
+        agg = totals.merge(dups, on="source", how="left")
+        agg["n_dup"] = agg["n_dup"].fillna(0)
     agg["n_docs"] = agg["n_docs"].astype("int64")
     agg["n_dup"] = agg["n_dup"].astype("int64")
     agg["dup_ppm"] = (agg["n_dup"] * 1_000_000
@@ -8095,27 +8215,37 @@ def supplier_revenue_pareto(sf_dir: str, k: int = 10):
     return out
 
 
-def docs_dup_cluster_sizes(sf_dir: str, threshold: float = 0.8):
+def docs_dup_cluster_sizes(sf_dir: str, threshold: float = 0.8,
+                           broadcast_max: int = _CLUSTER_BROADCAST_MAX):
     """Near-dup cluster-size histogram: how many verified clusters
     exist at each size — the dedup-savings profile (many size-2
     clusters = boilerplate twins; a giant cluster = a template flood
     that deserves its own fix). Rides the memoized verified-near-dup
     connected components (the expensive pair kernel runs once per
-    session); membership is dup-pair-bounded, so the two grouping
-    steps are driver-cheap by construction."""
-    key = _memo_key(sf_dir, threshold)
-    if key not in _CLUSTER_CACHE:
-        _CLUSTER_CACHE[key] = docs_dup_clusters(sf_dir, threshold=threshold)
-    clusters = _CLUSTER_CACHE[key]
+    session). Under the label gate the two grouping steps run on the
+    driver frame; above it they are two distributed grouped aggs whose
+    final output (distinct sizes) is tiny by construction."""
+    labels, n_labels = _cluster_labels(sf_dir, threshold)
     empty = pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
                           "n_clusters": pd.Series(dtype="int64")})
-    if clusters.empty:
+    if n_labels == 0:
         return empty
-    sizes = clusters.groupby("cluster_id").size()
-    hist = sizes.value_counts().sort_index()
-    return pd.DataFrame({
-        "cluster_size": hist.index.to_numpy(np.int64),
-        "n_clusters": hist.to_numpy(np.int64)})
+    if n_labels <= broadcast_max:
+        clusters = _cluster_frame(sf_dir, threshold)
+        sizes = clusters.groupby("cluster_id").size()
+        hist = sizes.value_counts().sort_index()
+        return pd.DataFrame({
+            "cluster_size": hist.index.to_numpy(np.int64),
+            "n_clusters": hist.to_numpy(np.int64)})
+    sizes_ds = rel.grouped_agg(
+        labels, ["cluster_id"], [("cluster_size", "", "count")])
+    hist = rel.ensure_columns(rel.as_pandas(rel.grouped_agg(
+        sizes_ds, ["cluster_size"], [("n_clusters", "", "count")],
+        small_result=True)),
+        {"cluster_size": "int64", "n_clusters": "int64"})
+    hist["cluster_size"] = hist["cluster_size"].astype("int64")
+    hist["n_clusters"] = hist["n_clusters"].astype("int64")
+    return rel.to_pandas_sorted(hist, ["cluster_size"])
 
 
 def _arm_of(uid: int) -> str:
@@ -14406,40 +14536,82 @@ def events_hourly_ohlc(sf_dir: str):
         "n_events": pd.Series([r[5] for r in rows], dtype="int64")})
 
 
-def docs_soft_dedup_weights(sf_dir: str, threshold: float = 0.8):
+def docs_soft_dedup_weights(sf_dir: str, threshold: float = 0.8,
+                            broadcast_max: int = _CLUSTER_BROADCAST_MAX):
     """SoftDeDup-style training weights: instead of dropping near-dup
     cluster members (docs_dedup_keep), every document keeps weight
     1/cluster_size (exact truncating ppm) so a family of n near-copies
     contributes ONE document's worth of gradient mass in aggregate.
-    Rides the memoized cluster artifact (dup-bounded); the id->weight
-    map broadcasts once (bounded by dup volume) and the corpus pass is
-    a vectorized index_in lookup — singletons never enter the map."""
-    key = _memo_key(sf_dir, threshold)
-    if key not in _CLUSTER_CACHE:
-        _CLUSTER_CACHE[key] = docs_dup_clusters(sf_dir,
-                                                threshold=threshold)
-    clusters = _CLUSTER_CACHE[key]
-    if clusters.empty:
-        ids = pa.array([], pa.int64())
-        wts = pa.array([], pa.int64())
-    else:
-        sizes = clusters.groupby("cluster_id")["doc_id"].transform("size")
-        ids = pa.array(clusters["doc_id"].to_numpy(np.int64), pa.int64())
-        wts = pa.array((1_000_000 // sizes.to_numpy(np.int64)),
-                       pa.int64())
-    iref = ray.put(ids)
-    wref = ray.put(wts)
-
-    def weigh(batch: pa.Table) -> pa.Table:
-        pos = pc.index_in(batch.column("doc_id"), value_set=ray.get(iref))
-        w = pc.coalesce(pc.take(ray.get(wref), pos),
-                        pa.scalar(1_000_000, pa.int64()))
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "weight_ppm": pc.cast(w, pa.int64())})
-
+    SIZE-GATED on the label count: under the gate the id->weight map
+    broadcasts once and the corpus pass is a vectorized index_in
+    lookup; above it cluster sizes come from a distributed grouped agg,
+    members pick up weights via an inner hash join, and the corpus
+    pass is a LEFT OUTER join with null->1.0 — singletons never enter
+    either structure."""
+    labels, n_labels = _cluster_labels(sf_dir, threshold)
     docs = rel.load(sf_dir, "documents", ["doc_id"])
-    out = docs.map_batches(weigh, batch_format="pyarrow",
-                           zero_copy_batch=True)
+
+    if n_labels <= broadcast_max:
+        clusters = _cluster_frame(sf_dir, threshold)
+        if clusters.empty:
+            ids = pa.array([], pa.int64())
+            wts = pa.array([], pa.int64())
+        else:
+            sizes = clusters.groupby("cluster_id")["doc_id"] \
+                .transform("size")
+            ids = pa.array(clusters["doc_id"].to_numpy(np.int64),
+                           pa.int64())
+            wts = pa.array((1_000_000 // sizes.to_numpy(np.int64)),
+                           pa.int64())
+        iref = ray.put(ids)
+        wref = ray.put(wts)
+
+        def weigh(batch: pa.Table) -> pa.Table:
+            pos = pc.index_in(batch.column("doc_id"),
+                              value_set=ray.get(iref))
+            w = pc.coalesce(pc.take(ray.get(wref), pos),
+                            pa.scalar(1_000_000, pa.int64()))
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "weight_ppm": pc.cast(w, pa.int64())})
+
+        out = docs.map_batches(weigh, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    else:
+        n_parts = rel.join_partitions(n_labels)
+        sizes_schema = pa.schema([("cluster_id", pa.int64()),
+                                  ("sz", pa.int64())])
+        sizes_ds = rel.ensure_schema(
+            rel.grouped_agg(labels, ["cluster_id"],
+                            [("sz", "", "count")]), sizes_schema)
+        member = rel.hash_join_guarded(
+            labels, sizes_ds, "cluster_id", "cluster_id", n_parts,
+            _CLUSTER_SCHEMA, sizes_schema, join_type="inner")
+
+        def to_weight(batch: pa.Table) -> pa.Table:
+            w = pc.divide(pa.scalar(1_000_000, pa.int64()),
+                          pc.cast(batch.column("sz"), pa.int64()))
+            return pa.table({"m_doc_id": batch.column("doc_id"),
+                             "w": pc.cast(w, pa.int64())})
+
+        w_schema = pa.schema([("m_doc_id", pa.int64()),
+                              ("w", pa.int64())])
+        weights = rel.ensure_schema(
+            member.map_batches(to_weight, batch_format="pyarrow",
+                               zero_copy_batch=True), w_schema)
+        docs_schema = pa.schema([("doc_id", pa.int64())])
+        joined = rel.hash_join_guarded(
+            rel.ensure_schema(docs, docs_schema), weights,
+            "doc_id", "m_doc_id", n_parts,
+            docs_schema, w_schema, join_type="left_outer")
+
+        def fill(batch: pa.Table) -> pa.Table:
+            w = pc.coalesce(batch.column("w"),
+                            pa.scalar(1_000_000, pa.int64()))
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "weight_ppm": pc.cast(w, pa.int64())})
+
+        out = joined.map_batches(fill, batch_format="pyarrow",
+                                 zero_copy_batch=True)
     df = rel.ensure_columns(rel.as_pandas(out.to_pandas()), {
         "doc_id": "int64", "weight_ppm": "int64"})
     return rel.to_pandas_sorted(df, ["doc_id"])

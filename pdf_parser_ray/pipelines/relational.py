@@ -430,6 +430,35 @@ def hash_join_nonempty(left: ray.data.Dataset, right: ray.data.Dataset,
                      num_partitions=num_partitions)
 
 
+def hash_join_guarded(left: ray.data.Dataset, right: ray.data.Dataset,
+                      on: str, right_on: str,
+                      num_partitions: int,
+                      left_schema: pa.Schema,
+                      right_schema: pa.Schema,
+                      join_type: str = "inner") -> ray.data.Dataset:
+    """``hash_join_nonempty`` generalized to any left-preserving join
+    type (inner / left_outer / left_semi / left_anti). The same
+    impossible-key sentinels (-1 left, -2 right) defend the Acero join
+    against a fully-empty side; non-inner types can LEAK the left
+    sentinel into the output (left_outer pads it with nulls, left_anti
+    keeps it by definition), so the result is post-filtered to
+    ``on >= 0`` — callers' real int64 keys must be non-negative (the
+    doc_id/cluster_id discipline everywhere in this repo)."""
+    left = left.union(ray.data.from_arrow(
+        _sentinel_row(left_schema, on, -1)))
+    right = right.union(ray.data.from_arrow(
+        _sentinel_row(right_schema, right_on, -2)))
+    joined = left.join(right, join_type, num_partitions,
+                       on=(on,), right_on=(right_on,))
+
+    def unsentinel(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column(on),
+                                             pa.scalar(0, pa.int64())))
+
+    return joined.map_batches(unsentinel, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def interval_point_join(points: ray.data.Dataset,
                         intervals: ray.data.Dataset, *,
                         point_key: str, start_key: str, end_key: str,

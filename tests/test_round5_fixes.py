@@ -137,6 +137,30 @@ class TestNullableEvents:
         assert int(click["n_dropped"]) == 1  # only event 3
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestClusterBroadcastGate:
+    """VERDICT r4 item 1: the cluster-membership consumers are size-
+    gated — below ``broadcast_max`` labels they broadcast via ray.put,
+    above it the labels stay a Dataset and the consumers hash-join
+    (left_anti / left_outer / left_semi / grouped agg). Forcing the
+    gate to 0 must produce byte-identical output on the real sf0.001
+    corpus (the test_salted_exchange forced-path discipline)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_forced_join_paths_match_broadcast(self):
+        from pdf_parser_ray.pipelines import queries as q
+
+        _, n = q._cluster_labels(self.SF, 0.8)
+        assert n > 0, "sf0.001 must have near-dup clusters for this test"
+        for fn in [q.docs_dedup_keep, q.docs_soft_dedup_weights,
+                   q.docs_split_leakage_safe, q.docs_dup_rate_by_source,
+                   q.docs_dup_cluster_sizes]:
+            a = fn(self.SF).reset_index(drop=True)
+            b = fn(self.SF, broadcast_max=0).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b), fn.__name__
+
+
 class TestCommentTerminatorRegression:
     def test_overlapping_closer_is_not_terminator(self):
         from pdf_parser_ray.functions.htmlstrip import (
