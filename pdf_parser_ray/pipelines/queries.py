@@ -143,7 +143,17 @@ def q5_nation_revenue(sf_dir: str):
     asia_keys = region.loc[region.r_name == "ASIA", "r_regionkey"]
     nations = nation[nation.n_regionkey.isin(asia_keys)][["n_nationkey", "n_name"]]
 
-    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    # predicate-pruned dimension collection (VERDICT r4 item 2): the
+    # region filter runs DISTRIBUTED (broadcast nation-key semi join),
+    # so the driver frame is matching-customers-sized, not the whole
+    # customer dimension
+    nat_keys = pa.array(nations["n_nationkey"].to_numpy(np.int64),
+                        pa.int64())
+    cust = rel.broadcast_semi(
+        rel.load(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_nationkey", nat_keys).to_pandas()
+    cust = rel.ensure_columns(cust, {"c_custkey": "int64",
+                                     "c_nationkey": "int64"})
     cust = cust.merge(nations, left_on="c_nationkey", right_on="n_nationkey")
     cust_map = cust[["c_custkey", "n_name"]]
 
@@ -7336,9 +7346,20 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_7",
     big-big exchange is the lineitem x orders hash join; shares are
     exact integer ppm over exact cent sums (DuckDB-truncating
     division)."""
-    part = rel.load(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
-    keep_parts = pa.array(
-        part.loc[part["p_type"] == ptype, "p_partkey"].to_numpy(np.int64))
+    # predicate-pruned dimension collection: the p_type filter runs
+    # DISTRIBUTED; only matching partkeys reach the driver
+    def match_type(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("p_type"), pa.scalar(ptype))
+        return batch.filter(keep).select(["p_partkey"])
+
+    keep_parts = rel.collect_column(
+        rel.ensure_schema(
+            rel.load(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+                match_type, batch_format="pyarrow", zero_copy_batch=True),
+            pa.schema([("p_partkey", pa.int64())])), "p_partkey")
+    # supplier nation map: predicate-free (every nation contributes to
+    # total_c), so the whole supplier->nation map is a deliberate
+    # dimension-bounded broadcast
     supp = rel.load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     nat = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
     supp = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
@@ -7496,14 +7517,23 @@ def q18_large_orders(sf_dir: str, min_qty: float = 250.0):
         orders, big, on="o_orderkey", right_on="l_orderkey",
         num_partitions=n_parts,
         left_schema=orders_schema, right_schema=big_schema)
-    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    out = rel.as_pandas(rel.broadcast_merge(
-        joined, cust.rename(columns={"c_custkey": "o_custkey"}),
-        on="o_custkey"))
-    out = rel.ensure_columns(out, {
-        "c_name": "object", "o_custkey": "int64", "o_orderkey": "int64",
+    jdf = rel.ensure_columns(rel.as_pandas(joined.to_pandas()), {
+        "o_custkey": "int64", "o_orderkey": "int64",
         "o_orderdate": "datetime64[us]", "o_totalprice": "float64",
         "qc": "int64"})
+    # predicate-pruned name fetch (VERDICT r4 item 2): the surviving
+    # orders are threshold-bounded tiny, so filter the customer
+    # dimension DISTRIBUTED to just the matching keys before any
+    # driver collection — never the whole name map
+    need = pa.array(np.unique(jdf["o_custkey"].to_numpy(np.int64))
+                    if len(jdf) else [], pa.int64())
+    cust = rel.broadcast_semi(
+        rel.load(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "c_custkey", need).to_pandas()
+    cust = rel.ensure_columns(cust, {"c_custkey": "int64",
+                                     "c_name": "object"})
+    out = jdf.merge(cust.rename(columns={"c_custkey": "o_custkey"}),
+                    on="o_custkey")
     out["total_qty"] = out["qc"].astype("int64") / 100.0
     out["o_totalprice"] = series_round_half_away(out["o_totalprice"], 2)
     return rel.to_pandas_sorted(
@@ -7518,16 +7548,30 @@ def q19_discounted_revenue(sf_dir: str):
     (partkey, brand, size) rows ship, ~12% of the dimension); the
     band masks are vectorized Arrow kernels; the global sum is exact
     cents."""
-    part = rel.load(sf_dir, "part",
-                    ["p_partkey", "p_brand", "p_size"]).to_pandas()
     bands = [("Brand#12", 1, 15, 1.0, 11.0),
              ("Brand#23", 1, 25, 10.0, 20.0),
              ("Brand#34", 1, 35, 20.0, 30.0)]
-    keep = part[
-        ((part["p_brand"] == bands[0][0]) & part["p_size"].between(1, 15))
-        | ((part["p_brand"] == bands[1][0]) & part["p_size"].between(1, 25))
-        | ((part["p_brand"] == bands[2][0]) & part["p_size"].between(1, 35))
-    ][["p_partkey", "p_brand"]].rename(columns={"p_partkey": "l_partkey"})
+
+    # the disjunctive brand/size predicate runs DISTRIBUTED; only the
+    # ~12% matching (partkey, brand) rows ever reach the driver
+    def match_bands(batch: pa.Table) -> pa.Table:
+        brand = batch.column("p_brand")
+        size = batch.column("p_size")
+        mask = None
+        for b, slo, shi, _, _ in bands:
+            m = pc.and_(pc.equal(brand, pa.scalar(b)),
+                        pc.and_(pc.greater_equal(size, pa.scalar(slo)),
+                                pc.less_equal(size, pa.scalar(shi))))
+            mask = m if mask is None else pc.or_(mask, m)
+        return batch.filter(mask).select(["p_partkey", "p_brand"])
+
+    keep = rel.ensure_columns(
+        rel.load(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).map_batches(
+            match_bands, batch_format="pyarrow",
+            zero_copy_batch=True).to_pandas(),
+        {"p_partkey": "int64", "p_brand": "object"}).rename(
+        columns={"p_partkey": "l_partkey"})
 
     line = rel.load(sf_dir, "lineitem",
                     ["l_partkey", "l_quantity", "l_extendedprice",
@@ -7935,9 +7979,17 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#23"):
     exact integer cross-product form 5*qty*cnt < sum_qty (quantities
     are integral), so no double rounding can flip a row; the final
     scalar is one exact-cents sum divided once."""
-    part = rel.load(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    keep = pa.array(
-        part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy(np.int64))
+    # predicate-pruned dimension collection: the brand filter runs
+    # DISTRIBUTED; only matching partkeys reach the driver
+    def match_brand(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("p_brand"), pa.scalar(brand))
+        return batch.filter(m).select(["p_partkey"])
+
+    keep = rel.collect_column(
+        rel.ensure_schema(
+            rel.load(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+                match_brand, batch_format="pyarrow", zero_copy_batch=True),
+            pa.schema([("p_partkey", pa.int64())])), "p_partkey")
     line = rel.load(sf_dir, "lineitem",
                     ["l_partkey", "l_quantity", "l_extendedprice"])
     line = rel.broadcast_semi(line, "l_partkey", keep)
@@ -11808,8 +11860,14 @@ def q20_dominant_suppliers(sf_dir: str):
             ["l_suppkey"], [("n_dominant_parts", "", "count")],
             small_result=True)),
         {"l_suppkey": "int64", "n_dominant_parts": "int64"})
-    supp = rel.load(sf_dir, "supplier",
-                    ["s_suppkey", "s_name"]).to_pandas()
+    # predicate-pruned name fetch: only the surviving suppliers' names
+    # reach the driver (the q18 pattern)
+    need = pa.array(np.unique(counts["l_suppkey"].to_numpy(np.int64))
+                    if len(counts) else [], pa.int64())
+    supp = rel.ensure_columns(rel.broadcast_semi(
+        rel.load(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        "s_suppkey", need).to_pandas(),
+        {"s_suppkey": "int64", "s_name": "object"})
     out = counts.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
     out = out[["l_suppkey", "s_name", "n_dominant_parts"]]
     out["n_dominant_parts"] = out["n_dominant_parts"].astype("int64")
@@ -11891,8 +11949,13 @@ def q21_last_shippers(sf_dir: str):
                            zero_copy_batch=True),
             ["win"], [("n_orders", "", "count")], small_result=True)),
         {"win": "int64", "n_orders": "int64"})
-    supp = rel.load(sf_dir, "supplier",
-                    ["s_suppkey", "s_name"]).to_pandas()
+    # predicate-pruned name fetch (the q18 pattern)
+    need = pa.array(np.unique(counts["win"].to_numpy(np.int64))
+                    if len(counts) else [], pa.int64())
+    supp = rel.ensure_columns(rel.broadcast_semi(
+        rel.load(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        "s_suppkey", need).to_pandas(),
+        {"s_suppkey": "int64", "s_name": "object"})
     out = counts.merge(supp, left_on="win", right_on="s_suppkey")
     out = out.rename(columns={"win": "l_suppkey"})
     out = out[["l_suppkey", "s_name", "n_orders"]]
@@ -15071,8 +15134,10 @@ def orders_constraint_report(sf_dir: str):
     ds = rel.load(sf_dir, "orders",
                   ["o_orderkey", "o_custkey", "o_orderstatus",
                    "o_totalprice", "o_orderdate"])
-    cust = rel.load(sf_dir, "customer", ["c_custkey"]).to_pandas()
-    cust_ref = _ray.put(np.sort(cust["c_custkey"].to_numpy(np.int64)))
+    ckeys = rel.collect_column(
+        rel.load(sf_dir, "customer", ["c_custkey"]), "c_custkey")
+    cust_ref = _ray.put(np.sort(
+        ckeys.to_numpy(zero_copy_only=False).astype(np.int64)))
     _STATUS = pa.array(["F", "O", "P"])
 
     def local_checks(batch: pa.Table) -> pa.Table:

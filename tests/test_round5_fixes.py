@@ -161,6 +161,52 @@ class TestClusterBroadcastGate:
             pd.testing.assert_frame_equal(a, b), fn.__name__
 
 
+class TestDimensionCollectionGate:
+    """VERDICT r4 item 2: no pipeline may gather a whole big dimension
+    on the driver when a predicate could prune it first. The allowlist
+    below is the set of functions whose full-dimension collection is a
+    DELIBERATE predicate-free dimension map (every row genuinely
+    needed as a broadcast side); any new `rel.load(big_table).
+    to_pandas()` site outside it fails this gate and must either push
+    its predicate into a distributed filter (q5/q8/q17/q19 pattern) or
+    be argued onto the allowlist."""
+
+    ALLOWED = {
+        "segment_order_stats",        # full mktsegment map (all segments)
+        "segment_price_quartiles",    # full mktsegment map (all segments)
+        "q14_promo_share",            # is_promo flag over ALL parts
+        "q7_trade_volume",            # supplier+customer nation maps
+        "q8_market_share",            # supplier nation map (all nations)
+        "part_type_price_index",      # per-type agg needs ALL parts
+        "part_type_supplier_counts",  # per-type agg needs ALL parts
+        "nation_supplier_hhi",        # supplier->nation map (all rows)
+        "customer_nation_matrix",     # both nation maps (full matrix)
+        "region_revenue_share",       # supplier->region map (all rows)
+        "customer_single_order_by_nation",  # customer nation map
+        "q9_profit_by_nation_year",   # supplier nation map
+        "customer_decile_by_nation",  # deciles need ALL customers
+    }
+
+    def test_big_dimension_to_pandas_sites_are_allowlisted(self):
+        import re
+
+        src_path = "/root/repo/pdf_parser_ray/pipelines/queries.py"
+        with open(src_path) as f:
+            src = f.read()
+        pat = re.compile(
+            r'rel\.load\(sf_dir, "(?:part|supplier|customer|orders|'
+            r'lineitem)"[^)]*\)\.to_pandas\(\)')
+        offenders = set()
+        for m in pat.finditer(src):
+            # attribute the hit to its enclosing def
+            defs = [(d.start(), d.group(1)) for d in re.finditer(
+                r"^def (\w+)\(", src[:m.start()], re.M)]
+            offenders.add(defs[-1][1] if defs else "<module>")
+        assert offenders <= self.ALLOWED, (
+            f"unlisted full-dimension driver collection in: "
+            f"{sorted(offenders - self.ALLOWED)}")
+
+
 class TestCommentTerminatorRegression:
     def test_overlapping_closer_is_not_terminator(self):
         from pdf_parser_ray.functions.htmlstrip import (
