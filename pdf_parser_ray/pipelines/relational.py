@@ -523,9 +523,14 @@ def interval_point_join(points: ray.data.Dataset,
 
 
 def local_topk(ds: ray.data.Dataset, sort_keys: list[tuple[str, str]],
-               k: int) -> pd.DataFrame:
+               k: int, driver_max: int = 64 * 1024) -> pd.DataFrame:
     """Global top-k without a sort shuffle: per-batch local top-k (Arrow
-    sort_indices) then a tiny driver merge of <= k rows per block.
+    sort_indices), then TREE-MERGE levels (64 candidate sets per merge
+    batch — the HLL fan-in pattern) until at most ``driver_max``
+    candidate rows remain to cross to the driver. At 100 TB / 128 MB
+    blocks the per-block candidates alone are ~800k*k rows; the merge
+    levels bound the driver concat regardless of block count, and each
+    level runs over the already-k-bounded candidates only.
     ``sort_keys`` follow pyarrow: [(col, "ascending"|"descending"), ...].
     """
 
@@ -535,8 +540,13 @@ def local_topk(ds: ray.data.Dataset, sort_keys: list[tuple[str, str]],
         idx = pc.sort_indices(batch, sort_keys=sort_keys)
         return batch.take(idx[:k])
 
-    cand = ds.map_batches(take_top, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
+    cand_ds = ds.map_batches(take_top, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    while cand_ds.count() > max(driver_max, k):
+        cand_ds = cand_ds.map_batches(
+            take_top, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=64 * k).materialize()
+    cand = cand_ds.to_pandas()
     cols = [c for c, _ in sort_keys]
     if cand.empty and not set(cols) <= set(cand.columns):
         # all-empty upstream loses the Dataset schema; rebuild the sort
