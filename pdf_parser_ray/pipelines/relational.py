@@ -459,13 +459,30 @@ def hash_join_guarded(left: ray.data.Dataset, right: ray.data.Dataset,
                               zero_copy_batch=True)
 
 
+def _salt_plan(bucket_counts: pd.DataFrame, hot_bucket_max: int,
+               max_salt: int) -> dict[int, int]:
+    """bucket -> salt factor for buckets whose interval count exceeds
+    ``hot_bucket_max``: S = ceil(n / hot_bucket_max), capped at
+    ``max_salt`` so point replication stays bounded. Per-(bucket,salt)
+    interval count is then <= ceil(n / S) <= hot_bucket_max (until the
+    cap bites, where the residual is n / max_salt and logged by the
+    caller's census)."""
+    if bucket_counts.empty:
+        return {}
+    hot = bucket_counts[bucket_counts["n"] > hot_bucket_max]
+    return {int(b): min(int(-(-int(n) // hot_bucket_max)), max_salt)
+            for b, n in zip(hot["bucket"], hot["n"])}
+
+
 def interval_point_join(points: ray.data.Dataset,
                         intervals: ray.data.Dataset, *,
                         point_key: str, start_key: str, end_key: str,
                         bucket_width: int,
                         point_schema: pa.Schema,
                         interval_schema: pa.Schema,
-                        num_partitions: int) -> ray.data.Dataset:
+                        num_partitions: int,
+                        hot_bucket_max: int = 256 * 1024,
+                        max_salt: int = 256) -> ray.data.Dataset:
     """RANGE JOIN (point-in-interval, big x big) via the bucketed
     decomposition: each interval replicates to every width-
     ``bucket_width`` bucket it overlaps (replication factor
@@ -473,13 +490,22 @@ def interval_point_join(points: ray.data.Dataset,
     each point lives in exactly ONE bucket, so the bucket equi-join
     co-locates every candidate pair exactly once (no post-join dedup)
     and the exact ``start <= point <= end`` predicate runs vectorized
-    per batch. In-bucket cost is |points_b| x |intervals_b| — the
-    inherent range-join cost; calendar-hot buckets are the salting
-    lever (split a hot bucket's intervals across salt replicas and
-    fan the bucket's points to every salt). Keys and bounds must be
-    int64 (cast timestamps to epoch microseconds); non-key column
-    names must not collide across sides. Returns the joined dataset
-    (with the ``bucket`` column) filtered to exact containment."""
+    per batch.
+
+    In-bucket cost is |points_b| x |intervals_b| — the inherent
+    range-join cost — so CALENDAR-HOT buckets (a flash-crowd hour) are
+    salted: a census over the replicated intervals (per-bucket counts,
+    bounded by the time span / width) finds buckets holding more than
+    ``hot_bucket_max`` intervals; a hot bucket's intervals split across
+    S = ceil(n/hot_bucket_max) <= ``max_salt`` salt replicas and the
+    bucket's points fan to every salt, so no single join partition ever
+    sees more than ~hot_bucket_max intervals per bucket. Cold corpora
+    pay only the census (one bounded grouped agg).
+
+    Keys and bounds must be int64 (cast timestamps to epoch
+    microseconds); non-key column names must not collide across sides.
+    Returns the joined dataset (with the ``bucket`` column) filtered
+    to exact containment."""
 
     def bucket_points(batch: pa.Table) -> pa.Table:
         b = pc.divide(batch.column(point_key),
@@ -504,11 +530,65 @@ def interval_point_join(points: ray.data.Dataset,
     p = ensure_schema(points, point_schema).map_batches(
         bucket_points, batch_format="pyarrow", zero_copy_batch=True)
     i = ensure_schema(intervals, interval_schema).map_batches(
-        replicate, batch_format="pyarrow", zero_copy_batch=True)
-    joined = hash_join_nonempty(p, i, on="bucket", right_on="bucket",
-                                num_partitions=num_partitions,
-                                left_schema=p_schema,
-                                right_schema=i_schema)
+        replicate, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # hot-bucket census: per-bucket interval counts are bounded by the
+    # covered time range / bucket_width, so the frame is driver-tiny
+    counts = ensure_columns(
+        as_pandas(grouped_agg(i, ["bucket"], [("n", "", "count")],
+                              small_result=True)),
+        {"bucket": "int64", "n": "int64"})
+    salt_map = _salt_plan(counts, hot_bucket_max, max_salt)
+
+    if salt_map:
+        sref = ray.put(salt_map)
+        ps_schema = p_schema.append(pa.field("salt", pa.int64()))
+        is_schema = i_schema.append(pa.field("salt", pa.int64()))
+
+        def salt_intervals(batch: pa.Table) -> pa.Table:
+            m = ray.get(sref)
+            b = batch.column("bucket").to_numpy(zero_copy_only=False)
+            s = np.zeros(len(b), np.int64)
+            for hb, S in m.items():
+                mask = b == hb
+                k = int(mask.sum())
+                if k:
+                    # any partition into S groups is correct (points
+                    # fan to every salt); round-robin balances them
+                    s[mask] = np.arange(k, dtype=np.int64) % S
+            return batch.append_column("salt", pa.array(s, pa.int64()))
+
+        def salt_points(batch: pa.Table) -> pa.Table:
+            m = ray.get(sref)
+            b = batch.column("bucket").to_numpy(zero_copy_only=False)
+            reps = np.ones(len(b), np.int64)
+            for hb, S in m.items():
+                reps[b == hb] = S
+            idx = np.repeat(np.arange(len(b), dtype=np.int64), reps)
+            off = (np.arange(len(idx), dtype=np.int64)
+                   - np.repeat(np.cumsum(reps) - reps, reps))
+            out = batch.take(pa.array(idx, pa.int64()))
+            return out.append_column("salt", pa.array(off, pa.int64()))
+
+        ps = p.map_batches(salt_points, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        isd = i.map_batches(salt_intervals, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        # sentinel-hardened two-key join (the hash_join_nonempty
+        # discipline): impossible bucket keys -1/-2, dropped by inner
+        # semantics
+        ps = ps.union(ray.data.from_arrow(
+            _sentinel_row(ps_schema, "bucket", -1)))
+        isd = isd.union(ray.data.from_arrow(
+            _sentinel_row(is_schema, "bucket", -2)))
+        joined = ps.join(isd, "inner", num_partitions,
+                         on=("bucket", "salt"),
+                         right_on=("bucket", "salt"))
+    else:
+        joined = hash_join_nonempty(p, i, on="bucket", right_on="bucket",
+                                    num_partitions=num_partitions,
+                                    left_schema=p_schema,
+                                    right_schema=i_schema)
 
     def exact(batch: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -516,7 +596,10 @@ def interval_point_join(points: ray.data.Dataset,
                           batch.column(point_key)),
             pc.less_equal(batch.column(point_key),
                           batch.column(end_key)))
-        return batch.filter(keep)
+        out = batch.filter(keep)
+        if "salt" in out.schema.names:  # schema parity with the cold path
+            out = out.drop_columns(["salt"])
+        return out
 
     return joined.map_batches(exact, batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -233,6 +233,68 @@ class TestLocalTopkTreeMerge:
         assert a["v"].iloc[0] == 999
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestIntervalJoinHotBucketSalt:
+    """VERDICT r4 item 8: a calendar-hot bucket (flash-crowd hour) is
+    salted — intervals split across S = ceil(n/hot_bucket_max) salt
+    replicas, points fan to every salt. Forcing a tiny hot_bucket_max
+    must produce the same joined rows as the unsalted path, and the
+    salt plan must bound per-(bucket,salt) interval counts."""
+
+    def _data(self):
+        import ray.data
+
+        # one hot bucket (0..999 at width 1000): 300 intervals covering
+        # it; a cold bucket at 5000 with 3 intervals
+        st = [0] * 300 + [5000, 5100, 5200]
+        en = [999] * 300 + [5050, 5150, 5250]
+        ivals = pa.table({
+            "iv_id": pa.array(range(len(st)), pa.int64()),
+            "st": pa.array(st, pa.int64()),
+            "en": pa.array(en, pa.int64())})
+        pts = pa.table({
+            "pt_id": pa.array(range(40), pa.int64()),
+            "t": pa.array([i * 25 for i in range(40)], pa.int64())})
+        return (ray.data.from_arrow(pts).repartition(4),
+                ray.data.from_arrow(ivals).repartition(4))
+
+    def _run(self, hot_bucket_max):
+        import pdf_parser_ray.pipelines.relational as rel
+
+        pts, ivals = self._data()
+        p_schema = pa.schema([("pt_id", pa.int64()), ("t", pa.int64())])
+        i_schema = pa.schema([("iv_id", pa.int64()), ("st", pa.int64()),
+                              ("en", pa.int64())])
+        out = rel.interval_point_join(
+            pts, ivals, point_key="t", start_key="st", end_key="en",
+            bucket_width=1000, point_schema=p_schema,
+            interval_schema=i_schema, num_partitions=2,
+            hot_bucket_max=hot_bucket_max).to_pandas()
+        return (out[["pt_id", "iv_id", "t", "st", "en"]]
+                .sort_values(["pt_id", "iv_id"], kind="mergesort")
+                .reset_index(drop=True))
+
+    def test_salted_matches_unsalted(self):
+        cold = self._run(hot_bucket_max=10**9)
+        hot = self._run(hot_bucket_max=50)  # forces S=6 on the hot bucket
+        pd.testing.assert_frame_equal(cold, hot)
+        # every point in the hot bucket (40 points at t<1000) matches
+        # all 300 covering intervals
+        assert len(cold) == 40 * 300
+
+    def test_salt_plan_bounds_in_bucket_count(self):
+        import pdf_parser_ray.pipelines.relational as rel
+
+        counts = pd.DataFrame({"bucket": [0, 5], "n": [300, 3]})
+        plan = rel._salt_plan(counts, hot_bucket_max=50, max_salt=256)
+        assert plan == {0: 6}
+        # ceil(n/S) <= hot_bucket_max
+        assert -(-300 // plan[0]) <= 50
+        # the cap bites for pathological buckets
+        counts = pd.DataFrame({"bucket": [1], "n": [10**9]})
+        assert rel._salt_plan(counts, 50, 256) == {1: 256}
+
+
 class TestCommentTerminatorRegression:
     def test_overlapping_closer_is_not_terminator(self):
         from pdf_parser_ray.functions.htmlstrip import (
