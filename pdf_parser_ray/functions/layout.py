@@ -111,10 +111,24 @@ def _claim_table_regions(pdict: dict, blocks: list[dict],
                          page_height: float) -> tuple[list[dict], list[dict]]:
     """Materialise payload tables and drop text blocks overlapping any table
     bbox (analyzer.py:218-268). Per the reference, a failure in table
-    handling degrades to "no tables" rather than failing the page."""
+    handling degrades to "no tables" rather than failing the page.
+
+    Real-PDF seam: a page carrying a ``drawings`` payload (drawn rule
+    lines, the PyMuPDF get_drawings shape) additionally runs the native
+    ruled-line detector (functions/tabledetect.py — the from-scratch
+    analog of pdfplumber's lines strategy, detector.py:119-163); its
+    specs feed the SAME conversion/validation path as fixture tables."""
     try:
+        specs = list(pdict.get("tables", []))
+        if pdict.get("drawings"):
+            from pdf_parser_ray.functions.tabledetect import (
+                detect_ruled_tables)
+            try:
+                specs.extend(detect_ruled_tables(pdict))
+            except Exception:
+                pass  # detection degrades to "no detected tables"
         tables = []
-        for spec in pdict.get("tables", []):
+        for spec in specs:
             # per-table tolerance, like detector.py:198-241's inner catch
             try:
                 t = tabmod.table_from_payload(spec, page_height)

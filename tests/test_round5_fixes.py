@@ -295,6 +295,125 @@ class TestIntervalJoinHotBucketSalt:
         assert rel._salt_plan(counts, 50, 256) == {1: 256}
 
 
+def _span(text, x0, y0, x1, y1):
+    return {"text": text, "bbox": [x0, y0, x1, y1],
+            "font": "Times-Roman", "size": 11.0, "flags": 0, "color": 0}
+
+
+def _cell_block(texts_boxes):
+    lines = [{"bbox": list(b), "spans": [_span(t, *b)]}
+             for t, b in texts_boxes]
+    xs = [b[0] for _, b in texts_boxes] + [b[2] for _, b in texts_boxes]
+    ys = [b[1] for _, b in texts_boxes] + [b[3] for _, b in texts_boxes]
+    return {"type": 0, "bbox": [min(xs), min(ys), max(xs), max(ys)],
+            "lines": lines}
+
+
+class TestRuledLineTableDetector:
+    """VERDICT r4 item 3: native ruled-line detection (the pdfplumber
+    lines-strategy analog, detector.py:119-163) over the page-dict
+    ``drawings`` payload. A page with drawn rules must produce the SAME
+    table dict the equivalent fixture-payload page does — both arrival
+    paths share table_from_payload."""
+
+    # 3 rows x 2 cols: x rules 100/200/300, y rules 100/120/140/160
+    DATA = [["Name", "Value"], ["Item1", "100"], ["Item2", "200"]]
+
+    def _spans(self):
+        out = []
+        for r, row in enumerate(self.DATA):
+            for c, text in enumerate(row):
+                x0 = 105 + c * 100
+                y0 = 105 + r * 20
+                out.append((text, (x0, y0, x0 + 40, y0 + 10)))
+        return out
+
+    def _page_payload(self):
+        return {"width": 612.0, "height": 792.0, "page_number": 1,
+                "blocks": [_cell_block(self._spans())],
+                "tables": [{"bbox_topleft": [100.0, 100.0, 300.0, 160.0],
+                            "data": self.DATA}]}
+
+    def _page_drawn(self, jitter=0.0, as_rect_frame=False):
+        d = []
+        if as_rect_frame:
+            d.append({"type": "rect", "bbox": [100, 100, 300, 160]})
+            inner_y, inner_x = [120, 140], [200]
+        else:
+            inner_y = [100, 120, 140, 160]
+            inner_x = [100, 200, 300]
+        for y in inner_y:
+            d.append({"type": "line", "p0": [100, y + jitter],
+                      "p1": [300, y]})
+        for x in inner_x:
+            d.append({"type": "line", "p0": [x + jitter, 100],
+                      "p1": [x, 160]})
+        return {"width": 612.0, "height": 792.0, "page_number": 1,
+                "blocks": [_cell_block(self._spans())],
+                "drawings": d}
+
+    def test_detected_table_matches_payload_path(self):
+        from pdf_parser_ray.functions import layout
+
+        a = layout.analyze_page(1, self._page_payload())
+        b = layout.analyze_page(1, self._page_drawn())
+        assert len(a["tables"]) == len(b["tables"]) == 1
+        ta, tb = a["tables"][0], b["tables"][0]
+        assert ta["ascii"] == tb["ascii"]
+        assert [c["text"] for c in ta["cells"]] == \
+            [c["text"] for c in tb["cells"]]
+        assert ta["has_header"] == tb["has_header"]
+        assert tuple(ta["box"]) == tuple(tb["box"])
+        # text blocks inside the table region are claimed on both paths
+        assert len(a["blocks"]) == len(b["blocks"])
+
+    def test_rect_frame_and_snap_jitter(self):
+        from pdf_parser_ray.functions import layout
+
+        base = layout.analyze_page(1, self._page_drawn())
+        for page in (self._page_drawn(jitter=2.0),
+                     self._page_drawn(as_rect_frame=True)):
+            out = layout.analyze_page(1, page)
+            assert len(out["tables"]) == 1
+            assert out["tables"][0]["ascii"] == base["tables"][0]["ascii"]
+
+    def test_noise_drawings_no_false_positive(self):
+        from pdf_parser_ray.functions import layout
+
+        page = {"width": 612.0, "height": 792.0, "page_number": 1,
+                "blocks": [_cell_block(self._spans())],
+                "drawings": [
+                    {"type": "line", "p0": [50, 400], "p1": [500, 400]},
+                    {"type": "line", "p0": [10, 10], "p1": [30, 30]},
+                    {"not": "a drawing"},
+                ]}
+        out = layout.analyze_page(1, page)
+        assert out["tables"] == []
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_cli_analyze_shows_detected_table(self, tmp_path, capsys):
+        import json
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.cli import main
+
+        bundle = {"pages": [self._page_drawn()],
+                  "metadata": {"title": "t", "author": "a"}}
+        tbl = pa.table({
+            "url": pa.array(["https://x.org/d/1.pdf"]),
+            "warc_ts": pa.array([dt.datetime(2024, 1, 1)],
+                                pa.timestamp("us")),
+            "html": pa.array([json.dumps(bundle).encode()], pa.binary()),
+            "text": pa.array(["ignored"]),
+            "lang": pa.array(["en"])})
+        path = str(tmp_path / "one.parquet")
+        pq.write_table(tbl, path)
+        assert main(["analyze", path, "--url",
+                     "https://x.org/d/1.pdf"]) == 0
+        assert "tables: 1" in capsys.readouterr().out
+
+
 class TestCommentTerminatorRegression:
     def test_overlapping_closer_is_not_terminator(self):
         from pdf_parser_ray.functions.htmlstrip import (
