@@ -10,8 +10,10 @@ Codec seams, mirroring the pdfbytes pattern (probe once per actor in
   features (backend="stub") for anything else.
 - audio: torchaudio when importable (seam only); otherwise a REAL WAV
   decode via stdlib ``wave`` for RIFF/WAVE payloads; stub otherwise.
-- video: no stdlib codec exists, so the decode stays STUBBED (cv2 seam
-  probed; a deterministic fake marked backend="stub").
+- video: cv2 when importable (seam only); otherwise a REAL minimal AVI
+  decoder (RIFF walker + BITMAPINFOHEADER, uncompressed 24-bit BI_RGB
+  'DIB ' frames — the standard raw-RGB AVI profile) for RIFF/AVI
+  payloads; deterministic fake (backend="stub") for anything else.
 
 The ``backend`` output column records which path produced each row, so
 a corpus mixing decodable and opaque payloads is auditable after the
@@ -192,6 +194,98 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     return x, sr
 
 
+AVI_MAGIC = b"RIFF"
+
+
+def avi_encode(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Minimal AVI writer for uncompressed 24-bit BI_RGB ('DIB ') video
+    — the test/synth-corpus twin of ``avi_decode``; stdlib-only.
+    ``frames`` is (n, h, w, 3) RGB uint8; rows are stored bottom-up BGR
+    with 4-byte-aligned stride per the BMP/AVI convention."""
+    f = np.ascontiguousarray(frames, np.uint8)
+    n, h, w, _ = f.shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(four: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four + body)
+
+    frame_chunks = []
+    for i in range(n):
+        rows = []
+        for y in range(h - 1, -1, -1):
+            row = f[i, y][:, ::-1].tobytes()  # RGB -> BGR
+            rows.append(row + b"\x00" * (stride - len(row)))
+        frame_chunks.append(chunk(b"00db", b"".join(rows)))
+
+    avih = struct.pack("<14I", 1_000_000 // max(fps, 1), stride * h * fps,
+                       0, 0x10, n, 0, 1, stride * h, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB "
+            + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                          stride * h, 0xFFFFFFFF)
+            + struct.pack("<I", 0) + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(frame_chunks))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
+    """REAL minimal AVI decode (stdlib struct + numpy): walks the RIFF
+    tree, reads the first 'vids' stream's BITMAPINFOHEADER, and accepts
+    only uncompressed 24-bit BI_RGB frames ('00db'/'00dc' chunks,
+    bottom-up BGR rows, 4-byte stride). Returns ((n, h, w, 3) RGB
+    uint8, fps). Raises ValueError on any other profile — callers
+    degrade to the stub path per row."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    dims: list[tuple[int, int, int]] = []   # (w, h, compression)
+    rate: list[float] = []
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cc = buf[pos:pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body_end = min(pos + 8 + length, end)
+            if cc == b"LIST":
+                walk(buf, pos + 12, body_end)
+            elif cc == b"strh" and not rate:
+                if buf[pos + 8:pos + 12] == b"vids":
+                    scale, r = struct.unpack(
+                        "<II", buf[pos + 28:pos + 36])
+                    rate.append(r / scale if scale else float(r))
+            elif cc == b"strf" and not dims:
+                _sz, w, h, _planes, bits, comp = struct.unpack(
+                    "<IiiHHI", buf[pos + 8:pos + 28])
+                dims.append((w, h, bits, comp))
+            elif cc in (b"00db", b"00dc"):
+                frames_raw.append(buf[pos + 8:body_end])
+            pos = body_end + (length & 1)
+
+    walk(payload, 12, len(payload))
+    if not dims or not frames_raw:
+        raise ValueError("missing stream format / frames")
+    w, h, bits, comp = dims[0]
+    if comp != 0 or bits != 24 or h <= 0 or w <= 0:
+        raise ValueError(
+            f"unsupported AVI profile (bits={bits}, compression={comp})")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) < stride * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(raw[:stride * h], np.uint8).reshape(h, stride)
+        # bottom-up BGR -> top-down RGB
+        out[i] = rows[:, :w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    return out, (rate[0] if rate else 25.0)
+
+
 def image_grid_feature(arr: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     """Decoded image -> feature vector: 4x4 grid of mean luminance in
     [0, 1] (blocks clamp to >= 1 px for tiny images)."""
@@ -239,11 +333,11 @@ MEDIA_BATCH_SIZE = 16
 
 
 def synth_media_table(n_rows: int, seed: int = 7) -> pa.Table:
-    """Deterministic media corpus. Image rows are REAL (tiny) PNGs and
-    audio rows REAL WAVs, so the registered pipeline exercises the real
-    decode paths even in this codec-less sandbox; every third image /
-    audio row is opaque seeded noise to keep the stub path covered.
-    Video payloads are noise (no stdlib codec exists)."""
+    """Deterministic media corpus. Image rows are REAL (tiny) PNGs,
+    audio rows REAL WAVs, and video rows REAL raw-RGB AVIs, so the
+    registered pipeline exercises the real decode paths even in this
+    codec-less sandbox; every third row of each kind is opaque seeded
+    noise to keep the stub path covered."""
     import random
 
     rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
@@ -269,9 +363,19 @@ def synth_media_table(n_rows: int, seed: int = 7) -> pa.Table:
                 payload = wav_encode(
                     (nrng.randn(sr * seconds) * 8000).astype(np.int16), sr)
         else:
-            payload = rng.randbytes(rng.randrange(256, 4096))
-            meta = {"width": 640, "height": 480, "fps": 25,
-                    "seconds": rng.randrange(1, 60)}
+            if i % 9 == 8:  # opaque payload -> stub path stays covered
+                payload = rng.randbytes(rng.randrange(256, 4096))
+                meta = {"width": 640, "height": 480, "fps": 25,
+                        "seconds": rng.randrange(1, 60)}
+            else:
+                w, h, fps = 8, 6, 4
+                seconds = rng.randrange(1, 4)
+                nrng = np.random.RandomState(seed * 131 + i)
+                frames = nrng.randint(0, 256,
+                                      (fps * seconds, h, w, 3), np.uint8)
+                payload = avi_encode(frames, fps=fps)
+                meta = {"width": w, "height": h, "fps": fps,
+                        "seconds": seconds}
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
@@ -386,8 +490,11 @@ class AudioFeatures(_MediaActor):
 
 
 class VideoFrameSample(_MediaActor):
-    """sample 1 frame/s up to 8 -> per-frame features. STUB decode (no
-    stdlib video codec exists; the cv2 seam is probed per actor)."""
+    """decode -> sample 1 frame/s up to 8 -> mean of per-frame 4x4
+    luminance-grid features. The cv2 seam is probed per actor (not
+    importable here); RIFF/AVI payloads in the uncompressed 24-bit
+    BI_RGB profile decode for REAL via ``avi_decode``; anything else is
+    the deterministic fake (backend="stub")."""
 
     LIB = "cv2"
     KIND = "video"
@@ -396,10 +503,26 @@ class VideoFrameSample(_MediaActor):
     def _process_row(self, payload: bytes, meta: dict):
         if self._lib_available:  # pragma: no cover - cv2 absent here
             raise NotImplementedError("real video decode not wired in sandbox")
-        n_frames = min(self.MAX_FRAMES, int(meta.get("seconds", 1)))
-        frame_indices = [int(i * meta.get("fps", 25)) for i in range(n_frames)]
-        vec = _fake_vector(payload, FEATURE_DIM)
-        return vec, {"sampled_frames": frame_indices}, "stub"
+        try:
+            frames, fps = avi_decode(payload)
+            n_total = len(frames)
+            fps_i = max(int(round(fps)), 1)
+            n_samples = min(self.MAX_FRAMES,
+                            max(1, -(-n_total // fps_i)))
+            idx = [min(i * fps_i, n_total - 1) for i in range(n_samples)]
+            vec = np.mean([image_grid_feature(frames[j]) for j in idx],
+                          axis=0)
+            info = {"sampled_frames": idx,
+                    "src_w": int(frames.shape[2]),
+                    "src_h": int(frames.shape[1]),
+                    "n_frames": n_total, "fps": fps_i}
+            return vec, info, "avi"
+        except Exception:
+            n_frames = min(self.MAX_FRAMES, int(meta.get("seconds", 1)))
+            frame_indices = [int(i * meta.get("fps", 25))
+                             for i in range(n_frames)]
+            vec = _fake_vector(payload, FEATURE_DIM)
+            return vec, {"sampled_frames": frame_indices}, "stub"
 
 
 class MediaFeatures:

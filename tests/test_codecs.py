@@ -94,3 +94,60 @@ def test_audio_actor_wav_vs_opaque():
     out = mm.AudioFeatures()(batch)
     assert out.column("backend").to_pylist() == ["wav", "stub"]
     assert json.loads(out.column("info")[0].as_py())["windows"] == 2
+
+
+def test_avi_roundtrip_and_stride_padding():
+    import numpy as np
+
+    from pdf_parser_ray.stages.multimodal import avi_decode, avi_encode
+
+    rng = np.random.RandomState(3)
+    # width 8 -> aligned stride; width 7 -> 4-byte padding per row
+    for shape in [(12, 6, 8, 3), (3, 5, 7, 3), (1, 2, 2, 3)]:
+        frames = rng.randint(0, 256, shape, np.uint8)
+        dec, fps = avi_decode(avi_encode(frames, fps=4))
+        assert dec.shape == frames.shape
+        assert (dec == frames).all()
+        assert fps == 4.0
+
+
+def test_avi_decode_rejects_non_avi_profiles():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pdf_parser_ray.stages.multimodal import avi_decode, avi_encode
+
+    with _pytest.raises(ValueError):
+        avi_decode(b"not an avi at all")
+    with _pytest.raises(ValueError):
+        avi_decode(b"RIFF\x00\x00\x00\x00WAVE")  # RIFF but not AVI
+    # corrupt the BITMAPINFOHEADER compression field -> rejected profile
+    frames = np.zeros((1, 2, 2, 3), np.uint8)
+    good = bytearray(avi_encode(frames, fps=1))
+    i = good.find(b"strf")
+    struct.pack_into("<I", good, i + 8 + 16, 1)  # biCompression = BI_RLE8
+    with _pytest.raises(ValueError):
+        avi_decode(bytes(good))
+
+
+def test_video_actor_real_decode_matches_direct_features():
+    import json
+
+    import numpy as np
+
+    from pdf_parser_ray.stages.multimodal import (
+        VideoFrameSample, avi_encode, image_grid_feature)
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, (9, 6, 8, 3), np.uint8)  # 3 s at 3 fps
+    actor = VideoFrameSample()
+    vec, info, backend = actor._process_row(avi_encode(frames, fps=3), {})
+    assert backend == "avi"
+    idx = info["sampled_frames"]
+    assert idx == [0, 3, 6]
+    expect = np.mean([image_grid_feature(frames[j]) for j in idx], axis=0)
+    assert np.allclose(vec, expect)
+    assert info["n_frames"] == 9 and info["src_w"] == 8
+    json.dumps(info)  # info stays JSON-serializable

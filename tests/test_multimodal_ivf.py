@@ -18,9 +18,9 @@ def test_media_features_plumbing():
     out = multimodal.media_features(ds).to_pandas()
     assert len(out) == 30
     assert set(out.columns) == {"media_id", "backend", "feature", "info"}
-    # PNG/WAV payloads decode for REAL (stdlib codecs); opaque payloads
-    # and video rows degrade to the marked stub — per row, not per actor
-    by_kind = {0: "png", 1: "wav", 2: "stub"}
+    # PNG/WAV/AVI payloads decode for REAL (stdlib codecs); opaque
+    # payloads degrade to the marked stub — per row, not per actor
+    by_kind = {0: "png", 1: "wav", 2: "avi"}
     for _, row in out.iterrows():
         kind_i = row["media_id"] % 3
         expect = by_kind[kind_i]
@@ -28,7 +28,11 @@ def test_media_features_plumbing():
             expect = "stub"  # seeded-noise image row
         if kind_i == 1 and row["media_id"] % 9 == 7:
             expect = "stub"  # seeded-noise audio row
+        if kind_i == 2 and row["media_id"] % 9 == 8:
+            expect = "stub"  # seeded-noise video row
         assert row["backend"] == expect, (row["media_id"], row["backend"])
+    # the backend column proves real video decode happened
+    assert (out[out.media_id % 3 == 2]["backend"] == "avi").any()
     assert all(len(v) == multimodal.FEATURE_DIM for v in out["feature"])
     # deterministic across runs
     out2 = multimodal.media_features(ds).to_pandas()
