@@ -79,3 +79,55 @@ def test_config_change_invalidates(shards, tmp_path):
         pipeline_kwargs={"explode_threshold": 1024},
     )
     assert s["parts_run"] == 1  # fingerprint changed -> re-ran
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_over_pyarrow_fs(shards, tmp_path):
+    """Round-5 multi-node story: the ``filesystem=`` path routes every
+    operation through a public pyarrow.fs.FileSystem (here a
+    SubTreeFileSystem standing in for an object store) under the
+    manifest-commit protocol — no staging rename; an uncommitted part
+    dir (data present, no valid manifest) is garbage to delete and
+    redo."""
+    from pyarrow.fs import LocalFileSystem, SubTreeFileSystem
+
+    root = tmp_path / "objstore"
+    root.mkdir()
+    fs = SubTreeFileSystem(str(root), LocalFileSystem())
+
+    s1 = ckpt.run_checkpointed(shards, "run", files_per_part=1,
+                               filesystem=fs)
+    assert s1 == {"parts_total": 3, "parts_skipped": 0, "parts_run": 3,
+                  "rows": 90}
+    # resume skips everything
+    s2 = ckpt.run_checkpointed(shards, "run", files_per_part=1,
+                               filesystem=fs)
+    assert s2["parts_skipped"] == 3 and s2["parts_run"] == 0
+
+    # simulate a mid-write kill: part data exists but the manifest
+    # (the commit record) is gone -> that partition is redone
+    os.remove(root / "run" / "_manifest" / "part-0001.json")
+    with open(root / "run" / "part-0001" / "garbage", "w") as f:
+        f.write("partial")
+    s3 = ckpt.run_checkpointed(shards, "run", files_per_part=1,
+                               filesystem=fs)
+    assert s3["parts_skipped"] == 2 and s3["parts_run"] == 1
+    assert not (root / "run" / "part-0001" / "garbage").exists()
+
+    # fs output equals the local-path output byte-for-byte
+    out_local = str(tmp_path / "local_twin")
+    ckpt.run_checkpointed(shards, out_local, files_per_part=1)
+    assert _read_all(str(root / "run")) == _read_all(out_local)
+
+    # manifests on the fs carry lineage + counters
+    m = json.loads((root / "run" / "_manifest" / "part-0000.json")
+                   .read_text())
+    assert m["status"] == "complete"
+    assert m["counters"]["rows"] == 30
+    assert m["counters"]["bytes_out"] > 0
+
+    # a shorter input plan removes stale fs parts beyond the new plan
+    s4 = ckpt.run_checkpointed(shards[:2], "run", files_per_part=1,
+                               filesystem=fs)
+    assert s4["parts_total"] == 2
+    assert not (root / "run" / "part-0002").exists()
