@@ -135,31 +135,101 @@ def q3_top_revenue_orders(sf_dir: str):
     return df
 
 
+def _dim_value_map(sf_dir: str, table: str, key_col: str,
+                   natkey_col: str, out_key: str,
+                   nation_values: pd.DataFrame, out_name: str,
+                   keep_only: bool = False):
+    """(big-dimension key -> small-domain value) map as a LAZY Dataset
+    plus the dimension's metadata row count: ``nation_values`` (a tiny
+    driver frame [n_nationkey, <out_name>] — nation names, region
+    names, ...) broadcasts into a vectorized index_in attach, so the
+    big dimension itself never gathers on the driver. ``keep_only``
+    drops dimension rows whose nation key is absent from the frame
+    (the q5 region chain). Feed the result to ``rel.attach_dim`` — the
+    size-gated broadcast/hash-join dispatch (round 5: at 100 TB the
+    customer/supplier/part dimensions outgrow any broadcast)."""
+    nk = pa.array(nation_values["n_nationkey"].to_numpy(np.int64),
+                  pa.int64())
+    nv = pa.array(nation_values[out_name].astype(str).tolist(),
+                  pa.string())
+    ref = ray.put((nk, nv))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nk_, nv_ = ray.get(ref)
+        if keep_only:
+            batch = batch.filter(pc.is_in(batch.column(natkey_col),
+                                          value_set=nk_))
+        pos = pc.index_in(batch.column(natkey_col), value_set=nk_)
+        return pa.table({out_key: batch.column(key_col),
+                         out_name: pc.take(nv_, pos)})
+
+    schema = pa.schema([(out_key, pa.int64()), (out_name, pa.string())])
+    raw = rel.load(sf_dir, table, [key_col, natkey_col])
+    n_dim = raw.count()  # parquet-metadata count, no scan
+    ds = rel.ensure_schema(
+        raw.map_batches(attach, batch_format="pyarrow",
+                        zero_copy_batch=True), schema)
+    return ds, n_dim, schema
+
+
+def _dim_col_map(sf_dir: str, table: str, key_col: str, out_key: str,
+                 val_schema: list):
+    """(key -> payload columns) dimension map straight off the table's
+    own columns, as a LAZY Dataset + metadata row count for
+    rel.attach_dim. ``val_schema`` = [(col_name, arrow_type), ...]."""
+    cols = [key_col] + [name for name, _ in val_schema]
+    raw = rel.load(sf_dir, table, cols)
+    n_dim = raw.count()  # parquet-metadata count, no scan
+    schema = pa.schema([(out_key, pa.int64())] + list(val_schema))
+
+    def ren(batch: pa.Table) -> pa.Table:
+        arrays = [pc.cast(batch.column(key_col), pa.int64())] + [
+            pc.cast(batch.column(name), typ) for name, typ in val_schema]
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+    ds = rel.ensure_schema(
+        raw.map_batches(ren, batch_format="pyarrow",
+                        zero_copy_batch=True), schema)
+    return ds, n_dim, schema
+
+
+def _nation_map(sf_dir: str, table: str, key_col: str, natkey_col: str,
+                out_key: str, out_name: str = "n_name",
+                keep_keys=None):
+    """The common (supplier|customer) -> nation-name map, optionally
+    restricted to a nation-key subset."""
+    nation = rel.load(sf_dir, "nation").to_pandas()[
+        ["n_nationkey", "n_name"]]
+    if out_name != "n_name":
+        nation = nation.rename(columns={"n_name": out_name})
+    if keep_keys is not None:
+        nation = nation[nation["n_nationkey"].isin(keep_keys)]
+    return _dim_value_map(sf_dir, table, key_col, natkey_col, out_key,
+                          nation, out_name,
+                          keep_only=keep_keys is not None)
+
+
 def q5_nation_revenue(sf_dir: str):
-    """Broadcast dimension chain (region -> nation -> customer) + hash join
-    with lineitem; revenue by customer nation within one region."""
+    """Dimension chain (region -> nation -> customer) + hash join with
+    lineitem; revenue by customer nation within one region. The
+    region-filtered customer->nation map is built DISTRIBUTED (25-row
+    nation broadcast + index_in attach) and attached to orders through
+    the size-gated rel.attach_dim (broadcast below 5M customers, hash
+    join above)."""
     region = rel.load(sf_dir, "region").to_pandas()
     nation = rel.load(sf_dir, "nation").to_pandas()
     asia_keys = region.loc[region.r_name == "ASIA", "r_regionkey"]
-    nations = nation[nation.n_regionkey.isin(asia_keys)][["n_nationkey", "n_name"]]
+    nations = nation[nation.n_regionkey.isin(asia_keys)]
 
-    # predicate-pruned dimension collection (VERDICT r4 item 2): the
-    # region filter runs DISTRIBUTED (broadcast nation-key semi join),
-    # so the driver frame is matching-customers-sized, not the whole
-    # customer dimension
-    nat_keys = pa.array(nations["n_nationkey"].to_numpy(np.int64),
-                        pa.int64())
-    cust = rel.broadcast_semi(
-        rel.load(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
-        "c_nationkey", nat_keys).to_pandas()
-    cust = rel.ensure_columns(cust, {"c_custkey": "int64",
-                                     "c_nationkey": "int64"})
-    cust = cust.merge(nations, left_on="c_nationkey", right_on="n_nationkey")
-    cust_map = cust[["c_custkey", "n_name"]]
-
+    cmap, n_cust, cmap_schema = _nation_map(
+        sf_dir, "customer", "c_custkey", "c_nationkey", "o_custkey",
+        keep_keys=set(nations["n_nationkey"].tolist()))
     orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    orders_n = rel.broadcast_merge(
-        orders, cust_map.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())])
+    orders_n = rel.attach_dim(
+        orders, cmap, on="o_custkey", dim_count=n_cust,
+        fact_schema=orders_schema, dim_schema=cmap_schema,
     ).select_columns(["o_orderkey", "n_name"])
 
     line = rel.load(sf_dir, "lineitem",
@@ -253,7 +323,9 @@ def nation_balance(sf_dir: str):
 
 
 def segment_order_stats(sf_dir: str):
-    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cmap, n_cust, cmap_schema = _dim_col_map(
+        sf_dir, "customer", "c_custkey", "o_custkey",
+        [("c_mktsegment", pa.string())])
     orders = rel.load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def add_cents(batch: pa.Table) -> pa.Table:
@@ -261,9 +333,12 @@ def segment_order_stats(sf_dir: str):
 
     orders = orders.map_batches(add_cents, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    joined = rel.broadcast_merge(
-        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
-    )
+    orders_schema = pa.schema([("o_custkey", pa.int64()),
+                               ("o_totalprice", pa.float64()),
+                               ("price_c", pa.int64())])
+    joined = rel.attach_dim(
+        orders, cmap, on="o_custkey", dim_count=n_cust,
+        fact_schema=orders_schema, dim_schema=cmap_schema)
     agg = rel.grouped_agg(joined, ["c_mktsegment"],
                           [("n_orders", "", "count"),
                            ("total_price", "price_c", "sum"),
@@ -462,11 +537,17 @@ def segment_price_quartiles(sf_dir: str):
     (segment, quartile, n_orders, min/max price). groupby(segment)
     shuffle + in-group rank arithmetic replicating SQL NTILE sizing
     (first n%4 buckets get the extra row)."""
-    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cmap, n_cust, cmap_schema = _dim_col_map(
+        sf_dir, "customer", "c_custkey", "o_custkey",
+        [("c_mktsegment", pa.string())])
     orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey",
                                          "o_totalprice"])
-    joined = rel.broadcast_merge(
-        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey")
+    orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_totalprice", pa.float64())])
+    joined = rel.attach_dim(
+        orders, cmap, on="o_custkey", dim_count=n_cust,
+        fact_schema=orders_schema, dim_schema=cmap_schema)
 
     def per_segment(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["o_totalprice", "o_orderkey"],
@@ -1204,11 +1285,23 @@ def docs_hash_sample(sf_dir: str):
 
 
 def q14_promo_share(sf_dir: str):
-    """Broadcast part-dimension join + conditional aggregate: share of
-    revenue from PROMO-type parts."""
-    part = rel.load(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
-    part["is_promo"] = (part["p_type"] == "PROMO").astype("int64")
-    side = part[["p_partkey", "is_promo"]].rename(columns={"p_partkey": "l_partkey"})
+    """Share of revenue from PROMO-type parts. The PROMO predicate is
+    pushed into a distributed filter over the part dimension (only
+    matching keys ever leave it), then SIZE-GATED: below the gate the
+    promo-key set broadcasts into a one-scan is_in flag; above it the
+    promo side of the sum comes from a LEFT SEMI hash join against the
+    materialized prepped lineitem (total = plain sum of the same
+    artifact)."""
+    def match_promo(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("p_type"), pa.scalar("PROMO"))
+        return batch.filter(keep).select(["p_partkey"])
+
+    pschema = pa.schema([("p_partkey", pa.int64())])
+    promo_ds = rel.ensure_schema(
+        rel.load(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+            match_promo, batch_format="pyarrow", zero_copy_batch=True),
+        pschema).materialize()
+    n_promo = promo_ds.count()
 
     line = rel.load(sf_dir, "lineitem",
                     ["l_partkey", "l_extendedprice", "l_discount"])
@@ -1219,19 +1312,33 @@ def q14_promo_share(sf_dir: str):
         return pa.table({"l_partkey": batch.column("l_partkey"),
                          "rev_c": _cents(rev)})
 
-    joined = rel.broadcast_merge(
-        line.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
-        side, on="l_partkey")
-
-    def split(batch: pa.Table) -> pa.Table:
-        promo = pc.multiply(batch.column("rev_c"),
-                            pc.cast(batch.column("is_promo"), pa.int64()))
-        return pa.table({"promo_c": promo, "total_c": batch.column("rev_c")})
-
-    sums = (joined.map_batches(split, batch_format="pyarrow",
+    prepped = line.map_batches(prep, batch_format="pyarrow",
                                zero_copy_batch=True)
-            .sum(["promo_c", "total_c"]))
-    promo_c, total_c = sums["sum(promo_c)"], sums["sum(total_c)"]
+    if n_promo <= rel.DIM_BROADCAST_MAX:
+        pref = ray.put(rel.collect_column(promo_ds, "p_partkey"))
+
+        def split(batch: pa.Table) -> pa.Table:
+            is_p = pc.is_in(batch.column("l_partkey"),
+                            value_set=ray.get(pref))
+            promo = pc.if_else(is_p, batch.column("rev_c"),
+                               pa.scalar(0, pa.int64()))
+            return pa.table({"promo_c": promo,
+                             "total_c": batch.column("rev_c")})
+
+        sums = (prepped.map_batches(split, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                .sum(["promo_c", "total_c"]))
+        promo_c, total_c = sums["sum(promo_c)"], sums["sum(total_c)"]
+    else:
+        prepped_schema = pa.schema([("l_partkey", pa.int64()),
+                                    ("rev_c", pa.int64())])
+        prepped = rel.ensure_schema(prepped, prepped_schema).materialize()
+        total_c = prepped.sum("rev_c")
+        promo_line = rel.hash_join_guarded(
+            prepped, promo_ds, "l_partkey", "p_partkey",
+            rel.join_partitions(n_promo), prepped_schema, pschema,
+            join_type="left_semi")
+        promo_c = promo_line.sum("rev_c") or 0
     return pd.DataFrame({
         "promo_revenue": [promo_c / 100.0],
         "total_revenue": [total_c / 100.0],
@@ -6196,19 +6303,16 @@ def nation_supplier_hhi(sf_dir: str):
     perfectly even) — the metric that flags a nation whose supply
     depends on one vendor.
 
-    Plan: supplier->nation is a broadcast dimension merge (tiny); ONE
-    grouped exchange builds per-(nation, supplier) revenue — the only
+    Plan: supplier->nation attaches via the size-gated rel.attach_dim
+    (broadcast below 5M suppliers, hash join above); ONE grouped
+    exchange builds per-(nation, supplier) revenue — the only
     data-scaled structure, and it is dimension-bounded; shares square
     in whole DOLLARS (headroom: d^2 stays in int64 up to $3B/supplier,
     documented bound — use $k units past that) and the final ratio is
     Python big-int exact on the nation-sized frame. SQL twin uses
     HUGEINT for the same arithmetic."""
-    nation = rel.load(sf_dir, "nation", ["n_nationkey", "n_name"]
-                      ).to_pandas()
-    supp = rel.load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
-                    ).to_pandas()
-    supp = supp.merge(nation, left_on="s_nationkey",
-                      right_on="n_nationkey")[["s_suppkey", "n_name"]]
+    smap, n_supp, smap_schema = _nation_map(
+        sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey")
 
     line = rel.load(sf_dir, "lineitem",
                     ["l_suppkey", "l_extendedprice", "l_discount"])
@@ -6222,9 +6326,11 @@ def nation_supplier_hhi(sf_dir: str):
 
     line_r = line.map_batches(line_prep, batch_format="pyarrow",
                               zero_copy_batch=True)
-    joined = rel.broadcast_merge(
-        line_r, supp.rename(columns={"s_suppkey": "l_suppkey"}),
-        on="l_suppkey")
+    prepped_schema = pa.schema([("l_suppkey", pa.int64()),
+                                ("rev_c", pa.int64())])
+    joined = rel.attach_dim(
+        line_r, smap, on="l_suppkey", dim_count=n_supp,
+        fact_schema=prepped_schema, dim_schema=smap_schema)
     per_supp = rel.as_pandas(rel.grouped_agg(
         joined, ["n_name", "l_suppkey"], [("rev_c", "rev_c", "sum")],
         small_result=True))
@@ -7263,23 +7369,25 @@ def docs_score_auc_dup(sf_dir: str, threshold: float = 0.6):
 def q7_trade_volume(sf_dir: str):
     """TPC-H q7 shape: cross-border revenue volume between (supplier
     nation, customer nation) pairs per ship year — the bilateral trade
-    matrix. Supplier and customer maps are dimension broadcasts; the
-    one big-big exchange is the lineitem x orders hash join on
-    orderkey (the q5 plan); the (n1, n2, year) aggregation is
-    map-side combined and |nations|^2 x years bounded."""
-    nation = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
-    supp = rel.load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
-    supp_map = supp[["s_suppkey", "n_name"]].rename(
-        columns={"s_suppkey": "l_suppkey", "n_name": "supp_nation"})
-    cust = rel.load(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    cust_map = cust[["c_custkey", "n_name"]].rename(
-        columns={"c_custkey": "o_custkey", "n_name": "cust_nation"})
+    matrix. Supplier and customer nation maps attach through the
+    size-gated rel.attach_dim (broadcast below 5M dimension rows, hash
+    join above — round 5); the one big-big exchange is the lineitem x
+    orders hash join on orderkey (the q5 plan); the (n1, n2, year)
+    aggregation is map-side combined and |nations|^2 x years bounded."""
+    smap, n_supp, smap_schema = _nation_map(
+        sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey",
+        out_name="supp_nation")
+    cmap, n_cust, cmap_schema = _nation_map(
+        sf_dir, "customer", "c_custkey", "c_nationkey", "o_custkey",
+        out_name="cust_nation")
 
     orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    orders_n = rel.broadcast_merge(orders, cust_map, on="o_custkey") \
-        .select_columns(["o_orderkey", "cust_nation"])
+    orders_raw_schema = pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())])
+    orders_n = rel.attach_dim(
+        orders, cmap, on="o_custkey", dim_count=n_cust,
+        fact_schema=orders_raw_schema, dim_schema=cmap_schema,
+    ).select_columns(["o_orderkey", "cust_nation"])
 
     line = rel.load(sf_dir, "lineitem",
                     ["l_orderkey", "l_suppkey", "l_extendedprice",
@@ -7298,9 +7406,13 @@ def q7_trade_volume(sf_dir: str):
                          "l_year": pc.year(batch.column("l_shipdate")),
                          "rev_c": _cents(rev)})
 
-    line_p = rel.broadcast_merge(
+    line_prepped_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+        ("l_year", pa.int64()), ("rev_c", pa.int64())])
+    line_p = rel.attach_dim(
         line.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
-        supp_map, on="l_suppkey")
+        smap, on="l_suppkey", dim_count=n_supp,
+        fact_schema=line_prepped_schema, dim_schema=smap_schema)
     # both join inputs pass through ensure_schema: an all-filtered
     # pandas-roundtripped block carries retyped columns that crash the
     # Acero join ("No match for key field"); partition count sized to
@@ -7358,13 +7470,11 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_7",
                 match_type, batch_format="pyarrow", zero_copy_batch=True),
             pa.schema([("p_partkey", pa.int64())])), "p_partkey")
     # supplier nation map: predicate-free (every nation contributes to
-    # total_c), so the whole supplier->nation map is a deliberate
-    # dimension-bounded broadcast
-    supp = rel.load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    nat = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
-    supp = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
-    supp_map = supp[["s_suppkey", "n_name"]].rename(
-        columns={"s_suppkey": "l_suppkey", "n_name": "supp_nation"})
+    # total_c) — attached via the size-gated rel.attach_dim (broadcast
+    # below 5M suppliers, hash join above)
+    smap, n_supp, smap_schema = _nation_map(
+        sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey",
+        out_name="supp_nation")
 
     line = rel.load(sf_dir, "lineitem",
                     ["l_orderkey", "l_partkey", "l_suppkey",
@@ -7379,9 +7489,13 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_7",
                          "l_suppkey": batch.column("l_suppkey"),
                          "rev_c": _cents(rev)})
 
-    line_p = rel.broadcast_merge(
+    line_prepped_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+        ("rev_c", pa.int64())])
+    line_p = rel.attach_dim(
         line.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
-        supp_map, on="l_suppkey")
+        smap, on="l_suppkey", dim_count=n_supp,
+        fact_schema=line_prepped_schema, dim_schema=smap_schema)
 
     orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
 
@@ -8542,24 +8656,24 @@ def customer_nation_matrix(sf_dir: str):
     """Full bilateral revenue matrix (customer nation x supplier
     nation), the unfiltered generalisation of the q7 trade lens —
     who buys from whom, |nations|^2 bounded. Supplier and customer
-    nation maps are dimension broadcasts; the single big-big exchange
-    is the lineitem x orders hash join on orderkey; the matrix rollup
-    is map-side combined."""
-    nation = rel.load(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
-    supp = rel.load(sf_dir, "supplier",
-                    ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_map = supp.merge(nation, left_on="s_nationkey",
-                          right_on="n_nationkey")[["s_suppkey", "n_name"]] \
-        .rename(columns={"s_suppkey": "l_suppkey", "n_name": "supp_nation"})
-    cust = rel.load(sf_dir, "customer",
-                    ["c_custkey", "c_nationkey"]).to_pandas()
-    cust_map = cust.merge(nation, left_on="c_nationkey",
-                          right_on="n_nationkey")[["c_custkey", "n_name"]] \
-        .rename(columns={"c_custkey": "o_custkey", "n_name": "cust_nation"})
+    nation maps attach via the size-gated rel.attach_dim (broadcast
+    below 5M dimension rows, hash join above); the single big-big
+    exchange is the lineitem x orders hash join on orderkey; the
+    matrix rollup is map-side combined."""
+    smap, n_supp, smap_schema = _nation_map(
+        sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey",
+        out_name="supp_nation")
+    cmap, n_cust, cmap_schema = _nation_map(
+        sf_dir, "customer", "c_custkey", "c_nationkey", "o_custkey",
+        out_name="cust_nation")
 
     orders = rel.load(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    orders_n = rel.broadcast_merge(orders, cust_map, on="o_custkey") \
-        .select_columns(["o_orderkey", "cust_nation"])
+    orders_raw_schema = pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())])
+    orders_n = rel.attach_dim(
+        orders, cmap, on="o_custkey", dim_count=n_cust,
+        fact_schema=orders_raw_schema, dim_schema=cmap_schema,
+    ).select_columns(["o_orderkey", "cust_nation"])
     line = rel.load(sf_dir, "lineitem",
                     ["l_orderkey", "l_suppkey", "l_extendedprice",
                      "l_discount"])
@@ -8572,10 +8686,14 @@ def customer_nation_matrix(sf_dir: str):
                          "l_suppkey": batch.column("l_suppkey"),
                          "rev_c": _cents(rev)})
 
-    line_p = rel.broadcast_merge(
+    line_prepped_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+        ("rev_c", pa.int64())])
+    line_p = rel.attach_dim(
         line.map_batches(prep, batch_format="pyarrow",
                          zero_copy_batch=True),
-        supp_map, on="l_suppkey")
+        smap, on="l_suppkey", dim_count=n_supp,
+        fact_schema=line_prepped_schema, dim_schema=smap_schema)
     line_schema = pa.schema([("l_orderkey", pa.int64()),
                              ("rev_c", pa.int64()),
                              ("supp_nation", pa.string())])
@@ -9120,21 +9238,22 @@ def supplier_discount_deviation(sf_dir: str, k: int = 10):
 
 def region_revenue_share(sf_dir: str):
     """Region-level revenue rollup with truncating-ppm share of world
-    volume — the top-of-dashboard slice. nation->region->supplier maps
-    collapse into ONE broadcast dimension; the fact scan aggregates
-    map-side into a |regions|-bounded frame; shares divide exact
-    HUGEINT-class sums on the driver."""
+    volume — the top-of-dashboard slice. The 25-row nation x 5-row
+    region product collapses into one tiny (n_nationkey -> r_name)
+    frame that broadcasts into the supplier map; supplier attaches to
+    the fact via the size-gated rel.attach_dim; the fact scan
+    aggregates map-side into a |regions|-bounded frame; shares divide
+    exact HUGEINT-class sums on the driver."""
     region = rel.load(sf_dir, "region").to_pandas()[
         ["r_regionkey", "r_name"]]
     nation = rel.load(sf_dir, "nation").to_pandas()[
         ["n_nationkey", "n_regionkey"]]
-    supp = rel.load(sf_dir, "supplier",
-                    ["s_suppkey", "s_nationkey"]).to_pandas()
-    smap = supp.merge(nation, left_on="s_nationkey",
-                      right_on="n_nationkey") \
-        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    smap = smap[["s_suppkey", "r_name"]].rename(
-        columns={"s_suppkey": "l_suppkey"})
+    nat_region = nation.merge(region, left_on="n_regionkey",
+                              right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]]
+    smap, n_supp, smap_schema = _dim_value_map(
+        sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey",
+        nat_region, "r_name")
 
     line = rel.load(sf_dir, "lineitem",
                     ["l_suppkey", "l_extendedprice", "l_discount"])
@@ -9146,10 +9265,14 @@ def region_revenue_share(sf_dir: str):
         return pa.table({"l_suppkey": batch.column("l_suppkey"),
                          "rev_c": _cents(rev)})
 
+    prepped_schema = pa.schema([("l_suppkey", pa.int64()),
+                                ("rev_c", pa.int64())])
     agg = rel.grouped_agg(
-        rel.broadcast_merge(
+        rel.attach_dim(
             line.map_batches(prep, batch_format="pyarrow",
-                             zero_copy_batch=True), smap, on="l_suppkey"),
+                             zero_copy_batch=True),
+            smap, on="l_suppkey", dim_count=n_supp,
+            fact_schema=prepped_schema, dim_schema=smap_schema),
         ["r_name"], [("rev_c", "rev_c", "sum")], small_result=True)
     df = rel.ensure_columns(rel.as_pandas(agg),
                             {"r_name": "object", "rev_c": "int64"})
@@ -9257,21 +9380,27 @@ def part_type_price_index(sf_dir: str):
     """Price index per part type: line count, truncated mean price and
     the integer-exact ratio-of-means index vs the whole market (ppm,
     HUGEINT-class cross products — never a double division of
-    averages). The part dimension broadcasts; one |types|-bounded
-    map-side-combined exchange; the index arithmetic runs on the tiny
-    driver frame in unbounded Python ints."""
-    part = rel.load(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas() \
-        .rename(columns={"p_partkey": "l_partkey"})
+    averages). The part dimension attaches via the size-gated
+    rel.attach_dim (broadcast below 5M parts, hash join above); one
+    |types|-bounded map-side-combined exchange; the index arithmetic
+    runs on the tiny driver frame in unbounded Python ints."""
+    pmap, n_part, pmap_schema = _dim_col_map(
+        sf_dir, "part", "p_partkey", "l_partkey",
+        [("p_type", pa.string())])
     line = rel.load(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table({"l_partkey": batch.column("l_partkey"),
                          "c": _cents(batch.column("l_extendedprice"))})
 
+    prepped_schema = pa.schema([("l_partkey", pa.int64()),
+                                ("c", pa.int64())])
     agg = rel.grouped_agg(
-        rel.broadcast_merge(
+        rel.attach_dim(
             line.map_batches(prep, batch_format="pyarrow",
-                             zero_copy_batch=True), part, on="l_partkey"),
+                             zero_copy_batch=True),
+            pmap, on="l_partkey", dim_count=n_part,
+            fact_schema=prepped_schema, dim_schema=pmap_schema),
         ["p_type"], [("sp", "c", "sum"), ("n", "", "count")],
         small_result=True)
     df = rel.ensure_columns(rel.as_pandas(agg), {
@@ -9877,14 +10006,20 @@ def part_type_supplier_counts(sf_dir: str):
     """TPC-H q16 shape re-expressed without a partsupp table: how many
     DISTINCT suppliers serve each part type (observed through actual
     line items) — the supply-base breadth table. The part dimension
-    broadcasts; one (type, suppkey) dedup exchange collapses the fact
-    table; the final count is |types|-bounded."""
-    part = rel.load(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas() \
-        .rename(columns={"p_partkey": "l_partkey"})
+    attaches via the size-gated rel.attach_dim; one (type, suppkey)
+    dedup exchange collapses the fact table; the final count is
+    |types|-bounded."""
+    pmap, n_part, pmap_schema = _dim_col_map(
+        sf_dir, "part", "p_partkey", "l_partkey",
+        [("p_type", pa.string())])
     line = rel.load(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    line_schema = pa.schema([("l_partkey", pa.int64()),
+                             ("l_suppkey", pa.int64())])
     pairs = rel.ensure_schema(
         rel.grouped_agg(
-            rel.broadcast_merge(line, part, on="l_partkey"),
+            rel.attach_dim(line, pmap, on="l_partkey", dim_count=n_part,
+                           fact_schema=line_schema,
+                           dim_schema=pmap_schema),
             ["p_type", "l_suppkey"], [("c", "", "count")]),
         pa.schema([("p_type", pa.string()), ("l_suppkey", pa.int64()),
                    ("c", pa.int64())]))
@@ -10799,20 +10934,15 @@ def docs_top_dup_families(sf_dir: str, k: int = 10):
 def customer_single_order_by_nation(sf_dir: str):
     """One-and-done rate per nation: the share of each nation's
     ordering customers who placed exactly ONE order — the churn-
-    geography map. One custkey exchange; the nation attach is a
-    dimension broadcast; |nations|-bounded rollup with truncating
-    shares."""
+    geography map. One custkey exchange; the nation attach goes
+    through the size-gated rel.attach_dim; |nations|-bounded rollup
+    with truncating shares."""
     orders = rel.load(sf_dir, "orders", ["o_custkey"])
     per_cust = rel.ensure_schema(
         rel.grouped_agg(orders, ["o_custkey"], [("n", "", "count")]),
         pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())]))
-    nation = rel.load(sf_dir, "nation").to_pandas()[
-        ["n_nationkey", "n_name"]]
-    cust = rel.load(sf_dir, "customer",
-                    ["c_custkey", "c_nationkey"]).to_pandas()
-    cmap = cust.merge(nation, left_on="c_nationkey",
-                      right_on="n_nationkey")[["c_custkey", "n_name"]] \
-        .rename(columns={"c_custkey": "o_custkey"})
+    cmap, n_cust, cmap_schema = _nation_map(
+        sf_dir, "customer", "c_custkey", "c_nationkey", "o_custkey")
 
     def flag(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -10821,11 +10951,14 @@ def customer_single_order_by_nation(sf_dir: str):
                                        pa.scalar(1, pa.int64())),
                               pa.int64())})
 
+    flag_schema = pa.schema([("o_custkey", pa.int64()),
+                             ("single", pa.int64())])
     agg = rel.grouped_agg(
-        rel.broadcast_merge(
+        rel.attach_dim(
             per_cust.map_batches(flag, batch_format="pyarrow",
                                  zero_copy_batch=True),
-            cmap, on="o_custkey"),
+            cmap, on="o_custkey", dim_count=n_cust,
+            fact_schema=flag_schema, dim_schema=cmap_schema),
         ["n_name"],
         [("n_customers", "", "count"), ("n_single", "single", "sum")],
         small_result=True)
@@ -11610,16 +11743,12 @@ def events_conversion_lag_hist(sf_dir: str):
 def q9_profit_by_nation_year(sf_dir: str):
     """q9-shape profit rollup (adapted: the testdata schema has no
     partsupp, so profit is discounted revenue): exact-cents profit per
-    (supplier nation, ship year). Supplier -> nation is a broadcast
-    dimension chain; the wide exchange is the |nations| x |years|-
-    bounded combine — lineitem never shuffles."""
-    nation = rel.load(sf_dir, "nation").to_pandas()
-    supp = rel.load(sf_dir, "supplier",
-                    ["s_suppkey", "s_nationkey"]).to_pandas()
-    smap = (supp.merge(nation, left_on="s_nationkey",
-                       right_on="n_nationkey")
-            [["s_suppkey", "n_name"]]
-            .rename(columns={"s_suppkey": "l_suppkey"}))
+    (supplier nation, ship year). Supplier -> nation attaches via the
+    size-gated rel.attach_dim (broadcast below 5M suppliers, hash join
+    above); the wide exchange is the |nations| x |years|-bounded
+    combine."""
+    smap, n_supp, smap_schema = _nation_map(
+        sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey")
 
     line = rel.load(sf_dir, "lineitem",
                     ["l_suppkey", "l_extendedprice", "l_discount",
@@ -11636,10 +11765,14 @@ def q9_profit_by_nation_year(sf_dir: str):
             "profit_c": _cents(profit),
         })
 
-    enriched = rel.broadcast_merge(
+    prepped_schema = pa.schema([
+        ("l_suppkey", pa.int64()), ("o_year", pa.int64()),
+        ("profit_c", pa.int64())])
+    enriched = rel.attach_dim(
         line.map_batches(prep, batch_format="pyarrow",
                          zero_copy_batch=True),
-        smap, on="l_suppkey")
+        smap, on="l_suppkey", dim_count=n_supp,
+        fact_schema=prepped_schema, dim_schema=smap_schema)
     agg = rel.ensure_columns(
         rel.as_pandas(rel.grouped_agg(
             enriched, ["n_name", "o_year"],
@@ -14159,15 +14292,14 @@ def customer_decile_by_nation(sf_dir: str):
                            zero_copy_batch=True),
         ["o_custkey"], [("spend_c", "c", "sum")], int_exact=True)
 
-    cust = rel.load(sf_dir, "customer",
-                    ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = rel.load(sf_dir, "nation",
-                      ["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey",
-                     right_on="n_nationkey")[["c_custkey", "n_name"]]
-    dim = dim.rename(columns={"c_custkey": "o_custkey"})
-
-    joined = rel.broadcast_merge(per, dim, on="o_custkey")
+    cmap, n_cust, cmap_schema = _nation_map(
+        sf_dir, "customer", "c_custkey", "c_nationkey", "o_custkey")
+    per_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("spend_c", pa.int64())])
+    joined = rel.attach_dim(
+        rel.ensure_schema(per, per_schema), cmap, on="o_custkey",
+        dim_count=n_cust, fact_schema=per_schema,
+        dim_schema=cmap_schema)
 
     def ntile_rollup(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["spend_c", "o_custkey"],

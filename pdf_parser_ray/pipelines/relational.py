@@ -303,6 +303,34 @@ def broadcast_merge(ds: ray.data.Dataset, right: pd.DataFrame,
     return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
 
 
+DIM_BROADCAST_MAX = 5_000_000  # rows; ~the r3 gate size for key sets
+
+
+def attach_dim(fact: ray.data.Dataset, dim: ray.data.Dataset, *,
+               on: str, dim_count: int,
+               fact_schema: pa.Schema, dim_schema: pa.Schema,
+               how: str = "inner",
+               broadcast_max: int | None = None) -> ray.data.Dataset:
+    """Attach a dimension's payload columns to a fact Dataset,
+    SIZE-GATED on the dimension row count (the cluster-label gate
+    discipline): below ``broadcast_max`` rows the dimension collects
+    once and broadcasts (``broadcast_merge`` — one ray.put, zero
+    shuffle); above it (a TPC-H customer/supplier/part dimension at
+    100 TB outgrows any broadcast) both sides hash-partition through a
+    sentinel-hardened ``Dataset.join``. Join column names must already
+    match (rename the dim first); ``how`` is "inner" or "left_outer"."""
+    if broadcast_max is None:
+        broadcast_max = DIM_BROADCAST_MAX
+    join_type = {"inner": "inner", "left": "left_outer"}[how]
+    if dim_count <= broadcast_max:
+        return broadcast_merge(fact, as_pandas(dim.to_pandas()),
+                               on=on, how=how)
+    return hash_join_guarded(
+        ensure_schema(fact, fact_schema), ensure_schema(dim, dim_schema),
+        on, on, join_partitions(dim_count, cap=32),
+        fact_schema, dim_schema, join_type=join_type)
+
+
 def collect_column(ds: ray.data.Dataset, col: str) -> pa.Array:
     """Gather ONE column of a Dataset to the driver as a compact Arrow
     array (zero-copy chunks, no Python row objects). The distributed

@@ -162,30 +162,15 @@ class TestClusterBroadcastGate:
 
 
 class TestDimensionCollectionGate:
-    """VERDICT r4 item 2: no pipeline may gather a whole big dimension
-    on the driver when a predicate could prune it first. The allowlist
-    below is the set of functions whose full-dimension collection is a
-    DELIBERATE predicate-free dimension map (every row genuinely
-    needed as a broadcast side); any new `rel.load(big_table).
-    to_pandas()` site outside it fails this gate and must either push
-    its predicate into a distributed filter (q5/q8/q17/q19 pattern) or
-    be argued onto the allowlist."""
+    """VERDICT r4 item 2 (+ the round-5 attach_dim sweep): no pipeline
+    may unconditionally gather a whole big dimension on the driver.
+    Predicate sites push their filter into a distributed pass
+    (q5/q8/q17/q19 pattern); predicate-free dimension maps go through
+    the size-gated ``rel.attach_dim`` (broadcast below 5M rows, hash
+    join above), so the allowlist is now EMPTY — any new
+    `rel.load(big_table).to_pandas()` site fails this gate."""
 
-    ALLOWED = {
-        "segment_order_stats",        # full mktsegment map (all segments)
-        "segment_price_quartiles",    # full mktsegment map (all segments)
-        "q14_promo_share",            # is_promo flag over ALL parts
-        "q7_trade_volume",            # supplier+customer nation maps
-        "q8_market_share",            # supplier nation map (all nations)
-        "part_type_price_index",      # per-type agg needs ALL parts
-        "part_type_supplier_counts",  # per-type agg needs ALL parts
-        "nation_supplier_hhi",        # supplier->nation map (all rows)
-        "customer_nation_matrix",     # both nation maps (full matrix)
-        "region_revenue_share",       # supplier->region map (all rows)
-        "customer_single_order_by_nation",  # customer nation map
-        "q9_profit_by_nation_year",   # supplier nation map
-        "customer_decile_by_nation",  # deciles need ALL customers
-    }
+    ALLOWED: set = set()
 
     def test_big_dimension_to_pandas_sites_are_allowlisted(self):
         import re
@@ -205,6 +190,35 @@ class TestDimensionCollectionGate:
         assert offenders <= self.ALLOWED, (
             f"unlisted full-dimension driver collection in: "
             f"{sorted(offenders - self.ALLOWED)}")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDimAttachGate:
+    """Round-5 attach_dim sweep: every predicate-free dimension map
+    dispatches on the dimension row count — broadcast_merge below
+    rel.DIM_BROADCAST_MAX, sentinel-hardened hash join above. Forcing
+    the gate to 0 must produce identical output on the real sf0.001
+    tables for a representative cut of the 13 converted pipelines."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_forced_join_path_matches_broadcast(self):
+        import pdf_parser_ray.pipelines.relational as rel
+        from pdf_parser_ray.pipelines import queries as q
+
+        fns = [q.q5_nation_revenue, q.q7_trade_volume,
+               q.segment_order_stats, q.q14_promo_share,
+               q.customer_decile_by_nation, q.part_type_supplier_counts]
+        base = {f.__name__: f(self.SF).reset_index(drop=True)
+                for f in fns}
+        old = rel.DIM_BROADCAST_MAX
+        rel.DIM_BROADCAST_MAX = 0
+        try:
+            for f in fns:
+                forced = f(self.SF).reset_index(drop=True)
+                pd.testing.assert_frame_equal(base[f.__name__], forced)
+        finally:
+            rel.DIM_BROADCAST_MAX = old
 
 
 @pytest.mark.usefixtures("ray_session")
