@@ -323,8 +323,12 @@ def attach_dim(fact: ray.data.Dataset, dim: ray.data.Dataset, *,
         broadcast_max = DIM_BROADCAST_MAX
     join_type = {"inner": "inner", "left": "left_outer"}[how]
     if dim_count <= broadcast_max:
-        return broadcast_merge(fact, as_pandas(dim.to_pandas()),
-                               on=on, how=how)
+        dim_df = as_pandas(dim.to_pandas())
+        if not set(dim_schema.names) <= set(dim_df.columns):
+            # an all-empty Dataset loses its schema at to_pandas();
+            # rebuild the typed empty frame so the merge keeps columns
+            dim_df = dim_schema.empty_table().to_pandas()
+        return broadcast_merge(fact, dim_df, on=on, how=how)
     return hash_join_guarded(
         ensure_schema(fact, fact_schema), ensure_schema(dim, dim_schema),
         on, on, join_partitions(dim_count, cap=32),

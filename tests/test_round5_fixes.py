@@ -222,6 +222,51 @@ class TestDimAttachGate:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestAttachDimUnit:
+    def _io(self):
+        import ray.data
+
+        fact = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 2], pa.int64()),
+            "v": pa.array([10, 20, 30, 40], pa.int64())}))
+        dim = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "name": pa.array(["a", "b"])}))
+        fs = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+        ds_ = pa.schema([("k", pa.int64()), ("name", pa.string())])
+        return fact, dim, fs, ds_
+
+    @pytest.mark.parametrize("bmax", [10**9, 0])
+    def test_inner_and_left(self, bmax):
+        import pdf_parser_ray.pipelines.relational as rel
+
+        fact, dim, fs, ds_ = self._io()
+        inner = rel.attach_dim(fact, dim, on="k", dim_count=2,
+                               fact_schema=fs, dim_schema=ds_,
+                               broadcast_max=bmax).to_pandas()
+        assert sorted(inner["v"].tolist()) == [10, 20, 40]
+        left = rel.attach_dim(fact, dim, on="k", dim_count=2,
+                              fact_schema=fs, dim_schema=ds_,
+                              how="left", broadcast_max=bmax).to_pandas()
+        assert len(left) == 4
+        row3 = left[left["v"] == 30].iloc[0]
+        assert pd.isnull(row3["name"])
+
+    @pytest.mark.parametrize("bmax", [10**9, 0])
+    def test_empty_dim(self, bmax):
+        import ray.data
+
+        import pdf_parser_ray.pipelines.relational as rel
+
+        fact, _, fs, ds_ = self._io()
+        empty = ray.data.from_arrow(ds_.empty_table())
+        inner = rel.attach_dim(fact, empty, on="k", dim_count=0,
+                               fact_schema=fs, dim_schema=ds_,
+                               broadcast_max=bmax).to_pandas()
+        assert len(inner) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestLocalTopkTreeMerge:
     """VERDICT r4 item 4: local_topk tree-merges candidates (64 sets
     per merge batch) instead of concatenating <=k rows per block on the
