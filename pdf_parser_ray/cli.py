@@ -281,10 +281,33 @@ def cmd_profile(args) -> int:
 
 
 def cmd_synth(args) -> int:
-    """Generate a synthetic pages corpus (FIXTURES.md §1) to parquet."""
+    """Generate a synthetic pages corpus (FIXTURES.md §1) to parquet, or
+    — with ``--format warc`` — to per-shard WARC.gz files (the Common
+    Crawl container; ``parse shards/*.warc.gz`` reads them natively)."""
     from pdf_parser_ray.sources.pages import synth_dataset
 
     _init_ray(args.num_cpus, getattr(args, 'verbose', False))
+    if getattr(args, "format", "parquet") == "warc":
+        import os
+
+        from pdf_parser_ray.sources.warc import warc_write_bytes
+
+        os.makedirs(args.output, exist_ok=True)
+        df = synth_dataset(args.n_docs, seed=args.seed).to_pandas()
+        shard_rows = max(1, len(df) // max(1, args.warc_shards))
+        n_shards = 0
+        for i in range(0, len(df), shard_rows):
+            part = df.iloc[i:i + shard_rows]
+            pages = [(r["url"], r["warc_ts"].to_pydatetime(),
+                      bytes(r["html"])) for _, r in part.iterrows()]
+            path = os.path.join(args.output,
+                                f"shard-{i // shard_rows:05d}.warc.gz")
+            with open(path, "wb") as f:
+                f.write(warc_write_bytes(pages))
+            n_shards += 1
+        print(f"wrote {args.n_docs} docs to {n_shards} WARC shards "
+              f"in {args.output}")
+        return 0
     synth_dataset(args.n_docs, seed=args.seed).write_parquet(args.output)
     print(f"wrote {args.n_docs} docs to {args.output}")
     return 0
@@ -717,6 +740,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("n_docs", type=int)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--format", choices=["parquet", "warc"],
+                   default="parquet",
+                   help="output container: parquet shards (default) or "
+                        "per-record-gzipped WARC shards")
+    p.add_argument("--warc-shards", type=int, default=4,
+                   help="shard count for --format warc")
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("dedup",

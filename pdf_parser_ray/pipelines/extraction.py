@@ -175,7 +175,24 @@ def extract_paths(paths, *, pdf_column: str | None = None,
     through the PyMuPDF seam (sources/pdfbytes.py) into the native bundle
     payload before extraction; ``password`` unlocks encrypted PDFs
     (reference core/document.py:104-119). Without it, the column layout
-    is the native (url, html) bundle corpus."""
+    is the native (url, html) bundle corpus.
+
+    Source sniffing: paths ending in ``.warc`` / ``.warc.gz`` read
+    through the native WARC parser (sources/warc.py — Common Crawl's
+    container) instead of parquet; the downstream stages are identical,
+    so CLI parse + checkpoint/resume work unchanged on WARC shards."""
+    from pdf_parser_ray.sources.warc import is_warc_path, read_warc
+
+    plist = list(paths) if isinstance(paths, (list, tuple)) else [paths]
+    if any(is_warc_path(p) for p in plist):
+        if not all(is_warc_path(p) for p in plist):
+            from pdf_parser_ray.functions.errors import ConfigurationError
+
+            raise ConfigurationError(
+                "cannot mix WARC and parquet shards in one run",
+                parameter="paths")
+        return extract_dataset(
+            read_warc(plist).select_columns(["url", "html"]), **kwargs)
     if pdf_column is None:
         return extract_dataset(read_pages(paths), **kwargs)
     from pdf_parser_ray.sources.pdfbytes import PdfToBundle
