@@ -361,6 +361,30 @@ def _distinct_id_count(work) -> int:
                           [("doc_id", "count_all", "c")]).count()
 
 
+def cmd_urldedup(args) -> int:
+    """Canonical-URL dedup over ANY parquet corpus with a URL column —
+    the crawl-hygiene pass that runs BEFORE content dedup (RFC 3986
+    normalization + tracking-param strip; keeper = lexicographically
+    smallest raw spelling). Writes the kept rows as parquet and prints a
+    one-line JSON report."""
+    import json as _json
+
+    import ray.data
+
+    from pdf_parser_ray.stages.dedup import url_dedup
+
+    _init_ray(args.num_cpus, getattr(args, 'verbose', False))
+    ds = ray.data.read_parquet(args.input)
+    n_in = ds.count()
+    kept = url_dedup(ds, url_col=args.url_column)
+    kept.write_parquet(args.output)
+    n_out = ray.data.read_parquet(args.output).count()
+    print(_json.dumps({"rows_in": n_in, "rows_out": n_out,
+                       "removed": n_in - n_out,
+                       "url_column": args.url_column}))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Dedup ANY parquet corpus from the command line — the training-data
     front door to the dedup family. --mode exact keeps one row per
@@ -747,6 +771,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warc-shards", type=int, default=4,
                    help="shard count for --format warc")
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("urldedup",
+                       help="canonical-URL dedup over any parquet corpus "
+                            "(RFC 3986 normalization + tracking-param "
+                            "strip)")
+    p.add_argument("input", nargs="+")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--url-column", default="url")
+    p.set_defaults(fn=cmd_urldedup)
 
     p = sub.add_parser("dedup",
                        help="dedup any parquet corpus (exact md5 / "

@@ -1100,3 +1100,102 @@ def bipartite_jaccard_hits(base: ray.data.Dataset,
     # shuffle emits NO blocks (ds.schema() would be None downstream)
     return (ensure_schema(distinct, empty.schema)
             .union(ray.data.from_arrow(empty)))
+
+
+def url_dedup(pages: ray.data.Dataset, url_col: str = "url",
+              broadcast_max: int = 5_000_000) -> ray.data.Dataset:
+    """Canonical-URL exact dedup over a pages corpus: keep ONE row per
+    canonical URL (functions/urlnorm.canonical_url — RFC 3986
+    normalization + tracking-param strip), the crawl-hygiene pass that
+    runs BEFORE any content dedup. The keeper is the lexicographically
+    smallest raw spelling, so output is deterministic and
+    parallelism-invariant.
+
+    Plan: one projection pass emits (canon fp, raw url) — 8-byte keys,
+    never page bytes; one salted combine builds per-fp (n, keep_url);
+    only DUP groups (n > 1, dup-bounded) survive into the filter
+    structure, SIZE-GATED like every dup artifact in this repo:
+    broadcast (sorted fp array + keeper list) below ``broadcast_max``
+    dup groups, LEFT OUTER hash join above. The corpus streams through
+    the filter with its full original schema."""
+    import pyarrow.compute as pc
+
+    from pdf_parser_ray.functions.urlnorm import canonical_url
+    from pdf_parser_ray.pipelines import relational as rel
+    from pdf_parser_ray.functions.sketches import _md5_64
+
+    def _fp(u: str) -> int:
+        return _md5_64("url:" + canonical_url(u or "")) & ((1 << 63) - 1)
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        return pa.table({
+            "fp": pa.array([_fp(u) for u in urls], pa.int64()),
+            "u": pc.cast(batch.column(url_col), pa.string())})
+
+    per_fp = rel.salted_agg(
+        pages.map_batches(fp_rows, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["fp"], [("u", "min", "keep_url"), ("", "count_all", "n")])
+
+    def dups_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("n"),
+                                       pa.scalar(1, pa.int64()))) \
+            .select(["fp", "keep_url"])
+
+    keep_schema = pa.schema([("fp", pa.int64()),
+                             ("keep_url", pa.string())])
+    dup_keepers = rel.ensure_schema(
+        per_fp.map_batches(dups_only, batch_format="pyarrow",
+                           zero_copy_batch=True), keep_schema).materialize()
+    n_dup = dup_keepers.count()
+    if n_dup == 0:
+        return pages
+
+    if n_dup <= broadcast_max:
+        kdf = dup_keepers.to_pandas()
+        order = np.argsort(kdf["fp"].to_numpy(np.int64))
+        ref = ray.put((kdf["fp"].to_numpy(np.int64)[order],
+                       kdf["keep_url"].to_numpy()[order]))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            fps_s, keeps = ray.get(ref)
+            urls = batch.column(url_col).to_pylist()
+            fps = np.fromiter((_fp(u) for u in urls), np.int64,
+                              count=len(urls))
+            pos = np.searchsorted(fps_s, fps)
+            pos_c = np.clip(pos, 0, len(fps_s) - 1)
+            in_dup = fps_s[pos_c] == fps
+            mask = ~in_dup | (np.asarray(urls, dtype=object)
+                              == keeps[pos_c])
+            return batch.filter(pa.array(mask))
+
+        return pages.map_batches(keep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        return batch.append_column(
+            "fp", pa.array([_fp(u) for u in urls], pa.int64()))
+
+    fact_schema = pa.schema(
+        list(zip(pages.schema().base_schema.names,
+                 pages.schema().base_schema.types))
+    ).append(pa.field("fp", pa.int64()))
+    joined = rel.hash_join_guarded(
+        pages.map_batches(add_fp, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        dup_keepers, "fp", "fp", rel.join_partitions(n_dup),
+        fact_schema, keep_schema, join_type="left_outer")
+
+    def keep_joined(batch: pa.Table) -> pa.Table:
+        # or_KLEENE: plain pc.or_ propagates the equal()'s null for
+        # unmatched rows (true OR null = null) and filter drops them
+        mask = pc.or_kleene(pc.is_null(batch.column("keep_url")),
+                            pc.equal(pc.cast(batch.column(url_col),
+                                             pa.string()),
+                                     batch.column("keep_url")))
+        return batch.filter(mask).drop_columns(["fp", "keep_url"])
+
+    return joined.map_batches(keep_joined, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1,0 +1,135 @@
+"""Canonical-URL normalization + URL dedup: unit rules, stage
+correctness on a crafted corpus, forced-gate parity, CLI front door."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from pdf_parser_ray.functions.urlnorm import canonical_url
+
+
+class TestCanonicalUrl:
+    CASES = [
+        # scheme/host case, default ports
+        ("HTTP://Example.COM/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        # fragment stripped
+        ("https://x.org/p#section-2", "https://x.org/p"),
+        # dot segments
+        ("https://x.org/a/b/../c/./d", "https://x.org/a/c/d"),
+        ("https://x.org/a/..", "https://x.org/"),
+        ("https://x.org", "https://x.org/"),
+        # trailing slash preserved
+        ("https://x.org/a/", "https://x.org/a/"),
+        # percent normalization: unreserved unescaped, escapes uppercased
+        ("https://x.org/%7Euser/%2fpath", "https://x.org/~user/%2Fpath"),
+        # tracking params dropped; remaining sorted
+        ("https://x.org/p?utm_source=tw&b=2&a=1&fbclid=XYZ",
+         "https://x.org/p?a=1&b=2"),
+        ("https://x.org/p?gclid=1&UTM_CAMPAIGN=x", "https://x.org/p"),
+        # blank values survive; pair order canonical
+        ("https://x.org/p?z=&a=", "https://x.org/p?a=&z="),
+        # userinfo preserved
+        ("https://u:pw@X.org/a", "https://u:pw@x.org/a"),
+        # garbage is total
+        ("", ""),
+        ("not a url", "not a url"),
+        ("  https://x.org/a  ", "https://x.org/a"),
+    ]
+
+    def test_cases(self):
+        for raw, want in self.CASES:
+            assert canonical_url(raw) == want, raw
+
+    def test_idempotent(self):
+        for raw, _ in self.CASES:
+            c = canonical_url(raw)
+            assert canonical_url(c) == c, raw
+
+
+def _corpus():
+    # three logical pages, several spellings each, plus singletons
+    urls = [
+        "https://x.org/a?utm_source=tw",       # group A
+        "HTTPS://X.ORG/a",                     # group A (dup)
+        "https://x.org:443/a#frag",            # group A (dup)
+        "https://x.org/b/../b2",               # group B
+        "https://x.org/b2",                    # group B (dup)
+        "https://x.org/only",                  # singleton
+        "https://y.org/q?b=2&a=1",             # group C
+        "https://y.org/q?a=1&b=2",             # group C (dup)
+        "https://y.org/q?a=1&b=3",             # singleton (different query)
+    ]
+    return pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array([dt.datetime(2024, 1, 1, 0, 0, i)
+                             for i in range(len(urls))],
+                            pa.timestamp("us")),
+        "html": pa.array([f"<p>{u}</p>".encode() for u in urls],
+                         pa.binary()),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUrlDedupStage:
+    def _run(self, broadcast_max):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import url_dedup
+
+        ds = ray.data.from_arrow(_corpus()).repartition(3)
+        out = url_dedup(ds, broadcast_max=broadcast_max).to_pandas()
+        return out.sort_values("url").reset_index(drop=True)
+
+    def test_keeps_one_per_canonical_group(self):
+        # groups: A x3 -> 1, B x2 -> 1, C x2 -> 1, singletons x2 -> 5 kept
+        out = self._run(broadcast_max=10**9)
+        assert len(out) == 5
+        # keeper = lexicographically smallest raw spelling
+        assert sorted(out["url"].tolist()) == [
+            "HTTPS://X.ORG/a", "https://x.org/b/../b2",
+            "https://x.org/only", "https://y.org/q?a=1&b=2",
+            "https://y.org/q?a=1&b=3"]
+        # full original schema preserved
+        assert set(out.columns) == {"url", "warc_ts", "html"}
+
+    def test_forced_join_path_matches_broadcast(self):
+        a = self._run(broadcast_max=10**9)
+        b = self._run(broadcast_max=0)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_no_dups_is_identity(self):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import url_dedup
+
+        tbl = pa.table({"url": pa.array(["https://x.org/1",
+                                         "https://x.org/2"]),
+                        "v": pa.array([1, 2], pa.int64())})
+        out = url_dedup(ray.data.from_arrow(tbl)).to_pandas()
+        assert len(out) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCli:
+    def test_urldedup_cli(self, tmp_path, capsys):
+        import json
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.cli import main
+
+        src = str(tmp_path / "pages.parquet")
+        pq.write_table(_corpus(), src)
+        out = str(tmp_path / "kept")
+        assert main(["urldedup", src, "-o", out]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep == {"rows_in": 9, "rows_out": 5, "removed": 4,
+                       "url_column": "url"}
