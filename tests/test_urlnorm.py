@@ -133,3 +133,42 @@ class TestCli:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep == {"rows_in": 9, "rows_out": 5, "removed": 4,
                        "url_column": "url"}
+
+
+class TestCanonicalFuzz:
+    """Property tests: canonicalization is total and idempotent over
+    arbitrary URL-shaped strings (the fixpoint property is what makes
+    the dedup key stable — a second pass must never re-split groups)."""
+
+    def test_idempotent_over_random_urls(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        seg = st.text(
+            alphabet="abcXYZ019-._~%2F/?&=#:@ ", min_size=0, max_size=12)
+
+        @settings(max_examples=300, deadline=None)
+        @given(scheme=st.sampled_from(["http", "https", "HTTP"]),
+               host=st.sampled_from(
+                   ["Example.com", "x.org:8080", "x.org:443", "a.b.C.de"]),
+               path=seg, query=seg, frag=seg)
+        def prop(scheme, host, path, query, frag):
+            raw = f"{scheme}://{host}/{path}?{query}#{frag}"
+            c1 = canonical_url(raw)
+            c2 = canonical_url(c1)
+            assert c2 == c1, (raw, c1, c2)
+
+        prop()
+
+    def test_total_over_garbage(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(raw=st.text(max_size=40))
+        def prop(raw):
+            out = canonical_url(raw)
+            assert isinstance(out, str)
+            assert canonical_url(out) == out
+
+        prop()
