@@ -102,6 +102,7 @@ def cmd_parse(args) -> int:
         "start_page": args.start_page,
         "end_page": args.end_page,
         "json_coordinates": args.coordinates,
+        "detect_lang": args.detect_lang,
     }
     pdfs = [p for p in args.input if p.lower().endswith(".pdf")]
     inputs = args.input
@@ -726,6 +727,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="last page to parse per document (inclusive)")
     p.add_argument("--coordinates", action="store_true",
                    help="include bounding boxes in JSON output")
+    p.add_argument("--detect-lang", action="store_true",
+                   help="append a pred_lang column (n-gram language ID "
+                        "over the extracted text)")
     p.add_argument("--pdf-column", default=None,
                    help="treat this input column as raw PDF bytes and "
                         "decode via PyMuPDF (sources/pdfbytes.py seam)")

@@ -74,6 +74,7 @@ def extract_dataset(
     parse_mode: str = "tasks",
     parse_concurrency=None,
     parse_batch_size: int = DEFAULT_PARSE_BATCH,
+    detect_lang: bool = False,
 ) -> ray.data.Dataset:
     """Wire the extraction stages onto ``ds`` (columns: url, html).
 
@@ -139,8 +140,24 @@ def extract_dataset(
         worker = ParseDocuments(**ctor_kwargs)
         parsed = routed.map_batches(worker, **parse_kwargs)
 
+    def finish(out: ray.data.Dataset) -> ray.data.Dataset:
+        if not detect_lang:
+            return out
+        # crawl-pipeline language ID at extraction time: ONE extra
+        # vectorized pass over the EXTRACTED text (n-gram cascade,
+        # stages/text.lang_pred_array) appends pred_lang — streaming,
+        # shuffle-free, opt-in so the default output schema is unchanged
+        from pdf_parser_ray.stages.text import lang_pred_array
+
+        def add_lang(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "pred_lang", lang_pred_array(batch.column("text")))
+
+        return out.map_batches(add_lang, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
     if explode_threshold is None:
-        return parsed.select_columns(OUTPUT_COLUMNS)
+        return finish(parsed.select_columns(OUTPUT_COLUMNS))
 
     # explode mode: pin the parsed rows once, then branch — finals stream
     # through untouched, only giant-doc page chunks pay the groupby.
@@ -166,7 +183,7 @@ def extract_dataset(
 
     assembled = salted_map_groups(chunks, ["url"], assemble_group,
                                   "pyarrow")
-    return finals.union(assembled)
+    return finish(finals.union(assembled))
 
 
 def extract_paths(paths, *, pdf_column: str | None = None,

@@ -59,10 +59,9 @@ def stats_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def langid_batch(batch: pa.Table) -> pa.Table:
-    """Vectorized n-gram language ID with the fixed >= cascade
-    (en, de, fr, es; 'unknown' when no marker hits)."""
-    col = batch.column("text")
+def lang_pred_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized n-gram language ID over a text column with the fixed
+    >= cascade (en, de, fr, es; 'unknown' when no marker hits)."""
     en = _count_rx(col, _LANG_RX["en"])
     de = _count_rx(col, _LANG_RX["de"])
     fr = _count_rx(col, _LANG_RX["fr"])
@@ -72,9 +71,14 @@ def langid_batch(batch: pa.Table) -> pa.Table:
         np.where((en >= de) & (en >= fr) & (en >= es), "en",
                  np.where((de >= fr) & (de >= es), "de",
                           np.where(fr >= es, "fr", "es"))))
+    return pa.array(pred.tolist(), pa.string())
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """doc_id/text -> (doc_id, pred_lang); see ``lang_pred_array``."""
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "pred_lang": pa.array(pred.tolist(), pa.string()),
+        "pred_lang": lang_pred_array(batch.column("text")),
     })
 
 

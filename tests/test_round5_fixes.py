@@ -492,3 +492,46 @@ class TestCommentTerminatorRegression:
                   "<p><!-->x</p>", "<!--->x-->", "<!----->",
                   "<!-- ok --><p>after</p>"]:
             assert flat(_fast_tree(s)) == flat(twin(s)), s
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDetectLangAtExtraction:
+    """Round 5: opt-in language-ID pass over the EXTRACTED text —
+    pred_lang must match the standalone langid kernel on the same
+    strings, on both the pure-map and explode paths, and the default
+    output schema stays unchanged."""
+
+    def _corpus(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.sources import synth
+
+        path = str(tmp_path / "pages.parquet")
+        pq.write_table(synth.corpus_table(30, seed=5), path)
+        return path
+
+    def test_pred_lang_matches_kernel(self, tmp_path):
+        from pdf_parser_ray.pipelines.extraction import extract_paths
+        from pdf_parser_ray.stages.text import lang_pred_array
+
+        path = self._corpus(tmp_path)
+        base = extract_paths([path]).to_pandas()
+        assert "pred_lang" not in base.columns  # default schema unchanged
+        out = extract_paths([path], detect_lang=True).to_pandas()
+        assert "pred_lang" in out.columns
+        want = lang_pred_array(pa.array(out["text"].tolist(),
+                                        pa.string())).to_pylist()
+        assert out["pred_lang"].tolist() == want
+        assert set(out["pred_lang"]) <= {"en", "de", "fr", "es", "unknown"}
+
+    def test_explode_path_identical(self, tmp_path):
+        from pdf_parser_ray.pipelines.extraction import extract_paths
+
+        path = self._corpus(tmp_path)
+        a = extract_paths([path], detect_lang=True).to_pandas()
+        b = extract_paths([path], detect_lang=True,
+                          explode_threshold=0).to_pandas()
+        a = a.sort_values("url").reset_index(drop=True)
+        b = b.sort_values("url").reset_index(drop=True)
+        assert a["pred_lang"].tolist() == b["pred_lang"].tolist()
+        assert a["text"].tolist() == b["text"].tolist()
