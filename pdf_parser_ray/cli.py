@@ -103,6 +103,7 @@ def cmd_parse(args) -> int:
         "end_page": args.end_page,
         "json_coordinates": args.coordinates,
         "detect_lang": args.detect_lang,
+        "quality_signals": args.quality_signals,
     }
     pdfs = [p for p in args.input if p.lower().endswith(".pdf")]
     inputs = args.input
@@ -730,6 +731,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--detect-lang", action="store_true",
                    help="append a pred_lang column (n-gram language ID "
                         "over the extracted text)")
+    p.add_argument("--quality-signals", action="store_true",
+                   help="append n_tokens/alpha_ratio/stop_ratio quality "
+                        "columns over the extracted text")
     p.add_argument("--pdf-column", default=None,
                    help="treat this input column as raw PDF bytes and "
                         "decode via PyMuPDF (sources/pdfbytes.py seam)")

@@ -75,6 +75,7 @@ def extract_dataset(
     parse_concurrency=None,
     parse_batch_size: int = DEFAULT_PARSE_BATCH,
     detect_lang: bool = False,
+    quality_signals: bool = False,
 ) -> ray.data.Dataset:
     """Wire the extraction stages onto ``ds`` (columns: url, html).
 
@@ -141,19 +142,27 @@ def extract_dataset(
         parsed = routed.map_batches(worker, **parse_kwargs)
 
     def finish(out: ray.data.Dataset) -> ray.data.Dataset:
-        if not detect_lang:
+        if not (detect_lang or quality_signals):
             return out
-        # crawl-pipeline language ID at extraction time: ONE extra
-        # vectorized pass over the EXTRACTED text (n-gram cascade,
-        # stages/text.lang_pred_array) appends pred_lang — streaming,
-        # shuffle-free, opt-in so the default output schema is unchanged
-        from pdf_parser_ray.stages.text import lang_pred_array
+        # crawl-pipeline annotations at extraction time: ONE extra
+        # vectorized pass over the EXTRACTED text appends the opt-in
+        # columns (pred_lang via the n-gram cascade; n_tokens /
+        # alpha_ratio / stop_ratio via the quality kernel) — streaming,
+        # shuffle-free; the default output schema is unchanged
+        from pdf_parser_ray.stages.text import (
+            lang_pred_array, quality_signal_columns)
 
-        def add_lang(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "pred_lang", lang_pred_array(batch.column("text")))
+        def annotate(batch: pa.Table) -> pa.Table:
+            col = batch.column("text")
+            if detect_lang:
+                batch = batch.append_column("pred_lang",
+                                            lang_pred_array(col))
+            if quality_signals:
+                for name, arr in quality_signal_columns(col):
+                    batch = batch.append_column(name, arr)
+            return batch
 
-        return out.map_batches(add_lang, batch_format="pyarrow",
+        return out.map_batches(annotate, batch_format="pyarrow",
                                zero_copy_batch=True)
 
     if explode_threshold is None:

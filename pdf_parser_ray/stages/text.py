@@ -41,22 +41,35 @@ def _safe_ratio(num: np.ndarray, den: np.ndarray) -> np.ndarray:
 
 
 def stats_batch(batch: pa.Table) -> pa.Table:
-    """doc_id/text -> token counts + quality signals (SQL-mirrorable)."""
-    col = batch.column("text")
+    """doc_id/text -> token counts + quality signals (SQL-mirrorable);
+    the kernel lives in ``quality_signal_columns`` (shared with the
+    extraction-time annotation pass)."""
+    cols = {"doc_id": batch.column("doc_id")}
+    cols.update(quality_signal_columns(batch.column("text")))
+    return pa.table(cols)
+
+
+def quality_signal_columns(col: pa.ChunkedArray | pa.Array):
+    """The stats_batch quality kernel over a bare text column:
+    [(name, array), ...] for n_tokens / alpha_ratio / stop_ratio —
+    reused by the extraction-time ``quality_signals`` annotation pass."""
     n_tokens = _count_rx(col, _TOKEN_RX)
-    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_chars = pc.utf8_length(col).to_numpy(
+        zero_copy_only=False).astype(np.float64)
     kept = pc.utf8_length(pc.replace_substring_regex(
-        col, _NON_ALPHA_RX, "")).to_numpy(zero_copy_only=False).astype(np.float64)
+        col, _NON_ALPHA_RX, "")).to_numpy(
+        zero_copy_only=False).astype(np.float64)
     stops = _count_rx(col, _LANG_RX["en"]).astype(np.float64)
-    return pa.table({
-        "doc_id": batch.column("doc_id"),
-        "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
-        "alpha_ratio": pa.array(
-            np_round_half_away(_safe_ratio(kept, n_chars), 4), pa.float64()),
-        "stop_ratio": pa.array(
-            np_round_half_away(_safe_ratio(stops, n_tokens.astype(np.float64)), 4),
-            pa.float64()),
-    })
+    return [
+        ("n_tokens", pa.array(n_tokens.astype(np.int64), pa.int64())),
+        ("alpha_ratio", pa.array(
+            np_round_half_away(_safe_ratio(kept, n_chars), 4),
+            pa.float64())),
+        ("stop_ratio", pa.array(
+            np_round_half_away(
+                _safe_ratio(stops, n_tokens.astype(np.float64)), 4),
+            pa.float64())),
+    ]
 
 
 def lang_pred_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:

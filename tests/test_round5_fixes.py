@@ -535,3 +535,27 @@ class TestDetectLangAtExtraction:
         b = b.sort_values("url").reset_index(drop=True)
         assert a["pred_lang"].tolist() == b["pred_lang"].tolist()
         assert a["text"].tolist() == b["text"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQualitySignalsAtExtraction:
+    def test_columns_match_kernel(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.extraction import extract_paths
+        from pdf_parser_ray.sources import synth
+        from pdf_parser_ray.stages.text import quality_signal_columns
+
+        path = str(tmp_path / "pages.parquet")
+        pq.write_table(synth.corpus_table(20, seed=9), path)
+        out = extract_paths([path], quality_signals=True,
+                            detect_lang=True).to_pandas()
+        for col in ("n_tokens", "alpha_ratio", "stop_ratio", "pred_lang"):
+            assert col in out.columns
+        want = dict(quality_signal_columns(
+            pa.array(out["text"].tolist(), pa.string())))
+        assert out["n_tokens"].tolist() == want["n_tokens"].to_pylist()
+        assert out["alpha_ratio"].tolist() == \
+            want["alpha_ratio"].to_pylist()
+        # stats_batch (the oracled docs profile kernel) shares the
+        # kernel, so the oracle gate transitively certifies this pass
