@@ -296,7 +296,7 @@ def cmd_synth(args) -> int:
 
         os.makedirs(args.output, exist_ok=True)
         df = synth_dataset(args.n_docs, seed=args.seed).to_pandas()
-        shard_rows = max(1, len(df) // max(1, args.warc_shards))
+        shard_rows = max(1, -(-len(df) // max(1, args.warc_shards)))
         n_shards = 0
         for i in range(0, len(df), shard_rows):
             part = df.iloc[i:i + shard_rows]

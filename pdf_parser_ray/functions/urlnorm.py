@@ -49,6 +49,10 @@ def _norm_pct(s: str) -> str:
 def _canon_path(path: str) -> str:
     if not path:
         return "/"
+    # RFC 3986 §6.2.2 ordering: normalize percent-escapes FIRST (so
+    # '%2e%2e' is a real dot segment by the time segments resolve),
+    # then remove dot segments
+    path = _norm_pct(path)
     # resolve dot segments (RFC 3986 §5.2.4), preserving a trailing slash
     out: list[str] = []
     for seg in path.split("/"):
@@ -64,10 +68,10 @@ def _canon_path(path: str) -> str:
         resolved += "/"
     if not resolved.startswith("/"):
         resolved = "/" + resolved
-    # selective escape normalization (escaped delimiters stay escaped),
-    # then quote raw out-of-set characters ('%' kept safe so existing
-    # escapes never double-encode)
-    return quote(_norm_pct(resolved), safe=_PATH_SAFE + "%")
+    # escapes were normalized before segment removal; quote raw
+    # out-of-set characters ('%' kept safe so existing escapes never
+    # double-encode)
+    return quote(resolved, safe=_PATH_SAFE + "%")
 
 
 def canonical_url(url: str) -> str:

@@ -318,10 +318,13 @@ def attach_dim(fact: ray.data.Dataset, dim: ray.data.Dataset, *,
     shuffle); above it (a TPC-H customer/supplier/part dimension at
     100 TB outgrows any broadcast) both sides hash-partition through a
     sentinel-hardened ``Dataset.join``. Join column names must already
-    match (rename the dim first); ``how`` is "inner" or "left_outer"."""
+    match (rename the dim first); ``how`` is "inner", "left" or
+    "left_outer" (the last two are synonyms)."""
     if broadcast_max is None:
         broadcast_max = DIM_BROADCAST_MAX
-    join_type = {"inner": "inner", "left": "left_outer"}[how]
+    join_type = {"inner": "inner", "left": "left_outer",
+                 "left_outer": "left_outer"}[how]
+    how = "left" if join_type == "left_outer" else "inner"  # pandas name
     if dim_count <= broadcast_max:
         dim_df = as_pandas(dim.to_pandas())
         if not set(dim_schema.names) <= set(dim_df.columns):

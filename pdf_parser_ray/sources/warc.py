@@ -139,10 +139,14 @@ def parse_warc_bytes(payload: bytes) -> list[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            pos = start + 5  # unparseable record: resync on next magic
+            length = -1
+        if length < 0:  # unparseable/negative: resync on next magic
+            pos = start + 5
             continue
         body = payload[hdr_end + 4:hdr_end + 4 + length]
-        pos = hdr_end + 4 + length + len(_SEP)
+        # pos must ALWAYS move forward (a lying Content-Length may point
+        # backward and loop forever otherwise)
+        pos = max(hdr_end + 4 + length + len(_SEP), start + 5)
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")

@@ -1102,27 +1102,33 @@ def bipartite_jaccard_hits(base: ray.data.Dataset,
             .union(ray.data.from_arrow(empty)))
 
 
+
+
 def url_dedup(pages: ray.data.Dataset, url_col: str = "url",
               broadcast_max: int = 5_000_000) -> ray.data.Dataset:
-    """Canonical-URL exact dedup over a pages corpus: keep ONE row per
-    canonical URL (functions/urlnorm.canonical_url — RFC 3986
+    """Canonical-URL exact dedup over a pages corpus: keep EXACTLY ONE
+    row per canonical URL (functions/urlnorm.canonical_url — RFC 3986
     normalization + tracking-param strip), the crawl-hygiene pass that
     runs BEFORE any content dedup. The keeper is the lexicographically
-    smallest raw spelling, so output is deterministic and
-    parallelism-invariant.
+    smallest raw spelling; when several rows carry that identical
+    spelling (an exact re-crawl — the most common crawl duplicate), one
+    of them is picked by a deterministic per-group rule, so output is
+    parallelism-invariant and the round-5 review's duplicate-spelling
+    leak cannot recur.
 
     Plan: one projection pass emits (canon fp, raw url) — 8-byte keys,
     never page bytes; one salted combine builds per-fp (n, keep_url);
     only DUP groups (n > 1, dup-bounded) survive into the filter
-    structure, SIZE-GATED like every dup artifact in this repo:
-    broadcast (sorted fp array + keeper list) below ``broadcast_max``
-    dup groups, LEFT OUTER hash join above. The corpus streams through
-    the filter with its full original schema."""
+    structure, SIZE-GATED like every dup artifact in this repo
+    (broadcast below ``broadcast_max`` dup groups, hash joins above).
+    Non-dup rows stream through untouched; the keeper-spelling rows of
+    dup groups — dup-bounded — take ONE extra fp-keyed exchange where
+    each group keeps its first row under a stable all-column ordering."""
     import pyarrow.compute as pc
 
+    from pdf_parser_ray.functions.sketches import _md5_64
     from pdf_parser_ray.functions.urlnorm import canonical_url
     from pdf_parser_ray.pipelines import relational as rel
-    from pdf_parser_ray.functions.sketches import _md5_64
 
     def _fp(u: str) -> int:
         return _md5_64("url:" + canonical_url(u or "")) & ((1 << 63) - 1)
@@ -1152,50 +1158,80 @@ def url_dedup(pages: ray.data.Dataset, url_col: str = "url",
     if n_dup == 0:
         return pages
 
+    def pick_one(group: pa.Table) -> pa.Table:
+        # deterministic pick among a dup group's keeper-spelling rows:
+        # first row under a stable stringified all-column order (rows
+        # may be byte-identical — any pick is then equal by definition)
+        cols = [c for c in group.schema.names if c != "fp"]
+        n = group.num_rows
+        if n > 1:
+            keys = sorted(range(n), key=lambda i: tuple(
+                str(group.column(c)[i].as_py()) for c in cols))
+            group = group.take(pa.array([keys[0]], pa.int64()))
+        return group.select(cols)
+
     if n_dup <= broadcast_max:
         kdf = dup_keepers.to_pandas()
         order = np.argsort(kdf["fp"].to_numpy(np.int64))
         ref = ray.put((kdf["fp"].to_numpy(np.int64)[order],
                        kdf["keep_url"].to_numpy()[order]))
 
-        def keep(batch: pa.Table) -> pa.Table:
+        def classify(batch: pa.Table):
             fps_s, keeps = ray.get(ref)
             urls = batch.column(url_col).to_pylist()
             fps = np.fromiter((_fp(u) for u in urls), np.int64,
                               count=len(urls))
-            pos = np.searchsorted(fps_s, fps)
-            pos_c = np.clip(pos, 0, len(fps_s) - 1)
-            in_dup = fps_s[pos_c] == fps
-            mask = ~in_dup | (np.asarray(urls, dtype=object)
-                              == keeps[pos_c])
-            return batch.filter(pa.array(mask))
+            pos = np.clip(np.searchsorted(fps_s, fps), 0, len(fps_s) - 1)
+            in_dup = fps_s[pos] == fps
+            is_keep = in_dup & (np.asarray(urls, dtype=object)
+                                == keeps[pos])
+            return fps, in_dup, is_keep
 
-        return pages.map_batches(keep, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+        def pass_through(batch: pa.Table) -> pa.Table:
+            _, in_dup, _ = classify(batch)
+            return batch.filter(pa.array(~in_dup))
 
-    def add_fp(batch: pa.Table) -> pa.Table:
-        urls = batch.column(url_col).to_pylist()
-        return batch.append_column(
-            "fp", pa.array([_fp(u) for u in urls], pa.int64()))
+        def candidates(batch: pa.Table) -> pa.Table:
+            fps, _, is_keep = classify(batch)
+            return batch.filter(pa.array(is_keep)).append_column(
+                "fp", pa.array(fps[is_keep], pa.int64()))
 
-    fact_schema = pa.schema(
-        list(zip(pages.schema().base_schema.names,
-                 pages.schema().base_schema.types))
-    ).append(pa.field("fp", pa.int64()))
-    joined = rel.hash_join_guarded(
-        pages.map_batches(add_fp, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        dup_keepers, "fp", "fp", rel.join_partitions(n_dup),
-        fact_schema, keep_schema, join_type="left_outer")
+        passed = pages.map_batches(pass_through, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        cands = pages.map_batches(candidates, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        def add_fp(batch: pa.Table) -> pa.Table:
+            urls = batch.column(url_col).to_pylist()
+            return batch.append_column(
+                "fp", pa.array([_fp(u) for u in urls], pa.int64()))
 
-    def keep_joined(batch: pa.Table) -> pa.Table:
-        # or_KLEENE: plain pc.or_ propagates the equal()'s null for
-        # unmatched rows (true OR null = null) and filter drops them
-        mask = pc.or_kleene(pc.is_null(batch.column("keep_url")),
-                            pc.equal(pc.cast(batch.column(url_col),
-                                             pa.string()),
-                                     batch.column("keep_url")))
-        return batch.filter(mask).drop_columns(["fp", "keep_url"])
+        fact_schema = pa.schema(
+            list(zip(pages.schema().base_schema.names,
+                     pages.schema().base_schema.types))
+        ).append(pa.field("fp", pa.int64()))
+        with_fp = pages.map_batches(add_fp, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        n_parts = rel.join_partitions(n_dup)
+        # anti join: rows outside every dup group stream through
+        passed = rel.hash_join_guarded(
+            with_fp, dup_keepers.select_columns(["fp"]), "fp", "fp",
+            n_parts, fact_schema, pa.schema([("fp", pa.int64())]),
+            join_type="left_anti").map_batches(
+            lambda b: b.drop_columns(["fp"]), batch_format="pyarrow",
+            zero_copy_batch=True)
+        # inner join: dup-group rows learn their keeper spelling
+        in_dup = rel.hash_join_guarded(
+            with_fp, dup_keepers, "fp", "fp", n_parts,
+            fact_schema, keep_schema, join_type="inner")
 
-    return joined.map_batches(keep_joined, batch_format="pyarrow",
-                              zero_copy_batch=True)
+        def keeper_spelling(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(pc.cast(batch.column(url_col), pa.string()),
+                            batch.column("keep_url"))
+            return batch.filter(mask).drop_columns(["keep_url"])
+
+        cands = in_dup.map_batches(keeper_spelling, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    picked = rel.salted_map_groups(cands, ["fp"], pick_one, "pyarrow")
+    return passed.union(picked)

@@ -244,9 +244,13 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
     degrade to the stub path per row."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI")
-    dims: list[tuple[int, int, int]] = []   # (w, h, compression)
+    dims: list[tuple[int, int, int, int]] = []  # (w, h, bits, compression)
     rate: list[float] = []
     frames_raw: list[bytes] = []
+    # stream bookkeeping: strf chunks pair with the PRECEDING strh (an
+    # AVI may list audio first), and frame chunk ids carry the 2-digit
+    # stream index — only the video stream's chunks are frames
+    st = {"idx": -1, "vid": -1, "last_is_vids": False}
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -255,16 +259,21 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
             body_end = min(pos + 8 + length, end)
             if cc == b"LIST":
                 walk(buf, pos + 12, body_end)
-            elif cc == b"strh" and not rate:
-                if buf[pos + 8:pos + 12] == b"vids":
+            elif cc == b"strh":
+                st["idx"] += 1
+                st["last_is_vids"] = buf[pos + 8:pos + 12] == b"vids"
+                if st["last_is_vids"] and st["vid"] < 0:
+                    st["vid"] = st["idx"]
                     scale, r = struct.unpack(
                         "<II", buf[pos + 28:pos + 36])
                     rate.append(r / scale if scale else float(r))
-            elif cc == b"strf" and not dims:
+            elif cc == b"strf" and st["last_is_vids"] and not dims:
                 _sz, w, h, _planes, bits, comp = struct.unpack(
                     "<IiiHHI", buf[pos + 8:pos + 28])
                 dims.append((w, h, bits, comp))
-            elif cc in (b"00db", b"00dc"):
+            elif (len(cc) == 4 and cc[:2].isdigit()
+                  and cc[2:4] in (b"db", b"dc")
+                  and st["vid"] >= 0 and int(cc[:2]) == st["vid"]):
                 frames_raw.append(buf[pos + 8:body_end])
             pos = body_end + (length & 1)
 

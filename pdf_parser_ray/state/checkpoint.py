@@ -282,8 +282,14 @@ def run_checkpointed(
     from pdf_parser_ray.pipelines.extraction import extract_paths
 
     pipeline_kwargs = dict(pipeline_kwargs or {})
+    # default-valued (None/False) kwargs are EXCLUDED from the
+    # fingerprint: adding a new opt-in pipeline flag must not change the
+    # fingerprint of runs that don't use it, or every pre-existing
+    # checkpoint would silently invalidate on resume with a newer binary
+    # (round-5 review catch). "v" bumps when semantics change for real.
     fingerprint = _config_fingerprint(
-        {k: v for k, v in pipeline_kwargs.items()} | {"v": 1}
+        {k: v for k, v in pipeline_kwargs.items()
+         if v is not None and v is not False} | {"v": 1}
     )
     if filesystem is not None:
         return _run_checkpointed_fs(input_files, out_dir, files_per_part,

@@ -151,3 +151,64 @@ def test_video_actor_real_decode_matches_direct_features():
     assert np.allclose(vec, expect)
     assert info["n_frames"] == 9 and info["src_w"] == 8
     json.dumps(info)  # info stays JSON-serializable
+
+
+def test_avi_audio_stream_listed_first():
+    """Review catch: strf must pair with the preceding vids strh, and
+    frame chunks must match the VIDEO stream's 2-digit id — an AVI whose
+    first stream is audio decodes the same frames."""
+    import struct
+
+    import numpy as np
+
+    from pdf_parser_ray.stages.multimodal import avi_decode
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, (4, 4, 6, 3), np.uint8)
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    fps = 2
+
+    def chunk(cc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(four, body):
+        return chunk(b"LIST", four + body)
+
+    frame_chunks = []
+    for i in range(n):
+        rows = []
+        for y in range(h - 1, -1, -1):
+            row = frames[i, y][:, ::-1].tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+        # VIDEO is stream 1 here (audio listed first)
+        frame_chunks.append(chunk(b"01db", b"".join(rows)))
+
+    avih = struct.pack("<14I", 500000, stride * h * fps, 0, 0x10, n, 0,
+                       2, stride * h, w, h, 0, 0, 0, 0)
+    auds_strh = (b"auds" + b"\x00" * 4
+                 + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 16,
+                               0, 0)
+                 + struct.pack("<I", 2) + struct.pack("<4h", 0, 0, 0, 0))
+    wavefmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    vids_strh = (b"vids" + b"DIB "
+                 + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                               stride * h, 0xFFFFFFFF)
+                 + struct.pack("<I", 0)
+                 + struct.pack("<4h", 0, 0, w, h))
+    vids_strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", auds_strh)
+                     + chunk(b"strf", wavefmt))
+               + lst(b"strl", chunk(b"strh", vids_strh)
+                     + chunk(b"strf", vids_strf)))
+    movi = lst(b"movi", chunk(b"00wb", b"\x01\x02\x03\x04")
+               + b"".join(frame_chunks))
+    blob = chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+    dec, got_fps = avi_decode(blob)
+    assert dec.shape == frames.shape
+    assert (dec == frames).all()
+    assert got_fps == 2.0

@@ -172,3 +172,89 @@ class TestCanonicalFuzz:
             assert canonical_url(out) == out
 
         prop()
+
+
+class TestReviewCatches:
+    """Round-5 self-review regressions (each reproduced before fixing)."""
+
+    def test_pct_dot_segments_resolve(self):
+        # %2e%2e must resolve as a dot segment (RFC 3986 §6.2.2 ordering)
+        assert canonical_url("http://h/a/%2e%2e/b") == "http://h/b"
+        assert canonical_url("http://h/%2e/a") == "http://h/a"
+        c = canonical_url("http://h/a/%2e%2e/b")
+        assert canonical_url(c) == c
+
+    def test_warc_negative_content_length_terminates(self):
+        from pdf_parser_ray.sources.warc import parse_warc_bytes
+
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://x.org/a\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               b"Content-Length: -1000\r\n\r\nxxxx\r\n\r\n")
+        good = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://x.org/b\r\n"
+                b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                b"Content-Type: text/html\r\n"
+                b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+        recs = parse_warc_bytes(bad + good)  # must not hang
+        assert [r["url"] for r in recs] == ["https://x.org/b"]
+
+    def test_synth_warc_shard_count_exact(self, tmp_path):
+        import os
+
+        from pdf_parser_ray.cli import main
+
+        out = str(tmp_path / "w")
+        assert main(["synth", "10", "-o", out, "--format", "warc",
+                     "--warc-shards", "4"]) == 0
+        assert len(os.listdir(out)) == 4
+
+    def test_attach_dim_accepts_left_outer_spelling(self):
+        import pdf_parser_ray.pipelines.relational as rel
+        import ray.data
+
+        fact = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64())}))
+        dim = ray.data.from_arrow(pa.table({
+            "k": pa.array([1], pa.int64()),
+            "v": pa.array([9], pa.int64())}))
+        fs = pa.schema([("k", pa.int64())])
+        ds_ = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+        for how in ("left", "left_outer"):
+            out = rel.attach_dim(fact, dim, on="k", dim_count=1,
+                                 fact_schema=fs, dim_schema=ds_,
+                                 how=how).to_pandas()
+            assert len(out) == 2
+
+    def test_checkpoint_fingerprint_ignores_default_flags(self):
+        from pdf_parser_ray.state.checkpoint import _config_fingerprint
+
+        base = {"want_markdown": True, "explode_threshold": None}
+        with_new_flags = base | {"detect_lang": False,
+                                 "quality_signals": False}
+        fp = lambda kw: _config_fingerprint(
+            {k: v for k, v in kw.items()
+             if v is not None and v is not False} | {"v": 1})
+        assert fp(base) == fp(with_new_flags)
+        assert fp(base) != fp(base | {"detect_lang": True})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactSpellingDuplicates:
+    @pytest.mark.parametrize("bmax", [10**9, 0])
+    def test_identical_spellings_collapse_to_one(self, bmax):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import url_dedup
+
+        tbl = pa.table({
+            "url": pa.array(["http://a.com/", "http://a.com/",
+                             "http://a.com/?utm_source=x",
+                             "http://b.com/"]),
+            "v": pa.array([1, 2, 3, 4], pa.int64())})
+        out = url_dedup(ray.data.from_arrow(tbl).repartition(2),
+                        broadcast_max=bmax).to_pandas()
+        assert sorted(out["url"].tolist()) == ["http://a.com/",
+                                               "http://b.com/"]
+        # deterministic pick: min stringified row -> v == 1
+        assert out[out["url"] == "http://a.com/"]["v"].iloc[0] == 1
