@@ -295,15 +295,19 @@ def cmd_synth(args) -> int:
         from pdf_parser_ray.sources.warc import warc_write_bytes
 
         os.makedirs(args.output, exist_ok=True)
-        df = synth_dataset(args.n_docs, seed=args.seed).to_pandas()
-        shard_rows = max(1, -(-len(df) // max(1, args.warc_shards)))
+        shard_rows = max(1, -(-args.n_docs // max(1, args.warc_shards)))
         n_shards = 0
-        for i in range(0, len(df), shard_rows):
-            part = df.iloc[i:i + shard_rows]
-            pages = [(r["url"], r["warc_ts"].to_pydatetime(),
-                      bytes(r["html"])) for _, r in part.iterrows()]
+        # stream shard-sized Arrow batches off the Dataset — never the
+        # whole corpus on the driver (review catch: the draft's
+        # to_pandas + iterrows materialized every page)
+        for batch in synth_dataset(args.n_docs, seed=args.seed) \
+                .iter_batches(batch_size=shard_rows,
+                              batch_format="pyarrow"):
+            pages = zip(batch.column("url").to_pylist(),
+                        batch.column("warc_ts").to_pylist(),
+                        batch.column("html").to_pylist())
             path = os.path.join(args.output,
-                                f"shard-{i // shard_rows:05d}.warc.gz")
+                                f"shard-{n_shards:05d}.warc.gz")
             with open(path, "wb") as f:
                 f.write(warc_write_bytes(pages))
             n_shards += 1

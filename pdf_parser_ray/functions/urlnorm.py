@@ -89,7 +89,10 @@ def canonical_url(url: str) -> str:
         port = parts.port
     except ValueError:
         port = None
-    netloc = host.lower()
+    # parts.hostname strips IPv6 brackets; restore them or the
+    # reassembled netloc is invalid AND distinct hosts can collide
+    # (['::1]:80' vs '[::1:80]' — review catch)
+    netloc = f"[{host.lower()}]" if ":" in host else host.lower()
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{netloc}:{port}"
     if parts.username:

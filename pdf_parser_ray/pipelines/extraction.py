@@ -211,12 +211,20 @@ def extract_paths(paths, *, pdf_column: str | None = None,
 
     plist = list(paths) if isinstance(paths, (list, tuple)) else [paths]
     if any(is_warc_path(p) for p in plist):
-        if not all(is_warc_path(p) for p in plist):
-            from pdf_parser_ray.functions.errors import ConfigurationError
+        from pdf_parser_ray.functions.errors import ConfigurationError
 
+        if not all(is_warc_path(p) for p in plist):
             raise ConfigurationError(
                 "cannot mix WARC and parquet shards in one run",
                 parameter="paths")
+        if pdf_column is not None or password is not None:
+            # silently dropping the PyMuPDF-decode request would produce
+            # wrong output from a flag combination that cannot apply to
+            # WARC records (review catch) — reject loudly instead
+            raise ConfigurationError(
+                "--pdf-column/--password do not apply to WARC input "
+                "(records carry the payload directly)",
+                parameter="pdf_column")
         return extract_dataset(
             read_warc(plist).select_columns(["url", "html"]), **kwargs)
     if pdf_column is None:

@@ -1110,34 +1110,43 @@ def url_dedup(pages: ray.data.Dataset, url_col: str = "url",
     row per canonical URL (functions/urlnorm.canonical_url — RFC 3986
     normalization + tracking-param strip), the crawl-hygiene pass that
     runs BEFORE any content dedup. The keeper is the lexicographically
-    smallest raw spelling; when several rows carry that identical
-    spelling (an exact re-crawl — the most common crawl duplicate), one
-    of them is picked by a deterministic per-group rule, so output is
-    parallelism-invariant and the round-5 review's duplicate-spelling
-    leak cannot recur.
+    smallest raw spelling (null URLs coalesce to "" on BOTH gate paths,
+    so a null-URL group behaves like any other); when several rows
+    carry the identical keeper spelling (an exact re-crawl — the most
+    common crawl duplicate), one is picked by a deterministic per-group
+    rule, so output is parallelism-invariant.
 
     Plan: one projection pass emits (canon fp, raw url) — 8-byte keys,
     never page bytes; one salted combine builds per-fp (n, keep_url);
     only DUP groups (n > 1, dup-bounded) survive into the filter
     structure, SIZE-GATED like every dup artifact in this repo
     (broadcast below ``broadcast_max`` dup groups, hash joins above).
-    Non-dup rows stream through untouched; the keeper-spelling rows of
-    dup groups — dup-bounded — take ONE extra fp-keyed exchange where
-    each group keeps its first row under a stable all-column ordering."""
+    The corpus is scanned ONCE into a materialized fp-annotated form
+    (spillable object-store pin — the explode-path barrier precedent);
+    non-dup rows filter through untouched, and the keeper-spelling rows
+    of dup groups — dup-bounded — take ONE extra fp-keyed exchange
+    where each group keeps its first row under a stable all-column
+    ordering."""
     import pyarrow.compute as pc
 
     from pdf_parser_ray.functions.sketches import _md5_64
     from pdf_parser_ray.functions.urlnorm import canonical_url
     from pdf_parser_ray.pipelines import relational as rel
 
-    def _fp(u: str) -> int:
+    def _fp(u) -> int:
         return _md5_64("url:" + canonical_url(u or "")) & ((1 << 63) - 1)
 
+    def _u_col(batch: pa.Table) -> pa.ChunkedArray:
+        # null URLs -> "" so grouping, keeper min and the spelling
+        # compare see ONE total domain on both gate paths
+        return pc.coalesce(pc.cast(batch.column(url_col), pa.string()),
+                           pa.scalar("", pa.string()))
+
     def fp_rows(batch: pa.Table) -> pa.Table:
-        urls = batch.column(url_col).to_pylist()
+        u = _u_col(batch)
         return pa.table({
-            "fp": pa.array([_fp(u) for u in urls], pa.int64()),
-            "u": pc.cast(batch.column(url_col), pa.string())})
+            "fp": pa.array([_fp(v) for v in u.to_pylist()], pa.int64()),
+            "u": u})
 
     per_fp = rel.salted_agg(
         pages.map_batches(fp_rows, batch_format="pyarrow",
@@ -1170,6 +1179,17 @@ def url_dedup(pages: ray.data.Dataset, url_col: str = "url",
             group = group.take(pa.array([keys[0]], pa.int64()))
         return group.select(cols)
 
+    # ONE corpus scan: annotate every row with its fp, then pin the
+    # annotated form so the pass/candidate branches don't re-read the
+    # source (review catch: the draft scanned + re-hashed twice)
+    def add_fp(batch: pa.Table) -> pa.Table:
+        u = _u_col(batch)
+        return batch.append_column(
+            "fp", pa.array([_fp(v) for v in u.to_pylist()], pa.int64()))
+
+    with_fp = pages.map_batches(add_fp, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+
     if n_dup <= broadcast_max:
         kdf = dup_keepers.to_pandas()
         order = np.argsort(kdf["fp"].to_numpy(np.int64))
@@ -1178,40 +1198,30 @@ def url_dedup(pages: ray.data.Dataset, url_col: str = "url",
 
         def classify(batch: pa.Table):
             fps_s, keeps = ray.get(ref)
-            urls = batch.column(url_col).to_pylist()
-            fps = np.fromiter((_fp(u) for u in urls), np.int64,
-                              count=len(urls))
+            fps = batch.column("fp").to_numpy(zero_copy_only=False)
+            u = np.asarray(_u_col(batch).to_pylist(), dtype=object)
             pos = np.clip(np.searchsorted(fps_s, fps), 0, len(fps_s) - 1)
             in_dup = fps_s[pos] == fps
-            is_keep = in_dup & (np.asarray(urls, dtype=object)
-                                == keeps[pos])
-            return fps, in_dup, is_keep
+            is_keep = in_dup & (u == keeps[pos])
+            return in_dup, is_keep
 
         def pass_through(batch: pa.Table) -> pa.Table:
-            _, in_dup, _ = classify(batch)
-            return batch.filter(pa.array(~in_dup))
+            in_dup, _ = classify(batch)
+            return batch.filter(pa.array(~in_dup)).drop_columns(["fp"])
 
         def candidates(batch: pa.Table) -> pa.Table:
-            fps, _, is_keep = classify(batch)
-            return batch.filter(pa.array(is_keep)).append_column(
-                "fp", pa.array(fps[is_keep], pa.int64()))
+            _, is_keep = classify(batch)
+            return batch.filter(pa.array(is_keep))
 
-        passed = pages.map_batches(pass_through, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-        cands = pages.map_batches(candidates, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+        passed = with_fp.map_batches(pass_through, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        cands = with_fp.map_batches(candidates, batch_format="pyarrow",
+                                    zero_copy_batch=True)
     else:
-        def add_fp(batch: pa.Table) -> pa.Table:
-            urls = batch.column(url_col).to_pylist()
-            return batch.append_column(
-                "fp", pa.array([_fp(u) for u in urls], pa.int64()))
-
         fact_schema = pa.schema(
             list(zip(pages.schema().base_schema.names,
                      pages.schema().base_schema.types))
         ).append(pa.field("fp", pa.int64()))
-        with_fp = pages.map_batches(add_fp, batch_format="pyarrow",
-                                    zero_copy_batch=True)
         n_parts = rel.join_partitions(n_dup)
         # anti join: rows outside every dup group stream through
         passed = rel.hash_join_guarded(
@@ -1226,8 +1236,7 @@ def url_dedup(pages: ray.data.Dataset, url_col: str = "url",
             fact_schema, keep_schema, join_type="inner")
 
         def keeper_spelling(batch: pa.Table) -> pa.Table:
-            mask = pc.equal(pc.cast(batch.column(url_col), pa.string()),
-                            batch.column("keep_url"))
+            mask = pc.equal(_u_col(batch), batch.column("keep_url"))
             return batch.filter(mask).drop_columns(["keep_url"])
 
         cands = in_dup.map_batches(keeper_spelling, batch_format="pyarrow",

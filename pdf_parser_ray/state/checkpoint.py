@@ -209,10 +209,18 @@ def _remove_stale_parts_fs(ops: _FsOps, out_dir: str,
 
 
 def _run_checkpointed_fs(input_files, out_dir, files_per_part,
-                         pipeline_kwargs, fingerprint, filesystem) -> dict:
+                         pipeline_kwargs, fingerprint, filesystem,
+                         accepted=None) -> dict:
     """Manifest-commit protocol over a pyarrow filesystem (no staging
     rename — the manifest put is the commit record; see module
-    docstring)."""
+    docstring).
+
+    DELIBERATE twin of the local loop in ``run_checkpointed``: the two
+    differ in their PUBLISH step (atomic rename vs manifest-commit) and
+    the local path's behaviour is pinned by the kill/resume suites, so
+    they are kept separate rather than parameterized. A change to
+    manifest fields, counters, or the skip rule must be applied in BOTH
+    loops — grep for 'input_lineage' to find them."""
     from pdf_parser_ray.pipelines.extraction import extract_paths
 
     ops = _FsOps(filesystem)
@@ -226,7 +234,8 @@ def _run_checkpointed_fs(input_files, out_dir, files_per_part,
         manifest = ops.read_json(mpath)
         if manifest is not None and manifest.get("status") != "complete":
             manifest = None
-        if manifest and manifest.get("config") == fingerprint \
+        if manifest and manifest.get("config") in (accepted
+                                                   or {fingerprint}) \
                 and manifest.get("input_lineage") == files:
             skipped += 1
             total_rows += manifest["counters"]["rows"]
@@ -291,10 +300,20 @@ def run_checkpointed(
         {k: v for k, v in pipeline_kwargs.items()
          if v is not None and v is not False} | {"v": 1}
     )
+    # migration: manifests written BEFORE the exclusion rule hashed the
+    # defaults too; accept that legacy spelling on resume (second review
+    # catch — the rule change itself must not trigger the re-run it
+    # exists to prevent). New manifests always carry the new form.
+    legacy_fingerprint = _config_fingerprint(
+        {k: v for k, v in pipeline_kwargs.items()
+         if k not in ("detect_lang", "quality_signals")
+         or v not in (None, False)} | {"v": 1}
+    )
+    accepted = {fingerprint, legacy_fingerprint}
     if filesystem is not None:
         return _run_checkpointed_fs(input_files, out_dir, files_per_part,
                                     pipeline_kwargs, fingerprint,
-                                    filesystem)
+                                    filesystem, accepted=accepted)
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
 
     parts = plan_partitions(input_files, files_per_part)
@@ -309,7 +328,7 @@ def run_checkpointed(
     for part_id, files in enumerate(parts):
         mpath = _manifest_path(out_dir, part_id)
         manifest = _load_manifest(mpath)
-        if manifest and manifest.get("config") == fingerprint \
+        if manifest and manifest.get("config") in accepted \
                 and manifest.get("input_lineage") == files:
             skipped += 1
             total_rows += manifest["counters"]["rows"]

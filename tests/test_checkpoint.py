@@ -131,3 +131,34 @@ def test_checkpoint_over_pyarrow_fs(shards, tmp_path):
                                filesystem=fs)
     assert s4["parts_total"] == 2
     assert not (root / "run" / "part-0002").exists()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_legacy_fingerprint_accepted_on_resume(shards, tmp_path):
+    """Round-5 review catch: manifests written by the pre-round-5 binary
+    (fingerprint over ALL kwargs, new flags absent) must still be
+    skipped on resume — the fingerprint-rule change itself must not
+    trigger the full re-run it exists to prevent."""
+    out = str(tmp_path / "legacy")
+    ckpt.run_checkpointed(shards[:1], out, files_per_part=1)
+    # rewrite the manifest's config to the LEGACY spelling: hash over
+    # the old kwargs dict (defaults included, new flags absent)
+    legacy = ckpt._config_fingerprint({
+        "want_markdown": True, "want_json": False,
+        "explode_threshold": None, "parse_mode": "tasks",
+        "start_page": 1, "end_page": None,
+        "json_coordinates": False} | {"v": 1})
+    mpath = os.path.join(out, "_manifest", "part-0000.json")
+    m = json.load(open(mpath))
+    m["config"] = legacy
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    s = ckpt.run_checkpointed(
+        shards[:1], out, files_per_part=1,
+        pipeline_kwargs={
+            "want_markdown": True, "want_json": False,
+            "explode_threshold": None, "parse_mode": "tasks",
+            "start_page": 1, "end_page": None,
+            "json_coordinates": False,
+            "detect_lang": False, "quality_signals": False})
+    assert s["parts_skipped"] == 1 and s["parts_run"] == 0

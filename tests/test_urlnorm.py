@@ -258,3 +258,31 @@ class TestExactSpellingDuplicates:
                                                "http://b.com/"]
         # deterministic pick: min stringified row -> v == 1
         assert out[out["url"] == "http://a.com/"]["v"].iloc[0] == 1
+
+
+class TestReviewCatches2:
+    def test_ipv6_brackets_preserved(self):
+        assert canonical_url("http://[2001:db8::1]:8443/a") == \
+            "http://[2001:db8::1]:8443/a"
+        assert canonical_url("HTTP://[2001:DB8::1]/a") == \
+            "http://[2001:db8::1]/a"
+        # distinct hosts stay distinct
+        a = canonical_url("http://[2001:db8::1]:8443/a")
+        b = canonical_url("http://[2001:db8::1:8443]/a")
+        assert a != b
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNullUrlGateParity:
+    @pytest.mark.parametrize("bmax", [10**9, 0])
+    def test_null_url_group_keeps_one_on_both_paths(self, bmax):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import url_dedup
+
+        tbl = pa.table({
+            "url": pa.array([None, None, "https://x.org/a"], pa.string()),
+            "v": pa.array([1, 2, 3], pa.int64())})
+        out = url_dedup(ray.data.from_arrow(tbl).repartition(2),
+                        broadcast_max=bmax).to_pandas()
+        assert sorted(out["v"].tolist()) == [1, 3]

@@ -137,3 +137,15 @@ class TestCli:
         assert main(args) == 0
         s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert s2["parts_skipped"] == s2["parts_total"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewCatches:
+    def test_pdf_column_rejected_on_warc_input(self):
+        from pdf_parser_ray.functions.errors import ConfigurationError
+        from pdf_parser_ray.pipelines.extraction import extract_paths
+
+        with pytest.raises(ConfigurationError):
+            extract_paths(["a.warc.gz"], pdf_column="pdf")
+        with pytest.raises(ConfigurationError):
+            extract_paths(["a.warc.gz"], password="x")
