@@ -377,10 +377,14 @@ def cmd_urldedup(args) -> int:
 
     import ray.data
 
+    from pdf_parser_ray.sources.warc import is_warc_path, read_warc
     from pdf_parser_ray.stages.dedup import url_dedup
 
     _init_ray(args.num_cpus, getattr(args, 'verbose', False))
-    ds = ray.data.read_parquet(args.input)
+    if all(is_warc_path(p) for p in args.input):
+        ds = read_warc(args.input)  # warc -> urldedup -> parquet funnel
+    else:
+        ds = ray.data.read_parquet(args.input)
     n_in = ds.count()
     kept = url_dedup(ds, url_col=args.url_column)
     kept.write_parquet(args.output)

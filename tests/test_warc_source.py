@@ -149,3 +149,20 @@ class TestReviewCatches:
             extract_paths(["a.warc.gz"], pdf_column="pdf")
         with pytest.raises(ConfigurationError):
             extract_paths(["a.warc.gz"], password="x")
+
+    def test_urldedup_over_warc_shards(self, tmp_path, capsys):
+        import json
+
+        from pdf_parser_ray.cli import main
+        from pdf_parser_ray.sources.warc import warc_write_bytes
+
+        # two spellings of one page + one distinct page
+        pages = [("https://x.org/a?utm_source=z", _TS, b"<p>a</p>"),
+                 ("https://x.org/a", _TS, b"<p>a</p>"),
+                 ("https://x.org/b", _TS, b"<p>b</p>")]
+        shard = tmp_path / "s.warc.gz"
+        shard.write_bytes(warc_write_bytes(pages))
+        out = str(tmp_path / "kept")
+        assert main(["urldedup", str(shard), "-o", out]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows_in"] == 3 and rep["rows_out"] == 2
