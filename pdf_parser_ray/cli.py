@@ -177,7 +177,13 @@ def cmd_analyze(args) -> int:
 
     _init_ray(args.num_cpus, getattr(args, 'verbose', False))
     payload_col = args.pdf_column or "html"
-    ds = ray.data.read_parquet(args.input, columns=["url", payload_col])
+    from pdf_parser_ray.sources.warc import is_warc_path, read_warc
+
+    if all(is_warc_path(p) for p in args.input):
+        ds = read_warc(args.input)  # analyze works on WARC shards too
+    else:
+        ds = ray.data.read_parquet(args.input,
+                                   columns=["url", payload_col])
     rows = ds.filter(expr=f"url == '{args.url}'").take(1)
     if not rows:
         print(f"url not found: {args.url}", file=sys.stderr)

@@ -166,3 +166,61 @@ class TestReviewCatches:
         assert main(["urldedup", str(shard), "-o", out]) == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["rows_in"] == 3 and rep["rows_out"] == 2
+
+    def test_analyze_over_warc(self, tmp_path, capsys):
+        from pdf_parser_ray.cli import main
+        from pdf_parser_ray.sources.warc import warc_write_bytes
+
+        pages = [("https://x.org/doc.html", _TS,
+                  b"<html><body><p>" + b"real content words here " * 4
+                  + b"</p></body></html>")]
+        shard = tmp_path / "a.warc.gz"
+        shard.write_bytes(warc_write_bytes(pages))
+        assert main(["analyze", str(shard),
+                     "--url", "https://x.org/doc.html"]) == 0
+        out = capsys.readouterr().out
+        assert "html document" in out
+
+    def test_urldedup_parallelism_invariant(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import url_dedup
+
+        tbl = pa.table({
+            "url": pa.array([f"https://x.org/{i % 7}?utm_source={i}"
+                             for i in range(40)]),
+            "v": pa.array(range(40), pa.int64())})
+        outs = []
+        for nparts in (1, 3, 8):
+            ds = ray.data.from_arrow(tbl).repartition(nparts)
+            df = url_dedup(ds).to_pandas().sort_values("url") \
+                .reset_index(drop=True)
+            outs.append(df)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        pd.testing.assert_frame_equal(outs[0], outs[2])
+        assert len(outs[0]) == 7
+
+    def test_warc_explode_path_parity(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.extraction import extract_paths
+        from pdf_parser_ray.sources import synth
+        from pdf_parser_ray.sources.warc import warc_write_bytes
+
+        tbl = synth.corpus_table(20, seed=13)
+        pq_path = str(tmp_path / "p.parquet")
+        pq.write_table(tbl, pq_path)
+        rows = tbl.to_pylist()
+        with open(tmp_path / "w.warc.gz", "wb") as f:
+            f.write(warc_write_bytes(
+                [(r["url"], r["warc_ts"], bytes(r["html"]))
+                 for r in rows]))
+        a = extract_paths([pq_path], explode_threshold=0).to_pandas()
+        b = extract_paths([str(tmp_path / "w.warc.gz")],
+                          explode_threshold=0).to_pandas()
+        a = a.sort_values("url").reset_index(drop=True)
+        b = b.sort_values("url").reset_index(drop=True)
+        assert a["text"].tolist() == b["text"].tolist()
