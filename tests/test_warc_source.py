@@ -224,3 +224,50 @@ class TestReviewCatches:
         a = a.sort_values("url").reset_index(drop=True)
         b = b.sort_values("url").reset_index(drop=True)
         assert a["text"].tolist() == b["text"].tolist()
+
+
+class TestWarcFuzz:
+    """parse_warc_bytes is TOTAL: arbitrary bytes (including adversarial
+    header fragments) never raise and never loop — the round-5
+    negative-Content-Length hang, generalized into a property."""
+
+    def test_total_over_garbage(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pdf_parser_ray.sources.warc import parse_warc_bytes
+
+        frag = st.one_of(
+            st.binary(max_size=40),
+            st.sampled_from([
+                b"WARC/1.0\r\n", b"Content-Length: ", b"-999", b"1e9",
+                b"\r\n\r\n", b"WARC-Type: response\r\n",
+                b"WARC-Target-URI: u\r\n",
+                b"WARC-Date: 2024-01-01T00:00:00Z\r\n",
+                b"\x1f\x8b\x08", b"WARC/"]))
+
+        @settings(max_examples=300, deadline=None)
+        @given(parts=st.lists(frag, max_size=8))
+        def prop(parts):
+            out = parse_warc_bytes(b"".join(parts))
+            assert isinstance(out, list)
+
+        prop()
+
+    def test_roundtrip_survives_any_payload_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pdf_parser_ray.sources.warc import (
+            parse_warc_bytes, warc_write_bytes)
+
+        @settings(max_examples=100, deadline=None)
+        @given(payloads=st.lists(st.binary(max_size=64), min_size=1,
+                                 max_size=4))
+        def prop(payloads):
+            pages = [(f"https://x.org/{i}", _TS, b)
+                     for i, b in enumerate(payloads)]
+            recs = parse_warc_bytes(warc_write_bytes(pages))
+            assert [r["html"] for r in recs] == payloads
+
+        prop()
